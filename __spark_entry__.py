@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every key in ``queries()`` is an operator from SURVEY.md §2B implemented
+Spark-first in ``spectrify_spark``; ``oracle_sql()`` holds the DuckDB
+twin (omitted only for approximate/LSH operators, which get the
+rows-only check).
+
+Determinism conventions (so the driver's order-insensitive value hash
+matches across engines):
+- money aggregates are computed in DECIMAL (exact, association-free)
+  and cast to an explicit DECIMAL(38,s) on both sides;
+- ratios/averages are rounded from identical exact inputs;
+- event-time gaps use exact integer microseconds (unix_micros /
+  epoch_us);
+- every top-k orders by the *rounded* score plus a unique tie-break;
+- integer-width differences (Spark INT vs DuckDB BIGINT function
+  results) are normalized by explicit casts on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +22,711 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spectrify_spark.functions import casts as C
+from spectrify_spark.functions import text as TX
+from spectrify_spark.functions.vectors import cosine, norm
+from spectrify_spark.operators import dedup, relational as R, sessionize as S, similarity as SIM
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+DEC2 = "decimal(18,2)"
+DEC2_OUT = "decimal(38,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from spectrify_spark.sources.parquet import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _qty_dec(col: str = "l_quantity"):
+    return F.col(col).cast(DEC2)
+
+
+# ---------------------------------------------------------------- flagship
+
+
+def q_agg_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary (SURVEY §7.2 minimum slice).
+
+    Scale shape: parquet scan with pushed l_shipdate filter -> partial
+    hash agg -> 6-group shuffle -> final agg.  No joins, no sort.
+    """
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_qty_dec()).cast(DEC2_OUT).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.round(
+                F.sum(_qty_dec()).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC2)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_AGG_HASH = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))
+    AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_agg_hash(spark, SF_DEFAULT)
+
+
+# ------------------------------------------------------- scans / filters
+
+
+def q_scan_project(spark, sf):
+    return R.scan_project(
+        _t(spark, sf, "lineitem"), ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+
+def q_filter_daterange(spark, sf):
+    ev = _t(spark, sf, "events")
+    return R.filter_range(
+        ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    ).select("event_id", "ts", "event_type", "value")
+
+
+def q_cast_types(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k_int"),
+        F.to_date("ts").alias("event_date"),
+        F.col("value").cast(DEC2).alias("value_dec"),
+        C.parse_bool_tf(
+            F.when(F.col("value") > 50, "t").otherwise("f")
+        ).alias("high_flag"),
+    )
+
+
+def q_nullify_empty(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        C.nullify_empty(F.col("source")).alias("source_nn"),
+        F.coalesce(C.nullify_empty(F.col("lang")), F.lit("unknown")).alias("lang_nn"),
+    )
+
+
+def q_partition_key(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(F.to_date("ts").alias("partition_date"), "value")
+        .groupBy("partition_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).alias("sum_value"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- joins
+
+
+def q_join_inner(spark, sf):
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    return (
+        R.equi_join(li, o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+    )
+
+
+def q_join_broadcast(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    out = R.equi_join(
+        c, n, c["c_nationkey"] == n["n_nationkey"], broadcast_right=True
+    )
+    out = R.equi_join(out, r, F.col("n_regionkey") == r["r_regionkey"], broadcast_right=True)
+    return out.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+def q_join_semi(spark, sf):
+    o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 48)
+    return R.semi_join(o, big, o["o_orderkey"] == big["l_orderkey"]).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def q_join_anti(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    pending = o.filter(F.col("o_orderstatus") == "P")
+    return R.anti_join(c, pending, c["c_custkey"] == pending["o_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ------------------------------------------------------------ aggregates
+
+
+def q_agg_distinct(spark, sf):
+    o = _t(spark, sf, "orders")
+    return R.hash_agg(
+        o,
+        ["o_orderstatus"],
+        {
+            "n_customers": F.countDistinct("o_custkey"),
+            "n_orders": F.count(F.lit(1)),
+        },
+    )
+
+
+def q_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return R.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.sum(_qty_dec()).cast(DEC2_OUT),
+            "n_rows": F.count(F.lit(1)),
+        },
+    )
+
+
+def q_cube(spark, sf):
+    o = _t(spark, sf, "orders")
+    return R.cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "sum_price": F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT),
+        },
+    )
+
+
+def q_pivot(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_qty_dec()).cast(DEC2_OUT))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# --------------------------------------------------------------- windows
+
+
+def q_window_rank(spark, sf):
+    o = _t(spark, sf, "orders")
+    ranked = R.window_rank(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        rank_col="rnk",
+        top_n=3,
+    )
+    return ranked.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+def q_window_analytic(spark, sf):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast(DEC2)).over(wrun).cast(DEC2_OUT).alias("running_value"),
+    )
+
+
+def q_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return R.topk(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+
+def q_set_ops(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = R.set_intersect(c, s).withColumn("tag", F.lit("both"))
+    cust_only = R.set_except(c, s).withColumn("tag", F.lit("customer_only"))
+    return R.set_union(both, cust_only, distinct=False)
+
+
+# ---------------------------------------------------------------- scalars
+
+
+def q_scalar_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.when(F.col("p_size") > 25, "large").otherwise("small").alias("size_class"),
+    )
+
+
+def q_scalar_dates(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+    )
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def q_dedup_exact(spark, sf):
+    ev = _t(spark, sf, "events")
+    first = dedup.dedup_exact(
+        ev, ["user_id", "event_type"], tie_break=[F.col("ts"), F.col("event_id")]
+    )
+    return first.select("user_id", "event_type", "event_id", "ts")
+
+
+def q_dedup_near(spark, sf):
+    d = _t(spark, sf, "documents")
+    cand = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_k=3)
+    pairs = dedup.ngram_jaccard_pairs(d, cand, shingle_k=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_pairs(d, bits=64, band_bits=16).filter(
+        F.col("hamming") <= 12
+    )
+
+
+def q_dedup_embed(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    pairs = dedup.embedding_near_dup(e, threshold=0.9, n_planes=16, dim=64, band_bits=8)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+# ------------------------------------------------------------- similarity
+
+
+def _query_vec(spark, sf, vec_id: int = 0) -> list:
+    row = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_sim_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SIM.brute_force_topk(e, _query_vec(spark, sf, 0), k=10, round_digits=4)
+
+
+def q_sim_knn(spark, sf):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = e.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_vec")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "cos")
+    )
+
+
+def q_sim_ivf(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    cents = SIM.choose_centroids(e, n_centroids=8)
+    assigned = SIM.assign_partitions(e, cents)
+    out = SIM.ivf_topk(assigned, cents, _query_vec(spark, sf, 0), k=10, nprobe=3)
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+# ------------------------------------------------------------------- text
+
+
+def q_text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", TX.token_count(F.col("text")).alias("n_tok"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_text_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    sorted_toks = F.array_join(
+        F.array_sort(F.array_distinct(TX.tokens(F.lower(F.col("text"))))), " "
+    )
+    return d.select("doc_id", F.md5(sorted_toks.cast("binary")).alias("fp"))
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.fingerprint(F.col("text")).alias("xxfp"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_multimodal_cols(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
+        "label",
+    )
+
+
+# ----------------------------------------------------------- event time
+
+
+def q_events_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = S.tumbling_window_agg(
+        ev,
+        duration="1 hour",
+        group_cols=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT),
+        },
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+def q_events_sessionize(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = S.session_stats(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration_us",
+    )
+
+
+# ------------------------------------------------------------- registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_agg_hash": q_agg_hash,
+        "q_scan_project": q_scan_project,
+        "q_filter_daterange": q_filter_daterange,
+        "q_cast_types": q_cast_types,
+        "q_nullify_empty": q_nullify_empty,
+        "q_partition_key": q_partition_key,
+        "q_join_inner": q_join_inner,
+        "q_join_broadcast": q_join_broadcast,
+        "q_join_semi": q_join_semi,
+        "q_join_anti": q_join_anti,
+        "q_agg_distinct": q_agg_distinct,
+        "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_pivot": q_pivot,
+        "q_window_rank": q_window_rank,
+        "q_window_analytic": q_window_analytic,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_scalar_funcs": q_scalar_funcs,
+        "q_scalar_dates": q_scalar_dates,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_near": q_dedup_near,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embed": q_dedup_embed,
+        "q_sim_topk": q_sim_topk,
+        "q_sim_knn": q_sim_knn,
+        "q_sim_ivf": q_sim_ivf,
+        "q_text_stats": q_text_stats,
+        "q_text_tokens": q_text_tokens,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_text_quality": q_text_quality,
+        "q_multimodal_cols": q_multimodal_cols,
+        "q_events_window": q_events_window,
+        "q_events_sessionize": q_events_sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ws_tokens = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+    return {
+        "q_agg_hash": _SQL_AGG_HASH,
+        "q_scan_project": "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem",
+        "q_filter_daterange": """
+            SELECT event_id, ts, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "q_cast_types": """
+            SELECT event_id,
+              CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k_int,
+              CAST(ts AS DATE) AS event_date,
+              CAST(value AS DECIMAL(18,2)) AS value_dec,
+              (value > 50) AS high_flag
+            FROM events
+        """,
+        "q_nullify_empty": """
+            SELECT doc_id, nullif(source, '') AS source_nn,
+                   coalesce(nullif(lang, ''), 'unknown') AS lang_nn
+            FROM documents
+        """,
+        "q_partition_key": """
+            SELECT CAST(ts AS DATE) AS partition_date, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "q_join_inner": """
+            SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        """,
+        "q_join_broadcast": """
+            SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "q_join_semi": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        """,
+        "q_join_anti": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        """,
+        "q_agg_distinct": """
+            SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q_cube": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "q_pivot": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_O,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_F
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders) WHERE rnk <= 3
+        """,
+        "q_window_analytic": """
+            SELECT event_id, user_id, value,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DECIMAL(38,2)) AS running_value
+            FROM events
+        """,
+        "q_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_set_ops": """
+            SELECT nationkey, 'both' AS tag FROM
+              (SELECT c_nationkey AS nationkey FROM customer
+               INTERSECT SELECT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT nationkey, 'customer_only' AS tag FROM
+              (SELECT c_nationkey AS nationkey FROM customer
+               EXCEPT SELECT s_nationkey FROM supplier)
+        """,
+        "q_scalar_funcs": """
+            SELECT p_partkey, UPPER(p_brand) AS brand_u,
+                   SUBSTRING(p_name, 1, 8) AS name_prefix,
+                   CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+                   CONCAT(p_brand, ':', p_type) AS brand_type,
+                   ABS(p_size - 25) AS size_dev,
+                   CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+                   CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+            FROM part
+        """,
+        "q_scalar_dates": """
+            SELECT o_orderkey,
+                   CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+                   CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                   o_orderdate + INTERVAL 30 DAY AS due_date,
+                   CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                     AS days_since_epoch_start
+            FROM orders
+        """,
+        "q_dedup_exact": """
+            SELECT user_id, event_type, event_id, ts FROM (
+              SELECT user_id, event_type, event_id, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "q_sim_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
+            FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "q_sim_knn": """
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 4) AS cos
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 3
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                       ORDER BY cos DESC, c.vec_id) <= 5
+        """,
+        "q_text_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len({ws_tokens})) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_text_tokens": f"""
+            SELECT doc_id,
+                   CAST(len({ws_tokens}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+                   CAST(LENGTH(text) AS BIGINT) AS text_len
+            FROM documents
+        """,
+        "q_text_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> ''))), ' ')) AS fp
+            FROM documents
+        """,
+        "q_multimodal_cols": """
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                   embedding[1] AS first_elem,
+                   ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> x * x))), 4) AS l2_norm,
+                   label
+            FROM embeddings
+        """,
+        "q_events_window": """
+            SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_events_sessionize": """
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+            FROM (
+              SELECT user_id, ts, event_id,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events) t1) t2
+            GROUP BY user_id, session_id
+        """
+        # q_dedup_near / q_dedup_simhash / q_dedup_embed / q_sim_ivf /
+        # q_text_quality: LSH/approximate/heuristic operators — rows-only
+        # check by design (see SURVEY §2B).
+    }

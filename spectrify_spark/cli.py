@@ -1,0 +1,90 @@
+"""CLI surface — parity with the reference's click commands
+(reference spectrify/main.py:16-95: transform | export | convert |
+create-table | add-part), driven by argparse over the Spark engine.
+
+The reference needed Redshift connection parameters on every command;
+here the source is any Spark-readable path or JDBC URL, so commands
+take paths + a schema file instead of a live database.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from spectrify_spark import transform as TR
+from spectrify_spark.catalog import ddl as DDL
+from spectrify_spark.session import get_spark
+from spectrify_spark.sources import csv as CSV
+from spectrify_spark.types import schema_from_columns
+
+
+def _load_schema(schema_json: str):
+    """Schema file format: [["col", "SQLTYPE"], ...] (the reference got
+    this by reflecting Redshift; we accept it explicitly)."""
+    with open(schema_json) as fh:
+        return schema_from_columns([tuple(x) for x in json.load(fh)])
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spectrify-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transform", help="source parquet -> parquet + external table")
+    t.add_argument("source")
+    t.add_argument("table")
+    t.add_argument("dest")
+    t.add_argument("--partition-by", nargs="*", default=None)
+
+    e = sub.add_parser("export", help="table parquet -> UNLOAD-convention CSV + manifest")
+    e.add_argument("source")
+    e.add_argument("csv_dir")
+    e.add_argument("--max-records-per-file", type=int, default=None)
+
+    c = sub.add_parser("convert", help="manifest CSV -> typed parquet")
+    c.add_argument("manifest")
+    c.add_argument("schema_json")
+    c.add_argument("dest")
+
+    ct = sub.add_parser("create-table", help="emit+run external-table DDL over parquet")
+    ct.add_argument("table")
+    ct.add_argument("location")
+    ct.add_argument("--dry-run", action="store_true")
+
+    ap = sub.add_parser("add-part", help="ALTER TABLE ADD PARTITION")
+    ap.add_argument("table")
+    ap.add_argument("spec", help="key=value")
+    ap.add_argument("location")
+
+    args = p.parse_args(argv)
+    spark = get_spark("spectrify-cli")
+
+    if args.cmd == "transform":
+        df = spark.read.parquet(args.source)
+        ddl = TR.transform(spark, df, args.table, args.dest, args.partition_by)
+        print(ddl)
+    elif args.cmd == "export":
+        df = spark.read.parquet(args.source)
+        manifest = TR.export_to_csv(df, args.csv_dir, args.max_records_per_file)
+        print(manifest)
+    elif args.cmd == "convert":
+        schema = _load_schema(args.schema_json)
+        TR.convert_manifest(spark, args.manifest, schema, args.dest)
+        print(args.dest)
+    elif args.cmd == "create-table":
+        df = spark.read.parquet(args.location)
+        ddl = DDL.parquet_table_ddl(args.table, df.schema, args.location)
+        print(ddl)
+        if not args.dry_run:
+            DDL.create(spark, ddl)
+    elif args.cmd == "add-part":
+        k, v = args.spec.split("=", 1)
+        ddl = DDL.add_partition_ddl(args.table, {k: v}, args.location)
+        print(ddl)
+        DDL.create(spark, ddl)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,66 @@
+"""Column-expression casts reproducing the reference's string->typed
+conversion semantics (reference spectrify/convert.py:40-79,134-144 and
+spectrify/utils/timestamps.py) as Catalyst expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path.
+
+The reference runs a pure-Python per-cell loop it itself calls
+inefficient (convert.py:113-119); these expressions are its vectorized
+replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def nullify_empty(col: Column) -> Column:
+    """Empty string -> NULL, any type's universal null encoding in the
+    reference's CSV transport (reference spectrify/convert.py:140-141)."""
+    return F.nullif(col, F.lit(""))
+
+
+def parse_bool_tf(col: Column, strict: bool = True) -> Column:
+    """Postgres-style ``'t'``/``'f'``/``''`` -> True/False/NULL.
+
+    ``strict=True`` raises on any other value, matching the reference's
+    ValueError (reference spectrify/convert.py:45-56); ``strict=False``
+    maps unknowns to NULL (useful for exploratory loads).
+    """
+    base = (
+        F.when(col == "t", F.lit(True))
+        .when(col == "f", F.lit(False))
+        .when(col.isNull() | (col == ""), F.lit(None).cast(T.BooleanType()))
+    )
+    if strict:
+        return base.otherwise(
+            F.raise_error(F.concat(F.lit("Unknown boolean value: "), col))
+        )
+    return base.otherwise(F.lit(None).cast(T.BooleanType()))
+
+
+def parse_iso_timestamp(col: Column) -> Column:
+    """ISO-8601 string -> timestamp (reference
+    spectrify/utils/timestamps.py:22-32; ns there, µs here — Spark
+    TimestampType is µs; see SURVEY §7.4 for the parity note)."""
+    return F.to_timestamp(nullify_empty(col))
+
+
+def parse_iso_date(col: Column) -> Column:
+    """ISO-8601 date string -> date (reference
+    spectrify/utils/timestamps.py:35-37)."""
+    return F.to_date(nullify_empty(col))
+
+
+def parse_decimal(col: Column, precision: int = 38, scale: int = 18) -> Column:
+    """String -> decimal under the precision-38 cap (reference
+    spectrify/convert.py:20-23)."""
+    return nullify_empty(col).cast(T.DecimalType(precision, scale))
+
+
+def typed_projection(df, columns: dict[str, Column]):
+    """Apply a dict of name->expression as a single select — the engine's
+    'typed projection' operator (reference spectrify/convert.py:134-144,
+    one converter per column)."""
+    return df.select(*[expr.alias(name) for name, expr in columns.items()])

@@ -1,0 +1,122 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines: token counting, quality scoring, language ID, document
+fingerprinting.  All pure Catalyst expressions (JVM-side, codegen) —
+no Python UDFs in the hot path, so they hold up on a 100 TB documents
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small stopword list used for quality scoring (top English function words).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "this",
+]
+
+#: BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for empty text)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style regex — a cheap proxy
+    for LLM token budgets (counts word/number/symbol units)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords; NULL for empty text."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(n > 0, sw.cast("double") / n.cast("double"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars; NULL for empty text."""
+    total = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double"))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, chars.cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length in a sane band, some
+    stopwords present, punctuation not dominating, word lengths sane.
+    Deterministic and expression-only; tune weights per corpus."""
+    n_tok = token_count(col).cast("double")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.0)
+    sw = F.coalesce(stopword_ratio(col), F.lit(0.0))
+    sw_ok = F.when((sw >= 0.01) & (sw <= 0.6), F.lit(1.0)).otherwise(0.0)
+    pr = F.coalesce(punct_ratio(col), F.lit(1.0))
+    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(0.0)
+    mwl = F.coalesce(mean_word_length(col), F.lit(0.0))
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(0.0)
+    return (len_ok + sw_ok + punct_ok + mwl_ok) / F.lit(4.0)
+
+
+#: Tiny per-language marker-word lists for the n-gram/marker heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+
+def lang_id(col: Column, default: str = "unknown") -> Column:
+    """Marker-word language ID: picks the language with the most marker
+    hits among whitespace tokens.  A real deployment would swap in a
+    trained n-gram model; the plumbing (expression-only, no UDF) is the
+    point at scale."""
+    def marker_filter(markers: list[str]):
+        # single-arg lambda factory — a default-arg lambda would be seen
+        # as arity-2 by pyspark and receive the array INDEX as 2nd arg
+        return lambda t: t.isin(markers)
+
+    toks = tokens(F.lower(col))
+    expr = F.lit(default)
+    best = F.lit(0)
+    for code, markers in _LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, marker_filter(markers)))
+        expr = F.when(hits > best, F.lit(code)).otherwise(expr)
+        best = F.when(hits > best, hits).otherwise(best)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: normalize -> tokenize ->
+    sort unique tokens -> xxhash64.  Near-identical docs differing only
+    in token order/duplication collide — the cheap first-pass dedup key."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(col))))
+    return F.xxhash64(F.array_join(toks, " "))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles as array<string> — input to MinHash/Jaccard dedup.
+    Documents shorter than k tokens yield their full token string."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))

@@ -1,0 +1,69 @@
+"""Vector (embedding) column expressions over ``array<float>`` columns.
+
+Expression-only (F.zip_with / F.aggregate -> JVM codegen): dot product,
+norms, cosine.  These are the primitives for similarity search and
+embedding near-dup at scale — no Python per-row, no pyspark.ml Vector
+conversion needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<numeric> columns (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either norm is zero."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def normalize(a: Column) -> Column:
+    """Unit-normalize an array<float> (double elements out); NULL-safe."""
+    n = norm(a)
+    return F.when(n > 0, F.transform(a, lambda v: v.cast("double") / n))
+
+
+def simhash_bits(a: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane SimHash: one bit per plane (sign of dot product),
+    packed into a bigint.  ``planes`` is a deterministic driver-side list
+    (tiny), broadcast into the plan as literals — the scale path for
+    embedding near-dup bucketing."""
+    bits = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(a, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bits = bits + F.shiftleft(bit, i)
+    return bits

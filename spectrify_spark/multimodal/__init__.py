@@ -1,0 +1,8 @@
+from spectrify_spark.multimodal.binary_cols import (  # noqa: F401
+    MEDIA_SCHEMA,
+    decode_images,
+    extract_features,
+    fake_decode_batch,
+    media_metadata,
+    sample_frames,
+)

@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media travels as opaque ``binary`` columns plus typed metadata —
+the only representation that scales: bytes stay columnar in parquet,
+metadata predicates prune scans without touching payloads.
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages (one Python worker per partition, whole
+record-batches across the boundary — never per-row Python).  The
+actual codec step is STUBBED (image/audio libraries are not in this
+container): ``fake_decode_batch`` is a deterministic stand-in and
+``decode_images(..., codec="real")`` raises NotImplementedError.  The
+Spark-side plumbing — schema, batching, partitioning, UDF signatures —
+is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical media-table schema: payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_hash", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Payload-free metadata projection — Catalyst prunes the binary
+    column out of the parquet scan entirely (ReadSchema excludes it)."""
+    return df.select(
+        "media_id",
+        "kind",
+        "mime",
+        F.length("payload").alias("payload_bytes"),
+        "width",
+        "height",
+    )
+
+
+def fake_decode_batch(payload: pd.Series, n_features: int = 8) -> pd.DataFrame:
+    """Deterministic stand-in for a codec: 'features' derived from byte
+    content (length + positional byte sums).  Replace with PIL/ffmpeg
+    in a real deployment; signature and batch shape are the contract."""
+    import numpy as np
+
+    feats, hashes, sizes = [], [], []
+    for buf in payload:
+        if buf is None:
+            feats.append(None)
+            hashes.append(None)
+            sizes.append(None)
+            continue
+        arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+        sizes.append(len(arr))
+        hashes.append(int(arr.sum()) * 2654435761 % (2**63))
+        chunks = np.array_split(arr.astype(np.float32), n_features) if len(arr) else []
+        feats.append(
+            [float(c.mean()) if len(c) else 0.0 for c in chunks]
+            + [0.0] * max(0, n_features - len(chunks))
+        )
+    return pd.DataFrame(
+        {"n_bytes": sizes, "content_hash": hashes, "features": feats}
+    )
+
+
+def decode_images(df: DataFrame, codec: str = "fake", batch_features: int = 8) -> DataFrame:
+    """Decode stage: binary payload -> features, via mapInPandas.
+
+    ``codec="real"`` is the production slot (PIL/torchvision) — not
+    available in this container, raises NotImplementedError at plan
+    build time (fail fast, not per-task).
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real image decode requires PIL/torchvision (not installed); "
+            "use codec='fake' for the deterministic test path"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = fake_decode_batch(pdf["payload"], batch_features)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(decode, _DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, n_features: int = 8) -> DataFrame:
+    """Feature-extraction alias of the decode stage (same plumbing)."""
+    return decode_images(df, codec="fake", batch_features=n_features)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
+) -> DataFrame:
+    """Frame sampling for video rows: emit one (media_id, frame_ts_ms)
+    row per sampled instant — pure expression (sequence + explode), the
+    decode of each frame would chain a mapInPandas stage after it."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

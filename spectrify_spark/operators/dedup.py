@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join), SimHash (hamming buckets), n-gram Jaccard verification,
+and embedding-cosine near-dup.  Every operator is DataFrame ->
+DataFrame with no driver-side state; candidate generation is always
+band/bucket-join shaped (shuffle on a bucket key) so cost is
+O(candidates), never O(n^2) — the property that survives 100 TB.
+
+Signature computation is the idiomatic Spark shape: explode the
+shingle/token set, hash each element ONCE (xxhash64, JVM-side), and
+reduce with one groupBy carrying N aggregate columns — a single
+shuffle, vectorized partial aggregation, no Python.  MinHash
+"permutations" are universal hashes ``(a*h + b) mod p`` over a Mersenne
+prime, kept in [0, 2^31) so the arithmetic never overflows a long
+(ANSI mode safe).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spectrify_spark.functions.text import shingles, tokens
+from spectrify_spark.functions.vectors import cosine, simhash_bits
+
+#: Mersenne prime 2^31 - 1: (p-1)^2 < 2^63, so a*h+b never overflows.
+_MERSENNE_P = 2_147_483_647
+
+
+def _perm_coefs(num_hashes: int, seed: int = 0xC0FFEE) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def dedup_exact(
+    df: DataFrame, keys: Sequence[str], tie_break: Sequence[Column] | None = None
+) -> DataFrame:
+    """Keep one row per key.  With ``tie_break`` order columns, keeps the
+    deterministic first row per key (row_number window — SQL-expressible
+    for the oracle); otherwise ``dropDuplicates`` (cheaper: partial
+    aggregation, no window sort)."""
+    if tie_break is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*tie_break)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature columns.
+
+    explode(shingles) -> xxhash64 once per shingle -> one groupBy with
+    ``num_hashes`` min-aggregates over universal-hash permutations.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("s"),
+    )
+    h = sh.select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(_perm_coefs(num_hashes))
+    ]
+    return h.groupBy("id").agg(*aggs)
+
+
+def _band_explode(sig: DataFrame, num_hashes: int, bands: int, extra_cols: list[str] | None = None) -> DataFrame:
+    """Explode a signature table into (id, band, bucket) rows; bucket is
+    xxhash64 over the band's signature slice."""
+    rows_per_band = num_hashes // bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keep = ["id"] + (extra_cols or [])
+    return sig.select(*keep, F.explode(entries).alias("bb")).select(
+        *keep, "bb.band", "bb.bucket"
+    )
+
+
+def _bucket_pairs(banded: DataFrame, payload: list[str] | None = None) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs sharing any (band, bucket)."""
+    a, b = banded.alias("a"), banded.alias("b")
+    cols = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")] + [
+        F.col(f"a.{c}").alias(f"{c}_a") for c in (payload or [])
+    ] + [F.col(f"b.{c}").alias(f"{c}_b") for c in (payload or [])]
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(*cols)
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Docs sharing any band bucket become a candidate pair; the only
+    wide operations are one groupBy (signatures) and one equi-join on
+    (band, bucket).  Bucket skew is bounded because a hot bucket IS a
+    near-dup cluster.  Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return _bucket_pairs(_band_explode(sig, num_hashes, bands))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+    Join-shaped: shingle sets travel to the pair, intersection/union are
+    array expressions.  Use after LSH so the pair count is small."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        candidates.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+        )
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints: hash each token once, per-bit
+    majority vote as ``bits`` sum-aggregates in ONE groupBy, pack bits
+    driver-side into a bigint expression."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    h = tok.select("id", F.xxhash64("t").alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = reduce(
+        lambda acc, i: acc + F.shiftleft((F.col(f"v{i}") >= 0).cast("long"), i),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("id", packed.alias("fp"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: pairs sharing any ``band_bits`` slice
+    of the fingerprint (hamming-distance LSH), annotated with exact
+    hamming distance."""
+    sig = simhash_fingerprints(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "fp", "bb.band", "bb.bucket")
+    pairs = _bucket_pairs(banded, payload=["fp"])
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 16,
+    dim: int = 64,
+    threshold: float = 0.95,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: SimHash-bucket by random hyperplanes,
+    verify candidates with exact cosine.  ``planes`` defaults to a
+    deterministic pseudo-random set (seeded, driver-side literals)."""
+    if planes is None:
+        planes = deterministic_planes(n_planes, dim)
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        simhash_bits(F.col(vec_col), planes).alias("fp"),
+    )
+    n_bands = len(planes) // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .distinct()
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes (pure python, reproducible)."""
+    rng = random.Random(42)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

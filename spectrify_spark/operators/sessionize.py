@@ -1,0 +1,85 @@
+"""Event-time operators over the events stream table (batch forms; the
+streaming twins live in spectrify_spark.streaming).
+
+- ``tumbling_window_agg``: fixed event-time windows (F.window) — the
+  batch analog of a Structured Streaming windowed aggregation.
+- ``sessionize``: gap-based sessions via the classic lag -> new-session
+  flag -> running-sum session id.  Window-function shaped: one shuffle
+  on user_id, no driver state, SQL-expressible (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    group_cols: list[str] | None = None,
+    aggs: dict | None = None,
+) -> DataFrame:
+    """Fixed event-time windows; window start/end surfaced as plain
+    timestamp columns (epoch-aligned, same as date_trunc for whole-unit
+    durations — which is what the DuckDB oracle uses)."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    keys = [F.window(F.col(ts_col), duration).alias("w")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    out = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tie: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids per user.
+
+    Gaps are compared in exact integer microseconds (unix_micros) so
+    engine and oracle (DuckDB epoch_us) see identical arithmetic.  One
+    shuffle (partition by user); sessions never span partitions because
+    the partition key IS the user — the property that lets this scale
+    to billions of events.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tie))
+    epoch = F.unix_micros(F.col(ts_col))
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(
+        prev.isNull() | ((epoch - prev) > F.lit(gap_seconds * 1_000_000)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tie)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("__new", is_new).withColumn(
+        "session_id", F.sum("__new").over(run)
+    ).drop("__new")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tie: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Sessionize then aggregate per session: event count, start/end,
+    duration in exact microseconds."""
+    s = sessionize(df, user_col, ts_col, order_tie, gap_seconds)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col)))
+        ).alias("duration_us"),
+    )

@@ -1,0 +1,89 @@
+"""Parquet sink with the reference's output conventions (reference
+spectrify/utils/parquet.py:93-101): gzip compression, INT96 timestamps
+(session-level conf, see session.py), bounded file/row-group sizes.
+
+Spark's vectorized parquet writer replaces the reference's whole
+Arrow-encode + row-group loop (reference spectrify/convert.py:101-132);
+the only engine code is option plumbing.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Spark cannot natively read parquet TIMESTAMP(NANOS) columns (its
+#: TimestampType is µs); this legacy conf reads them as raw int64 ns.
+NANOS_AS_LONG_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as timestamp[ns] in the parquet footer (driver-side
+    metadata peek via pyarrow; returns [] if the footer can't be read)."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = path
+        if os.path.isdir(path):
+            parts = sorted(
+                glob.glob(os.path.join(path, "*.parquet"))
+                + glob.glob(os.path.join(path, "part-*"))
+            )
+            if not parts:
+                return []
+            f = parts[0]
+        schema = pq.read_schema(f)
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if str(typ).startswith("timestamp[ns")
+        ]
+    except Exception:  # noqa: BLE001 — non-local FS or no footer: no rewrite
+        return []
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, transparently converting TIMESTAMP(NANOS)
+    columns to Spark TimestampType (µs, truncating — the same truncation
+    DuckDB applies, so oracle comparisons agree)."""
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer `div` — a double division would lose precision on
+        # ~1.7e18 ns epoch values (double mantissa is 53 bits)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+#: Reference default: 250k rows per row group (spectrify/convert.py:25-31).
+ROWS_PER_GROUP = 250_000
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "gzip",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write gzip parquet; ``partition_by`` produces the hive-style
+    partition layout the reference documents as its incremental pattern
+    (reference examples/weekly_partitions.py:18-19 — one S3 prefix per
+    week, registered via ADD PARTITION; Spark's partitionBy writes the
+    same layout and the catalog discovers partitions natively).
+
+    gzip kept for byte-level parity with the reference; zstd/snappy are
+    better speed choices at 100 TB — pass ``compression=`` to override.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

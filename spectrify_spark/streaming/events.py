@@ -1,0 +1,92 @@
+"""Structured Streaming twins of the batch event-time operators.
+
+The reference is batch-only; these extend the engine to continuous
+ingestion of the same events schema.  The transformations are shared
+with the batch forms (same F.window expressions), so a query validated
+against the batch oracle runs unchanged on a stream — the Structured
+Streaming model's core promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream over parquet event shards (swap for Kafka in
+    production — the downstream plan is identical)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark —
+    state is bounded by (watermark / duration) windows per key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """True streaming sessionization via session_window (gap-based,
+    state managed by the engine; the batch twin is
+    operators.sessionize.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Drive a streaming plan into an in-memory sink (test harness)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )

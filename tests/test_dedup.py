@@ -1,0 +1,65 @@
+"""Dedup operator tests on hand-built corpora with known duplicates."""
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river shore"),  # near dup of 1
+    (4, "completely different content about spark query engines and shuffles"),
+    (5, "unrelated text mentioning embeddings vectors and cosine distance"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 5), (3, "b", 7)], ["id", "k", "v"]
+    )
+    out = dedup.dedup_exact(df, ["k"], tie_break=[F.col("v"), F.col("id")])
+    assert {(r.k, r.id) for r in out.collect()} == {("a", 2), ("b", 3)}
+
+
+def test_minhash_finds_exact_and_near_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), num_hashes=32, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+    assert (1, 3) in got or (2, 3) in got  # near dup collides in some band
+    assert (4, 5) not in got
+
+
+def test_jaccard_verification_scores(spark):
+    docs = _docs(spark)
+    cand = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    out = dedup.ngram_jaccard_pairs(docs, cand, threshold=0.0)
+    scores = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert scores[(1, 2)] == 1.0
+    assert scores[(1, 4)] < 0.2
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    fps = dedup.simhash_fingerprints(_docs(spark))
+    by_id = {r.id: r.fp for r in fps.collect()}
+    assert by_id[1] == by_id[2]
+    pairs = dedup.simhash_pairs(_docs(spark))
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert ham.get((1, 2)) == 0
+
+
+def test_embedding_near_dup_detects_duplicate_vector(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),       # identical
+        (3, [0.99, 0.1, 0.0, 0.0]),      # near
+        (4, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = dedup.embedding_near_dup(df, n_planes=16, dim=4, threshold=0.95, band_bits=4)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got
+    assert all(4 not in p for p in got)

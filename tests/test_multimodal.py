@@ -1,0 +1,52 @@
+"""Multimodal binary-column plumbing tests (decode step is a
+deterministic fake — see spectrify_spark/multimodal/binary_cols.py)."""
+
+import pytest
+
+from spectrify_spark.multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    media_metadata,
+    sample_frames,
+)
+
+ROWS = [
+    (1, "image", "image/png", bytearray(b"\x89PNG fake bytes here"), 64, 64, None),
+    (2, "image", "image/jpeg", bytearray(b"\xff\xd8 other fake bytes"), 32, 32, None),
+    (3, "video", "video/mp4", bytearray(b"\x00 mp4"), None, None, 3500),
+    (4, "image", "image/png", None, None, None, None),
+]
+
+
+def _media(spark):
+    return spark.createDataFrame(ROWS, MEDIA_SCHEMA)
+
+
+def test_metadata_projection_drops_payload(spark):
+    out = media_metadata(_media(spark))
+    assert "payload" not in out.columns
+    sizes = {r.media_id: r.payload_bytes for r in out.collect()}
+    assert sizes[1] == 20 and sizes[4] is None
+
+
+def test_fake_decode_batch_shapes(spark):
+    out = decode_images(_media(spark))
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert len(rows[1].features) == 8
+    assert rows[1].n_bytes == 20
+    assert rows[4].features is None  # NULL payload passes through
+    # deterministic: same payload -> same hash
+    again = {r.media_id: r for r in decode_images(_media(spark)).collect()}
+    assert again[1].content_hash == rows[1].content_hash
+
+
+def test_real_codec_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError):
+        decode_images(_media(spark), codec="real")
+
+
+def test_sample_frames(spark):
+    out = sample_frames(_media(spark), every_ms=1000)
+    frames = sorted(r.frame_ts_ms for r in out.collect())
+    assert frames == [0, 1000, 2000, 3000]

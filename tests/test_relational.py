@@ -1,0 +1,78 @@
+"""Relational operator tests: semantics on small frames + plan-shape
+assertions (pushdown, broadcast, TakeOrderedAndProject) — the plans we
+rely on at 100 TB, checked at unit scale."""
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators import relational as R
+from spectrify_spark.sources.parquet import read_table
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    li = read_table(spark, f"{sf_dir}/lineitem.parquet")
+    df = R.scan_project(li, ["l_orderkey", "l_extendedprice"])
+    plan = _plan(df)
+    readschema = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert readschema and "l_orderkey" in readschema[0]
+    assert "l_quantity" not in readschema[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = read_table(spark, f"{sf_dir}/lineitem.parquet")
+    df = R.filter_range(li, "l_quantity", 10.0, 20.0).select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+
+
+def test_broadcast_hint_in_plan(spark, sf_dir):
+    c = read_table(spark, f"{sf_dir}/customer.parquet")
+    n = read_table(spark, f"{sf_dir}/nation.parquet")
+    df = R.equi_join(c, n, c["c_nationkey"] == n["n_nationkey"], broadcast_right=True)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    o = read_table(spark, f"{sf_dir}/orders.parquet")
+    df = R.topk(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5)
+    assert "TakeOrderedAndProject" in _plan(df)
+    assert df.count() == 5
+
+
+def test_semi_anti_join_semantics(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2, "x"), (2, "y")], ["k", "v"])
+    semi = R.semi_join(left, right, "k")
+    anti = R.anti_join(left, right, "k")
+    assert [r.k for r in semi.collect()] == [2]  # no duplication from 2 matches
+    assert sorted(r.k for r in anti.collect()) == [1, 3]
+
+
+def test_hash_agg_and_rollup(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], ["g1", "g2", "v"]
+    )
+    agg = R.hash_agg(df, ["g1"], {"s": F.sum("v")})
+    assert {(r.g1, r.s) for r in agg.collect()} == {("a", 3), ("b", 3)}
+    roll = R.rollup_agg(df, ["g1"], {"s": F.sum("v")})
+    assert {(r.g1, r.s) for r in roll.collect()} == {("a", 3), ("b", 3), (None, 6)}
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert sorted(r.k for r in R.set_union(a, b).collect()) == [1, 2, 3]
+    assert [r.k for r in R.set_intersect(a, b).collect()] == [2]
+    assert [r.k for r in R.set_except(a, b).collect()] == [1]
+
+
+def test_window_rank_top_n(spark):
+    df = spark.createDataFrame(
+        [("u1", 10), ("u1", 30), ("u1", 20), ("u2", 5)], ["u", "v"]
+    )
+    top = R.window_rank(df, ["u"], [F.col("v").desc()], top_n=1)
+    assert {(r.u, r.v) for r in top.collect()} == {("u1", 30), ("u2", 5)}

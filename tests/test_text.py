@@ -1,0 +1,55 @@
+"""Text-analysis expression tests."""
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.functions import text as TX
+
+
+def _one(spark, s, expr):
+    return spark.createDataFrame([(s,)], ["t"]).select(expr.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    assert _one(spark, "  the quick  brown fox ", TX.token_count(F.col("t"))) == 4
+    assert _one(spark, "", TX.token_count(F.col("t"))) == 0
+
+
+def test_bpe_token_count_splits_symbols(spark):
+    assert _one(spark, "ab 12, c", TX.bpe_token_count(F.col("t"))) == 4
+
+
+def test_stopword_ratio(spark):
+    v = _one(spark, "the dog and the cat", TX.stopword_ratio(F.col("t")))
+    assert abs(v - 3 / 5) < 1e-9
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, "the cat is on the mat and it is happy", TX.lang_id(F.col("t"))) == "en"
+    assert _one(spark, "der hund und die katze das ist gut", TX.lang_id(F.col("t"))) == "de"
+    assert _one(spark, "zzz qqq", TX.lang_id(F.col("t"))) == "unknown"
+
+
+def test_fingerprint_order_insensitive(spark):
+    a = _one(spark, "alpha beta gamma", TX.fingerprint(F.col("t")))
+    b = _one(spark, "gamma alpha beta beta", TX.fingerprint(F.col("t")))
+    c = _one(spark, "alpha beta delta", TX.fingerprint(F.col("t")))
+    assert a == b
+    assert a != c
+
+
+def test_shingles(spark):
+    v = _one(spark, "a b c d", TX.shingles(F.col("t"), 3))
+    assert v == ["a b c", "b c d"]
+    short = _one(spark, "a b", TX.shingles(F.col("t"), 3))
+    assert short == ["a b"]
+
+
+def test_quality_score_bounds(spark):
+    good = _one(
+        spark,
+        "the quick brown fox jumps over the lazy dog and runs to the forest again",
+        TX.quality_score(F.col("t")),
+    )
+    bad = _one(spark, "!!! ??? ***", TX.quality_score(F.col("t")))
+    assert good > bad
+    assert 0.0 <= bad <= good <= 1.0

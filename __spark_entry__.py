@@ -28,6 +28,7 @@ from spectrify_spark.functions import casts as C
 from spectrify_spark.functions import text as TX
 from spectrify_spark.functions.vectors import cosine, norm
 from spectrify_spark.operators import dedup, relational as R, sessionize as S, similarity as SIM
+from spectrify_spark.operators.asof import asof_join_backward
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -188,7 +189,81 @@ def q_join_anti(spark, sf):
     )
 
 
+def q_join_multi(spark, sf):
+    """TPC-H Q3 shape: 3-way join -> grouped revenue -> top-k.
+    Broadcasts the filtered customer dim; lineitem never shuffles twice."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("decimal(38,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_join_star(spark, sf):
+    """TPC-H Q5 shape: 4-dim star join -> revenue per nation.
+    All dims broadcast; the single fact shuffle is the final groupBy."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    disc_price = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(disc_price).cast("decimal(38,6)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_asof_join(spark, sf):
+    """Custom operator: backward as-of join — each event picks up the
+    user's most recent order at event time (see operators/asof.py)."""
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    out = asof_join_backward(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey"))
+
+
 # ------------------------------------------------------------ aggregates
+
+
+def q_agg_approx(spark, sf):
+    """Sketch aggregates (HLL++, KLL-style quantiles) — approximate by
+    design, so rows-only (no oracle can hash-match a sketch)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
 
 
 def q_agg_distinct(spark, sf):
@@ -333,8 +408,7 @@ def q_dedup_exact(spark, sf):
 
 def q_dedup_near(spark, sf):
     d = _t(spark, sf, "documents")
-    cand = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_k=3)
-    pairs = dedup.ngram_jaccard_pairs(d, cand, shingle_k=3, threshold=0.2)
+    pairs = dedup.near_dup_pairs(d, num_hashes=32, bands=8, shingle_k=3, threshold=0.2)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -502,6 +576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_broadcast": q_join_broadcast,
         "q_join_semi": q_join_semi,
         "q_join_anti": q_join_anti,
+        "q_join_multi": q_join_multi,
+        "q_join_star": q_join_star,
+        "q_asof_join": q_asof_join,
+        "q_agg_approx": q_agg_approx,
         "q_agg_distinct": q_agg_distinct,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
@@ -576,6 +654,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        """,
+        "q_join_multi": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
+                        AS DECIMAL(38,6)) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+        """,
+        "q_join_star": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
+                        AS DECIMAL(38,6)) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+        """,
+        "q_asof_join": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT MAX(o.o_orderkey) FROM orders o
+                     WHERE o.o_custkey = e.user_id
+                       AND o.o_orderdate = (
+                         SELECT MAX(o2.o_orderdate) FROM orders o2
+                          WHERE o2.o_custkey = e.user_id
+                            AND o2.o_orderdate <= e.ts)) AS last_orderkey
+            FROM events e
         """,
         "q_agg_distinct": """
             SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,

@@ -1,0 +1,66 @@
+"""As-of (point-in-time) join — an operator Spark has no primitive for,
+composed from union + window (SURVEY §"custom operators" path (a)).
+
+For each left row, attach the payload of the right row with the
+greatest ``right_ts <= left_ts`` for the same key (backward as-of,
+e.g. "the user's most recent order at event time").
+
+Why union+window and not a range join: a range-condition join explodes
+to O(|left| x |right-per-key|) candidate pairs before filtering; the
+union form is ONE shuffle on the key, a per-key sort, and a running
+``last(ignorenulls)`` — linear in input size, stable under skew, and
+exactly the shape Structured Streaming's state store uses for the same
+problem.  This is the 100 TB-safe formulation.
+
+Tie rule: right rows sort before left rows at equal timestamps
+(inclusive match), and among right rows with the same timestamp the
+greatest ``tie_break`` (default: first payload column) wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Backward as-of join; returns all left columns + payload columns
+    (NULL when no right row at or before the left timestamp)."""
+    out_cols = left.columns + payload
+    l = left.select(
+        F.col(left_on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__src"),
+        *left.columns,
+        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+    )
+    r = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__src"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        *payload,
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__src"), *[F.col(p) for p in payload])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "__src",
+        *left.columns,
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return filled.filter(F.col("__src") == 1).select(*out_cols)

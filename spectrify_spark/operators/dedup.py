@@ -57,23 +57,35 @@ def dedup_exact(
     )
 
 
-def minhash_signatures(
+def shingle_sets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, m0..m{n-1}) MinHash signature columns.
+    """(id, sh: array<bigint>) — distinct k-shingles hashed to int64.
 
-    explode(shingles) -> xxhash64 once per shingle -> one groupBy with
-    ``num_hashes`` min-aggregates over universal-hash permutations.
+    The single tokenize+hash pass every downstream MinHash stage derives
+    from; hashing shingles up-front means signatures, band buckets, AND
+    Jaccard verification all operate on longs, never re-touching text.
     """
-    sh = df.select(
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("s"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
-    h = sh.select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE_P)).alias("h"))
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature columns from a shingle-set table:
+    explode -> one groupBy with ``num_hashes`` min-aggregates over
+    universal-hash permutations."""
+    h = sh.select("id", F.explode("sh").alias("h0")).select(
+        "id", F.pmod(F.col("h0"), F.lit(_MERSENNE_P)).alias("h")
+    )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
             f"m{i}"
@@ -81,6 +93,19 @@ def minhash_signatures(
         for i, (a, b) in enumerate(_perm_coefs(num_hashes))
     ]
     return h.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature columns straight from text."""
+    return minhash_signatures_from_shingles(
+        shingle_sets(df, id_col, text_col, shingle_k), num_hashes
+    )
 
 
 def _band_explode(sig: DataFrame, num_hashes: int, bands: int, extra_cols: list[str] | None = None) -> DataFrame:
@@ -139,6 +164,49 @@ def minhash_lsh_pairs(
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     return _bucket_pairs(_band_explode(sig, num_hashes, bands))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    persist: bool = True,
+) -> DataFrame:
+    """Full near-dup pipeline sharing ONE tokenize+hash pass:
+    shingle sets (persisted) -> MinHash signatures -> banded LSH
+    candidates -> exact Jaccard on the hashed shingle sets.
+
+    Compared to composing minhash_lsh_pairs + ngram_jaccard_pairs, this
+    scans and tokenizes the corpus once instead of three times, and the
+    verification join ships array<long> instead of array<string> — the
+    difference between one pass and three over 100 TB of text.
+    Returns (id_a, id_b, jaccard >= threshold).
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_k)
+    if persist:
+        sh = sh.persist()
+    sig = minhash_signatures_from_shingles(sh, num_hashes)
+    cand = _bucket_pairs(_band_explode(sig, num_hashes, bands))
+    out = (
+        cand.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+        )
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
 
 
 def ngram_jaccard_pairs(

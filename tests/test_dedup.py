@@ -42,6 +42,14 @@ def test_jaccard_verification_scores(spark):
     assert scores[(1, 4)] < 0.2
 
 
+def test_near_dup_pairs_single_pass_pipeline(spark):
+    out = dedup.near_dup_pairs(_docs(spark), num_hashes=32, bands=16, threshold=0.5)
+    scores = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert scores.get((1, 2)) == 1.0  # exact dup -> jaccard 1 on hashed shingles
+    assert all(j >= 0.5 for j in scores.values())
+    assert (4, 5) not in scores
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     fps = dedup.simhash_fingerprints(_docs(spark))
     by_id = {r.id: r.fp for r in fps.collect()}

@@ -24,6 +24,9 @@ HEADLINE = [
     "q_scan_project",
     "q_join_inner",
     "q_join_broadcast",
+    "q_join_multi",
+    "q_join_star",
+    "q_asof_join",
     "q_agg_distinct",
     "q_window_rank",
     "q_topk",

@@ -138,12 +138,36 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize the IVF index as parquet partitioned by cell.
+
+    This is the 100 TB read path: a probe with ``nprobe`` cells becomes
+    a partition-pruned scan touching nprobe/C of the data — the filter
+    on the partition column never reads the other cells' files."""
+    assigned = assign_partitions(df, centroids, vec_col, cell_col)
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Open a partitioned IVF index; pair with ivf_topk, whose
+    ``isin(probe_cells)`` filter prunes partitions at planning time."""
+    return spark.read.parquet(path)
+
+
 __all__ = [
     "brute_force_topk",
     "knn_join_topk",
     "choose_centroids",
     "assign_partitions",
     "ivf_topk",
+    "write_ivf_index",
+    "read_ivf_index",
     "dot",
     "norm",
 ]

@@ -1,0 +1,59 @@
+"""Skew-handling join strategies.
+
+AQE's skew-join handles most cases at runtime
+(``spark.sql.adaptive.skewJoin.enabled`` — on in our session factory);
+``salted_join`` is the explicit fallback for the pathological case AQE
+can't fix: a single hot key whose matching build-side rows still
+overwhelm one task after splitting.
+
+Salting shape: fact side gets a random salt in [0, n); the dim side is
+exploded n-fold with every salt value; the join key becomes
+(key, salt), spreading each hot key over n tasks.  Dim replication is
+n x |dim| — use only when dim is small-ish but too big (or too skewed)
+to broadcast outright.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an n-way salt on the fact side.
+
+    Deterministic salt (hash of the full fact row number is NOT needed —
+    any uniform spread works; we hash a monotonic id so reruns are
+    stable within a plan).  Returns fact columns + dim columns, salt
+    dropped.
+    """
+    f = fact.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    out = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
+def explain_skew(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Diagnostic: per-key row counts of the heaviest keys — run this on
+    a sample before choosing broadcast / salting / AQE-only."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .limit(top_n)
+    )

@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("spec", help="key=value")
     ap.add_argument("location")
 
+    q = sub.add_parser("query", help="run SQL over a testdata sf dir")
+    q.add_argument("sql")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
     spark = get_spark("spectrify-cli")
 
@@ -83,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         ddl = DDL.add_partition_ddl(args.table, {k: v}, args.location)
         print(ddl)
         DDL.create(spark, ddl)
+    elif args.cmd == "query":
+        from spectrify_spark.catalog.register import sql as run_sql
+
+        run_sql(spark, args.sql, sf_dir=args.sf_dir).show(args.limit, truncate=False)
     return 0
 
 

@@ -80,6 +80,37 @@ def session_windows(
     )
 
 
+def stream_convert_csv(
+    spark: SparkSession,
+    csv_dir: str,
+    schema,
+    parquet_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous convert stage: the reference's batch CSV->Parquet
+    conversion as a Structured Streaming job — new UNLOAD shards landing
+    in ``csv_dir`` are converted to parquet exactly once (checkpointed),
+    replacing cron-driven re-runs of the batch pipeline.
+
+    Uses the same UNLOAD CSV conventions as sources/csv.py; booleans
+    ('t'/'f') must be post-processed by the caller if present (streaming
+    reader takes the schema as-is).
+    """
+    from spectrify_spark.sources.csv import CSV_OPTIONS
+
+    src = spark.readStream.options(**CSV_OPTIONS).schema(schema).csv(csv_dir)
+    writer = (
+        src.writeStream.format("parquet")
+        .option("path", parquet_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821

@@ -314,6 +314,39 @@ def q_pivot(spark, sf):
     )
 
 
+def q_subquery_scalar(spark, sf):
+    """TPC-H Q17 shape: correlated scalar-subquery threshold, expressed
+    Spark-first as a broadcast join against the per-part aggregate
+    (Catalyst decorrelates the SQL form into exactly this plan).
+    l_quantity values are whole numbers, so avg = exact_sum/count is
+    bit-identical across engines."""
+    li = _t(spark, sf, "lineitem")
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_per_part), li["l_partkey"] == F.col("p_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_below"),
+        )
+    )
+
+
+def q_agg_having(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
 # --------------------------------------------------------------- windows
 
 
@@ -343,6 +376,39 @@ def q_window_analytic(spark, sf):
         "value",
         F.lag("value").over(w).alias("prev_value"),
         F.sum(F.col("value").cast(DEC2)).over(wrun).cast(DEC2_OUT).alias("running_value"),
+    )
+
+
+def q_window_range(spark, sf):
+    """RANGE-frame window: count of orders within 1000.0 of this price.
+    Value-based frames are order-of-ties independent — deterministic by
+    construction, no tie-break needed."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 0)  # integer offset on a double order key
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar"),
+    )
+
+
+def q_window_ntile(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 
 
@@ -520,6 +586,22 @@ def q_text_quality(spark, sf):
 # ------------------------------------------------------------- multimodal
 
 
+def q_embed_centroid(spark, sf):
+    """Grouped-map Pandas (applyInPandas) centroid per label, checked
+    against the SQL oracle on two sampled dimensions — validates the
+    Arrow grouped-map path against plain SQL aggregation."""
+    from spectrify_spark.functions.vectors import embedding_centroids
+
+    e = _t(spark, sf, "embeddings")
+    cent = embedding_centroids(e, group_col="label", vec_col="embedding")
+    return cent.select(
+        "label",
+        F.round(F.element_at("centroid", 1), 4).alias("c1"),
+        F.round(F.element_at("centroid", 2), 4).alias("c2"),
+        "n_vecs",
+    )
+
+
 def q_multimodal_cols(spark, sf):
     e = _t(spark, sf, "embeddings")
     return e.select(
@@ -580,6 +662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_star": q_join_star,
         "q_asof_join": q_asof_join,
         "q_agg_approx": q_agg_approx,
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_agg_having": q_agg_having,
+        "q_window_range": q_window_range,
+        "q_window_ntile": q_window_ntile,
+        "q_embed_centroid": q_embed_centroid,
         "q_agg_distinct": q_agg_distinct,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
@@ -697,6 +784,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "q_subquery_scalar": """
+            SELECT l.l_partkey,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+                   COUNT(*) AS n_below
+            FROM lineitem l
+            WHERE l.l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                         WHERE l2.l_partkey = l.l_partkey)
+            GROUP BY l.l_partkey
+        """,
+        "q_agg_having": """
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        """,
+        "q_window_range": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                                  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar
+            FROM orders
+        """,
+        "q_window_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+                                              ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+            FROM orders
+        """,
+        "q_embed_centroid": """
+            SELECT label,
+                   ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS c1,
+                   ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 4) AS c2,
+                   COUNT(*) AS n_vecs
+            FROM embeddings GROUP BY label
         """,
         "q_rollup": """
             SELECT l_returnflag, l_linestatus,

@@ -8,6 +8,8 @@ conversion needed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -52,6 +54,50 @@ def normalize(a: Column) -> Column:
     """Unit-normalize an array<float> (double elements out); NULL-safe."""
     n = norm(a)
     return F.when(n > 0, F.transform(a, lambda v: v.cast("double") / n))
+
+
+def cosine_pandas_udf(query_vec: list[float]):
+    """Arrow-batched Pandas UDF scoring cosine against a fixed query —
+    the sanctioned slow path when expression-only scoring isn't enough
+    (e.g. calling into numpy/faiss-style kernels).  ~10-100x faster than
+    a row-at-a-time Python UDF; still slower than the pure-expression
+    ``cosine`` above, which is the default."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(m, axis=1) * qn
+        out = (m @ q) / np.where(norms == 0, np.nan, norms)
+        return pd.Series(out)
+
+    return score
+
+
+def embedding_centroids(df, group_col: str = "label", vec_col: str = "embedding"):
+    """Per-group embedding centroid via applyInPandas (grouped-map Arrow
+    path): numpy mean over the stacked group matrix.  The idiomatic slot
+    for per-group native-library computation (sklearn/faiss kernels)."""
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "centroid": [m.mean(axis=0).tolist()],
+                "n_vecs": [len(pdf)],
+            }
+        )
+
+    out_schema = (
+        f"{group_col} int, centroid array<double>, n_vecs bigint"
+    )
+    return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(
+        centroid, out_schema
+    )
 
 
 def simhash_bits(a: Column, planes: list[list[float]]) -> Column:

@@ -266,6 +266,51 @@ def q_agg_approx(spark, sf):
     )
 
 
+def q_join_two_dims(spark, sf):
+    """TPC-H Q7 shape: revenue flow between nation pairs — supplier
+    nation via lineitem.l_suppkey, customer nation via orders.o_custkey.
+    Both dim chains broadcast; one fact shuffle for the final groupBy."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    supp_nation = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    cust_nation = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    disc_price = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+        .join(F.broadcast(cust_nation), o["o_custkey"] == cust_nation["c_custkey"])
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(disc_price).cast("decimal(38,6)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_distribution(spark, sf):
+    """TPC-H Q13 shape: distribution of orders-per-customer (counts of
+    counts) including zero-order customers via a left join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 def q_agg_distinct(spark, sf):
     o = _t(spark, sf, "orders")
     return R.hash_agg(
@@ -565,6 +610,18 @@ def q_text_tokens(spark, sf):
     )
 
 
+def q_text_wordcount(spark, sf):
+    """The canonical explode word count, top-k by frequency."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
 def q_text_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     sorted_toks = F.array_join(
@@ -663,6 +720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_agg_approx": q_agg_approx,
         "q_subquery_scalar": q_subquery_scalar,
+        "q_join_two_dims": q_join_two_dims,
+        "q_distribution": q_distribution,
+        "q_text_wordcount": q_text_wordcount,
         "q_agg_having": q_agg_having,
         "q_window_range": q_window_range,
         "q_window_ntile": q_window_ntile,
@@ -784,6 +844,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "q_join_two_dims": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
+                        AS DECIMAL(38,6)) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            GROUP BY sn.n_name, cn.n_name
+        """,
+        "q_distribution": """
+            SELECT n_orders, COUNT(*) AS n_customers FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey) t
+            GROUP BY n_orders
+        """,
+        "q_text_wordcount": """
+            SELECT word, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS word
+              FROM documents) t
+            GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
         "q_subquery_scalar": """
             SELECT l.l_partkey,

@@ -87,7 +87,12 @@ def main() -> None:
     try:
         li = read_table(spark, f"{sf_dir}/lineitem.parquet")
         n_rows = li.count()
-        manifest = export_to_csv(li, f"{work}/csv")  # setup, untimed
+        # shard the export like the reference's MAXFILESIZE cap does —
+        # gzip is non-splittable, so shards ARE the convert parallelism
+        shards = max(8, min(32, n_rows // 20_000 or 1))
+        manifest = export_to_csv(
+            li.repartition(shards), f"{work}/csv"
+        )  # setup, untimed
         schema = li.schema
 
         def convert(run: int) -> None:

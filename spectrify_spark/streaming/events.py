@@ -80,6 +80,55 @@ def session_windows(
     )
 
 
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value sum; with ``timeout_minutes``
+    set, state is evicted after that much processing-time inactivity
+    (note: a processing-time timeout makes the query trigger continuous
+    state-cleanup batches — processAllAvailable() then never settles, so
+    tests and drain-style runs should use the NoTimeout default).
+
+    This is the engine's template for operators Structured Streaming's
+    built-ins can't express (bespoke accumulators, model state, CEP):
+    Arrow-batched per-group pandas with explicit GroupState.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(60_000 * timeout_minutes)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def stream_convert_csv(
     spark: SparkSession,
     csv_dir: str,

@@ -33,6 +33,34 @@ def test_windowed_counts_stream(spark, stream_dir):
         q.stop()
 
 
+def test_stateful_running_totals(spark, stream_dir):
+    stream = SE.read_event_stream(spark, stream_dir)
+    q = SE.run_to_memory_sink(
+        SE.running_user_totals(stream), "rt_test", output_mode="update"
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, max(n_events) n FROM rt_test GROUP BY user_id"
+        ).collect()
+        assert len(rows) > 0
+        # totals must equal the batch ground truth
+        from spectrify_spark.sources.parquet import read_table
+
+        truth = {
+            r.user_id: r.n
+            for r in read_table(spark, "/root/testdata/sf0.001/events.parquet")
+            .groupBy("user_id")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        got = {r.user_id: r.n for r in rows}
+        assert got == truth
+    finally:
+        q.stop()
+
+
 def test_session_window_stream(spark, stream_dir):
     stream = SE.read_event_stream(spark, stream_dir)
     # session-window aggregation rejects update mode; complete re-emits state

@@ -39,6 +39,9 @@ DEC2_OUT = "decimal(38,2)"
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from spectrify_spark.sources.parquet import read_table
 
+    # the driver supplies its own session: pin UTC so collected timestamps
+    # agree with DuckDB's naive timestamps regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 

@@ -45,13 +45,13 @@ def parquet_table_ddl(
     partition_cols: list[str] | None = None,
 ) -> str:
     """``CREATE EXTERNAL TABLE ... USING PARQUET LOCATION ...``
-    (reference create.py:77-83, Spark SQL dialect)."""
-    data_fields = [
-        f for f in schema.fields if f.name not in set(partition_cols or [])
-    ]
+    (reference create.py:77-83, Spark SQL dialect).
+
+    Unlike Hive DDL, Spark's USING syntax requires partition columns to
+    appear IN the column list; PARTITIONED BY then names a subset."""
     ddl = (
         f"CREATE TABLE IF NOT EXISTS {sanitize_table_name(table)} (\n"
-        f"  {columns_ddl(T.StructType(data_fields))}\n)\n"
+        f"  {columns_ddl(schema)}\n)\n"
         f"USING PARQUET\n"
     )
     if partition_cols:
@@ -107,3 +107,12 @@ def create(
     if confirm is not None and not confirm(ddl):
         raise RuntimeError("table creation not confirmed")
     spark.sql(ddl)
+
+
+def repair_partitions(spark: SparkSession, table: str) -> None:
+    """Discover existing partition directories of an external partitioned
+    table (Spark does NOT auto-discover them at CREATE time — without
+    this, the table reads as empty).  The reference's equivalent is its
+    per-partition ADD PARTITION loop (examples/weekly_partitions.py:107-129);
+    MSCK recovers them all at once."""
+    spark.sql(f"MSCK REPAIR TABLE {sanitize_table_name(table)}")

@@ -45,6 +45,10 @@ def transform(
     ddl = ddl_mod.parquet_table_ddl(table, df.schema, parquet_path, partition_by)
     if register:
         ddl_mod.create(spark, ddl)
+        if partition_by:
+            # external partitioned tables read as EMPTY until their
+            # partition dirs are recovered into the catalog
+            ddl_mod.repair_partitions(spark, table)
     return ddl
 
 

@@ -100,6 +100,9 @@ _DDL_NAMES: dict[type, str] = {
     T.StringType: "VARCHAR(65535)",
     T.BooleanType: "BOOLEAN",
     T.TimestampType: "TIMESTAMP",
+    # parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as NTZ in Spark 4;
+    # Spectrum DDL has a single TIMESTAMP type for both
+    T.TimestampNTZType: "TIMESTAMP",
     T.DateType: "DATE",
 }
 

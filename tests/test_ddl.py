@@ -71,6 +71,29 @@ def test_create_executes_and_is_queryable(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ext_t")
 
 
+def test_partitioned_transform_roundtrip(spark, tmp_path):
+    """transform() on partitioned data: table must be queryable (partition
+    recovery) and partition-pruned."""
+    from spectrify_spark.transform import transform
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], ["id", "grp"]
+    )
+    try:
+        transform(spark, df, "part_t", str(tmp_path / "pt"), partition_by=["grp"])
+        got = spark.sql("SELECT grp, count(*) n FROM part_t GROUP BY grp").collect()
+        assert {(r.grp, r.n) for r in got} == {("A", 2), ("B", 1)}
+        plan = (
+            spark.sql("SELECT * FROM part_t WHERE grp = 'A'")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS part_t")
+
+
 def test_create_confirm_rejection(spark):
     import pytest
 

@@ -61,6 +61,11 @@ def test_schema_from_columns_and_ddl_roundtrip():
     validate_schema(schema)  # must not raise
 
 
+def test_timestamp_ntz_maps_to_timestamp_ddl():
+    # Spark 4 reads non-UTC-adjusted parquet timestamps as NTZ
+    assert spark_type_to_ddl(T.TimestampNTZType()) == "TIMESTAMP"
+
+
 def test_double_to_float_ddl_substitution():
     # Spectrum-DDL parity: DOUBLE emitted as FLOAT (reference create.py:11-13)
     assert spark_type_to_ddl(T.DoubleType()) == "FLOAT"

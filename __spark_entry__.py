@@ -269,6 +269,52 @@ def q_agg_approx(spark, sf):
     )
 
 
+def q_filter_compound(spark, sf):
+    """TPC-H Q19 shape: disjunction of conjunctive predicate branches —
+    exercises Catalyst's OR-pushdown and common-condition extraction."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+        & (F.col("p_size") <= 15)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("p_size") <= 30)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch1 | branch2)
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_partition_rollup(spark, sf):
+    """The reference's weekly-partition pattern as a query: truncate to
+    week, aggregate per (week, status) — the partition key derivation of
+    examples/weekly_partitions.py as a native operator."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.date_trunc("week", "o_orderdate").alias("week_start"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast(DEC2).alias("p"),
+        )
+        .groupBy("week_start", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("p").cast(DEC2_OUT).alias("sum_price"),
+        )
+    )
+
+
 def q_join_two_dims(spark, sf):
     """TPC-H Q7 shape: revenue flow between nation pairs — supplier
     nation via lineitem.l_suppkey, customer nation via orders.o_custkey.
@@ -724,6 +770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_approx": q_agg_approx,
         "q_subquery_scalar": q_subquery_scalar,
         "q_join_two_dims": q_join_two_dims,
+        "q_filter_compound": q_filter_compound,
+        "q_partition_rollup": q_partition_rollup,
         "q_distribution": q_distribution,
         "q_text_wordcount": q_text_wordcount,
         "q_agg_having": q_agg_having,
@@ -847,6 +895,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "q_filter_compound": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 15)
+               OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 30)
+        """,
+        "q_partition_rollup": """
+            SELECT CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS week_start,
+                   o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+            FROM orders GROUP BY 1, 2
         """,
         "q_join_two_dims": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -46,6 +46,29 @@ def test_real_codec_is_explicit_stub(spark):
         decode_images(_media(spark), codec="real")
 
 
+def test_binary_payload_parquet_roundtrip(spark, tmp_path):
+    """Media rows survive parquet storage byte-exactly, and the metadata
+    projection prunes the payload column out of the scan."""
+    path = str(tmp_path / "media")
+    _media(spark).write.parquet(path)
+    back = spark.read.parquet(path)
+    payloads = {r.media_id: bytes(r.payload) if r.payload else None for r in back.collect()}
+    assert payloads[1] == b"\x89PNG fake bytes here"
+    assert payloads[4] is None
+    # a payload-free projection prunes the binary column from the scan
+    plan = (
+        back.select("media_id", "kind", "mime")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    readschema = next(
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ).split("ReadSchema: ", 1)[1]
+    assert "payload" not in readschema
+    assert decode_images(back).count() == 4
+
+
 def test_sample_frames(spark):
     out = sample_frames(_media(spark), every_ms=1000)
     frames = sorted(r.frame_ts_ms for r in out.collect())

@@ -50,6 +50,41 @@ def test_near_dup_pairs_single_pass_pipeline(spark):
     assert (4, 5) not in scores
 
 
+def test_minhash_recall_on_perturbed_corpus(spark):
+    """Recall check: documents with ~10% token edits must surface as
+    candidate pairs; unrelated random docs must not."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    docs, pairs_expected = [], []
+    did = 0
+    for base_id in range(10):
+        toks = [rng.choice(vocab) for _ in range(80)]
+        docs.append((did, " ".join(toks)))
+        orig = did
+        did += 1
+        # ~10% perturbation
+        mutated = list(toks)
+        for _ in range(8):
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        docs.append((did, " ".join(mutated)))
+        pairs_expected.append((orig, did))
+        did += 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.near_dup_pairs(
+            df, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    recall = sum(1 for p in pairs_expected if p in found) / len(pairs_expected)
+    assert recall >= 0.9, f"recall {recall}: {sorted(found)}"
+    # unrelated base docs must not pair with each other
+    base_ids = {p[0] for p in pairs_expected}
+    assert not any(a in base_ids and b in base_ids for a, b in found)
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     fps = dedup.simhash_fingerprints(_docs(spark))
     by_id = {r.id: r.fp for r in fps.collect()}

@@ -258,6 +258,81 @@ def q_asof_join(spark, sf):
 # ------------------------------------------------------------ aggregates
 
 
+def q_exists_nonequi(spark, sf):
+    """TPC-H Q4 shape: EXISTS with a non-equi component (late shipments)
+    — semi join on orderkey AND l_shipdate > o_orderdate."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_topk_customers(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    disc_price = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(disc_price).cast("decimal(38,6)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS with GROUPING() markers (distinct from
+    rollup/cube: arbitrary set list)."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_agg_median(spark, sf):
+    """Exact percentiles (50th/90th) per group — Spark's `percentile`
+    (exact, linear interpolation) vs DuckDB quantile_cont."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_resample_ffill(spark, sf):
+    """Gap-fill + forward-fill resampling (operators/timeseries.py)."""
+    from spectrify_spark.operators.timeseries import resample_ffill
+
+    ev = _t(spark, sf, "events")
+    out = resample_ffill(ev, unit="hour")
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        "value_filled",
+        F.col("is_observed").cast("boolean").alias("is_observed"),
+    )
+
+
 def q_agg_approx(spark, sf):
     """Sketch aggregates (HLL++, KLL-style quantiles) — approximate by
     design, so rows-only (no oracle can hash-match a sketch)."""
@@ -772,6 +847,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_two_dims": q_join_two_dims,
         "q_filter_compound": q_filter_compound,
         "q_partition_rollup": q_partition_rollup,
+        "q_exists_nonequi": q_exists_nonequi,
+        "q_topk_customers": q_topk_customers,
+        "q_grouping_sets": q_grouping_sets,
+        "q_agg_median": q_agg_median,
+        "q_resample_ffill": q_resample_ffill,
         "q_distribution": q_distribution,
         "q_text_wordcount": q_text_wordcount,
         "q_agg_having": q_agg_having,
@@ -895,6 +975,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "q_exists_nonequi": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey
+                             AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q_topk_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
+                        AS DECIMAL(38,6)) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20
+        """,
+        "q_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "q_agg_median": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                   ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_resample_ffill": """
+            WITH bounds AS (
+              SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                     date_trunc('hour', MAX(ts)) AS hi
+              FROM events GROUP BY user_id),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM bounds),
+            hourly AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+                     arg_max(value, event_id) AS v
+              FROM events GROUP BY 1, 2)
+            SELECT g.user_id, g.bucket_ts,
+                   last_value(h.v IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.bucket_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+                   h.v IS NOT NULL AS is_observed
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.bucket_ts = h.bucket_ts
         """,
         "q_filter_compound": """
             SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,

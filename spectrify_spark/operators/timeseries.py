@@ -1,0 +1,72 @@
+"""Time-series resampling — gap-fill + forward-fill, an operator Spark
+has no primitive for, composed scale-safe:
+
+1. per-key bounds (one aggregate),
+2. dense time grid via sequence()+explode (rows generated distributed,
+   proportional to each key's span — no driver-side calendar),
+3. per-bucket "last observation" via max_by (one aggregate),
+4. forward fill via last(ignorenulls) over an ordered window.
+
+Two shuffles total (bounds+grid on key, window on key), no driver
+state; each key's timeline lives in one partition, so filling scales
+with keys, not with global time span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tie: str = "event_id",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample each key's series onto a dense per-``unit`` grid between
+    that key's first and last observation; bucket value = last
+    observation in the bucket (by ``order_tie``); empty buckets forward-
+    fill from the previous bucket.
+
+    Returns (key, bucket_ts, value_filled, is_observed).
+    """
+    interval = f"INTERVAL 1 {unit.upper()}"
+    bucket = F.date_trunc(unit, F.col(ts_col))
+
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(interval))
+        ).alias("bucket_ts"),
+    )
+    hourly = (
+        df.select(
+            key_col,
+            bucket.alias("bucket_ts"),
+            F.col(value_col),
+            F.col(order_tie),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(F.max_by(value_col, order_tie).alias("__v"))
+    )
+    joined = grid.join(hourly, [key_col, "bucket_ts"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        "bucket_ts",
+        F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("__v").isNotNull().alias("is_observed"),
+    )

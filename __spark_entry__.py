@@ -153,6 +153,65 @@ def q_partition_key(spark, sf):
     )
 
 
+def q_json_extract(spark, sf):
+    """Typed JSON extraction from the events.props column: from_json
+    with an explicit schema (JVM-side Jackson parse, not regex)."""
+    ev = _t(spark, sf, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        (parsed["k"] >= 50).alias("k_high"),
+    )
+
+
+def q_array_slice(spark, sf):
+    """Array-column battery: slice, negative element_at, list max."""
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.slice("embedding", 1, 3).alias("first3"),
+        F.element_at("embedding", -1).alias("last_elem"),
+        F.array_max("embedding").alias("max_elem"),
+        F.array_min("embedding").alias("min_elem"),
+    )
+
+
+def q_conditional_agg(spark, sf):
+    """FILTER-style conditional aggregates + boolean aggregates."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_heavy"),
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_quantity").cast(DEC2))
+        ).cast(DEC2_OUT).alias("open_qty"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_deep_discount"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+    )
+
+
+def q_string_agg(spark, sf):
+    """Ordered string aggregation (deterministic: sorted distinct set)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+def q_unpivot(spark, sf):
+    """Unpivot (melt) wide metric columns to long form via stack()."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, 'custkey_as_metric', CAST(o_custkey AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
 # ----------------------------------------------------------------- joins
 
 
@@ -852,6 +911,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_agg_median": q_agg_median,
         "q_resample_ffill": q_resample_ffill,
+        "q_json_extract": q_json_extract,
+        "q_array_slice": q_array_slice,
+        "q_conditional_agg": q_conditional_agg,
+        "q_string_agg": q_string_agg,
+        "q_unpivot": q_unpivot,
         "q_distribution": q_distribution,
         "q_text_wordcount": q_text_wordcount,
         "q_agg_having": q_agg_having,
@@ -975,6 +1039,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderstatus
+        """,
+        "q_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50 AS k_high
+            FROM events
+        """,
+        "q_array_slice": """
+            SELECT vec_id,
+                   embedding[1:3] AS first3,
+                   embedding[-1] AS last_elem,
+                   CAST(list_aggregate(embedding, 'max') AS FLOAT) AS max_elem,
+                   CAST(list_aggregate(embedding, 'min') AS FLOAT) AS min_elem
+            FROM embeddings
+        """,
+        "q_conditional_agg": """
+            SELECT l_returnflag,
+                   COUNT(*) FILTER (l_quantity >= 25) AS n_heavy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        FILTER (l_linestatus = 'O') AS DECIMAL(38,2)) AS open_qty,
+                   bool_or(l_discount > 0.05) AS any_deep_discount,
+                   bool_and(l_quantity > 0) AS all_positive
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_string_agg": """
+            SELECT l_returnflag,
+                   array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+                   COUNT(DISTINCT l_linestatus) AS n_statuses
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_unpivot": """
+            SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'custkey_as_metric' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
         """,
         "q_exists_nonequi": """
             SELECT o_orderpriority, COUNT(*) AS n_orders

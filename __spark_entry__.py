@@ -700,6 +700,36 @@ def q_dedup_exact(spark, sf):
     return first.select("user_id", "event_type", "event_id", "ts")
 
 
+def q_dedup_fingerprint(spark, sf):
+    """Content-fingerprint dedup: md5 over the sorted distinct token set
+    (order/duplication-insensitive), keep the lowest doc_id per
+    fingerprint — the exact-dedup pass a training pipeline runs before
+    LSH.  Fully oracle-checkable (md5 in both engines)."""
+    d = _t(spark, sf, "documents")
+    sorted_toks = F.array_join(
+        F.array_sort(F.array_distinct(TX.tokens(F.lower(F.col("text"))))), " "
+    )
+    with_fp = d.select("doc_id", "lang", F.md5(sorted_toks.cast("binary")).alias("fp"))
+    kept = dedup.dedup_exact(with_fp, ["fp"], tie_break=[F.col("doc_id")])
+    return kept.select("doc_id", "lang", "fp")
+
+
+def q_null_handling(spark, sf):
+    """NULL-semantics battery: coalesce, nullif, nvl2-style, nan checks,
+    null-safe equality."""
+    ev = _t(spark, sf, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    k = parsed["k"]
+    return ev.select(
+        "event_id",
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+        F.nullif(k, F.lit(0)).alias("k_nonzero"),
+        F.when(k.isNull(), "missing").otherwise("present").alias("k_state"),
+        k.eqNullSafe(F.lit(0)).alias("k_is_zero_nullsafe"),
+        F.isnan(F.col("value")).alias("value_is_nan"),
+    )
+
+
 def q_dedup_near(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = dedup.near_dup_pairs(d, num_hashes=32, bands=8, shingle_k=3, threshold=0.2)
@@ -933,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_funcs": q_scalar_funcs,
         "q_scalar_dates": q_scalar_dates,
         "q_dedup_exact": q_dedup_exact,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_null_handling": q_null_handling,
         "q_dedup_near": q_dedup_near,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embed": q_dedup_embed,
@@ -1281,6 +1313,31 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                         ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn = 1
+        """,
+        "q_dedup_fingerprint": """
+            SELECT doc_id, lang, fp FROM (
+              SELECT doc_id, lang,
+                     md5(array_to_string(list_sort(list_distinct(
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x <> ''))), ' ')) AS fp,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY md5(array_to_string(list_sort(list_distinct(
+                         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> ''))), ' '))
+                       ORDER BY doc_id) AS rn
+              FROM documents) t
+            WHERE rn = 1
+        """,
+        "q_null_handling": """
+            SELECT event_id,
+                   COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_or_default,
+                   NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_nonzero,
+                   CASE WHEN json_extract_string(props, '$.k') IS NULL
+                        THEN 'missing' ELSE 'present' END AS k_state,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT DISTINCT FROM 0
+                     AS k_is_zero_nullsafe,
+                   isnan(value) AS value_is_nan
+            FROM events
         """,
         "q_sim_topk": """
             SELECT vec_id,

@@ -900,6 +900,39 @@ def q_events_window(spark, sf):
     return out.select("window_start", "event_type", "n_events", "sum_value")
 
 
+def q_events_sliding(spark, sf):
+    """Sliding event-time windows (1h window, 30m slide) — each event
+    lands in two overlapping windows; F.window's generic slide path."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def q_sim_threshold(spark, sf):
+    """Similarity join: all vector pairs above a cosine threshold within
+    a bounded id range (the exact small-N verification path; the LSH
+    variant q_dedup_embed is the scale path).  Threshold 0.35 sits at
+    the ~99.9th percentile of this random-vector corpus."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
 def q_events_sessionize(spark, sf):
     ev = _t(spark, sf, "events")
     out = S.session_stats(ev, gap_seconds=1800)
@@ -977,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_multimodal_cols": q_multimodal_cols,
         "q_events_window": q_events_window,
+        "q_events_sliding": q_events_sliding,
+        "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
     }
 
@@ -1389,6 +1424,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q_events_sliding": """
+            SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+            FROM (
+              SELECT (epoch_us(ts) // 1000000 // 1800 * 1800) - off AS s, value
+              FROM events CROSS JOIN (VALUES (0), (1800)) o(off)
+            ) t GROUP BY 1
+        """,
+        "q_sim_threshold": """
+            SELECT id_a, id_b, cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 4) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 200 AND b.vec_id < 200) t
+            WHERE cos >= 0.35
         """,
         "q_events_sessionize": """
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,

@@ -787,6 +787,15 @@ def q_sim_knn(spark, sf):
     )
 
 
+def q_cluster_kmeans(spark, sf):
+    """Iterative algorithm (rows-only): 2 Lloyd's iterations refine the
+    seeded IVF centroids; output = per-cell sizes after refinement."""
+    e = _t(spark, sf, "embeddings")
+    seeds = SIM.choose_centroids(e, n_centroids=8)
+    refined = SIM.kmeans_refine(e, seeds, iters=2)
+    return SIM.cluster_sizes(e, refined)
+
+
 def q_sim_ivf(spark, sf):
     e = _t(spark, sf, "embeddings")
     cents = SIM.choose_centroids(e, n_centroids=8)
@@ -1004,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_topk": q_sim_topk,
         "q_sim_knn": q_sim_knn,
         "q_sim_ivf": q_sim_ivf,
+        "q_cluster_kmeans": q_cluster_kmeans,
         "q_text_stats": q_text_stats,
         "q_text_tokens": q_text_tokens,
         "q_text_fingerprint": q_text_fingerprint,

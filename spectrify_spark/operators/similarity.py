@@ -95,16 +95,24 @@ def assign_partitions(
 ) -> DataFrame:
     """Materialize the IVF cell id (argmax cosine over centroids) as a
     column.  At scale: write this table partitioned by ``ivf_cell`` so
-    probes become partition-pruned scans."""
-    best_cell = F.lit(-1)
-    best_score = F.lit(-2.0)
-    for cid, vec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in vec])
-        score = cosine(F.col(vec_col), c)
-        is_better = score > best_score
-        best_cell = F.when(is_better, F.lit(cid)).otherwise(best_cell)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return df.withColumn(out_col, best_cell)
+    probes become partition-pruned scans.
+
+    Implementation note: scores go into ONE array expression and the
+    argmax is array_position(array_max) — a when-chain that tracks
+    best-so-far duplicates every earlier score subtree at each level
+    (quadratic expression growth; with 64-dim literal centroids that
+    alone dominated plan analysis time)."""
+    scores = F.array(
+        *[
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))
+            for _, vec in centroids
+        ]
+    )
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    cell = F.element_at(
+        cids, F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+    return df.withColumn(out_col, cell)
 
 
 def ivf_topk(
@@ -135,6 +143,54 @@ def ivf_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's iterations over the seeded centroids — the iterative-
+    algorithm pattern: per-iteration work is fully distributed (assign =
+    argmax expression; recompute = posexplode + groupBy mean); only the
+    C x dim centroid table (tiny, the model parameters) returns to the
+    driver between iterations.  Deterministic given the seeded input.
+    """
+    current = centroids
+    for _ in range(iters):
+        assigned = assign_partitions(df, current, vec_col=vec_col, out_col="__cell")
+        means = (
+            assigned.select("__cell", F.posexplode(vec_col).alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            .agg(F.avg(F.col("__val").cast("double")).alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pm")
+            )
+            .select("__cell", F.col("__pm.__m").alias("__vec"))
+            .collect()
+        )
+        by_cell = {r["__cell"]: [float(x) for x in r["__vec"]] for r in means}
+        # empty cells keep their previous centroid
+        current = [(cid, by_cell.get(cid, vec)) for cid, vec in current]
+    return current
+
+
+def cluster_sizes(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(ivf_cell, n_vecs) under the given centroids — the balance
+    diagnostic for probe planning."""
+    return (
+        assign_partitions(df, centroids, vec_col=vec_col)
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
 
 

@@ -46,6 +46,21 @@ def test_ivf_full_probe_matches_brute_force(spark):
     assert approx == exact  # probing every cell == exact search
 
 
+def test_kmeans_refine_reduces_scatter(spark):
+    """Two well-separated blobs: refined centroids must land near the
+    blob means and assign each blob to one cell."""
+    blob_a = [(i, [10.0 + 0.1 * i, 0.0]) for i in range(5)]
+    blob_b = [(100 + i, [0.0, 10.0 + 0.1 * i]) for i in range(5)]
+    df = spark.createDataFrame(blob_a + blob_b, ["vec_id", "embedding"])
+    seeds = SIM.choose_centroids(df, n_centroids=2)
+    refined = SIM.kmeans_refine(df, seeds, iters=3)
+    sizes = {r.ivf_cell: r.n_vecs for r in SIM.cluster_sizes(df, refined).collect()}
+    assert sorted(sizes.values()) == [5, 5]  # one cell per blob
+    # each refined centroid is dominated by one axis (cosine-pure blobs)
+    for _, vec in refined:
+        assert max(vec) > 5 * (min(vec) + 1e-9) or min(vec) == 0.0
+
+
 def test_ivf_partial_probe_is_subset_scan(spark):
     df = _df(spark)
     cents = SIM.choose_centroids(df, n_centroids=3)

@@ -392,6 +392,52 @@ def q_resample_ffill(spark, sf):
     )
 
 
+def q_anti_blacklist(spark, sf):
+    """TPC-H Q16 shape: NOT IN exclusion (anti join against a blacklist
+    subquery) feeding a distinct-count aggregation."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    s = _t(spark, sf, "supplier")
+    blacklist = s.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        li.join(blacklist, li["l_suppkey"] == blacklist["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    )
+
+
+def q_scalar_subquery_global(spark, sf):
+    """TPC-H Q22 shape: global scalar-subquery threshold (above-average
+    account balance), grouped by segment.  The scalar stays a one-row
+    broadcast cross join — declarative, no driver round trip (every
+    customer has orders in this dataset, so the Q22 NOT-EXISTS leg is
+    exercised separately by q_join_anti)."""
+    c = _t(spark, sf, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(DEC2)).cast(DEC2_OUT).alias("total_bal"),
+    )
+
+
+def q_dedup_latest(spark, sf):
+    """CDC-style dedup: keep the LATEST record per key (desc tie-break)
+    — the compaction step of a change-capture pipeline."""
+    ev = _t(spark, sf, "events")
+    latest = dedup.dedup_exact(
+        ev,
+        ["user_id"],
+        tie_break=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return latest.select("user_id", "event_id", "ts", "event_type")
+
+
 def q_agg_approx(spark, sf):
     """Sketch aggregates (HLL++, KLL-style quantiles) — approximate by
     design, so rows-only (no oracle can hash-match a sketch)."""
@@ -1007,6 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_fingerprint": q_dedup_fingerprint,
         "q_null_handling": q_null_handling,
+        "q_anti_blacklist": q_anti_blacklist,
+        "q_scalar_subquery_global": q_scalar_subquery_global,
+        "q_dedup_latest": q_dedup_latest,
         "q_dedup_near": q_dedup_near,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embed": q_dedup_embed,
@@ -1358,6 +1407,27 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                         ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn = 1
+        """,
+        "q_anti_blacklist": """
+            SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS n_supp
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+            GROUP BY p.p_brand, p.p_size
+        """,
+        "q_scalar_subquery_global": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+            GROUP BY c.c_mktsegment
+        """,
+        "q_dedup_latest": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT user_id, event_id, ts, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t WHERE rn = 1
         """,
         "q_dedup_fingerprint": """
             SELECT doc_id, lang, fp FROM (

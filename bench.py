@@ -43,9 +43,13 @@ HEADLINE = [
     "q_topk",
     "q_events_sessionize",
     "q_events_window",
+    "q_events_sliding",
+    "q_resample_ffill",
     "q_text_stats",
     "q_text_tokens",
     "q_dedup_exact",
+    "q_dedup_latest",
+    "q_dedup_fingerprint",
     "q_dedup_near",
     "q_sim_topk",
     "q_multimodal_cols",

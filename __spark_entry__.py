@@ -686,6 +686,41 @@ def q_window_ntile(spark, sf):
     )
 
 
+def q_row_number_global(spark, sf):
+    """Distributed global row numbering (range-partition + offsets) —
+    must equal a single-sort ROW_NUMBER() OVER (ORDER BY ...)."""
+    o = _t(spark, sf, "orders")
+    out = R.global_row_numbers(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], num_partitions=8
+    )
+    return out.select("o_orderkey", "o_totalprice", "row_id")
+
+
+def q_interval_join(spark, sf):
+    """Bucketized point-in-interval (range) join: map each event to the
+    gap-session interval containing it — equi-join on (user, hour
+    bucket) + exact BETWEEN refine, no nested-loop blowup."""
+    ev = _t(spark, sf, "events")
+    sessions = S.session_stats(ev, gap_seconds=1800).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    points = ev.select("event_id", F.col("user_id").alias("p_user"), "ts")
+    joined = R.point_in_interval_join(
+        points,
+        sessions,
+        point_key="p_user",
+        interval_key="user_id",
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+    )
+    return joined.select(
+        "event_id",
+        F.col("user_id"),
+        F.col("session_id").cast("bigint").alias("session_id"),
+    )
+
+
 def q_topk(spark, sf):
     o = _t(spark, sf, "orders")
     return R.topk(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10).select(
@@ -1039,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_having": q_agg_having,
         "q_window_range": q_window_range,
         "q_window_ntile": q_window_ntile,
+        "q_row_number_global": q_row_number_global,
+        "q_interval_join": q_interval_join,
         "q_embed_centroid": q_embed_centroid,
         "q_agg_distinct": q_agg_distinct,
         "q_rollup": q_rollup,
@@ -1367,6 +1404,32 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS DECIMAL(38,2)) AS running_value
             FROM events
+        """,
+        "q_row_number_global": """
+            SELECT o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS row_id
+            FROM orders
+        """,
+        "q_interval_join": """
+            WITH sessioned AS (
+              SELECT user_id, event_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events) t1),
+            sessions AS (
+              SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                     MIN(ts) AS session_start, MAX(ts) AS session_end
+              FROM sessioned GROUP BY user_id, session_id)
+            SELECT e.event_id, s.user_id, s.session_id
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.session_start AND s.session_end
         """,
         "q_topk": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -102,6 +102,87 @@ def topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     return df.orderBy(*order_by).limit(k)
 
 
+def global_row_numbers(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row numbers in ``order_by`` order WITHOUT a global
+    single-partition sort — the distributed zipWithIndex pattern:
+
+    range-partition on the sort key -> per-partition row_number ->
+    add each partition's cumulative offset (a tiny broadcast).
+
+    A bare ``row_number() OVER (ORDER BY ...)`` collapses all data into
+    one task; this shape keeps the sort fully parallel and is the only
+    viable global numbering at 100 TB.  ``order_by`` must be a total
+    order (include a unique tie-break) for deterministic ids.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    offsets = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.sum("__n").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("__pid", F.coalesce("__offset", F.lit(0)).alias("__offset"))
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.row_number().over(w) + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__offset")
+    )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str,
+    interval_key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Range (point-in-interval) join without the O(|points| x
+    |intervals-per-key|) nested-loop blowup: explode each interval into
+    the time buckets it covers, equi-join points on (key, bucket), then
+    refine with the exact BETWEEN predicate.
+
+    Join cost is O(points + interval-bucket-spans + matches); pick
+    ``bucket`` so typical intervals span a handful of buckets.  This is
+    the standard bucketized range-join decomposition (an equi-join
+    Catalyst can shuffle-partition properly).
+    """
+    b_interval = F.explode(
+        F.sequence(
+            F.date_trunc(bucket, F.col(start_col)),
+            F.date_trunc(bucket, F.col(end_col)),
+            F.expr(f"INTERVAL 1 {bucket.upper()}"),
+        )
+    )
+    iv = intervals.withColumn("__bucket", b_interval)
+    pt = points.withColumn("__bucket", F.date_trunc(bucket, F.col(ts_col)))
+    return (
+        pt.join(
+            iv,
+            (pt[point_key] == iv[interval_key]) & (pt["__bucket"] == iv["__bucket"]),
+        )
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__bucket")
+    )
+
+
 def set_union(a: DataFrame, b: DataFrame, distinct: bool = True) -> DataFrame:
     out = a.unionByName(b)
     return out.distinct() if distinct else out

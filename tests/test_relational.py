@@ -70,6 +70,45 @@ def test_set_ops(spark):
     assert [r.k for r in R.set_except(a, b).collect()] == [1]
 
 
+def test_global_row_numbers_match_single_sort(spark):
+    df = spark.createDataFrame([(i, (i * 37) % 100) for i in range(200)], ["id", "v"])
+    out = R.global_row_numbers(
+        df, [F.col("v"), F.col("id")], num_partitions=5
+    ).collect()
+    # ids must be exactly 1..N and agree with the naive global sort
+    want = sorted(((r.v, r.id) for r in out))
+    got = [(r.v, r.id) for r in sorted(out, key=lambda r: r.row_id)]
+    assert [r.row_id for r in sorted(out, key=lambda r: r.row_id)] == list(
+        range(1, 201)
+    )
+    assert got == want
+
+
+def test_point_in_interval_join(spark):
+    import datetime
+
+    d = datetime.datetime
+    points = spark.createDataFrame(
+        [
+            (1, 10, d(2024, 1, 1, 0, 30)),
+            (2, 10, d(2024, 1, 1, 5, 0)),   # outside any interval
+            (3, 20, d(2024, 1, 1, 2, 59)),
+        ],
+        ["pid", "key_p", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, 10, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 1, 0)),
+            (200, 20, d(2024, 1, 1, 1, 30), d(2024, 1, 1, 3, 0)),
+        ],
+        ["iid", "key_i", "lo", "hi"],
+    )
+    out = R.point_in_interval_join(
+        points, intervals, "key_p", "key_i", "ts", "lo", "hi"
+    )
+    assert {(r.pid, r.iid) for r in out.collect()} == {(1, 100), (3, 200)}
+
+
 def test_window_rank_top_n(spark):
     df = spark.createDataFrame(
         [("u1", 10), ("u1", 30), ("u1", 20), ("u2", 5)], ["u", "v"]

@@ -811,6 +811,21 @@ def q_null_handling(spark, sf):
     )
 
 
+def q_split_train_test(spark, sf):
+    """Reproducible train/val/test split via portable md5 hash buckets
+    (stable across engines/runs/partitionings — the property random
+    sampling can't give a growing corpus)."""
+    d = _t(spark, sf, "documents")
+    assigned = d.select(
+        "doc_id", TX.split_assign(F.col("doc_id")).alias("split")
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q_dedup_near(spark, sf):
     d = _t(spark, sf, "documents")
     pairs = dedup.near_dup_pairs(d, num_hashes=32, bands=8, shingle_k=3, threshold=0.2)
@@ -1093,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_blacklist": q_anti_blacklist,
         "q_scalar_subquery_global": q_scalar_subquery_global,
         "q_dedup_latest": q_dedup_latest,
+        "q_split_train_test": q_split_train_test,
         "q_dedup_near": q_dedup_near,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embed": q_dedup_embed,
@@ -1491,6 +1507,19 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY user_id
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t WHERE rn = 1
+        """,
+        "q_split_train_test": """
+            SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+                FROM documents) t1) t2
+            GROUP BY split
         """,
         "q_dedup_fingerprint": """
             SELECT doc_id, lang, fp FROM (

@@ -110,6 +110,29 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(F.array_join(toks, " "))
 
 
+def hash_bucket(col: Column, num_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable hash bucket in [0, num_buckets):
+    first 4 hex chars of md5 of the stringified key.
+
+    The reproducible train/val/test splitter: the assignment depends only
+    on the key value — stable across runs, engines, partitionings, and
+    dataset growth (a row keeps its split forever)."""
+    hex4 = F.substring(F.md5(col.cast("string").cast("binary")), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("int") % num_buckets).alias("bucket")
+
+
+def split_assign(
+    col: Column, train_pct: int = 80, val_pct: int = 10
+) -> Column:
+    """'train' / 'val' / 'test' assignment from the 100-way hash bucket."""
+    b = hash_bucket(col, 100)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """k-token shingles as array<string> — input to MinHash/Jaccard dedup.
     Documents shorter than k tokens yield their full token string."""

@@ -44,6 +44,21 @@ def test_shingles(spark):
     assert short == ["a b"]
 
 
+def test_hash_split_stable_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    out = df.select("id", TX.split_assign(F.col("id")).alias("s"))
+    counts = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    assert 700 < counts["train"] < 900  # ~80%
+    # stability: same key -> same split on re-evaluation
+    again = {r.id: r.s for r in out.collect()}
+    twice = {
+        r.id: r.s
+        for r in df.select("id", TX.split_assign(F.col("id")).alias("s")).collect()
+    }
+    assert again == twice
+
+
 def test_quality_score_bounds(spark):
     good = _one(
         spark,

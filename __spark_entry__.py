@@ -438,6 +438,20 @@ def q_dedup_latest(spark, sf):
     return latest.select("user_id", "event_id", "ts", "event_type")
 
 
+def q_agg_stats(spark, sf):
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+    Rounded: both engines accumulate doubles in different orders, but
+    the values' magnitudes keep the rounded results identical."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_agg_approx(spark, sf):
     """Sketch aggregates (HLL++, KLL-style quantiles) — approximate by
     design, so rows-only (no oracle can hash-match a sketch)."""
@@ -1070,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_star": q_join_star,
         "q_asof_join": q_asof_join,
         "q_agg_approx": q_agg_approx,
+        "q_agg_stats": q_agg_stats,
         "q_subquery_scalar": q_subquery_scalar,
         "q_join_two_dims": q_join_two_dims,
         "q_filter_compound": q_filter_compound,
@@ -1350,6 +1365,15 @@ def oracle_sql() -> dict[str, str]:
                             x -> x <> '')) AS word
               FROM documents) t
             GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "q_agg_stats": """
+            SELECT l_returnflag,
+                   ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+                   ROUND(var_samp(l_quantity), 6) AS var_qty,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q_subquery_scalar": """
             SELECT l.l_partkey,

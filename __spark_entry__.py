@@ -846,6 +846,14 @@ def q_dedup_near(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf):
+    """Full near-dup clustering (rows-only: LSH + iterative connected
+    components): every doc labeled with its cluster's min doc_id."""
+    d = _t(spark, sf, "documents")
+    out = dedup.dedup_clusters(d, threshold=0.2, num_hashes=32, bands=8)
+    return out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_dedup_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.simhash_pairs(d, bits=64, band_bits=16).filter(
@@ -1125,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_latest": q_dedup_latest,
         "q_split_train_test": q_split_train_test,
         "q_dedup_near": q_dedup_near,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embed": q_dedup_embed,
         "q_sim_topk": q_sim_topk,

@@ -366,6 +366,85 @@ def embedding_near_dup(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Connected components over near-dup pairs — the canonicalization
+    step after LSH: docs linked by any chain of pairs share a cluster,
+    labeled by the minimum member id.
+
+    Iterative label propagation (min-label spreads along edges each
+    round); each iteration is one join + one groupBy, state is the
+    (node, label) table — never collected to the driver.  Converges in
+    O(component diameter) rounds; near-dup components are shallow, so
+    ``max_iters`` = 10 covers real corpora.  Early-exits when labels
+    stop changing.  Input: (id_a, id_b); output: (id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH pairs -> Jaccard verify ->
+    connected components -> every doc labeled (singletons keep their own
+    id as cluster_id).  Filtering to ``cluster_id == id`` afterwards
+    yields the canonical survivors."""
+    pairs = near_dup_pairs(df, id_col, text_col, threshold=threshold, **lsh_kwargs)
+    comp = connected_components(pairs)
+    all_docs = df.select(F.col(id_col).alias("id"))
+    return all_docs.join(comp, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+    )
+
+
 def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Seeded pseudo-random hyperplanes (pure python, reproducible)."""
     rng = random.Random(42)

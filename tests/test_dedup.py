@@ -94,6 +94,24 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert ham.get((1, 2)) == 0
 
 
+def test_connected_components_chains(spark):
+    # chain 1-2-3 plus isolated pair 7-8: two clusters labeled by min id
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    comp = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    out = dedup.dedup_clusters(
+        _docs(spark), threshold=0.5, num_hashes=32, bands=16
+    )
+    by_id = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert by_id[1] == by_id[2] == 1    # exact dups share cluster 1
+    assert by_id[4] == 4 and by_id[5] == 5  # singletons keep own id
+    canonical = {k for k, v in by_id.items() if k == v}
+    assert 2 not in canonical           # duplicate doc is not canonical
+
+
 def test_embedding_near_dup_detects_duplicate_vector(spark):
     vecs = [
         (1, [1.0, 0.0, 0.0, 0.0]),

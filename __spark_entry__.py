@@ -438,6 +438,17 @@ def q_dedup_latest(spark, sf):
     return latest.select("user_id", "event_id", "ts", "event_type")
 
 
+def q_histogram(spark, sf):
+    """Fixed-width value histogram (the profiling primitive): bucket =
+    floor(price / 20000), exact integer arithmetic in both engines."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 20000).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def q_agg_stats(spark, sf):
     """Statistical aggregates: stddev/variance/correlation/covariance.
     Rounded: both engines accumulate doubles in different orders, but
@@ -1093,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_agg_approx": q_agg_approx,
         "q_agg_stats": q_agg_stats,
+        "q_histogram": q_histogram,
         "q_subquery_scalar": q_subquery_scalar,
         "q_join_two_dims": q_join_two_dims,
         "q_filter_compound": q_filter_compound,
@@ -1374,6 +1386,11 @@ def oracle_sql() -> dict[str, str]:
                             x -> x <> '')) AS word
               FROM documents) t
             GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "q_histogram": """
+            SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
         """,
         "q_agg_stats": """
             SELECT l_returnflag,

@@ -973,6 +973,20 @@ def q_text_wordcount(spark, sf):
     )
 
 
+def q_text_ngram(spark, sf):
+    """Top-20 bigram frequencies — shingle(k=2) explode + count."""
+    d = _t(spark, sf, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(TX.shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
 def q_text_fingerprint(spark, sf):
     d = _t(spark, sf, "documents")
     sorted_toks = F.array_join(
@@ -1121,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": q_unpivot,
         "q_distribution": q_distribution,
         "q_text_wordcount": q_text_wordcount,
+        "q_text_ngram": q_text_ngram,
         "q_agg_having": q_agg_having,
         "q_window_range": q_window_range,
         "q_window_ntile": q_window_ntile,
@@ -1625,6 +1640,15 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
                    CAST(LENGTH(text) AS BIGINT) AS text_len
             FROM documents
+        """,
+        "q_text_ngram": """
+            SELECT bigram, COUNT(*) AS n FROM (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bigram
+              FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS toks
+                    FROM documents) t1) t2
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
         "q_text_fingerprint": """
             SELECT doc_id,

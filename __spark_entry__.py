@@ -8,7 +8,11 @@ rows-only check).
 Determinism conventions (so the driver's order-insensitive value hash
 matches across engines):
 - money aggregates are computed in DECIMAL (exact, association-free)
-  and cast to an explicit DECIMAL(38,s) on both sides;
+  internally, then every FINAL decimal output is cast to DOUBLE on both
+  sides (the driver's canonicalizer renders Decimal values
+  engine-specifically, so DECIMAL-typed outputs hash-mismatch even when
+  equal; an exact decimal with <=2^53 scaled units converts to the same
+  IEEE double in Spark and DuckDB);
 - ratios/averages are rounded from identical exact inputs;
 - event-time gaps use exact integer microseconds (unix_micros /
   epoch_us);
@@ -66,9 +70,9 @@ def q_agg_hash(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_qty_dec()).cast(DEC2_OUT).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(_qty_dec()).cast(DEC2_OUT).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
             F.round(
                 F.sum(_qty_dec()).cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_qty"),
@@ -84,10 +88,10 @@ def q_agg_hash(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_AGG_HASH = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6))
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,2)) AS DOUBLE)
     AS sum_disc_price,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
@@ -125,7 +129,7 @@ def q_cast_types(spark, sf):
         "event_id",
         F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int").alias("k_int"),
         F.to_date("ts").alias("event_date"),
-        F.col("value").cast(DEC2).alias("value_dec"),
+        F.col("value").cast(DEC2).cast("double").alias("value_dec"),
         C.parse_bool_tf(
             F.when(F.col("value") > 50, "t").otherwise("f")
         ).alias("high_flag"),
@@ -148,7 +152,7 @@ def q_partition_key(spark, sf):
         .groupBy("partition_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_value"),
         )
     )
 
@@ -166,11 +170,19 @@ def q_json_extract(spark, sf):
 
 
 def q_array_slice(spark, sf):
-    """Array-column battery: slice, negative element_at, list max."""
+    """Array-column battery: slice, negative element_at, list max.
+
+    The sliced array is rounded (via DOUBLE, matching DuckDB's
+    float->json double widening) and serialized with to_json so every
+    output column is scalar-typed — the driver's pandas canonicalizer
+    cannot hash raw list cells (VERDICT r1 "What's wrong" #2)."""
     e = _t(spark, sf, "embeddings")
+    first3 = F.transform(
+        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+    )
     return e.select(
         "vec_id",
-        F.slice("embedding", 1, 3).alias("first3"),
+        F.to_json(first3).alias("first3"),
         F.element_at("embedding", -1).alias("last_elem"),
         F.array_max("embedding").alias("max_elem"),
         F.array_min("embedding").alias("min_elem"),
@@ -184,7 +196,7 @@ def q_conditional_agg(spark, sf):
         F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_heavy"),
         F.sum(
             F.when(F.col("l_linestatus") == "O", F.col("l_quantity").cast(DEC2))
-        ).cast(DEC2_OUT).alias("open_qty"),
+        ).cast(DEC2_OUT).cast("double").alias("open_qty"),
         F.bool_or(F.col("l_discount") > 0.05).alias("any_deep_discount"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
     )
@@ -265,7 +277,7 @@ def q_join_multi(spark, sf):
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price).cast("decimal(38,6)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("decimal(38,2)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -292,7 +304,7 @@ def q_join_star(spark, sf):
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
     return joined.groupBy("n_name").agg(
-        F.sum(disc_price).cast("decimal(38,6)").alias("revenue"),
+        F.sum(disc_price).cast("decimal(38,2)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -343,7 +355,7 @@ def q_topk_customers(spark, sf):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(disc_price).cast("decimal(38,6)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("decimal(38,2)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -359,7 +371,7 @@ def q_grouping_sets(spark, sf):
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM __gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -422,7 +434,7 @@ def q_scalar_subquery_global(spark, sf):
     )
     return rich.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast(DEC2)).cast(DEC2_OUT).alias("total_bal"),
+        F.sum(F.col("c_acctbal").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("total_bal"),
     )
 
 
@@ -464,13 +476,29 @@ def q_agg_stats(spark, sf):
 
 
 def q_agg_approx(spark, sf):
-    """Sketch aggregates (HLL++, KLL-style quantiles) — approximate by
-    design, so rows-only (no oracle can hash-match a sketch)."""
+    """Sketch aggregates (HLL++ count-distinct, approximate quantiles)
+    validated in-query against their exact twins: the output carries the
+    EXACT values plus relative-error-within-tolerance booleans, so the
+    sketch path is exercised while staying hash-checkable against an
+    oracle that emits the exact values and literal TRUEs (VERDICT r1
+    "What's wrong" #3)."""
     li = _t(spark, sf, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    exact_med = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_med = F.percentile_approx("l_extendedprice", 0.5)
+    exact_p99 = F.expr("percentile(l_extendedprice, 0.99)")
+    approx_p99 = F.percentile_approx("l_extendedprice", 0.99)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(approx_parts.cast("double") - exact_parts.cast("double"))
+            <= 0.05 * exact_parts.cast("double")
+        ).alias("hll_ok"),
+        F.round(exact_med, 4).alias("median_price"),
+        (F.abs(approx_med - exact_med) <= 0.05 * exact_med).alias("p50_ok"),
+        F.round(exact_p99, 4).alias("p99_price"),
+        (F.abs(approx_p99 - exact_p99) <= 0.05 * exact_p99).alias("p99_ok"),
     )
 
 
@@ -495,7 +523,7 @@ def q_filter_compound(spark, sf):
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .filter(branch1 | branch2)
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -515,7 +543,7 @@ def q_partition_rollup(spark, sf):
         .groupBy("week_start", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("p").cast(DEC2_OUT).alias("sum_price"),
+            F.sum("p").cast(DEC2_OUT).cast("double").alias("sum_price"),
         )
     )
 
@@ -544,7 +572,7 @@ def q_join_two_dims(spark, sf):
         .join(F.broadcast(cust_nation), o["o_custkey"] == cust_nation["c_custkey"])
         .groupBy("supp_nation", "cust_nation")
         .agg(
-            F.sum(disc_price).cast("decimal(38,6)").alias("revenue"),
+            F.sum(disc_price).cast("decimal(38,2)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -583,7 +611,7 @@ def q_rollup(spark, sf):
         li,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": F.sum(_qty_dec()).cast(DEC2_OUT),
+            "sum_qty": F.sum(_qty_dec()).cast(DEC2_OUT).cast("double"),
             "n_rows": F.count(F.lit(1)),
         },
     )
@@ -596,7 +624,7 @@ def q_cube(spark, sf):
         ["o_orderstatus", "o_orderpriority"],
         {
             "n_orders": F.count(F.lit(1)),
-            "sum_price": F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT),
+            "sum_price": F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).cast("double"),
         },
     )
 
@@ -606,7 +634,7 @@ def q_pivot(spark, sf):
     p = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(_qty_dec()).cast(DEC2_OUT))
+        .agg(F.sum(_qty_dec()).cast(DEC2_OUT).cast("double"))
     )
     return p.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
@@ -628,7 +656,7 @@ def q_subquery_scalar(spark, sf):
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_price"),
             F.count(F.lit(1)).alias("n_below"),
         )
     )
@@ -640,7 +668,7 @@ def q_agg_having(spark, sf):
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).alias("total"),
+            F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("total"),
         )
         .filter(F.col("n_orders") >= 15)
     )
@@ -674,7 +702,7 @@ def q_window_analytic(spark, sf):
         "user_id",
         "value",
         F.lag("value").over(w).alias("prev_value"),
-        F.sum(F.col("value").cast(DEC2)).over(wrun).cast(DEC2_OUT).alias("running_value"),
+        F.sum(F.col("value").cast(DEC2)).over(wrun).cast(DEC2_OUT).cast("double").alias("running_value"),
     )
 
 
@@ -1046,7 +1074,7 @@ def q_events_window(spark, sf):
         group_cols=["event_type"],
         aggs={
             "n_events": F.count(F.lit(1)),
-            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT),
+            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double"),
         },
     )
     return out.select("window_start", "event_type", "n_events", "sum_value")
@@ -1060,7 +1088,7 @@ def q_events_sliding(spark, sf):
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -1192,7 +1220,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
               CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k_int,
               CAST(ts AS DATE) AS event_date,
-              CAST(value AS DECIMAL(18,2)) AS value_dec,
+              CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
               (value > 50) AS high_flag
             FROM events
         """,
@@ -1203,7 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_partition_key": """
             SELECT CAST(ts AS DATE) AS partition_date, COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
         """,
         "q_join_inner": """
@@ -1229,9 +1257,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_multi": """
             SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS revenue
+                        AS DECIMAL(38,2)) AS DOUBLE) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1241,9 +1269,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_star": """
             SELECT n.n_name,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS revenue,
+                        AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1278,7 +1306,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_array_slice": """
             SELECT vec_id,
-                   embedding[1:3] AS first3,
+                   to_json(list_transform(embedding[1:3],
+                                          x -> round(CAST(x AS DOUBLE), 4))) AS first3,
                    embedding[-1] AS last_elem,
                    CAST(list_aggregate(embedding, 'max') AS FLOAT) AS max_elem,
                    CAST(list_aggregate(embedding, 'min') AS FLOAT) AS min_elem
@@ -1287,8 +1316,8 @@ def oracle_sql() -> dict[str, str]:
         "q_conditional_agg": """
             SELECT l_returnflag,
                    COUNT(*) FILTER (l_quantity >= 25) AS n_heavy,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        FILTER (l_linestatus = 'O') AS DECIMAL(38,2)) AS open_qty,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        FILTER (l_linestatus = 'O') AS DECIMAL(38,2)) AS DOUBLE) AS open_qty,
                    bool_or(l_discount > 0.05) AS any_deep_discount,
                    bool_and(l_quantity > 0) AS all_positive
             FROM lineitem GROUP BY l_returnflag
@@ -1314,9 +1343,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_topk_customers": """
             SELECT c.c_custkey, c.c_name,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS revenue
+                        AS DECIMAL(38,2)) AS DOUBLE) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1328,7 +1357,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                    CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -1362,7 +1391,7 @@ def oracle_sql() -> dict[str, str]:
               ON g.user_id = h.user_id AND g.bucket_ts = h.bucket_ts
         """,
         "q_filter_compound": """
-            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+            SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 15)
@@ -1371,14 +1400,14 @@ def oracle_sql() -> dict[str, str]:
         "q_partition_rollup": """
             SELECT CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS week_start,
                    o_orderstatus, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
             FROM orders GROUP BY 1, 2
         """,
         "q_join_two_dims": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS revenue,
+                        AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1416,9 +1445,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
         """,
+        "q_agg_approx": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS hll_ok,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   TRUE AS p50_ok,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+                   TRUE AS p99_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "q_subquery_scalar": """
             SELECT l.l_partkey,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
                    COUNT(*) AS n_below
             FROM lineitem l
             WHERE l.l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
@@ -1427,7 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_agg_having": """
             SELECT o_custkey, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
             FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         """,
         "q_window_range": """
@@ -1453,21 +1492,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_rollup": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "q_cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "q_pivot": """
             SELECT l_returnflag,
-                   CAST(SUM(CASE WHEN l_linestatus = 'O'
-                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_O,
-                   CAST(SUM(CASE WHEN l_linestatus = 'F'
-                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS qty_F
+                   CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS qty_O,
+                   CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS qty_F
             FROM lineitem GROUP BY l_returnflag
         """,
         "q_window_rank": """
@@ -1480,10 +1519,10 @@ def oracle_sql() -> dict[str, str]:
         "q_window_analytic": """
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS DECIMAL(38,2)) AS running_value
+                        AS DECIMAL(38,2)) AS DOUBLE) AS running_value
             FROM events
         """,
         "q_row_number_global": """
@@ -1561,7 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "q_scalar_subquery_global": """
             SELECT c.c_mktsegment,
                    COUNT(*) AS n_customers,
-                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+                   CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
             FROM customer c
             WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
             GROUP BY c.c_mktsegment
@@ -1668,13 +1707,13 @@ def oracle_sql() -> dict[str, str]:
         "q_events_window": """
             SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "q_events_sliding": """
             SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
             FROM (
               SELECT (epoch_us(ts) // 1000000 // 1800 * 1800) - off AS s, value
               FROM events CROSS JOIN (VALUES (0), (1800)) o(off)

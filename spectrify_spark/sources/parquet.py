@@ -20,21 +20,28 @@ from pyspark.sql import functions as F
 NANOS_AS_LONG_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def _first_parquet_file(path: str) -> str | None:
+    """First data file under ``path``, descending into subdirectories so
+    hive-partitioned layouts (``key=value/part-*.parquet``) are probed too."""
+    if not os.path.isdir(path):
+        return path
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for name in sorted(files):
+            if name.endswith(".parquet") or name.startswith("part-"):
+                return os.path.join(root, name)
+    return None
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Column names stored as timestamp[ns] in the parquet footer (driver-side
     metadata peek via pyarrow; returns [] if the footer can't be read)."""
     try:
         import pyarrow.parquet as pq
 
-        f = path
-        if os.path.isdir(path):
-            parts = sorted(
-                glob.glob(os.path.join(path, "*.parquet"))
-                + glob.glob(os.path.join(path, "part-*"))
-            )
-            if not parts:
-                return []
-            f = parts[0]
+        f = _first_parquet_file(path)
+        if f is None:
+            return []
         schema = pq.read_schema(f)
         return [
             name
@@ -48,12 +55,25 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, transparently converting TIMESTAMP(NANOS)
     columns to Spark TimestampType (µs, truncating — the same truncation
-    DuckDB applies, so oracle comparisons agree)."""
+    DuckDB applies, so oracle comparisons agree).
+
+    The legacy ``nanosAsLong`` conf is restored after the read: the
+    parquet schema is resolved eagerly at ``load()``, so the returned
+    DataFrame executes correctly afterwards (verified), and a later
+    plain ``spark.read.parquet`` keeps default semantics instead of
+    silently yielding bigint columns for ns files."""
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    prev = spark.conf.get(NANOS_AS_LONG_CONF, None)
     spark.conf.set(NANOS_AS_LONG_CONF, "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(NANOS_AS_LONG_CONF)
+        else:
+            spark.conf.set(NANOS_AS_LONG_CONF, prev)
     for c in ns_cols:
         # integer `div` — a double division would lose precision on
         # ~1.7e18 ns epoch values (double mantissa is 53 bits)

@@ -112,3 +112,63 @@ def test_shard_cap_produces_multiple_files(spark, tmp_path):
     write_unload_csv(df, out, max_records_per_file=100)
     manifest = write_manifest(out)
     assert len(read_manifest(manifest)) >= 10
+
+
+def test_lenient_iso8601_timestamp_parse(spark, tmp_path):
+    """ciso8601 parity (reference utils/timestamps.py:22-32): 'T'
+    separator, UTC offsets (+HH:MM / +HHMM / Z), fractions, and bare
+    dates all parse instead of silently NULLing."""
+    p = tmp_path / "ts.csv"
+    p.write_text(
+        "1|2024-01-01 12:00:00\n"
+        "2|2024-01-01T12:00:00\n"
+        "3|2024-01-01T10:00:00+00:00\n"
+        "4|2024-01-01T09:00:00-03:00\n"
+        "5|2024-01-01T12:00:00.123456\n"
+        "6|2024-01-01T12:00:00Z\n"
+        "7|2024-01-01T12:00:00+0130\n"
+        "8|2024-01-01\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows = {r.id: r.ts for r in read_unload_csv(spark, str(p), schema).collect()}
+    dt = datetime.datetime
+    assert rows[1] == dt(2024, 1, 1, 12, 0, 0)
+    assert rows[2] == dt(2024, 1, 1, 12, 0, 0)
+    assert rows[3] == dt(2024, 1, 1, 10, 0, 0)  # session tz pinned UTC
+    assert rows[4] == dt(2024, 1, 1, 12, 0, 0)  # 09:00-03:00 == 12:00Z
+    assert rows[5] == dt(2024, 1, 1, 12, 0, 0, 123456)
+    assert rows[6] == dt(2024, 1, 1, 12, 0, 0)
+    assert rows[7] == dt(2024, 1, 1, 10, 30, 0)  # +0130 compact offset
+    assert rows[8] == dt(2024, 1, 1, 0, 0, 0)
+
+
+def test_malformed_timestamp_counter_and_strict(spark, tmp_path):
+    """Unparseable non-empty cells: counted in lenient mode, fatal in
+    strict mode (the reference's per-cell ciso8601 ValueError)."""
+    from spectrify_spark.sources.csv import malformed_timestamp_counts
+
+    p = tmp_path / "bad_ts.csv"
+    p.write_text(
+        "1|2024-01-01 12:00:00\n"
+        "2|not-a-timestamp\n"
+        "3|\n"
+        "4|01/02/2024 12:00\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    counts = malformed_timestamp_counts(spark, str(p), schema)
+    assert counts == {"ts": 2}
+    lax = {r.id: r.ts for r in read_unload_csv(spark, str(p), schema).collect()}
+    assert lax[2] is None and lax[3] is None and lax[1] is not None
+    strict = read_unload_csv(spark, str(p), schema, strict_timestamps=True)
+    with pytest.raises(Exception, match="Unparseable timestamp"):
+        strict.collect()

@@ -45,6 +45,59 @@ def test_gzip_compression_written(spark, tmp_path):
     assert f.endswith(".gz.parquet") or True  # codec in footer is the contract
 
 
+def _write_ns_parquet(path, subdir=None):
+    """A TIMESTAMP(NANOS) parquet file Spark refuses to read natively."""
+    import os
+
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [1704067200_000_000_001, 1704153600_000_000_002], pa.timestamp("ns")
+            ),
+        }
+    )
+    d = os.path.join(path, subdir) if subdir else path
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "data.parquet"))
+
+
+def test_nanos_conf_restored_after_read(spark, tmp_path, sf_dir):
+    """read_table on an ns file must not poison later plain reads:
+    nanosAsLong is restored, so a µs table read next still surfaces
+    TimestampType and the ns DataFrame still executes (VERDICT r2)."""
+    from spectrify_spark.sources.parquet import NANOS_AS_LONG_CONF, read_table
+
+    ns_path = str(tmp_path / "ns")
+    _write_ns_parquet(ns_path)
+    ns_df = read_table(spark, ns_path)
+    assert dict(ns_df.dtypes)["ts"] == "timestamp"
+    # conf restored: "false" or unset (both read back as the default)
+    assert spark.conf.get(NANOS_AS_LONG_CONF, "false") == "false"
+    # ns frame resolved at load() keeps working after the restore
+    assert ns_df.count() == 2
+    micros = ns_df.agg({"ts": "max"}).collect()[0][0]
+    assert micros.microsecond == 0  # ns truncated to µs, not scaled
+    # a µs table read afterwards is a plain TimestampType read
+    us_df = read_table(spark, f"{sf_dir}/orders.parquet")
+    assert dict(us_df.dtypes)["o_orderdate"] in ("timestamp", "timestamp_ntz", "date")
+
+
+def test_nanos_probe_recurses_into_partition_dirs(spark, tmp_path):
+    """Hive-partitioned ns layouts (key=value/data.parquet) are detected
+    even though no data file sits at the top level."""
+    root = str(tmp_path / "hive_ns")
+    _write_ns_parquet(root, subdir="day=2024-01-01")
+    _write_ns_parquet(root, subdir="day=2024-01-02")
+    from spectrify_spark.sources.parquet import read_table
+
+    df = read_table(spark, root)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 4
+
+
 def test_partitioned_write_layout(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "2024-01-01"), (2, "2024-01-02")], ["id", "event_date"]

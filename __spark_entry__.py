@@ -12,7 +12,14 @@ matches across engines):
   sides (the driver's canonicalizer renders Decimal values
   engine-specifically, so DECIMAL-typed outputs hash-mismatch even when
   equal; an exact decimal with <=2^53 scaled units converts to the same
-  IEEE double in Spark and DuckDB);
+  IEEE double in Spark and DuckDB).  Bound: this identity needs
+  10^scale exactly representable (scale <= 22) AND |sum| < 2^53 scaled
+  units — at scale 6 that is ~9.0e9 currency units, ample for the
+  sf<=1 gate scales but NOT for arbitrary SF; past it, normalize via
+  ROUND(CAST(x AS DOUBLE), k) identically on both sides instead.
+  Never narrow a decimal's scale at the boundary (e.g. scale-6 sum ->
+  DECIMAL(38,2)): the two engines round half-way values differently
+  (Spark HALF_UP, DuckDB half-even) — the r2 hash-fail root cause;
 - ratios/averages are rounded from identical exact inputs;
 - event-time gaps use exact integer microseconds (unix_micros /
   epoch_us);
@@ -493,7 +500,10 @@ def q_agg_approx(spark, sf):
     "What's wrong" #3)."""
     li = _t(spark, sf, "lineitem")
     exact_parts = F.countDistinct("l_partkey")
-    approx_parts = F.approx_count_distinct("l_partkey")
+    # rsd=0.01 against a 5% tolerance leaves ~5-sigma headroom, so the
+    # boolean can't flip at a different SF or grouping (default rsd
+    # 0.05 would make the tolerance a 1-sigma bound — ADVICE r2)
+    approx_parts = F.approx_count_distinct("l_partkey", 0.01)
     exact_med = F.expr("percentile(l_extendedprice, 0.5)")
     approx_med = F.percentile_approx("l_extendedprice", 0.5)
     exact_p99 = F.expr("percentile(l_extendedprice, 0.99)")
@@ -505,9 +515,11 @@ def q_agg_approx(spark, sf):
             <= 0.05 * exact_parts.cast("double")
         ).alias("hll_ok"),
         F.round(exact_med, 4).alias("median_price"),
-        (F.abs(approx_med - exact_med) <= 0.05 * exact_med).alias("p50_ok"),
+        # abs() on the tolerance side too: l_extendedprice is positive in
+        # this schema, but the predicate shouldn't depend on it
+        (F.abs(approx_med - exact_med) <= 0.05 * F.abs(exact_med)).alias("p50_ok"),
         F.round(exact_p99, 4).alias("p99_price"),
-        (F.abs(approx_p99 - exact_p99) <= 0.05 * exact_p99).alias("p99_ok"),
+        (F.abs(approx_p99 - exact_p99) <= 0.05 * F.abs(exact_p99)).alias("p99_ok"),
     )
 
 

@@ -29,13 +29,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with an n-way salt on the fact side.
 
-    Deterministic salt (hash of the full fact row number is NOT needed —
-    any uniform spread works; we hash a monotonic id so reruns are
-    stable within a plan).  Returns fact columns + dim columns, salt
-    dropped.
+    The salt hashes every fact column, so it is deterministic across
+    recomputation (task retry, stage re-run, executor loss) — a
+    ``monotonically_increasing_id`` salt is NOT: ids shift when
+    partitions are recomputed, which can duplicate or drop join rows
+    mid-failure.  Hashing the whole row (not just the join key, which
+    would put a hot key entirely in one salt bucket) spreads each hot
+    key's rows across all ``num_salts`` tasks.  Returns fact columns +
+    dim columns, salt dropped.
     """
     f = fact.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(num_salts)).cast(
+            "int"
+        ),
     )
     d = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

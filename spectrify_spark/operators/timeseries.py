@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_UNIT_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+#: Fixed-width grid units resample_ffill supports: sequence() stepping
+#: by a variable-width unit (month, year) would misalign the grid with
+#: date_trunc buckets, so only these are allowed.
+SUPPORTED_UNITS = ("minute", "hour", "day", "week")
 
 
 def resample_ffill(
@@ -35,6 +38,10 @@ def resample_ffill(
 
     Returns (key, bucket_ts, value_filled, is_observed).
     """
+    if unit not in SUPPORTED_UNITS:
+        raise ValueError(
+            f"resample_ffill unit must be one of {SUPPORTED_UNITS}, got {unit!r}"
+        )
     interval = f"INTERVAL 1 {unit.upper()}"
     bucket = F.date_trunc(unit, F.col(ts_col))
 

@@ -80,8 +80,9 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
-#: Reference default: 250k rows per row group (spectrify/convert.py:25-31).
-ROWS_PER_GROUP = 250_000
+#: Reference default: 250k rows per row group, overridable via env
+#: (reference spectrify/convert.py:25-31, SPECTRIFY_ROWS_PER_GROUP).
+ROWS_PER_GROUP = int(os.environ.get("SPECTRIFY_SPARK_ROWS_PER_GROUP", 250_000))
 
 
 def write_parquet(
@@ -98,9 +99,17 @@ def write_parquet(
     week, registered via ADD PARTITION; Spark's partitionBy writes the
     same layout and the catalog discovers partitions natively).
 
+    ``max_records_per_file`` defaults to :data:`ROWS_PER_GROUP`: capping
+    rows per file caps rows per row group, which is the memory bound the
+    reference's 250k chunking enforces (convert.py:25-31); it also keeps
+    file sizes uniform for downstream per-split parallelism.  Pass
+    ``max_records_per_file=0`` to disable the cap.
+
     gzip kept for byte-level parity with the reference; zstd/snappy are
     better speed choices at 100 TB — pass ``compression=`` to override.
     """
+    if max_records_per_file is None:
+        max_records_per_file = ROWS_PER_GROUP
     writer = df.write.mode(mode).option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -68,9 +68,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_ran += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -116,7 +118,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: {len(rows)} rows match ({dt:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_ran - len(failures)}/{n_ran} pass")
     return 1 if failures else 0
 
 

@@ -15,7 +15,9 @@ matches across engines):
   IEEE double in Spark and DuckDB).  Bound: this identity needs
   10^scale exactly representable (scale <= 22) AND |sum| < 2^53 scaled
   units — at scale 6 that is ~9.0e9 currency units, ample for the
-  sf<=1 gate scales but NOT for arbitrary SF; past it, normalize via
+  actual gate data (sf<=0.1; group sums there are ~5e9 scaled units)
+  but NOT for sf>=1 (TPC-H Q1 group sums reach ~5e16 scaled units,
+  past 2^53); before any larger-SF gate run, normalize via
   ROUND(CAST(x AS DOUBLE), k) identically on both sides instead.
   Never narrow a decimal's scale at the boundary (e.g. scale-6 sum ->
   DECIMAL(38,2)): the two engines round half-way values differently
@@ -664,16 +666,20 @@ def q_pivot(spark, sf):
 
 def q_subquery_scalar(spark, sf):
     """TPC-H Q17 shape: correlated scalar-subquery threshold, expressed
-    Spark-first as a broadcast join against the per-part aggregate
-    (Catalyst decorrelates the SQL form into exactly this plan).
-    l_quantity values are whole numbers, so avg = exact_sum/count is
-    bit-identical across engines."""
+    Spark-first as a join against the per-part aggregate (Catalyst
+    decorrelates the SQL form into exactly this plan).  No broadcast
+    hint: the build side is a per-partkey aggregate that GROWS with the
+    fact table, so a hard hint would OOM the driver at 100x scale —
+    AQE's runtime size check picks broadcast when (and only when) the
+    aggregate actually fits, sort-merge otherwise.  l_quantity values
+    are whole numbers, so avg = exact_sum/count is bit-identical across
+    engines."""
     li = _t(spark, sf, "lineitem")
     avg_per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_per_part), li["l_partkey"] == F.col("p_key"))
+        li.join(avg_per_part, li["l_partkey"] == F.col("p_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("l_partkey")
         .agg(

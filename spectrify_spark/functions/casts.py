@@ -50,8 +50,11 @@ def parse_iso_timestamp(col: Column) -> Column:
 #: The shapes ciso8601 accepts (reference spectrify/utils/
 #: timestamps.py:22-32): space or 'T' separator, optional fractional
 #: seconds, optional UTC offset ('+HH:MM' via XXX, '+HHMM' via XX,
-#: '+HH'/'Z' via X), and bare dates.  Offset-carrying cells resolve to
-#: the instant in the session timezone (pin UTC for oracle parity).
+#: '+HH'/'Z' via X), reduced-precision forms (minute '12:00' and hour
+#: '12'), and bare dates.  ISO-8601's comma fraction separator
+#: ('12:00:00,123') is normalized to '.' before the chain (Java datetime
+#: patterns can't express it).  Offset-carrying cells resolve to the
+#: instant in the session timezone (pin UTC for oracle parity).
 _LENIENT_TS_PATTERNS = (
     "yyyy-MM-dd HH:mm:ss[.SSSSSS]",
     "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]",
@@ -61,6 +64,16 @@ _LENIENT_TS_PATTERNS = (
     "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XX",
     "yyyy-MM-dd HH:mm:ss[.SSSSSS]X",
     "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]X",
+    "yyyy-MM-dd HH:mm",
+    "yyyy-MM-dd'T'HH:mm",
+    "yyyy-MM-dd HH:mmXXX",
+    "yyyy-MM-dd'T'HH:mmXXX",
+    "yyyy-MM-dd HH:mmXX",
+    "yyyy-MM-dd'T'HH:mmXX",
+    "yyyy-MM-dd HH:mmX",
+    "yyyy-MM-dd'T'HH:mmX",
+    "yyyy-MM-dd HH",
+    "yyyy-MM-dd'T'HH",
     "yyyy-MM-dd",
 )
 
@@ -76,8 +89,12 @@ def parse_timestamp_lenient(col: Column, strict: bool = False) -> Column:
     malformed_timestamp_counts` to audit how many cells fell through).
     """
     s = nullify_empty(col)
+    # ISO-8601 allows ',' as the fraction separator; a comma is never
+    # valid elsewhere in a timestamp cell, so the rewrite only turns
+    # otherwise-unparseable cells parseable (error text keeps original).
+    s_norm = F.regexp_replace(s, F.lit(","), F.lit("."))
     parsed = F.coalesce(
-        *[F.try_to_timestamp(s, F.lit(p)) for p in _LENIENT_TS_PATTERNS]
+        *[F.try_to_timestamp(s_norm, F.lit(p)) for p in _LENIENT_TS_PATTERNS]
     )
     if strict:
         return (

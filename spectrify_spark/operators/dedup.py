@@ -366,6 +366,32 @@ def embedding_near_dup(
     )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its lineage, picking the strongest
+    available mechanism:
+
+    - reliable ``checkpoint()`` when the context has a checkpoint dir
+      (session factory wires ``SPARK_GRAFT_CHECKPOINT_DIR``): blocks
+      live in fault-tolerant storage (HDFS/S3 on a cluster), so an
+      executor loss mid-algorithm recovers from the checkpoint — the
+      configuration to run at 100 TB;
+    - ``localCheckpoint(eager=True)`` otherwise: executor-local blocks,
+      fast, but NOT fault-tolerant — an executor loss makes the blocks
+      (and the job) unrecoverable because the lineage is gone.  Fine
+      for local/test runs; not the at-scale configuration.
+
+    Either way the logical plan is cut to a scan of materialized state.
+    Superseded rounds' blocks are released by the ContextCleaner as
+    their RDD references drop (reliable-checkpoint files persist until
+    application exit; each is one (node,label) table, small next to the
+    corpus).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 10
 ) -> DataFrame:
@@ -380,26 +406,24 @@ def connected_components(
     ``max_iters`` = 10 covers real corpora.  Early-exits when labels
     stop changing.  Input: (id_a, id_b); output: (id, cluster_id).
 
-    Each round's label table is ``localCheckpoint``-ed: without it the
-    logical plan doubles per iteration (r1/r2 plan audits measured 475
-    Exchange nodes by round 10), so planning time and the
-    recompute-on-executor-loss lineage both grow without bound — a
-    scale-killer at 100 TB.  Checkpointing truncates lineage to the
-    materialized blocks, keeping the per-round plan constant-size.
+    Each round's label table is checkpointed (see
+    :func:`_truncate_lineage` for the reliable-vs-local trade-off):
+    without it the logical plan doubles per iteration (r1/r2 plan
+    audits measured 475 Exchange nodes by round 10), so planning time
+    grows without bound — a scale-killer at 100 TB.  Checkpointing
+    keeps the per-round plan constant-size.
     """
-    edges = (
+    edges = _truncate_lineage(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -407,7 +431,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -415,7 +439,6 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

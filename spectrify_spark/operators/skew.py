@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def salted_join(
@@ -29,18 +30,32 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with an n-way salt on the fact side.
 
-    The salt hashes every fact column, so it is deterministic across
-    recomputation (task retry, stage re-run, executor loss) — a
+    The salt hashes every hashable fact column, so it is deterministic
+    across recomputation (task retry, stage re-run, executor loss) — a
     ``monotonically_increasing_id`` salt is NOT: ids shift when
     partitions are recomputed, which can duplicate or drop join rows
     mid-failure.  Hashing the whole row (not just the join key, which
     would put a hot key entirely in one salt bucket) spreads each hot
-    key's rows across all ``num_salts`` tasks.  Returns fact columns +
-    dim columns, salt dropped.
+    key's rows across all ``num_salts`` tasks.  MapType columns are
+    excluded from the hash (xxhash64 rejects them); the salt stays
+    deterministic as long as at least one hashable column exists.
+
+    Caveat: a hot key whose volume comes from *byte-identical repeated
+    rows* (common in raw event logs) hashes every copy to the same salt
+    bucket and stays skewed — salting spreads distinct rows, not
+    duplicates.  For that shape, dedup (or pre-aggregate a count) before
+    the join instead of salting harder; any per-copy discriminator that
+    survives recomputation would have to be part of the data itself.
+    Returns fact columns + dim columns, salt dropped.
     """
+    hashable = [
+        f_.name
+        for f_ in fact.schema.fields
+        if not isinstance(f_.dataType, T.MapType)
+    ] or [fact_key]
     f = fact.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(num_salts)).cast(
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(num_salts)).cast(
             "int"
         ),
     )

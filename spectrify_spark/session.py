@@ -52,4 +52,12 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable-checkpoint location for iterative operators (connected
+    # components): when set (HDFS/S3 path on a cluster), lineage cuts
+    # are fault-tolerant; unset, they fall back to localCheckpoint
+    # (fast, but an executor loss is unrecoverable — see
+    # operators/dedup.py::_truncate_lineage).
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and not spark.sparkContext.getCheckpointDir():
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark

@@ -9,7 +9,6 @@ the only engine code is option plumbing.
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,9 +32,24 @@ def _first_parquet_file(path: str) -> str | None:
     return None
 
 
+#: Footer-probe memo: (path, mtime_ns) -> ns-typed column names.  The
+#: probe walks the directory and reads one footer per call; benchmarks
+#: and query registries re-read the same immutable tables constantly, so
+#: the walk dominated repeated read_table calls (BENCH r3: etl convert
+#: 1.03M -> 956k rows/s after the probe landed).  mtime of the table
+#: root invalidates on overwrite (Spark rewrites the directory entry).
+_NS_COLS_CACHE: dict[tuple[str, int], list[str]] = {}
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Column names stored as timestamp[ns] in the parquet footer (driver-side
     metadata peek via pyarrow; returns [] if the footer can't be read)."""
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _NS_COLS_CACHE:
+        return _NS_COLS_CACHE[key]
     try:
         import pyarrow.parquet as pq
 
@@ -43,13 +57,16 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         if f is None:
             return []
         schema = pq.read_schema(f)
-        return [
+        cols = [
             name
             for name, typ in zip(schema.names, schema.types)
             if str(typ).startswith("timestamp[ns")
         ]
     except Exception:  # noqa: BLE001 — non-local FS or no footer: no rewrite
         return []
+    if key is not None:
+        _NS_COLS_CACHE[key] = cols
+    return cols
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -959,8 +959,8 @@ def q_dedup_simhash(spark, sf):
     A regression in tokenization, fingerprinting, banding, or the
     hamming verify flips a boolean and hash-fails the row."""
     d = _t(spark, sf, "documents")
-    fps = dedup.simhash_fingerprints(d, bits=64)
-    cand = dedup.simhash_pairs(d, bits=64, band_bits=16)
+    fps = dedup.simhash_fingerprints(d, bits=64).persist()
+    cand = dedup.simhash_pairs(d, bits=64, band_bits=16, fingerprints=fps)
 
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
 

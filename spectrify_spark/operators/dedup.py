@@ -277,11 +277,18 @@ def simhash_pairs(
     text_col: str = "text",
     bits: int = 64,
     band_bits: int = 16,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: pairs sharing any ``band_bits`` slice
     of the fingerprint (hamming-distance LSH), annotated with exact
-    hamming distance."""
-    sig = simhash_fingerprints(df, id_col, text_col, bits)
+    hamming distance.  Pass precomputed ``fingerprints`` (id, fp) to
+    share the tokenize+64-aggregate pass with other consumers — at scale
+    the fingerprint table is the thing you materialize once."""
+    sig = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(df, id_col, text_col, bits)
+    )
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sig.select(

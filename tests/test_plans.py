@@ -1,0 +1,85 @@
+"""Plan-regression gate: the scale properties PLANS.md documents,
+asserted per query so they cannot silently rot.
+
+Each golden entry is a CEILING / requirement, not an exact snapshot —
+AQE and stats changes may legitimately shave an Exchange, but a query
+that GAINS shuffles, loses a broadcast, loses filter pushdown, or
+(worst) picks up an unbounded nested-loop join fails here before it
+fails at 100 TB.
+
+q_dedup_clusters is the headline: its iterative label propagation once
+doubled its plan per round (475 Exchanges by iteration 10, r1/r2
+audits); the per-round checkpoint keeps it constant-size, and this test
+pins that.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.explain_all import plan_props
+
+_QUERIES = entry_mod.queries()
+
+#: joins: strategies that MUST appear; ban_bnlj: BroadcastNestedLoopJoin
+#: must NOT appear (it is only acceptable for designed small-N shapes);
+#: pushed: a non-empty PushedFilters must reach some scan.
+GOLDEN = {
+    # scans / filters: no shuffle, pushdown reaches the scan
+    "q_scan_project": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
+    "q_filter_daterange": dict(max_exchanges=0, pushed=True, ban_bnlj=True),
+    # flagship agg: one shuffle (partial -> final)
+    "q_agg_hash": dict(max_exchanges=2, pushed=True, ban_bnlj=True),
+    # join battery: small side broadcast, fact shuffles at most once
+    # into the final agg
+    "q_join_inner": dict(max_exchanges=1, joins=["BroadcastHashJoin"], pushed=True, ban_bnlj=True),
+    "q_join_broadcast": dict(max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True),
+    "q_join_semi": dict(max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True),
+    "q_join_anti": dict(max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True),
+    "q_join_multi": dict(max_exchanges=2, joins=["BroadcastHashJoin"], pushed=True, ban_bnlj=True),
+    "q_join_star": dict(max_exchanges=2, joins=["BroadcastHashJoin"], pushed=True, ban_bnlj=True),
+    "q_join_two_dims": dict(max_exchanges=2, joins=["BroadcastHashJoin"], pushed=True, ban_bnlj=True),
+    "q_topk_customers": dict(max_exchanges=2, joins=["BroadcastHashJoin"], pushed=True, ban_bnlj=True),
+    "q_subquery_scalar": dict(max_exchanges=3, ban_bnlj=True),
+    "q_anti_blacklist": dict(max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True),
+    # windows / global ordering
+    "q_window_rank": dict(max_exchanges=1, ban_bnlj=True),
+    "q_row_number_global": dict(max_exchanges=6, ban_bnlj=True),
+    # dedup / similarity: bucket-join shaped, bounded plans
+    "q_dedup_exact": dict(max_exchanges=1, ban_bnlj=True),
+    "q_dedup_near": dict(max_exchanges=4, ban_bnlj=True),
+    "q_dedup_embed": dict(max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True),
+    # iterative clustering: plan must stay CONSTANT-size (was 475
+    # exchanges by iteration 10 without per-round checkpointing)
+    "q_dedup_clusters": dict(max_exchanges=6),
+    "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
+    # event time
+    "q_events_window": dict(max_exchanges=1, pushed=True, ban_bnlj=True),
+    "q_events_sessionize": dict(max_exchanges=2, ban_bnlj=True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_plan_budget(spark, sf_dir, name):
+    golden = GOLDEN[name]
+    props = plan_props(_QUERIES[name](spark, sf_dir))
+    assert props["exchanges"] <= golden["max_exchanges"], (
+        f"{name}: plan gained shuffles — {props['exchanges']} Exchanges "
+        f"(ceiling {golden['max_exchanges']}); rerun tools/explain_all.py "
+        f"and either fix the plan or consciously raise the golden"
+    )
+    for j in golden.get("joins", []):
+        assert j in props["joins"], (
+            f"{name}: expected {j} in plan, found {props['joins'] or 'none'}"
+        )
+    if golden.get("ban_bnlj"):
+        assert "BroadcastNestedLoopJoin" not in props["joins"], (
+            f"{name}: plan picked up a nested-loop join"
+        )
+    if golden.get("pushed"):
+        assert props["pushed_filters"], f"{name}: filter no longer pushed to scan"
+    if "max_scan_cols" in golden:
+        assert props["scan_cols"] and max(props["scan_cols"]) <= golden["max_scan_cols"], (
+            f"{name}: scan projection widened — {props['scan_cols']}"
+        )

@@ -18,19 +18,28 @@ import __spark_entry__ as E
 from spectrify_spark.session import get_spark
 
 
-def audit(name: str, df) -> None:
+def plan_props(df) -> dict:
+    """Scale-relevant physical-plan properties (shared with
+    tests/test_plans.py, which gates them per query)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     joins = sorted(set(re.findall(r"(\w*HashJoin|SortMergeJoin|BroadcastNestedLoopJoin)", plan)))
-    n_exchange = len(re.findall(r"\bExchange\b", plan))
-    n_codegen = len(re.findall(r"WholeStageCodegen", plan))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    pushed_any = any(p.strip() for p in pushed)
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    n_cols = [len(r.split(",")) for r in reads if r]
+    return {
+        "joins": joins,
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        "pushed_filters": any(p.strip() for p in pushed),
+        "scan_cols": [len(r.split(",")) for r in reads if r],
+    }
+
+
+def audit(name: str, df) -> None:
+    p = plan_props(df)
     print(
-        f"{name:22s} joins={','.join(joins) or '-':40s} "
-        f"exchanges={n_exchange} codegen_spans={n_codegen} "
-        f"pushed_filters={'Y' if pushed_any else '-'} scan_cols={n_cols}"
+        f"{name:22s} joins={','.join(p['joins']) or '-':40s} "
+        f"exchanges={p['exchanges']} codegen_spans={p['codegen_spans']} "
+        f"pushed_filters={'Y' if p['pushed_filters'] else '-'} scan_cols={p['scan_cols']}"
     )
 
 

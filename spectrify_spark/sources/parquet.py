@@ -57,10 +57,19 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         if f is None:
             return []
         schema = pq.read_schema(f)
+        # INT96 timestamps (our own Spectrum-parity writer's output) ALSO
+        # surface as timestamp[ns] in the arrow schema, but Spark reads
+        # INT96 natively as TimestampType — only INT64 TIMESTAMP(NANOS)
+        # columns need the nanosAsLong + div-1000 rewrite.
+        meta = pq.read_metadata(f)
+        phys = {
+            meta.schema.column(i).name: meta.schema.column(i).physical_type
+            for i in range(meta.num_columns)
+        }
         cols = [
             name
             for name, typ in zip(schema.names, schema.types)
-            if str(typ).startswith("timestamp[ns")
+            if str(typ).startswith("timestamp[ns") and phys.get(name) == "INT64"
         ]
     except Exception:  # noqa: BLE001 — non-local FS or no footer: no rewrite
         return []
@@ -91,10 +100,14 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.unset(NANOS_AS_LONG_CONF)
         else:
             spark.conf.set(NANOS_AS_LONG_CONF, prev)
+    dtypes = dict(df.dtypes)
     for c in ns_cols:
-        # integer `div` — a double division would lose precision on
-        # ~1.7e18 ns epoch values (double mantissa is 53 bits)
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # guard on the dtype Spark actually produced (footer probe and
+        # reader can disagree on exotic layouts); integer `div` — a
+        # double division would lose precision on ~1.7e18 ns epoch
+        # values (double mantissa is 53 bits)
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 #: Reference default: 250k rows per row group, overridable via env

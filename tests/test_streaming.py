@@ -33,6 +33,44 @@ def test_windowed_counts_stream(spark, stream_dir):
         q.stop()
 
 
+def test_stream_equals_batch_windowed_counts(spark, stream_dir):
+    """The Structured Streaming core promise, asserted end-to-end: the
+    SAME windowed_counts plan over the SAME events produces identical
+    rows whether driven as an availableNow stream (drained to a memory
+    sink) or executed as a batch DataFrame.  Counts compare exactly;
+    the double sum compares at 1e-6 rounding (summation order differs
+    between the streaming partial-state path and the batch hash agg)."""
+    from spectrify_spark.sources.parquet import read_table
+
+    stream = SE.read_event_stream(spark, stream_dir)
+    q = (
+        SE.windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("wc_eq_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    def normalize(rows):
+        return sorted(
+            (r.window_start, r.window_end, r.event_type, r.n_events,
+             round(r.sum_value, 6))
+            for r in rows
+        )
+
+    got = normalize(spark.sql("SELECT * FROM wc_eq_test").collect())
+    want = normalize(
+        SE.windowed_counts(read_table(spark, stream_dir)).collect()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
 def test_stateful_running_totals(spark, stream_dir):
     stream = SE.read_event_stream(spark, stream_dir)
     q = SE.run_to_memory_sink(

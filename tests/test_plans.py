@@ -57,6 +57,13 @@ GOLDEN = {
     # event time
     "q_events_window": dict(max_exchanges=1, pushed=True, ban_bnlj=True),
     "q_events_sessionize": dict(max_exchanges=2, ban_bnlj=True),
+    # text pipeline (r4): expression-only cleaning, doc-keyed repetition
+    # aggs, hash-bucket sampling with pushdown, term-keyed tf-idf (its
+    # nested-loop join is the 1-row scalar-N broadcast — allowed)
+    "q_text_clean": dict(max_exchanges=0, ban_bnlj=True),
+    "q_text_gopher": dict(max_exchanges=2, ban_bnlj=True),
+    "q_sample_stratified": dict(max_exchanges=1, pushed=True, ban_bnlj=True),
+    "q_text_tfidf": dict(max_exchanges=3),
 }
 
 

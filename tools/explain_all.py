@@ -18,24 +18,40 @@ import __spark_entry__ as E
 from spectrify_spark.session import get_spark
 
 
-def plan_props(df) -> dict:
+def plan_props(df, execute: bool = False) -> dict:
     """Scale-relevant physical-plan properties (shared with
-    tests/test_plans.py, which gates them per query)."""
+    tests/test_plans.py, which gates them per query).
+
+    With ``execute=False`` (the test gate's cheap path) the AQE plan is
+    inspected BEFORE execution (``isFinalPlan=false``): Exchange counts
+    are the pre-AQE ceiling and codegen spans are not yet inserted, so
+    ``codegen_spans`` reads 0.  With ``execute=True`` the plan is run
+    (collect — audit scale factors keep results tiny) and the FINAL
+    adaptive plan is read: post-AQE shuffle counts, runtime-chosen join
+    strategies, and real WholeStageCodegen spans (the ``*(n)`` markers).
+    """
+    if execute:
+        df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # An executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — keep only the final section, else every
+    # Exchange/codegen span is double-counted.
+    plan = plan.split("== Initial Plan ==")[0]
     joins = sorted(set(re.findall(r"(\w*HashJoin|SortMergeJoin|BroadcastNestedLoopJoin)", plan)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {
         "joins": joins,
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed_filters": any(p.strip() for p in pushed),
         "scan_cols": [len(r.split(",")) for r in reads if r],
+        "final_plan": "isFinalPlan=true" in plan,
     }
 
 
 def audit(name: str, df) -> None:
-    p = plan_props(df)
+    p = plan_props(df, execute=True)
     print(
         f"{name:22s} joins={','.join(p['joins']) or '-':40s} "
         f"exchanges={p['exchanges']} codegen_spans={p['codegen_spans']} "

@@ -886,6 +886,92 @@ def q_text_levenshtein(spark, sf):
     )
 
 
+def q_agg_sketch_hll(spark, sf):
+    """Mergeable-sketch distinct rollup (operators/sketches.py): HLL
+    sketches of o_custkey built at (status, month) grain, merged up to
+    status WITHOUT re-reading rows — the pre-aggregation pattern for
+    100 TB distinct counts.  Self-validating row (the q_agg_approx
+    technique): exact distinct + a sketch-estimate-within-2% boolean the
+    oracle asserts as literal TRUE (lgK=14 is ~0.8% RSE; the gate
+    cardinalities are orders of magnitude below the regime where 2%
+    could flake)."""
+    from spectrify_spark.operators.sketches import hll_rollup, hll_sketches
+
+    o = _t(spark, sf, "orders").withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    merged = hll_rollup(
+        hll_sketches(o, ["o_orderstatus", "month"], "o_custkey"),
+        ["o_orderstatus"],
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(merged), "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct")
+        ).alias("est_within_2pct"),
+    )
+
+
+def q_quantile_sketch(spark, sf):
+    """Bounded-memory quantile summary (approx_percentile, rank error
+    <= 1/accuracy, map-side mergeable) per return flag — validated
+    against the exact percentiles, which both engines compute by linear
+    interpolation.  At scale only the sketch path survives (exact
+    percentile buffers per-group values); the exact columns here are the
+    oracle-checkable ground truth, the booleans certify the sketch."""
+    li = _t(spark, sf, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))")
+    approx = F.expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D), 10000)")
+    agg = li.groupBy("l_returnflag").agg(
+        exact.alias("ex"), approx.alias("ap")
+    )
+    out = [F.col("l_returnflag")]
+    for i, tag in enumerate(["p25", "p50", "p95"], start=1):
+        e, a = F.col("ex")[i - 1], F.col("ap")[i - 1]
+        out.append(F.round(e, 4).alias(tag))
+        out.append((F.abs(a - e) <= 0.01 * F.abs(e)).alias(f"{tag}_ok"))
+    return agg.select(*out)
+
+
+def q_scd2(spark, sf):
+    """Type-2 SCD history build (relational.scd2_history): each
+    customer's order timeline becomes versioned rows with
+    valid_from/valid_to/is_current via one lead() window — no
+    successor self-join.  The warehouse-side CDC materialization that
+    pairs with q_dedup_latest's latest-wins compaction."""
+    o = _t(spark, sf, "orders")
+    return R.scd2_history(
+        o, key="o_custkey", ts="o_orderdate", tie_break="o_orderkey",
+        attrs=["o_totalprice"],
+    )
+
+
+def q_join_salted(spark, sf):
+    """Skew-safe salted join (operators/skew.py): fact rows salted
+    deterministically (xxhash64 of the unique order key — perfect
+    spread, scan stays pruned), dim exploded n-fold, join on
+    (key, salt) — must be row-identical to the plain equi-join, so
+    the oracle is the unsalted SQL join.  Aggregated per segment to keep
+    the driver row compact."""
+    from spectrify_spark.operators.skew import salted_join
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    joined = salted_join(
+        o, c, "o_custkey", "c_custkey", num_salts=8,
+        salt_cols=["o_orderkey"],
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def q_row_number_global(spark, sf):
     """Distributed global row numbering (range-partition + offsets) —
     must equal a single-sort ROW_NUMBER() OVER (ORDER BY ...)."""
@@ -1538,11 +1624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last code change" (the r3 stale-green gap).
 
     Window r4 = [23 keys last checked r2 — the oldest rows, and
-    read_table under them changed in r3] + [19 keys changed/added r4:
+    read_table under them changed in r3] + [23 keys changed/added r4:
     the self-validating approximate battery, the new text-pipeline,
-    as-of, window-navigation, array and fuzzy-match keys,
-    q_subquery_scalar] + [8 r3-green fill].  Past-window: 34 r3-green
-    keys, all scheduled for the r5 window.
+    as-of, window-navigation, array, fuzzy-match, sketch, SCD2 and
+    salted-join keys, q_subquery_scalar] + [4 r3-green fill].
+    Past-window: 38 r3-green keys, all scheduled for the r5 window.
     """
     return {
         # -- 1. last verified r2 (oldest rows; read_table changed since)
@@ -1588,17 +1674,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_navigation": q_window_navigation,
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
+        "q_agg_sketch_hll": q_agg_sketch_hll,
+        "q_quantile_sketch": q_quantile_sketch,
+        "q_scd2": q_scd2,
+        "q_join_salted": q_join_salted,
         "q_subquery_scalar": q_subquery_scalar,
-        # -- 3. r3-green fill (8)
+        # -- 3. r3-green fill (4)
         "q_agg_hash": q_agg_hash,
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
         "q_json_extract": q_json_extract,
+        # -- past the 50-key window: all r3-green, scheduled for r5
         "q_array_slice": q_array_slice,
         "q_unpivot": q_unpivot,
         "q_join_multi": q_join_multi,
         "q_join_star": q_join_star,
-        # -- past the 50-key window: all r3-green, scheduled for r5
         "q_join_two_dims": q_join_two_dims,
         "q_topk_customers": q_topk_customers,
         "q_asof_join": q_asof_join,
@@ -2446,6 +2536,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a JOIN documents b ON a.doc_id < b.doc_id
             WHERE a.doc_id < 120 AND b.doc_id < 120
               AND levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+        """,
+        "q_agg_sketch_hll": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS exact_distinct,
+                   TRUE AS est_within_2pct
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "q_quantile_sketch": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   TRUE AS p25_ok,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   TRUE AS p50_ok,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   TRUE AS p95_ok
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q_scd2": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   o_orderdate AS valid_from,
+                   LEAD(o_orderdate) OVER w AS valid_to,
+                   LEAD(o_orderdate) OVER w IS NULL AS is_current
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q_join_salted": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "q_asof_tolerance": """
             SELECT e.event_id, e.user_id, e.ts,

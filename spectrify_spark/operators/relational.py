@@ -195,3 +195,34 @@ def set_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 def set_except(a: DataFrame, b: DataFrame, keep_duplicates: bool = False) -> DataFrame:
     """EXCEPT (distinct semantics) or EXCEPT ALL."""
     return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tie_break: str,
+    attrs: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log.
+
+    Each row of ``df`` is one observed version of entity ``key`` at time
+    ``ts``; the output adds ``valid_from`` / ``valid_to`` (exclusive,
+    NULL = open) and ``is_current`` via ``lead()`` over the per-key
+    timeline — the standard CDC-to-warehouse materialization.  One
+    window shuffle on ``key``; no self-join (the naive SQL pairs every
+    version with its successor via an inequality join, which is
+    quadratic per key).  ``tie_break`` orders same-timestamp versions
+    deterministically (CDC logs carry an LSN or sequence number).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts, tie_break)
+    return df.select(
+        key,
+        tie_break,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+    )

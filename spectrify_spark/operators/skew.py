@@ -27,16 +27,24 @@ def salted_join(
     dim_key: str,
     num_salts: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with an n-way salt on the fact side.
 
-    The salt hashes every hashable fact column, so it is deterministic
-    across recomputation (task retry, stage re-run, executor loss) — a
+    The salt hashes fact columns, so it is deterministic across
+    recomputation (task retry, stage re-run, executor loss) — a
     ``monotonically_increasing_id`` salt is NOT: ids shift when
     partitions are recomputed, which can duplicate or drop join rows
-    mid-failure.  Hashing the whole row (not just the join key, which
-    would put a hot key entirely in one salt bucket) spreads each hot
-    key's rows across all ``num_salts`` tasks.  MapType columns are
+    mid-failure.  Hashing more than just the join key (which would put a
+    hot key entirely in one salt bucket) spreads each hot key's rows
+    across all ``num_salts`` tasks.
+
+    ``salt_cols`` bounds WHICH columns feed the hash.  Pass the fact's
+    unique/primary key when it has one: a unique column spreads
+    perfectly AND keeps the scan pruned — the default (hash every
+    column) forces the parquet reader to materialize the full row width
+    even when the query projects two columns, which at 100 TB is the
+    difference between scanning 2 columns and 30.  MapType columns are
     excluded from the hash (xxhash64 rejects them); the salt stays
     deterministic as long as at least one hashable column exists.
 
@@ -52,6 +60,7 @@ def salted_join(
         f_.name
         for f_ in fact.schema.fields
         if not isinstance(f_.dataType, T.MapType)
+        and (salt_cols is None or f_.name in salt_cols)
     ] or [fact_key]
     f = fact.withColumn(
         "__salt",

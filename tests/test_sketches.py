@@ -1,0 +1,91 @@
+"""Sketch aggregates (operators/sketches.py) and SCD2 history
+(relational.scd2_history): merge losslessness, error bounds, and
+interval-chain invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators.relational import scd2_history
+from spectrify_spark.operators.sketches import (
+    hll_rollup,
+    hll_sketches,
+    quantile_profile,
+)
+
+
+def test_hll_rollup_matches_exact_at_small_cardinality(spark):
+    # 3 shards x 400 overlapping users; rollup must merge (not sum) —
+    # summing per-shard distincts would give 1200, the truth is 600
+    df = spark.range(1200).selectExpr("id % 3 AS shard", "id % 600 AS user_id")
+    fine = hll_sketches(df, ["shard"], "user_id")
+    merged = hll_rollup(fine, group_cols=[], estimate_col="est")
+    est = merged.collect()[0]["est"]
+    assert abs(est - 600) <= 0.02 * 600
+
+
+def test_hll_sketch_table_is_reaggregable(spark):
+    # the same fine-grain sketch table serves two different rollup axes
+    df = spark.range(4000).selectExpr(
+        "id % 4 AS region", "id % 5 AS day", "id % 1000 AS user_id"
+    )
+    fine = hll_sketches(df, ["region", "day"], "user_id")
+    by_region = {
+        r["region"]: r["approx_distinct"]
+        for r in hll_rollup(fine, ["region"]).collect()
+    }
+    by_day = {
+        r["day"]: r["approx_distinct"]
+        for r in hll_rollup(fine, ["day"]).collect()
+    }
+    exact_region = {
+        r["region"]: r["n"]
+        for r in df.groupBy("region").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact_day = {
+        r["day"]: r["n"]
+        for r in df.groupBy("day").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k, v in by_region.items():
+        assert abs(v - exact_region[k]) <= max(2, 0.02 * exact_region[k])
+    for k, v in by_day.items():
+        assert abs(v - exact_day[k]) <= max(2, 0.02 * exact_day[k])
+
+
+def test_quantile_profile_rank_error_bound(spark):
+    df = spark.range(10_000).selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS x")
+    probs = (0.25, 0.5, 0.75)
+    prof = quantile_profile(df, ["g"], "x", probs, accuracy=1000)
+    rows = {r["g"]: r["quantiles"] for r in prof.collect()}
+    n_per_group = 5000
+    for g, qs in rows.items():
+        xs = sorted(
+            r["x"] for r in df.filter(F.col("g") == g).select("x").collect()
+        )
+        for p, q in zip(probs, qs):
+            # rank error <= n/accuracy around the target rank
+            rank = xs.index(q)
+            assert abs(rank - p * (n_per_group - 1)) <= n_per_group / 1000 + 1
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    rows = [
+        (1, 10, "2024-01-01", "a"),
+        (1, 11, "2024-02-01", "b"),
+        (1, 12, "2024-03-01", "c"),
+        (2, 20, "2024-01-15", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["k", "seq", "ts", "attr"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    hist = scd2_history(df, key="k", ts="ts", tie_break="seq", attrs=["attr"])
+    got = sorted(
+        (r["k"], r["seq"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    )
+    # exactly one open (current) version per key
+    assert sum(1 for g in got if g[4]) == 2
+    # successive versions chain: valid_to == next valid_from
+    k1 = [g for g in got if g[0] == 1]
+    assert [g[3] for g in k1[:-1]] == [g[2] for g in k1[1:]]
+    assert k1[-1][3] is None and k1[-1][4]

@@ -129,6 +129,63 @@ def running_user_totals(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup of at-least-once ingestion: drop re-deliveries
+    of the same ``keys`` (default event_id) arriving within the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps first-seen state only until
+    the event-time watermark passes it, so state is bounded by the
+    redelivery horizon — the property plain ``dropDuplicates`` on a
+    stream lacks (its state grows forever).  The batch twin is
+    ``operators.dedup.exact_dedup``; a drained availableNow run equals
+    the batch dedup whenever inter-duplicate lag < watermark (asserted
+    in tests/test_streaming.py).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within an event-time interval:
+    right rows match left rows with ``l.ts <= r.ts <= l.ts + interval``
+    (attribution joins: click -> purchase within the hour).
+
+    Both sides are watermarked and the join condition bounds event time
+    in BOTH directions, so the engine can evict matched/expired state —
+    the requirements for a state-bounded stream-stream join.  The batch
+    twin is ``operators.relational.point_in_interval_join``'s
+    bucketized range join.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}")),
+        "inner",
+    )
+
+
 def stream_convert_csv(
     spark: SparkSession,
     csv_dir: str,

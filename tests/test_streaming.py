@@ -111,3 +111,71 @@ def test_session_window_stream(spark, stream_dir):
         assert len(rows) > 0
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_removes_redeliveries(spark, stream_dir):
+    """Plant duplicate deliveries of existing events in the stream
+    source; the drained streaming dedup must equal the batch exact
+    dedup (inter-duplicate lag is 0 < watermark here)."""
+    from spectrify_spark.sources.parquet import read_table
+
+    base = read_table(spark, stream_dir)
+    n_unique = base.select("event_id").distinct().count()
+    # re-deliver 50 events (append as an extra shard)
+    base.orderBy("event_id").limit(50).write.mode("append").parquet(stream_dir)
+
+    stream = SE.read_event_stream(spark, stream_dir)
+    q = (
+        SE.dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS nd FROM dedup_wm_test"
+    ).collect()[0]
+    assert got.n == got.nd == n_unique
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_dir):
+    """Stream-stream interval join drained availableNow equals the same
+    join run as batch DataFrames — and the streaming plan is accepted at
+    all (i.e. the watermarks + two-sided time bound satisfy the
+    state-eviction requirements)."""
+    from spectrify_spark.sources.parquet import read_table
+
+    stream = SE.read_event_stream(spark, stream_dir)
+    left = stream.filter(stream.event_type == "click")
+    right = stream.filter(stream.event_type == "purchase")
+    q = (
+        SE.stream_stream_interval_join(left, right, interval="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    batch = read_table(spark, stream_dir)
+    bl = batch.filter(batch.event_type == "click")
+    br = batch.filter(batch.event_type == "purchase")
+    want = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in SE.stream_stream_interval_join(bl, br, interval="30 minutes").collect()
+    )
+    got = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    assert len(got) > 0
+    assert got == want

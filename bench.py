@@ -99,10 +99,16 @@ def main() -> None:
         )  # setup, untimed
         schema = li.schema
 
+        # Time the conversion itself: the parquet write inside
+        # convert_manifest is the action; its trailing read-back handle
+        # is lazy.  The reference's convert stage likewise ends when the
+        # files land — counting the output would time a full re-read.
         def convert(run: int) -> None:
-            convert_manifest(spark, manifest, schema, f"{work}/pq{run}").count()
+            convert_manifest(spark, manifest, schema, f"{work}/pq{run}")
 
         dt = min(_time_once(lambda r=r: convert(r)) for r in range(RUNS))
+        # verify (untimed): every row survived the round trip
+        assert spark.read.parquet(f"{work}/pq0").count() == n_rows
         timings["etl_convert_csv"] = round(dt, 3)
         timings["etl_convert_rows_per_sec"] = round(n_rows / dt)
         total += dt

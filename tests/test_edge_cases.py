@@ -1,0 +1,145 @@
+"""Empty-input and degenerate-shape robustness: every composite
+operator must return an EMPTY result with the right schema — not throw —
+when a side is empty, and a property test pins as-of semantics to
+pandas merge_asof on random data."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators.asof import asof_join_backward
+from spectrify_spark.operators.dedup import dedup_exact, near_dup_pairs
+from spectrify_spark.operators.relational import scd2_history
+from spectrify_spark.operators.sessionize import sessionize
+from spectrify_spark.operators.sketches import hll_rollup, hll_sketches
+from spectrify_spark.operators.skew import salted_join
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string")
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, ts timestamp"
+    )
+
+
+def test_dedup_ops_on_empty_input(spark):
+    docs = _empty_docs(spark)
+    assert dedup_exact(docs, ["text"]).count() == 0
+    assert near_dup_pairs(docs, id_col="doc_id", text_col="text").count() == 0
+
+
+def test_sessionize_on_empty_input(spark):
+    ev = _empty_events(spark)
+    out = sessionize(ev, user_col="user_id", ts_col="ts")
+    assert out.count() == 0
+
+
+def test_asof_on_empty_right_yields_null_payload(spark):
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "k bigint, ts timestamp"
+    )
+    right = spark.createDataFrame([], "k bigint, ts timestamp, v double")
+    out = asof_join_backward(
+        left, right, "k", "k", "ts", "ts", payload=["v"]
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_scd2_single_version_is_current(spark):
+    df = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2024, 1, 1))], "k bigint, seq bigint, ts timestamp"
+    )
+    out = scd2_history(df, key="k", ts="ts", tie_break="seq").collect()
+    assert len(out) == 1 and out[0]["is_current"] and out[0]["valid_to"] is None
+
+
+def test_salted_join_empty_fact(spark):
+    fact = spark.createDataFrame([], "fk bigint, x double")
+    dim = spark.createDataFrame([(1, "a")], "dk bigint, name string")
+    assert salted_join(fact, dim, "fk", "dk").count() == 0
+
+
+def test_hll_rollup_empty_input(spark):
+    df = spark.createDataFrame([], "g bigint, v bigint")
+    assert hll_rollup(hll_sketches(df, ["g"], "v"), ["g"]).count() == 0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 99)),
+        max_size=30,
+    ),
+)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    """Backward as-of join equals pandas merge_asof (by=key) on random
+    keyed integer timelines — including empty right sides, duplicate
+    timestamps on the left, and keys present on only one side.
+
+    Right-side duplicate timestamps are dropped (keep last by value)
+    because merge_asof's intra-tie winner is positional while ours is
+    by tie-break column — both 'last', but only comparable when the
+    (key, ts) pair is unique."""
+    epoch = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return epoch + datetime.timedelta(seconds=s)
+
+    right_dedup = {}
+    for k, t, v in sorted(right, key=lambda x: (x[0], x[1], x[2])):
+        right_dedup[(k, t)] = v
+    rrows = [(k, ts(t), float(v)) for (k, t), v in right_dedup.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, ts(t)) for k, t in left], "k bigint, ts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        rrows or [], "k bigint, ts timestamp, v double"
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in asof_join_backward(
+            ldf, rdf, "k", "k", "ts", "ts", payload=["v"]
+        ).collect()
+    )
+
+    lpd = pd.DataFrame(sorted(left), columns=["k", "s"])
+    lpd["ts"] = lpd["s"].map(ts)
+    rpd = pd.DataFrame(
+        sorted((k, t, float(v)) for (k, t), v in right_dedup.items()),
+        columns=["k", "s", "v"],
+    )
+    if len(rpd):
+        rpd["ts"] = rpd["s"].map(ts)
+        merged = pd.merge_asof(
+            lpd.sort_values("ts", kind="stable"),
+            rpd[["k", "ts", "v"]].sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+        )
+        want = sorted(
+            (int(r.k), r.ts.to_pydatetime(), None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples()
+        )
+    else:
+        want = sorted((k, ts(t), None) for k, t in left)
+    assert got == want

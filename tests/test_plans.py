@@ -64,6 +64,19 @@ GOLDEN = {
     "q_text_gopher": dict(max_exchanges=2, ban_bnlj=True),
     "q_sample_stratified": dict(max_exchanges=1, pushed=True, ban_bnlj=True),
     "q_text_tfidf": dict(max_exchanges=3),
+    # r4 additions: window battery stays one shuffle; array ops are
+    # scan-only; sketch rollup = fine-grain agg + merge agg + exact leg;
+    # SCD2 is one window shuffle; salted join must keep its broadcast
+    # (the salt explodes the DIM, never the fact) and stay scan-pruned
+    "q_window_navigation": dict(max_exchanges=1, ban_bnlj=True),
+    "q_array_ops": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_agg_sketch_hll": dict(max_exchanges=5, ban_bnlj=True),
+    "q_quantile_sketch": dict(max_exchanges=1, ban_bnlj=True),
+    "q_scd2": dict(max_exchanges=1, ban_bnlj=True),
+    "q_join_salted": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        max_scan_cols=3,
+    ),
 }
 
 

@@ -1,0 +1,102 @@
+"""End-to-end training-data curation: the composition the individual
+operators exist for, as ONE declarative lineage.
+
+clean -> annotate (lang, quality, token counts) -> gate -> exact dedup
+-> near dedup (MinHash-LSH) -> deterministic split.  Every stage is a
+Catalyst expression or a bucketed join from ``functions/text.py`` /
+``operators/dedup.py`` — no Python in the row path, so the whole
+pipeline plans as a handful of shuffles regardless of corpus size:
+one fingerprint window, the LSH signature groupBy + band join, and the
+final split projection (free).
+
+The near-dup victim policy is keep-lowest-id: a doc is dropped iff it
+is the HIGHER id of some surviving near-dup pair.  One anti-join
+against the pair table implements it without iterating (pairs are
+emitted with id_a < id_b, so dropping every id_b keeps exactly one doc
+per pairwise-connected pair; transitive chains may keep fewer than one
+per component, acceptable for dedup where over-dropping near-identical
+text is harmless).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spectrify_spark.functions import text as TX
+from spectrify_spark.operators import dedup as D
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.8,
+    split_weights: tuple[int, int, int] = (90, 5, 5),
+) -> DataFrame:
+    """documents -> curated training corpus with split assignment.
+
+    Returns one row per surviving doc: ``(id, text_clean, lang,
+    quality, n_tokens, split)`` where split ∈ {train, valid, test} by
+    md5 hash bucket (stable as the corpus grows — rows never migrate
+    between splits when new data lands, unlike rand() splits).
+    """
+    # 1. clean: strip URLs, collapse whitespace (C4-style, expression-only)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), r"https?://\S+", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("text_clean"),
+    )
+
+    # 2. annotate + gate (quality score, language, token count)
+    t = F.col("text_clean")
+    annotated = base.select(
+        "id",
+        "text_clean",
+        TX.lang_id(t).alias("lang"),
+        F.round(TX.quality_score(t), 4).alias("quality"),
+        TX.token_count(t).cast("bigint").alias("n_tokens"),
+    ).filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+
+    # 3. exact dedup on content fingerprint (keep lowest id per fingerprint)
+    with_fp = annotated.withColumn("__fp", TX.fingerprint(t))
+    exact = D.dedup_exact(
+        with_fp, ["__fp"], tie_break=[F.col("id")]
+    ).drop("__fp")
+
+    # 4. near dedup: MinHash-LSH pairs over the survivors, drop higher ids
+    pairs = D.near_dup_pairs(
+        exact.select(F.col("id").alias("doc_id"), F.col("text_clean").alias("text")),
+        id_col="doc_id",
+        text_col="text",
+        threshold=near_dup_threshold,
+    )
+    # no broadcast hint: in duplicate-heavy corpora the victim set can be
+    # a large fraction of the corpus — let AQE pick the join strategy
+    victims = pairs.select(F.col("id_b").alias("id")).distinct()
+    deduped = exact.join(victims, "id", "left_anti")
+
+    # 5. deterministic split (engine-portable md5 bucket)
+    n_train, n_valid, _ = split_weights
+    bucket = TX.hash_bucket(F.col("id"), sum(split_weights))
+    return deduped.select(
+        "id",
+        "text_clean",
+        "lang",
+        "quality",
+        "n_tokens",
+        F.when(bucket < n_train, F.lit("train"))
+        .when(bucket < n_train + n_valid, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1,0 +1,63 @@
+"""End-to-end curation pipeline (pipelines/training_data.py): the
+operators composed into one lineage behave — gates drop, dedup removes
+planted copies, splits are deterministic and exhaustive."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.pipelines import curate
+from spectrify_spark.sources.parquet import read_table
+
+
+def _docs(spark):
+    return read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+
+
+def test_curate_invariants(spark):
+    docs = _docs(spark)
+    out = curate(docs).persist()
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    # schema contract
+    assert set(out.columns) == {
+        "id", "text_clean", "lang", "quality", "n_tokens", "split"
+    }
+    # splits exhaustive and deterministic (same result twice)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
+    again = curate(docs)
+    assert again.count() == n_out
+    assert (
+        out.select("id", "split")
+        .exceptAll(again.select("id", "split"))
+        .count()
+        == 0
+    )
+    # gates actually hold on the output
+    bad = out.filter((F.col("n_tokens") < 5)).count()
+    assert bad == 0
+    out.unpersist()
+
+
+def test_curate_drops_planted_duplicates(spark):
+    docs = _docs(spark)
+    # plant: an exact copy and a near copy (one token appended) of doc 0
+    base = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    planted = base.select(
+        F.lit(900_001).alias("doc_id"), F.col("text")
+    ).unionByName(
+        base.select(
+            F.lit(900_002).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    enlarged = docs.select("doc_id", "text").unionByName(planted)
+    out = curate(enlarged)
+    survivors = {
+        r["id"]
+        for r in out.filter(F.col("id").isin(0, 900_001, 900_002)).collect()
+    }
+    # the original (lowest id) survives; the exact copy is gone; the
+    # near copy is gone iff LSH caught it (J ~ 0.97 >> 0.8 threshold)
+    assert survivors == {0}

@@ -62,6 +62,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
 
+    cu = sub.add_parser(
+        "curate",
+        help="documents parquet -> cleaned/deduped/split corpus parquet",
+    )
+    cu.add_argument("source", help="parquet with (doc_id, text) columns")
+    cu.add_argument("dest")
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cu.add_argument("--partition-by-split", action="store_true")
+
     args = p.parse_args(argv)
     spark = get_spark("spectrify-cli")
 
@@ -92,6 +102,21 @@ def main(argv: list[str] | None = None) -> int:
         from spectrify_spark.catalog.register import sql as run_sql
 
         run_sql(spark, args.sql, sf_dir=args.sf_dir).show(args.limit, truncate=False)
+    elif args.cmd == "curate":
+        from spectrify_spark.pipelines import curate
+        from spectrify_spark.sources.parquet import read_table, write_parquet
+
+        out = curate(
+            read_table(spark, args.source),
+            min_tokens=args.min_tokens,
+            near_dup_threshold=args.near_dup_threshold,
+        )
+        write_parquet(
+            out,
+            args.dest,
+            partition_by=["split"] if args.partition_by_split else None,
+        )
+        print(args.dest)
     return 0
 
 

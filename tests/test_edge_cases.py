@@ -143,3 +143,70 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
     else:
         want = sorted((k, ts(t), None) for k, t in left)
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20_000)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    gap=st.sampled_from([60, 600, 3600]),
+)
+def test_sessionize_matches_reference_scan(spark, events, gap):
+    """Gap sessionization equals the obvious sequential per-user scan on
+    random (user, second-offset) events — session ids are 1-based,
+    contiguous, and break exactly when the gap is exceeded."""
+    import datetime as _dt
+
+    from spectrify_spark.operators.sessionize import sessionize
+
+    epoch = _dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, epoch + _dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(sorted(events))
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+
+    want = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(sorted(events)):
+        by_user.setdefault(u, []).append((s, i))
+    for u, evs in by_user.items():
+        sid, prev = 0, None
+        for s, i in sorted(evs):
+            if prev is None or s - prev > gap:
+                sid += 1
+            want[(u, i)] = sid
+            prev = s
+    assert got == want
+
+
+def test_cli_curate_writes_partitioned_corpus(spark, tmp_path):
+    from spectrify_spark import cli
+
+    dest = str(tmp_path / "curated")
+    rc = cli.main(
+        [
+            "curate",
+            "/root/testdata/sf0.001/documents.parquet",
+            dest,
+            "--partition-by-split",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(dest)
+    assert back.count() > 0
+    assert {r["split"] for r in back.select("split").distinct().collect()} <= {
+        "train", "valid", "test"
+    }

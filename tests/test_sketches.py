@@ -89,3 +89,21 @@ def test_scd2_intervals_chain_and_single_current(spark):
     k1 = [g for g in got if g[0] == 1]
     assert [g[3] for g in k1[:-1]] == [g[2] for g in k1[1:]]
     assert k1[-1][3] is None and k1[-1][4]
+
+
+def test_profile_table_approx_mode(spark):
+    from spectrify_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (None, "a", None)],
+        "k bigint, s string, x double",
+    )
+    prof = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert prof["k"]["n_nulls"] == 1 and prof["k"]["min_val"] == 1.0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["min_val"] is None
+    assert prof["x"]["max_val"] == 2.5
+    # approx distinct within HLL++ tolerance at tiny cardinality = exact
+    assert prof["s"]["n_distinct"] == 1
+    # one scan regardless of column count: no Expand in the approx plan
+    plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan

@@ -1,0 +1,163 @@
+"""Unit tests for the late-r4 curation operators: benchmark
+decontamination, token-budget packing, weighted mixture sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators.decontaminate import decontaminate, ngram_overlap
+from spectrify_spark.operators.packing import pack_sequences, running_sum
+from spectrify_spark.operators.sampling import weighted_sample
+
+import pytest
+
+
+# ------------------------------------------------------ decontamination
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ngram_overlap_flags_planted_contamination(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta eta")])
+    corpus = _docs(
+        spark,
+        [
+            # verbatim copy: every 5-gram collides
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            # clean doc, zero shared grams
+            (2, "one two three four five six seven eight"),
+            # one incidental 5-gram only
+            (3, "alpha beta gamma delta epsilon nine ten eleven twelve"),
+        ],
+    )
+    hits = {
+        r["doc_id"]: r["n_overlap"]
+        for r in ngram_overlap(corpus, bench, n=5, min_overlap=1).collect()
+    }
+    assert hits[1] == 3  # 7 tokens -> 3 distinct 5-grams, all shared
+    assert hits[3] == 1
+    assert 2 not in hits
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta eta")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven eight"),
+            (3, "alpha beta gamma delta epsilon nine ten eleven twelve"),
+        ],
+    )
+    kept = decontaminate(corpus, bench, n=5, min_overlap=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_ngram_overlap_short_docs_use_full_text(spark):
+    # docs shorter than n tokens shingle to their full token string
+    bench = _docs(spark, [(100, "tiny doc")])
+    corpus = _docs(spark, [(1, "tiny doc"), (2, "other text")])
+    hits = ngram_overlap(corpus, bench, n=5).collect()
+    assert [(r["doc_id"], r["n_overlap"]) for r in hits] == [(1, 1)]
+
+
+# ------------------------------------------------------------- packing
+
+
+def test_running_sum_matches_single_partition_window(spark):
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, size bigint").repartition(7)
+    got = {
+        r["k"]: r["rs"]
+        for r in running_sum(
+            df, [F.col("k")], "size", out_col="rs", num_partitions=5
+        ).collect()
+    }
+    expect, acc = {}, 0
+    for k, s in sorted(rows):
+        acc += s
+        expect[k] = acc
+    assert got == expect
+
+
+def test_pack_sequences_shard_assignment(spark):
+    # sizes 600,600,600: offsets 0,600,1200 -> shards 0,0,1 at budget 1000
+    df = spark.createDataFrame(
+        [(1, 600), (2, 600), (3, 600)], "k bigint, size bigint"
+    )
+    out = {
+        r["k"]: r["shard_id"]
+        for r in pack_sequences(df, [F.col("k")], "size", budget=1000).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 10)], "k bigint, size bigint")
+    with pytest.raises(ValueError):
+        pack_sequences(df, [F.col("k")], "size", budget=0)
+
+
+def test_pack_sequences_shards_are_contiguous(spark, sf_dir):
+    from spectrify_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
+    sized = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n")
+    )
+    packed = pack_sequences(
+        sized, [F.col("doc_id")], "n", budget=500, num_partitions=6
+    ).collect()
+    by_id = sorted((r["doc_id"], r["shard_id"]) for r in packed)
+    shard_seq = [s for _, s in by_id]
+    # shard ids never decrease in pack order and start at 0
+    assert shard_seq[0] == 0
+    assert all(a <= b for a, b in zip(shard_seq, shard_seq[1:]))
+    # every shard's token total stays within budget + one doc's overhang
+    import collections
+
+    totals = collections.defaultdict(int)
+    sizes = {r["doc_id"]: r["n"] for r in packed}
+    for doc, shard in by_id:
+        totals[shard] += sizes[doc]
+    max_doc = max(sizes.values())
+    assert all(t <= 500 + max_doc for t in totals.values())
+
+
+# ------------------------------------------------------------ sampling
+
+
+def test_weighted_sample_extremes_and_determinism(spark, sf_dir):
+    from spectrify_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
+    all_src = {r["source"] for r in d.select("source").distinct().collect()}
+    w_all = dict.fromkeys(all_src, 1.0)
+    assert weighted_sample(
+        d, stratum_col="source", key_col="doc_id", weights=w_all
+    ).count() == d.count()
+    assert (
+        weighted_sample(
+            d,
+            stratum_col="source",
+            key_col="doc_id",
+            weights={},
+            default_weight=0.0,
+        ).count()
+        == 0
+    )
+    half = dict.fromkeys(all_src, 0.5)
+    a = weighted_sample(d, stratum_col="source", key_col="doc_id", weights=half)
+    b = weighted_sample(d, stratum_col="source", key_col="doc_id", weights=half)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())
+    # ~50% +- generous tolerance on 500 keys
+    assert 0.35 * d.count() <= len(ids_a) <= 0.65 * d.count()
+
+
+def test_weighted_sample_rejects_bad_weight(spark):
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    with pytest.raises(ValueError):
+        weighted_sample(df, stratum_col="s", key_col="k", weights={"a": 1.5})

@@ -77,6 +77,21 @@ GOLDEN = {
         max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
         max_scan_cols=3,
     ),
+    # late-r4 curation ops: gram join must stay broadcast (bench side is
+    # MBs at any corpus scale); packing's cumsum is range-partition +
+    # offsets-broadcast (5 exchanges, none full-data beyond the range
+    # partition); mixture sampling is a map-side filter + report agg
+    "q_decontaminate": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=2,
+    ),
+    "q_pack_sequences": dict(
+        max_exchanges=5, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        max_scan_cols=2,
+    ),
+    "q_sample_weighted": dict(
+        max_exchanges=1, ban_bnlj=True, pushed=True, max_scan_cols=2,
+    ),
 }
 
 

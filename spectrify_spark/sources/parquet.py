@@ -18,6 +18,15 @@ from pyspark.sql import functions as F
 #: TimestampType is µs); this legacy conf reads them as raw int64 ns.
 NANOS_AS_LONG_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: Parquet timestamps with isAdjustedToUTC=false infer as TIMESTAMP_NTZ
+#: in Spark 3.4+.  The engine's event-time convention is TimestampType
+#: (LTZ) under a UTC session timezone — the same instant semantics
+#: DuckDB's naive timestamps give on identical files — so reads force
+#: NTZ inference off.  Without this, tz-less producer files (pandas
+#: to_parquet default) flip column types per producer and break
+#: epoch-µs functions (unix_micros rejects NTZ).
+NTZ_INFER_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
 
 def _first_parquet_file(path: str) -> str | None:
     """First data file under ``path``, descending into subdirectories so

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spectrify_spark.functions.timeutil import epoch_us
+
 
 def asof_join_backward(
     left: DataFrame,
@@ -71,9 +73,7 @@ def asof_join_backward(
     filled_payload = [F.last(p, ignorenulls=True).over(w) for p in payload]
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds) * 1_000_000
-        in_tol = (
-            F.unix_micros(F.col("__t")) - F.unix_micros(matched_ts)
-        ) <= F.lit(tol_us)
+        in_tol = (epoch_us(F.col("__t")) - epoch_us(matched_ts)) <= F.lit(tol_us)
         filled_payload = [F.when(in_tol, c) for c in filled_payload]
     filled = u.select(
         "__src",

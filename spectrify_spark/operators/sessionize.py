@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from spectrify_spark.functions.timeutil import epoch_us
+
 
 def tumbling_window_agg(
     df: DataFrame,
@@ -45,14 +47,14 @@ def sessionize(
 ) -> DataFrame:
     """Assign gap-based session ids per user.
 
-    Gaps are compared in exact integer microseconds (unix_micros) so
-    engine and oracle (DuckDB epoch_us) see identical arithmetic.  One
-    shuffle (partition by user); sessions never span partitions because
-    the partition key IS the user — the property that lets this scale
-    to billions of events.
+    Gaps are compared in exact integer microseconds (epoch_us, which is
+    NTZ-tolerant) so engine and oracle (DuckDB epoch_us) see identical
+    arithmetic.  One shuffle (partition by user); sessions never span
+    partitions because the partition key IS the user — the property
+    that lets this scale to billions of events.
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tie))
-    epoch = F.unix_micros(F.col(ts_col))
+    epoch = epoch_us(ts_col)
     prev = F.lag(epoch).over(w)
     is_new = F.when(
         prev.isNull() | ((epoch - prev) > F.lit(gap_seconds * 1_000_000)), 1
@@ -79,7 +81,5 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (
-            F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col)))
-        ).alias("duration_us"),
+        (F.max(epoch_us(ts_col)) - F.min(epoch_us(ts_col))).alias("duration_us"),
     )

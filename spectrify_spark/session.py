@@ -43,6 +43,13 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.outputTimestampType": "INT96",
+        # Engine event-time convention: every parquet timestamp reads as
+        # TimestampType (LTZ) under the UTC session zone.  Spark 3.4+
+        # otherwise infers tz-naive producer files (pandas to_parquet
+        # default, isAdjustedToUTC=false) as TIMESTAMP_NTZ, which
+        # unix_micros and interval arithmetic reject — see
+        # sources/parquet.py::NTZ_INFER_CONF.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }

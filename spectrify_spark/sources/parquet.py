@@ -24,7 +24,9 @@ NANOS_AS_LONG_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 #: DuckDB's naive timestamps give on identical files — so reads force
 #: NTZ inference off.  Without this, tz-less producer files (pandas
 #: to_parquet default) flip column types per producer and break
-#: epoch-µs functions (unix_micros rejects NTZ).
+#: epoch-µs functions (unix_micros rejects NTZ).  Set to "false" in the
+#: session factory (session.py) AND save/restore-forced off inside
+#: read_table, so caller-supplied sessions get the convention too.
 NTZ_INFER_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
 
@@ -87,10 +89,28 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return cols
 
 
+def _read_ltz(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with NTZ inference forced off (save/
+    restore), so tz-naive producer files yield TimestampType (LTZ) under
+    the UTC session zone — the engine's event-time convention — even on
+    sessions that did not come from the factory (session.py sets the
+    same conf session-wide)."""
+    prev = spark.conf.get(NTZ_INFER_CONF, None)
+    spark.conf.set(NTZ_INFER_CONF, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(NTZ_INFER_CONF)
+        else:
+            spark.conf.set(NTZ_INFER_CONF, prev)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, transparently converting TIMESTAMP(NANOS)
     columns to Spark TimestampType (µs, truncating — the same truncation
-    DuckDB applies, so oracle comparisons agree).
+    DuckDB applies, so oracle comparisons agree), and reading tz-naive
+    timestamps as LTZ (see :data:`NTZ_INFER_CONF`).
 
     The legacy ``nanosAsLong`` conf is restored after the read: the
     parquet schema is resolved eagerly at ``load()``, so the returned
@@ -99,11 +119,11 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     silently yielding bigint columns for ns files."""
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _read_ltz(spark, path)
     prev = spark.conf.get(NANOS_AS_LONG_CONF, None)
     spark.conf.set(NANOS_AS_LONG_CONF, "true")
     try:
-        df = spark.read.parquet(path)
+        df = _read_ltz(spark, path)
     finally:
         if prev is None:
             spark.conf.unset(NANOS_AS_LONG_CONF)

@@ -54,6 +54,11 @@ HEADLINE = [
     "q_sim_topk",
     "q_multimodal_cols",
     "q_embed_centroid",
+    # r4 curation operators — tracked so a perf regression is visible
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_profile_table",
+    "q_agg_sketch_hll",
 ]
 
 RUNS = 2
@@ -74,16 +79,65 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timing)
     qs["q_scan_project"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    # Failure isolation: one broken query must never erase the round's
+    # entire perf evidence (r4: q_events_sessionize crashed the harness
+    # before the JSON line printed — BENCH_r04 had no numbers at all).
+    # A failed entry reports {"err": ...}; every other measurement and
+    # the final JSON line still land.
+    timings: dict[str, object] = {}
+    errors = 0
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        dt = min(_time_once(lambda: fn(spark, sf_dir).count()) for _ in range(RUNS))
+        try:
+            dt = min(
+                _time_once(lambda: fn(spark, sf_dir).count()) for _ in range(RUNS)
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            errors += 1
+            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+            continue
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     # ETL convert benchmark: the reference's core operation.
+    try:
+        dt, n_rows = _etl_bench(spark, sf_dir)
+        timings["etl_convert_csv"] = round(dt, 3)
+        timings["etl_convert_rows_per_sec"] = round(n_rows / dt)
+        total += dt
+        print(
+            f"# etl_convert_csv: {n_rows} rows in {dt:.2f}s "
+            f"({n_rows / dt:,.0f} rows/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — same isolation as queries
+        errors += 1
+        timings["etl_convert_csv"] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"# etl_convert_csv: ERROR {type(exc).__name__}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "errors": errors,
+                "sf": sf,
+            }
+        )
+    )
+    # exit 0 even with errors: the JSON line above is the record, and a
+    # nonzero rc risks the harness discarding the valid measurements
+    # (the r4 failure mode); the "errors" field flags the gap instead.
+
+
+def _etl_bench(spark, sf_dir: str) -> tuple[float, int]:
+    """gzip-CSV -> typed -> parquet round trip over a lineitem export;
+    returns (best wall time, row count)."""
     from spectrify_spark.sources.parquet import read_table
     from spectrify_spark.transform import convert_manifest, export_to_csv
 
@@ -109,28 +163,9 @@ def main() -> None:
         dt = min(_time_once(lambda r=r: convert(r)) for r in range(RUNS))
         # verify (untimed): every row survived the round trip
         assert spark.read.parquet(f"{work}/pq0").count() == n_rows
-        timings["etl_convert_csv"] = round(dt, 3)
-        timings["etl_convert_rows_per_sec"] = round(n_rows / dt)
-        total += dt
-        print(
-            f"# etl_convert_csv: {n_rows} rows in {dt:.2f}s "
-            f"({n_rows / dt:,.0f} rows/s)",
-            file=sys.stderr,
-        )
+        return dt, n_rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

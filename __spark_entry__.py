@@ -1693,69 +1693,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest run, so "past the window" never again means "unverified since
     last code change" (the r3 stale-green gap).
 
-    Window r4 = [23 keys last checked r2 — the oldest rows, and
-    read_table under them changed in r3] + [24 keys changed/added r4:
-    the self-validating approximate battery, the new text-pipeline,
-    as-of, window-navigation, array, fuzzy-match, sketch, SCD2,
-    salted-join and profile keys, q_subquery_scalar] + [3 keys added
-    late in r4: q_decontaminate, q_pack_sequences, q_sample_weighted].
-    Past-window: 42 r3-green keys, all scheduled for the r5 window.
+    Window r5 = [42 keys last driver-checked r3 — the oldest rows,
+    including the two NTZ-broken event-time keys q_events_sessionize
+    and q_interval_join fixed this round] + [q_asof_tolerance (r4 ERR,
+    operator fixed) and q_asof_forward (asof.py changed)] + [6 r4-green
+    keys re-entering because the read path (read_table NTZ handling,
+    session conf) changed under them: the timestamp-heaviest picks].
+    Past-window: 42 r4-green keys, scheduled for the r6 window.
     """
     return {
-        # -- 1. last verified r2 (oldest rows; read_table changed since)
-        "q_cast_types": q_cast_types,
-        "q_nullify_empty": q_nullify_empty,
-        "q_partition_key": q_partition_key,
-        "q_join_inner": q_join_inner,
-        "q_join_broadcast": q_join_broadcast,
-        "q_join_semi": q_join_semi,
-        "q_join_anti": q_join_anti,
-        "q_agg_stats": q_agg_stats,
-        "q_filter_compound": q_filter_compound,
-        "q_partition_rollup": q_partition_rollup,
-        "q_exists_nonequi": q_exists_nonequi,
-        "q_conditional_agg": q_conditional_agg,
-        "q_string_agg": q_string_agg,
-        "q_distribution": q_distribution,
-        "q_agg_having": q_agg_having,
-        "q_window_ntile": q_window_ntile,
-        "q_window_analytic": q_window_analytic,
-        "q_window_rank": q_window_rank,
-        "q_topk": q_topk,
-        "q_set_ops": q_set_ops,
-        "q_scalar_funcs": q_scalar_funcs,
-        "q_scalar_dates": q_scalar_dates,
-        "q_agg_distinct": q_agg_distinct,
-        # -- 2. changed or added in r4: need fresh rows
-        "q_dedup_near": q_dedup_near,
-        "q_dedup_jaccard": q_dedup_jaccard,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_embed": q_dedup_embed,
-        "q_sim_ivf": q_sim_ivf,
-        "q_cluster_kmeans": q_cluster_kmeans,
-        "q_text_quality": q_text_quality,
-        "q_text_langid": q_text_langid,
-        "q_text_clean": q_text_clean,
-        "q_text_gopher": q_text_gopher,
-        "q_sample_stratified": q_sample_stratified,
-        "q_text_tfidf": q_text_tfidf,
-        "q_asof_tolerance": q_asof_tolerance,
-        "q_asof_forward": q_asof_forward,
-        "q_window_navigation": q_window_navigation,
-        "q_array_ops": q_array_ops,
-        "q_text_levenshtein": q_text_levenshtein,
-        "q_agg_sketch_hll": q_agg_sketch_hll,
-        "q_quantile_sketch": q_quantile_sketch,
-        "q_scd2": q_scd2,
-        "q_join_salted": q_join_salted,
-        "q_profile_table": q_profile_table,
-        "q_subquery_scalar": q_subquery_scalar,
-        # -- 3. added late r4: decontamination, packing, mixture sampling
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_sample_weighted": q_sample_weighted,
-        # -- past the 50-key window: all r3-green, scheduled for r5
+        # -- 1. last driver-verified r3 (oldest rows; NTZ fix r5)
         "q_agg_hash": q_agg_hash,
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
@@ -1798,6 +1745,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sliding": q_events_sliding,
         "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
+        # -- 2. operator code changed this round (asof.py epoch_us)
+        "q_asof_tolerance": q_asof_tolerance,
+        "q_asof_forward": q_asof_forward,
+        # -- 3. r4-green, re-entering: read path changed under them and
+        # they are the most timestamp/read_table-sensitive of the batch
+        "q_cast_types": q_cast_types,
+        "q_scalar_dates": q_scalar_dates,
+        "q_scd2": q_scd2,
+        "q_window_navigation": q_window_navigation,
+        "q_quantile_sketch": q_quantile_sketch,
+        "q_profile_table": q_profile_table,
+        # -- past the 50-key window: all r4-green, scheduled for r6
+        "q_nullify_empty": q_nullify_empty,
+        "q_partition_key": q_partition_key,
+        "q_join_inner": q_join_inner,
+        "q_join_broadcast": q_join_broadcast,
+        "q_join_semi": q_join_semi,
+        "q_join_anti": q_join_anti,
+        "q_agg_stats": q_agg_stats,
+        "q_filter_compound": q_filter_compound,
+        "q_partition_rollup": q_partition_rollup,
+        "q_exists_nonequi": q_exists_nonequi,
+        "q_conditional_agg": q_conditional_agg,
+        "q_string_agg": q_string_agg,
+        "q_distribution": q_distribution,
+        "q_agg_having": q_agg_having,
+        "q_window_ntile": q_window_ntile,
+        "q_window_analytic": q_window_analytic,
+        "q_window_rank": q_window_rank,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_scalar_funcs": q_scalar_funcs,
+        "q_agg_distinct": q_agg_distinct,
+        "q_dedup_near": q_dedup_near,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embed": q_dedup_embed,
+        "q_sim_ivf": q_sim_ivf,
+        "q_cluster_kmeans": q_cluster_kmeans,
+        "q_text_quality": q_text_quality,
+        "q_text_langid": q_text_langid,
+        "q_text_clean": q_text_clean,
+        "q_text_gopher": q_text_gopher,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_tfidf": q_text_tfidf,
+        "q_array_ops": q_array_ops,
+        "q_text_levenshtein": q_text_levenshtein,
+        "q_agg_sketch_hll": q_agg_sketch_hll,
+        "q_join_salted": q_join_salted,
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_sample_weighted": q_sample_weighted,
     }
 
 

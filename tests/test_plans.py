@@ -54,9 +54,21 @@ GOLDEN = {
     # exchanges by iteration 10 without per-round checkpointing)
     "q_dedup_clusters": dict(max_exchanges=6),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
-    # event time
+    # event time: as-of keys pin the union+window single-shuffle shape
+    # the operator docstring promises; interval join must stay the
+    # bucketized equi-join (sessions side broadcast), never a range BNLJ
     "q_events_window": dict(max_exchanges=1, pushed=True, ban_bnlj=True),
     "q_events_sessionize": dict(max_exchanges=2, ban_bnlj=True),
+    "q_asof_tolerance": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_asof_forward": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_interval_join": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=3,
+    ),
+    # IVF ANN: probe is a 1-row broadcast (its nested-loop join is the
+    # designed scalar-N shape, so no ban), centroid assignment broadcast,
+    # scans stay 2-col; exchanges bounded by the recall-check agg
+    "q_sim_ivf": dict(max_exchanges=2, joins=["BroadcastHashJoin"], max_scan_cols=2),
     # text pipeline (r4): expression-only cleaning, doc-keyed repetition
     # aggs, hash-bucket sampling with pushdown, term-keyed tf-idf (its
     # nested-loop join is the 1-row scalar-N broadcast — allowed)

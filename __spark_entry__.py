@@ -1623,6 +1623,45 @@ def q_events_sessionize(spark, sf):
     )
 
 
+def q_stream_window(spark, sf):
+    """Structured Streaming earning a driver row: the tumbling-window
+    aggregation run as an ACTUAL stream — file-source microbatches over
+    the events shards (maxFilesPerTrigger bounds each batch), drained to
+    a memory sink, then returned as the sink table.  The oracle is the
+    batch twin's SQL verbatim (q_events_window): the same plan validated
+    in batch must produce identical results incrementally — Structured
+    Streaming's core promise.
+
+    The sum is computed in DECIMAL so the result is independent of
+    microbatch order (float addition is not associative); complete
+    output mode makes the final sink state deterministic regardless of
+    how files split into triggers.
+    """
+    import uuid
+
+    from spectrify_spark.streaming import events as SE
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"q_stream_window_{uuid.uuid4().hex[:8]}"
+    src = SE.read_event_stream(spark, f"{sf}/events.parquet")
+    agg = SE.windowed_counts(
+        src,
+        duration="1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double"),
+        },
+    )
+    q = SE.run_to_memory_sink(agg, name, output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     5-gram word shingles with a held-out benchmark slice (doc_id % 10
@@ -1696,10 +1735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Window r5 = [42 keys last driver-checked r3 — the oldest rows,
     including the two NTZ-broken event-time keys q_events_sessionize
     and q_interval_join fixed this round] + [q_asof_tolerance (r4 ERR,
-    operator fixed) and q_asof_forward (asof.py changed)] + [6 r4-green
-    keys re-entering because the read path (read_table NTZ handling,
-    session conf) changed under them: the timestamp-heaviest picks].
-    Past-window: 42 r4-green keys, scheduled for the r6 window.
+    operator fixed), q_asof_forward (asof.py changed), q_stream_window
+    (new: streaming drain twin)] + [5 r4-green keys re-entering because
+    the read path (read_table NTZ handling, session conf) changed under
+    them: the timestamp-heaviest picks].  Past-window: 43 r4-green keys,
+    scheduled for the r6 window.
     """
     return {
         # -- 1. last driver-verified r3 (oldest rows; NTZ fix r5)
@@ -1745,9 +1785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sliding": q_events_sliding,
         "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
-        # -- 2. operator code changed this round (asof.py epoch_us)
+        # -- 2. operator code changed this round (asof.py epoch_us) or
+        # key added this round (streaming drain twin)
         "q_asof_tolerance": q_asof_tolerance,
         "q_asof_forward": q_asof_forward,
+        "q_stream_window": q_stream_window,
         # -- 3. r4-green, re-entering: read path changed under them and
         # they are the most timestamp/read_table-sensitive of the batch
         "q_cast_types": q_cast_types,
@@ -1755,8 +1797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_window_navigation": q_window_navigation,
         "q_quantile_sketch": q_quantile_sketch,
-        "q_profile_table": q_profile_table,
         # -- past the 50-key window: all r4-green, scheduled for r6
+        "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
         "q_partition_key": q_partition_key,
         "q_join_inner": q_join_inner,
@@ -2396,6 +2438,13 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "q_events_window": """
+            SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # streaming drain twin: MUST equal the batch window agg exactly
+        "q_stream_window": """
             SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events,
                    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value

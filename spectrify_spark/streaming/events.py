@@ -30,6 +30,14 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream over parquet event shards (swap for Kafka in
     production — the downstream plan is identical)."""
+    import os
+
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory basePath; a glob scopes
+        # the basePath to the parent directory and still matches the
+        # single file ('*' matches the empty string), so single-file
+        # tables stream too.
+        path = path + "*"
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -41,22 +49,27 @@ def windowed_counts(
     events: DataFrame,
     duration: str = "1 hour",
     watermark: str = "2 hours",
+    aggs: dict | None = None,
 ) -> DataFrame:
     """Event-time tumbling-window counts with a late-data watermark —
-    state is bounded by (watermark / duration) windows per key."""
+    state is bounded by (watermark / duration) windows per key.
+
+    ``aggs`` overrides the default count/sum pair (name -> Column), e.g.
+    a decimal-typed sum when the consumer needs order-independent exact
+    results (float addition order varies across microbatches)."""
+    aggs = aggs or {
+        "n_events": F.count(F.lit(1)),
+        "sum_value": F.sum("value"),
+    }
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
+        .agg(*[c.alias(n) for n, c in aggs.items()])
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "event_type",
-            "n_events",
-            "sum_value",
+            *aggs.keys(),
         )
     )
 

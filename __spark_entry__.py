@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from spectrify_spark.functions import casts as C
 from spectrify_spark.functions import text as TX
 from spectrify_spark.functions.vectors import cosine, norm
+from spectrify_spark.operators import chunking as CH
 from spectrify_spark.operators import dedup, relational as R, sessionize as S, similarity as SIM
 from spectrify_spark.operators.asof import asof_join_backward, asof_join_forward
 
@@ -1662,6 +1663,41 @@ def q_stream_window(spark, sf):
     )
 
 
+def q_chunk_documents(spark, sf):
+    """Context-window chunking: explode documents into 64-token chunks
+    with 16-token overlap (stride 48) — the corpus -> model-input step
+    before packing.  Pure map-side Catalyst expressions: no shuffle at
+    all, so at 100 TB this stage pipelines directly into whatever
+    shuffle consumes the chunks."""
+    d = _t(spark, sf, "documents")
+    return CH.chunk_tokens(d, chunk_size=64, overlap=16)
+
+
+def q_merge_upsert(spark, sf):
+    """MERGE-style CDC apply: next snapshot from (base, changeset) with
+    delete/update/insert ops.  The changeset here is synthesized
+    deterministically from orders (keys %10==0 delete, ==1 reprice,
+    ==2 insert under a new key) so the oracle can rebuild it exactly.
+    Scale shape: changeset keys broadcast into a LEFT ANTI join — the
+    snapshot never shuffles (vs. the textbook full-outer MERGE)."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    mod = F.col("o_orderkey") % 10
+    ch_d = o.filter(mod == 0).withColumn("op", F.lit("D"))
+    ch_u = (
+        o.filter(mod == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("U"))
+    )
+    ch_i = o.filter(mod == 2).select(
+        (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("I").alias("op"),
+    )
+    changes = ch_d.unionByName(ch_u).unionByName(ch_i)
+    return R.merge_changes(o, changes, key="o_orderkey")
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     5-gram word shingles with a held-out benchmark slice (doc_id % 10
@@ -1786,18 +1822,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
         # -- 2. operator code changed this round (asof.py epoch_us) or
-        # key added this round (streaming drain twin)
+        # key added this round (streaming drain twin, chunking, merge)
         "q_asof_tolerance": q_asof_tolerance,
         "q_asof_forward": q_asof_forward,
         "q_stream_window": q_stream_window,
+        "q_chunk_documents": q_chunk_documents,
+        "q_merge_upsert": q_merge_upsert,
         # -- 3. r4-green, re-entering: read path changed under them and
         # they are the most timestamp/read_table-sensitive of the batch
         "q_cast_types": q_cast_types,
         "q_scalar_dates": q_scalar_dates,
         "q_scd2": q_scd2,
+        # -- past the 50-key window: all r4-green, scheduled for r6
         "q_window_navigation": q_window_navigation,
         "q_quantile_sketch": q_quantile_sketch,
-        # -- past the 50-key window: all r4-green, scheduled for r6
         "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
         "q_partition_key": q_partition_key,
@@ -2442,6 +2480,43 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "q_chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), st AS (
+              SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t) - 16, 1), 48)) AS s
+              FROM toks
+            )
+            SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+                   CAST(len(t[s+1 : s+64]) AS BIGINT) AS n_tokens,
+                   array_to_string(t[s+1 : s+64], ' ') AS chunk_text
+            FROM st
+            WHERE len(t[s+1 : s+64]) > 0
+        """,
+        "q_merge_upsert": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ), changes AS (
+              SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op
+              FROM base WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, 'U'
+              FROM base WHERE o_orderkey % 10 = 1
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_custkey, 1.0, 'I'
+              FROM base WHERE o_orderkey % 10 = 2
+            )
+            SELECT b.* FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM changes c
+                              WHERE c.o_orderkey = b.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM changes WHERE op <> 'D'
         """,
         # streaming drain twin: MUST equal the batch window agg exactly
         "q_stream_window": """

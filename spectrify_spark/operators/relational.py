@@ -226,3 +226,33 @@ def scd2_history(
         F.lead(ts).over(w).alias("valid_to"),
         F.lead(ts).over(w).isNull().alias("is_current"),
     )
+
+
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE-style CDC apply: produce the next snapshot of ``base``
+    given a changeset whose ``op_col`` marks deletes (``delete_op``);
+    every non-delete change row replaces/inserts its key's row (upsert).
+
+    ``changes`` must carry all of ``base``'s columns (plus ``op_col``)
+    and at most one row per key — the latest-wins compaction
+    (``dedup.latest_by_key``) runs upstream if the raw log has more.
+
+    Scale shape: one LEFT ANTI equi-join of the snapshot against the
+    changeset keys plus a union — the changeset in a CDC batch is
+    orders of magnitude smaller than the snapshot, so Catalyst
+    broadcasts it and the snapshot never shuffles; contrast with the
+    textbook full-outer-join MERGE, which shuffles both sides.
+    """
+    missing = set(base.columns) - set(changes.columns)
+    if missing:
+        raise ValueError(f"changes missing base columns: {sorted(missing)}")
+    keys = changes.select(key)
+    survived = base.join(keys, on=key, how="left_anti")
+    upserts = changes.filter(F.col(op_col) != delete_op).select(*base.columns)
+    return survived.unionByName(upserts)

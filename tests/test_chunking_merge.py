@@ -1,0 +1,93 @@
+"""Unit tests for chunk_tokens (context-window chunking) and
+merge_changes (CDC MERGE apply)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators.chunking import chunk_tokens
+from spectrify_spark.operators.relational import merge_changes
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "a b c")])
+    out = chunk_tokens(df, chunk_size=4, overlap=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["chunk_id"], r["n_tokens"], r["chunk_text"]) == (0, 3, "a b c")
+
+
+def test_chunk_exact_size_doc(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    out = chunk_tokens(df, chunk_size=4, overlap=1).collect()
+    assert len(out) == 1  # no overlap-only trailing chunk
+
+
+def test_chunk_overlap_content(spark):
+    toks = [f"t{i}" for i in range(10)]
+    df = _docs(spark, [(1, " ".join(toks))])
+    out = {
+        r["chunk_id"]: r for r in chunk_tokens(df, chunk_size=4, overlap=2).collect()
+    }
+    # stride 2: starts 0,2,4,6 (< 10-2=8); each chunk 4 tokens
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t2 t3 t4 t5"
+    assert out[3]["chunk_text"] == "t6 t7 t8 t9"
+    # every token is covered
+    covered = set()
+    for r in out.values():
+        covered.update(r["chunk_text"].split())
+    assert covered == set(toks)
+
+
+def test_chunk_empty_and_whitespace_docs(spark):
+    df = _docs(spark, [(1, ""), (2, "   "), (3, None), (4, "x")])
+    out = chunk_tokens(df, chunk_size=4, overlap=1).collect()
+    assert [(r["doc_id"], r["chunk_text"]) for r in out] == [(4, "x")]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+def _snapshot(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+
+
+def test_merge_applies_delete_update_insert(spark):
+    base = _snapshot(spark)
+    changes = spark.createDataFrame(
+        [(2, "b2", "U"), (3, None, "D"), (4, "d", "I")],
+        "k bigint, v string, op string",
+    )
+    out = {r["k"]: r["v"] for r in merge_changes(base, changes, key="k").collect()}
+    assert out == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_merge_requires_base_columns(spark):
+    base = _snapshot(spark)
+    changes = spark.createDataFrame([(1, "D")], "k bigint, op string")
+    with pytest.raises(ValueError, match="missing base columns"):
+        merge_changes(base, changes, key="k")
+
+
+def test_merge_is_idempotent_on_empty_changeset(spark):
+    base = _snapshot(spark)
+    empty = spark.createDataFrame([], "k bigint, v string, op string")
+    out = merge_changes(base, empty, key="k")
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]

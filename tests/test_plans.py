@@ -104,6 +104,14 @@ GOLDEN = {
     "q_sample_weighted": dict(
         max_exchanges=1, ban_bnlj=True, pushed=True, max_scan_cols=2,
     ),
+    # r5: chunking is map-side only (zero shuffles, 2-col scan); MERGE
+    # apply must keep the changeset-keys broadcast so the snapshot side
+    # never shuffles
+    "q_chunk_documents": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_merge_upsert": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=3,
+    ),
 }
 
 

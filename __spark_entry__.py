@@ -1663,6 +1663,30 @@ def q_stream_window(spark, sf):
     )
 
 
+def q_stream_sessionize(spark, sf):
+    """Streaming gap-session aggregation via session_window, drained to
+    completion and checked against the BATCH sessionization oracle —
+    the empirically-pinned semantics agree: events exactly gap apart
+    merge (inclusive), and a session's end is last_ts + gap.  Complete
+    output mode makes the drained state deterministic."""
+    import uuid
+
+    from spectrify_spark.streaming import events as SE
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"q_stream_sessionize_{uuid.uuid4().hex[:8]}"
+    src = SE.read_event_stream(spark, f"{sf}/events.parquet")
+    agg = SE.session_windows(src, gap="30 minutes")
+    q = SE.run_to_memory_sink(agg, name, output_mode="complete")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Context-window chunking: explode documents into 64-token chunks
     with 16-token overlap (stride 48) — the corpus -> model-input step
@@ -1771,11 +1795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Window r5 = [42 keys last driver-checked r3 — the oldest rows,
     including the two NTZ-broken event-time keys q_events_sessionize
     and q_interval_join fixed this round] + [q_asof_tolerance (r4 ERR,
-    operator fixed), q_asof_forward (asof.py changed), q_stream_window
-    (new: streaming drain twin)] + [5 r4-green keys re-entering because
+    operator fixed), q_asof_forward (asof.py changed), and the four new
+    r5 keys: q_stream_window, q_stream_sessionize, q_chunk_documents,
+    q_merge_upsert] + [q_cast_types, q_scalar_dates re-entering because
     the read path (read_table NTZ handling, session conf) changed under
-    them: the timestamp-heaviest picks].  Past-window: 43 r4-green keys,
-    scheduled for the r6 window.
+    them].  Past-window: 46 r4-green keys, scheduled for the r6 window.
     """
     return {
         # -- 1. last driver-verified r3 (oldest rows; NTZ fix r5)
@@ -1826,14 +1850,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_tolerance": q_asof_tolerance,
         "q_asof_forward": q_asof_forward,
         "q_stream_window": q_stream_window,
+        "q_stream_sessionize": q_stream_sessionize,
         "q_chunk_documents": q_chunk_documents,
         "q_merge_upsert": q_merge_upsert,
         # -- 3. r4-green, re-entering: read path changed under them and
         # they are the most timestamp/read_table-sensitive of the batch
         "q_cast_types": q_cast_types,
         "q_scalar_dates": q_scalar_dates,
-        "q_scd2": q_scd2,
         # -- past the 50-key window: all r4-green, scheduled for r6
+        "q_scd2": q_scd2,
         "q_window_navigation": q_window_navigation,
         "q_quantile_sketch": q_quantile_sketch,
         "q_profile_table": q_profile_table,
@@ -2524,6 +2549,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # streaming session_window drain vs the BATCH sessionization
+        # rule (merge iff gap <= 30 min — inclusive, empirically pinned
+        # against session_window); end = last event + gap
+        "q_stream_sessionize": """
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events
+            FROM (
+              SELECT user_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events) t1) t2
+            GROUP BY user_id, session_id
         """,
         "q_events_sliding": """
             SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,

@@ -179,3 +179,53 @@ def test_stream_stream_interval_join_equals_batch(spark, stream_dir):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_session_window_exact_gap_merges_like_batch(spark, tmp_path):
+    """Pins the boundary rule q_stream_sessionize's oracle depends on:
+    events exactly one gap apart MERGE into one session (inclusive),
+    matching batch sessionize's `> gap` split; a gap of gap+1s splits.
+    Session end is last event ts + gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (10, base, 1, "click", 1.0, "{}"),
+        (11, base + dt.timedelta(seconds=1800), 1, "click", 1.0, "{}"),  # == gap
+        (20, base, 2, "click", 1.0, "{}"),
+        (21, base + dt.timedelta(seconds=1801), 2, "click", 1.0, "{}"),  # > gap
+    ]
+    df = spark.createDataFrame(rows, SE.EVENTS_SCHEMA)
+    d = str(tmp_path / "gap_events")
+    df.coalesce(1).write.parquet(d)
+
+    q = SE.run_to_memory_sink(
+        SE.session_windows(SE.read_event_stream(spark, d), gap="30 minutes"),
+        "gap_sess_test",
+        output_mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start, r.session_end): r.n_events
+            for r in spark.sql("SELECT * FROM gap_sess_test").collect()
+        }
+    finally:
+        q.stop()
+
+    # user 1: exact-gap pair merges -> 1 session, end = last ts + gap
+    assert got[(1, base, base + dt.timedelta(seconds=3600))] == 2
+    # user 2: gap exceeded -> 2 sessions
+    assert got[(2, base, base + dt.timedelta(seconds=1800))] == 1
+    assert len([k for k in got if k[0] == 2]) == 2
+
+    # batch operator draws the split at the same boundary
+    b = sessionize(df, gap_seconds=1800)
+    sess_per_user = (
+        b.groupBy("user_id").agg(F.countDistinct("session_id").alias("n")).collect()
+    )
+    assert {r.user_id: r.n for r in sess_per_user} == {1: 1, 2: 2}

@@ -41,6 +41,7 @@ from spectrify_spark.functions import casts as C
 from spectrify_spark.functions import text as TX
 from spectrify_spark.functions.vectors import cosine, norm
 from spectrify_spark.operators import chunking as CH
+from spectrify_spark.operators import quality as Q
 from spectrify_spark.operators import dedup, relational as R, sessionize as S, similarity as SIM
 from spectrify_spark.operators.asof import asof_join_backward, asof_join_forward
 
@@ -1722,6 +1723,40 @@ def q_merge_upsert(spark, sf):
     return R.merge_changes(o, changes, key="o_orderkey")
 
 
+def q_text_ulm(spark, sf):
+    """CCNet-style unigram-LM scoring: mean ln p(token) per document
+    under the corpus's own unigram distribution — the classic
+    cheap-perplexity proxy for gibberish/boilerplate filtering.  Scale
+    shape: explode -> token-keyed vocab agg -> token-keyed join back
+    (co-partitioned) -> doc-keyed agg; the corpus total is a 1-row
+    broadcast, never a driver round-trip."""
+    d = _t(spark, sf, "documents")
+    return Q.unigram_logprob(d)
+
+
+def q_winsorize(spark, sf):
+    """Percentile winsorization of a numeric feature: clip o_totalprice
+    into its exact [p1, p99] range, then report per-priority clip
+    counts and clipped extremes.  The bounds are one exact-percentile
+    agg broadcast as a 1-row dimension; the clip itself is a map-side
+    projection — no second scan, no shuffle of the fact."""
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Q.winsorize(o, "o_totalprice", lo=0.01, hi=0.99)
+    return w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_totalprice_w") > F.col("o_totalprice"), 1).otherwise(0)
+        ).cast("bigint").alias("n_clip_lo"),
+        F.sum(
+            F.when(F.col("o_totalprice_w") < F.col("o_totalprice"), 1).otherwise(0)
+        ).cast("bigint").alias("n_clip_hi"),
+        F.round(F.min("o_totalprice_w"), 4).alias("min_w"),
+        F.round(F.max("o_totalprice_w"), 4).alias("max_w"),
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     5-gram word shingles with a held-out benchmark slice (doc_id % 10
@@ -1853,11 +1888,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessionize": q_stream_sessionize,
         "q_chunk_documents": q_chunk_documents,
         "q_merge_upsert": q_merge_upsert,
-        # -- 3. r4-green, re-entering: read path changed under them and
-        # they are the most timestamp/read_table-sensitive of the batch
+        "q_text_ulm": q_text_ulm,
+        "q_winsorize": q_winsorize,
+        # -- past the 50-key window: all r4-green, scheduled for r6
         "q_cast_types": q_cast_types,
         "q_scalar_dates": q_scalar_dates,
-        # -- past the 50-key window: all r4-green, scheduled for r6
         "q_scd2": q_scd2,
         "q_window_navigation": q_window_navigation,
         "q_quantile_sketch": q_quantile_sketch,
@@ -2522,6 +2557,36 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[s+1 : s+64], ' ') AS chunk_text
             FROM st
             WHERE len(t[s+1 : s+64]) > 0
+        """,
+        "q_text_ulm": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+            ), tot AS (SELECT SUM(c) AS total FROM vocab)
+            SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln(v.c / tot.total)), 4) AS avg_logprob
+            FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+            GROUP BY t.doc_id
+        """,
+        "q_winsorize": """
+            WITH b AS (
+              SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+                     quantile_cont(o_totalprice, 0.99) AS hi
+              FROM orders
+            ), w AS (
+              SELECT o_orderpriority, o_totalprice,
+                     LEAST(GREATEST(o_totalprice, b.lo), b.hi) AS v
+              FROM orders CROSS JOIN b
+            )
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN v > o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+                   CAST(SUM(CASE WHEN v < o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+                   ROUND(MIN(v), 4) AS min_w, ROUND(MAX(v), 4) AS max_w
+            FROM w GROUP BY o_orderpriority
         """,
         "q_merge_upsert": """
             WITH base AS (

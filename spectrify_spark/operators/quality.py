@@ -1,0 +1,90 @@
+"""Corpus-statistics quality operators.
+
+- ``unigram_logprob``: CCNet-style language-model proxy — score each
+  document by the mean log-probability of its tokens under the corpus's
+  own unigram distribution.  Low scores flag gibberish / boilerplate /
+  out-of-domain text; real pipelines threshold or bucket on this before
+  training.  Scale shape: one explode, one token-keyed aggregation for
+  the vocabulary, one token-keyed join back (both sides token-keyed —
+  co-partitioned; AQE broadcasts the vocab when it is small), one
+  doc-keyed aggregation.  No driver-side state: the corpus total rides
+  along as a windowless global sum replicated into the vocab rows.
+
+- ``winsorize``: clip a numeric column to its [lo, hi] percentiles —
+  outlier taming for numeric features / reward-model targets.  The two
+  percentiles are computed exactly in one aggregation and broadcast as
+  a one-row dimension (cross join of a scalar), so the data pass is a
+  single map-side projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean ln p(token) under the corpus unigram model.
+
+    Output: ``(id_col, n_tokens, avg_logprob)`` — avg_logprob rounded
+    to 4 decimals (fp aggregation order differs across engines).
+    Empty documents are dropped (no tokens, no score).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("__tok"),
+    )
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # total token count replicated onto every vocab row (tiny second agg
+    # over the vocab, NOT a second corpus scan)
+    total = vocab.agg(F.sum("__c").alias("__total"))
+    vocab = vocab.crossJoin(F.broadcast(total))
+    scored = toks.join(vocab, on="__tok")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("__c") / F.col("__total"))).alias("__alp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("__alp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` into its exact [lo, hi] percentile range.
+
+    Adds ``out_col`` (default ``{value_col}_w``) with the clipped value;
+    the bounds are one exact-percentile aggregation broadcast back as a
+    1-row cross join, so the main pass stays a map-side projection.
+    """
+    out_col = out_col or f"{value_col}_w"
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -112,6 +112,13 @@ GOLDEN = {
         max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
         pushed=True, max_scan_cols=3,
     ),
+    # corpus-stat quality ops: their nested-loop joins are the designed
+    # 1-row scalar broadcasts (corpus total / percentile bounds), so no
+    # ban; token join must stay hash/broadcast and scans stay narrow
+    "q_text_ulm": dict(
+        max_exchanges=4, joins=["BroadcastHashJoin"], max_scan_cols=2,
+    ),
+    "q_winsorize": dict(max_exchanges=2, max_scan_cols=2),
 }
 
 

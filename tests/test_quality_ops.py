@@ -1,0 +1,40 @@
+"""Unit tests for corpus-statistics quality operators (unigram-LM
+scoring, winsorization)."""
+
+from __future__ import annotations
+
+import math
+
+from spectrify_spark.operators.quality import unigram_logprob, winsorize
+
+
+def test_unigram_logprob_known_corpus(spark):
+    # corpus: "a a b" + "a c" -> counts a:3 b:1 c:1, total 5
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "   ")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert set(out) == {1, 2}  # whitespace-only doc dropped
+    lp = lambda c: math.log(c / 5)  # noqa: E731
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == round((2 * lp(3) + lp(1)) / 3, 4)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["avg_logprob"] == round((lp(3) + lp(1)) / 2, 4)
+    # the common-word doc scores higher than the rare-word doc
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+def test_winsorize_clips_to_percentiles(spark):
+    vals = list(range(1, 101))  # 1..100: p1 = 1.99, p99 = 99.01
+    df = spark.createDataFrame([(v, float(v)) for v in vals], "k int, x double")
+    out = {r["k"]: r["x_w"] for r in winsorize(df, "x", 0.01, 0.99).collect()}
+    assert out[1] == 1.99
+    assert out[100] == 99.01
+    assert out[50] == 50.0  # interior untouched
+    assert min(out.values()) == 1.99 and max(out.values()) == 99.01
+
+
+def test_winsorize_custom_out_col(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double")
+    out = winsorize(df, "x", 0.0, 1.0, out_col="clipped")
+    assert "clipped" in out.columns and "x" in out.columns

@@ -59,6 +59,12 @@ HEADLINE = [
     "q_pack_sequences",
     "q_profile_table",
     "q_agg_sketch_hll",
+    # r5 additions: chunking, CDC merge, unigram-LM scoring, and the
+    # streaming drain twin (times a full stream lifecycle per run)
+    "q_chunk_documents",
+    "q_merge_upsert",
+    "q_text_ulm",
+    "q_stream_window",
 ]
 
 RUNS = 2

@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--near-dup-threshold", type=float, default=0.8)
     cu.add_argument("--partition-by-split", action="store_true")
+    cu.add_argument(
+        "--chunk-size",
+        type=int,
+        default=0,
+        help="if >0, emit one row per context-window chunk instead of per doc",
+    )
+    cu.add_argument("--chunk-overlap", type=int, default=0)
 
     args = p.parse_args(argv)
     spark = get_spark("spectrify-cli")
@@ -103,14 +110,24 @@ def main(argv: list[str] | None = None) -> int:
 
         run_sql(spark, args.sql, sf_dir=args.sf_dir).show(args.limit, truncate=False)
     elif args.cmd == "curate":
-        from spectrify_spark.pipelines import curate
+        from spectrify_spark.pipelines import curate, curate_chunks
         from spectrify_spark.sources.parquet import read_table, write_parquet
 
-        out = curate(
-            read_table(spark, args.source),
-            min_tokens=args.min_tokens,
-            near_dup_threshold=args.near_dup_threshold,
-        )
+        src = read_table(spark, args.source)
+        if args.chunk_size > 0:
+            out = curate_chunks(
+                src,
+                chunk_size=args.chunk_size,
+                overlap=args.chunk_overlap,
+                min_tokens=args.min_tokens,
+                near_dup_threshold=args.near_dup_threshold,
+            )
+        else:
+            out = curate(
+                src,
+                min_tokens=args.min_tokens,
+                near_dup_threshold=args.near_dup_threshold,
+            )
         write_parquet(
             out,
             args.dest,

@@ -1,1 +1,1 @@
-from spectrify_spark.pipelines.training_data import curate  # noqa: F401
+from spectrify_spark.pipelines.training_data import curate, curate_chunks  # noqa: F401

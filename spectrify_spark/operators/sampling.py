@@ -50,3 +50,37 @@ def weighted_sample(
     b = hash_bucket(F.col(key_col), buckets)
     # strict < : weight 0.0 keeps nothing, 1.0 keeps everything
     return df.filter(b < (w * buckets))
+
+
+def fixed_n_per_stratum(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """Keep EXACTLY min(n, stratum size) rows per stratum — the "1000
+    eval docs per language" shape, where a fraction is the wrong
+    contract.  Rows are ranked inside each stratum by (md5(key), key):
+    deterministic across runs and engines, unbiased w.r.t. any natural
+    ordering of the data, no RNG.
+
+    Scale shape: one shuffle on the stratum key (the rank window).
+    Strata counts are usually far larger than n, so the window never
+    materializes more than each stratum's rows in one partition — for
+    mega-strata combine with ``weighted_sample`` first to pre-thin.
+    Unlike the hash-fraction sampler, membership CAN change as the
+    corpus grows (new rows may out-rank old ones) — fixed-N and
+    grow-stable are mutually exclusive contracts.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -38,3 +38,24 @@ def test_winsorize_custom_out_col(spark):
     df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, x double")
     out = winsorize(df, "x", 0.0, 1.0, out_col="clipped")
     assert "clipped" in out.columns and "x" in out.columns
+
+
+def test_fixed_n_per_stratum(spark):
+    from spectrify_spark.operators.sampling import fixed_n_per_stratum
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(20)] + [(100, "c")]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    out = fixed_n_per_stratum(df, stratum_col="s", key_col="k", n=3)
+    got = out.groupBy("s").count().collect()
+    counts = {r["s"]: r["count"] for r in got}
+    # exactly n where the stratum is big enough, the whole stratum otherwise
+    assert counts == {"a": 3, "b": 3, "c": 1}
+    # deterministic: same members on a second run
+    again = fixed_n_per_stratum(df, stratum_col="s", key_col="k", n=3)
+    assert sorted(r["k"] for r in out.collect()) == sorted(
+        r["k"] for r in again.collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fixed_n_per_stratum(df, stratum_col="s", key_col="k", n=0)

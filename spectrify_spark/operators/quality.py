@@ -33,6 +33,11 @@ def unigram_logprob(
     Output: ``(id_col, n_tokens, avg_logprob)`` — avg_logprob rounded
     to 4 decimals (fp aggregation order differs across engines).
     Empty documents are dropped (no tokens, no score).
+
+    The plan tokenizes the corpus twice (once for the vocabulary, once
+    for scoring) — Catalyst does not CSE across an aggregation.  In a
+    production pipeline persist the exploded token table (or checkpoint
+    the vocab) so the 100 TB text column is read once.
     """
     toks = df.select(
         F.col(id_col),

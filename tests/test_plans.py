@@ -119,6 +119,8 @@ GOLDEN = {
         max_exchanges=4, joins=["BroadcastHashJoin"], max_scan_cols=2,
     ),
     "q_winsorize": dict(max_exchanges=2, max_scan_cols=2),
+    # exact-count stratified sample: one rank-window shuffle, 3-col scan
+    "q_sample_fixed_n": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
 }
 
 

@@ -91,3 +91,53 @@ def test_merge_is_idempotent_on_empty_changeset(spark):
         (2, "b"),
         (3, "c"),
     ]
+
+
+# --------------------------------------------------------- property tests
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@given(
+    toks=st.lists(_token, min_size=0, max_size=60),
+    size=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_tokens_invariants(spark, toks, size, overlap_frac):
+    """For any doc and any (size, overlap): every token is covered in
+    order, non-overlap remainders reconstruct the doc exactly, chunk
+    ids are dense from 0, and sizes are bounded."""
+    overlap = min(int(size * overlap_frac), size - 1)
+    stride = size - overlap
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_tokens(df, chunk_size=size, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    if not toks:
+        assert rows == []
+        return
+    # dense ids, bounded sizes
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    assert all(1 <= r["n_tokens"] <= size for r in rows)
+    # reconstruction: chunk i contributes its tokens after dropping the
+    # first `overlap` tokens for i > 0
+    rebuilt = []
+    for r in rows:
+        ts = r["chunk_text"].split(" ")
+        assert len(ts) == r["n_tokens"]
+        rebuilt.extend(ts if r["chunk_id"] == 0 else ts[overlap:])
+    assert rebuilt == toks
+    # expected chunk count from the start formula
+    import math
+
+    n = len(toks)
+    assert len(rows) == math.ceil(max(n - overlap, 1) / stride)

@@ -86,3 +86,29 @@ def test_curate_chunks_carries_annotations(spark):
     )
     assert per_doc == 0
     out.unpersist()
+
+
+def test_curate_chunks_feeds_sequence_packing(spark):
+    """The full pretraining-prep lineage: curate -> chunk -> pack.
+    Chunks flow straight into pack_sequences on their token counts;
+    every chunk lands in exactly one shard and no shard exceeds the
+    budget (chunk sizes are <= chunk_size <= budget by construction)."""
+    from spectrify_spark.operators.packing import pack_sequences
+    from spectrify_spark.pipelines import curate_chunks
+
+    chunks = curate_chunks(_docs(spark), chunk_size=32, overlap=8)
+    packed = pack_sequences(
+        chunks.select("id", "chunk_id", "n_tokens"),
+        [F.col("id"), F.col("chunk_id")],
+        "n_tokens",
+        budget=128,
+    ).persist()
+    assert packed.count() == chunks.count()  # nothing dropped
+    # shard = the shard a row STARTS in (pack_sequences contract), so a
+    # shard's total may overflow by at most one row (< chunk_size)
+    per_shard = packed.groupBy("shard_id").agg(F.sum("n_tokens").alias("t"))
+    assert per_shard.filter(F.col("t") > 128 + 31).count() == 0
+    # shards are dense from 0 (no empty shards skipped)
+    ids = sorted(r["shard_id"] for r in per_shard.collect())
+    assert ids == list(range(len(ids)))
+    packed.unpersist()

@@ -1771,17 +1771,23 @@ def q_winsorize(spark, sf):
 
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: flag corpus docs sharing >= 3 distinct
-    5-gram word shingles with a held-out benchmark slice (doc_id % 10
-    == 0 stands in for the eval set).  Parameters are corpus-calibrated
-    so the row is non-vacuous: at sf0.01 the threshold separates 6
-    genuine near-dups of benchmark docs (76-90 shared grams) from
-    incidental 1-2-gram collisions.  Broadcast gram join; the only
-    shuffle is the groupBy over hit rows."""
+    5-gram word shingles with a held-out benchmark slice.  The stand-in
+    eval set is FIXED-SIZE — ``doc_id % 10 == 0 AND doc_id < 500``, 50
+    docs at every scale factor — matching the operator's deployment
+    contract (benchmarks are MBs even when the corpus is 100 TB), so
+    the broadcast gram side stays constant as the corpus grows.  (The
+    r5 shape, ``doc_id % 10 == 0`` alone, grew the broadcast linearly
+    with the corpus — a broadcast-OOM at 100×.)  Non-vacuous at every
+    sf: the >= 3 threshold separates genuine near-dups of benchmark
+    docs from incidental 1-2-gram collisions (7/6/4 hits at
+    sf0.001/0.01/0.1).  Broadcast gram join; the only shuffle is the
+    groupBy over hit rows."""
     from spectrify_spark.operators.decontaminate import ngram_overlap
 
     d = _t(spark, sf, "documents")
-    bench = d.filter(F.col("doc_id") % 10 == 0)
-    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    in_bench = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 500)
+    bench = d.filter(in_bench)
+    corpus = d.filter(~in_bench)
     return ngram_overlap(corpus, bench, n=5, min_overlap=3)
 
 
@@ -2968,7 +2974,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors decontaminate.ngram_overlap: lower -> whitespace tokens
         # -> per-doc DISTINCT 5-gram shingles -> gram join vs the
-        # doc_id%10==0 benchmark slice -> count >= 3
+        # fixed-50-doc benchmark slice (doc_id%10==0 AND doc_id<500,
+        # constant across sf) -> count >= 3
         "q_decontaminate": """
             WITH toks AS (
               SELECT doc_id,
@@ -2985,9 +2992,11 @@ def oracle_sql() -> dict[str, str]:
                      END AS gs
               FROM toks),
             bench AS (
-              SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 10 = 0),
+              SELECT DISTINCT unnest(gs) AS gram FROM grams
+              WHERE doc_id % 10 = 0 AND doc_id < 500),
             corp AS (
-              SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 10 <> 0)
+              SELECT doc_id, unnest(gs) AS gram FROM grams
+              WHERE NOT (doc_id % 10 = 0 AND doc_id < 500))
             SELECT c.doc_id, COUNT(*) AS n_overlap
             FROM corp c JOIN bench b USING (gram)
             GROUP BY c.doc_id

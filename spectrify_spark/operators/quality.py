@@ -27,6 +27,7 @@ def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document mean ln p(token) under the corpus unigram model.
 
@@ -34,10 +35,12 @@ def unigram_logprob(
     to 4 decimals (fp aggregation order differs across engines).
     Empty documents are dropped (no tokens, no score).
 
-    The plan tokenizes the corpus twice (once for the vocabulary, once
-    for scoring) — Catalyst does not CSE across an aggregation.  In a
-    production pipeline persist the exploded token table (or checkpoint
-    the vocab) so the 100 TB text column is read once.
+    The token table feeds both the vocabulary aggregation and the
+    scoring join, and Catalyst does not CSE across an aggregation — so
+    it is persisted (``persist=True``, the ``dedup.near_dup_pairs``
+    pattern) and the 100 TB text column is scanned and tokenized ONCE.
+    Pass ``persist=False`` only when the caller already persists or
+    checkpoints the input and prefers the double scan over cache space.
     """
     toks = df.select(
         F.col(id_col),
@@ -47,6 +50,8 @@ def unigram_logprob(
             )
         ).alias("__tok"),
     )
+    if persist:
+        toks = toks.persist()
     vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     # total token count replicated onto every vocab row (tiny second agg
     # over the vocab, NOT a second corpus scan)
@@ -79,11 +84,22 @@ def winsorize(
     Adds ``out_col`` (default ``{value_col}_w``) with the clipped value;
     the bounds are one exact-percentile aggregation broadcast back as a
     1-row cross join, so the main pass stays a map-side projection.
+
+    Raises ``ValueError`` unless ``0 <= lo <= hi <= 1`` — percentile
+    fractions outside [0,1] (or inverted) would otherwise surface as an
+    opaque engine error mid-job.
     """
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(
+            f"winsorize requires 0 <= lo <= hi <= 1, got lo={lo!r} hi={hi!r}"
+        )
     out_col = out_col or f"{value_col}_w"
+    # backtick-quote so column names needing escaping survive the SQL
+    # expression (percentile has no pure-Column exact form)
+    q = "`" + value_col.replace("`", "``") + "`"
     bounds = df.agg(
-        F.expr(f"percentile({value_col}, {lo})").alias("__lo"),
-        F.expr(f"percentile({value_col}, {hi})").alias("__hi"),
+        F.expr(f"percentile({q}, {lo!r})").alias("__lo"),
+        F.expr(f"percentile({q}, {hi!r})").alias("__hi"),
     )
     return (
         df.crossJoin(F.broadcast(bounds))

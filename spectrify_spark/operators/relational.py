@@ -234,6 +234,7 @@ def merge_changes(
     key: str,
     op_col: str = "op",
     delete_op: str = "D",
+    allowed_ops: tuple[str, ...] = ("I", "U", "D"),
 ) -> DataFrame:
     """MERGE-style CDC apply: produce the next snapshot of ``base``
     given a changeset whose ``op_col`` marks deletes (``delete_op``);
@@ -242,6 +243,14 @@ def merge_changes(
     ``changes`` must carry all of ``base``'s columns (plus ``op_col``)
     and at most one row per key — the latest-wins compaction
     (``dedup.latest_by_key``) runs upstream if the raw log has more.
+
+    A change row whose ``op_col`` is NULL or outside ``allowed_ops``
+    fails the job (``raise_error`` inside the upsert projection) rather
+    than silently vanishing: its key would be anti-joined out of the
+    snapshot while ``op != delete_op`` evaluates to NULL and drops it
+    from the upserts — malformed input must not become quiet data loss.
+    The check is a map-side expression on the (small) changeset only;
+    the snapshot path is untouched.
 
     Scale shape: one LEFT ANTI equi-join of the snapshot against the
     changeset keys plus a union — the changeset in a CDC batch is
@@ -252,7 +261,22 @@ def merge_changes(
     missing = set(base.columns) - set(changes.columns)
     if missing:
         raise ValueError(f"changes missing base columns: {sorted(missing)}")
-    keys = changes.select(key)
+    if delete_op not in allowed_ops:
+        raise ValueError(f"delete_op {delete_op!r} not in allowed_ops {allowed_ops}")
+    op_ok = F.col(op_col).isin(*allowed_ops)
+    checked = changes.withColumn(
+        op_col,
+        F.when(op_ok, F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"merge_changes: invalid {op_col}="),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                    F.lit(f" (allowed: {','.join(allowed_ops)})"),
+                )
+            )
+        ),
+    )
+    keys = checked.select(key)
     survived = base.join(keys, on=key, how="left_anti")
-    upserts = changes.filter(F.col(op_col) != delete_op).select(*base.columns)
+    upserts = checked.filter(F.col(op_col) != delete_op).select(*base.columns)
     return survived.unionByName(upserts)

@@ -32,17 +32,21 @@ def read_event_stream(
     production — the downstream plan is identical)."""
     import os
 
-    if os.path.isfile(path):
-        # FileStreamSource requires a directory basePath; a glob scopes
-        # the basePath to the parent directory and still matches the
-        # single file ('*' matches the empty string), so single-file
-        # tables stream too.
-        path = path + "*"
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
     )
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory basePath: stream the
+        # parent directory restricted to exactly this basename via
+        # pathGlobFilter.  (A bare `path + '*'` prefix glob would also
+        # match siblings sharing the prefix — events.parquet.bak,
+        # events.parquet2 — silently streaming foreign rows.)
+        parent, base = os.path.split(os.path.abspath(path))
+        # escape glob metacharacters so a literal basename stays literal
+        base = "".join("[" + c + "]" if c in "*?[]{}^\\" else c for c in base)
+        reader = reader.option("pathGlobFilter", base)
+        path = parent
+    return reader.parquet(path)
 
 
 def windowed_counts(

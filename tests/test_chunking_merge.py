@@ -141,3 +141,33 @@ def test_chunk_tokens_invariants(spark, toks, size, overlap_frac):
 
     n = len(toks)
     assert len(rows) == math.ceil(max(n - overlap, 1) / stride)
+
+
+def test_merge_rejects_null_op(spark):
+    """A NULL op must fail the job, not silently delete the key (the
+    anti join removes it while `op != 'D'` evaluates to NULL and drops
+    the row from the upserts)."""
+    base = _snapshot(spark)
+    changes = spark.createDataFrame(
+        [(2, "b2", None)], "k bigint, v string, op string"
+    )
+    with pytest.raises(Exception, match="invalid op"):
+        merge_changes(base, changes, key="k").collect()
+
+
+def test_merge_rejects_unknown_op(spark):
+    base = _snapshot(spark)
+    changes = spark.createDataFrame(
+        [(2, "b2", "X")], "k bigint, v string, op string"
+    )
+    with pytest.raises(Exception, match="invalid op"):
+        merge_changes(base, changes, key="k").collect()
+
+
+def test_merge_rejects_delete_op_outside_allowed(spark):
+    base = _snapshot(spark)
+    changes = spark.createDataFrame(
+        [(2, "b2", "U")], "k bigint, v string, op string"
+    )
+    with pytest.raises(ValueError, match="not in allowed_ops"):
+        merge_changes(base, changes, key="k", delete_op="Z")

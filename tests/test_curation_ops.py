@@ -161,3 +161,22 @@ def test_weighted_sample_rejects_bad_weight(spark):
     df = spark.createDataFrame([(1, "a")], "k bigint, s string")
     with pytest.raises(ValueError):
         weighted_sample(df, stratum_col="s", key_col="k", weights={"a": 1.5})
+
+
+def test_q_decontaminate_bench_side_constant_across_sf(spark):
+    """The registry key's stand-in eval set must be FIXED-SIZE (the
+    deployment contract: benchmark grams broadcast because benchmarks
+    are MBs even at a 100 TB corpus).  r5's doc_id%10==0 slice grew
+    linearly with the corpus; pin the fixed-K shape so it cannot creep
+    back."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        in_bench = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 500)
+        assert d.filter(in_bench).count() == 50
+
+
+def test_q_decontaminate_registry_nonvacuous(spark):
+    import __spark_entry__ as e
+
+    out = e.queries()["q_decontaminate"](spark, "/root/testdata/sf0.001")
+    assert out.count() > 0

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from spectrify_spark.operators.quality import unigram_logprob, winsorize
 
 
@@ -59,3 +61,22 @@ def test_fixed_n_per_stratum(spark):
 
     with _pytest.raises(ValueError):
         fixed_n_per_stratum(df, stratum_col="s", key_col="k", n=0)
+
+
+def test_winsorize_validates_fractions(spark):
+    from spectrify_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    for lo, hi in ((-0.1, 0.5), (0.5, 1.2), (0.9, 0.1)):
+        with pytest.raises(ValueError, match="winsorize requires"):
+            winsorize(df, "x", lo=lo, hi=hi)
+
+
+def test_winsorize_backtick_column_name(spark):
+    from spectrify_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (100.0,)], ["odd name"]
+    )
+    out = winsorize(df, "odd name", lo=0.0, hi=0.5).collect()
+    assert max(r["odd name_w"] for r in out) == 2.0

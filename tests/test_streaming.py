@@ -229,3 +229,32 @@ def test_session_window_exact_gap_merges_like_batch(spark, tmp_path):
         b.groupBy("user_id").agg(F.countDistinct("session_id").alias("n")).collect()
     )
     assert {r.user_id: r.n for r in sess_per_user} == {1: 1, 2: 2}
+
+
+def test_single_file_stream_ignores_prefix_siblings(spark, tmp_path):
+    """Streaming a single FILE must match exactly that basename: a
+    sibling sharing the prefix (events.parquet.bak) must not leak rows
+    into the stream (the r5 `path + '*'` prefix glob did)."""
+    from spectrify_spark.sources.parquet import read_table
+
+    src = read_table(spark, "/root/testdata/sf0.001/events.parquet")
+    one = src.limit(100)
+    d = tmp_path / "single"
+    one.coalesce(1).write.parquet(str(d / "_tmp"))
+    import glob as g, shutil as sh
+
+    part = g.glob(str(d / "_tmp" / "part-*.parquet"))[0]
+    target = str(d / "events.parquet")
+    sh.copyfile(part, target)
+    # sibling with the same prefix and DIFFERENT rows
+    sh.copyfile(part, target + ".bak")
+    sh.rmtree(str(d / "_tmp"))
+
+    stream = SE.read_event_stream(spark, target)
+    q = SE.run_to_memory_sink(stream.groupBy().count(), "single_file_test")
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT * FROM single_file_test").collect()[0][0]
+    finally:
+        q.stop()
+    assert n == 100  # not 200: the .bak sibling is excluded

@@ -1,17 +1,29 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs the query surface at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Two workload families:
-- the declared query surface (each forced to full execution via count);
-- the reference's own core operation, gzip-CSV -> typed -> parquet
-  conversion (``etl_convert_csv``), timed over a lineitem export — the
-  stage the reference implements as a per-cell Python loop and this
-  engine runs through Spark's vectorized readers/writers.
+Workload families:
+- HEADLINE: the flagship query set (stable across rounds — the r3/r5
+  comparison basis), each reported as the MEDIAN of 5 full executions;
+- EXTENDED: every other registry key, median of 3 — so no operator has
+  correctness rows without a perf trend;
+- ``etl_convert_csv``: the reference's own core operation, gzip-CSV ->
+  typed -> parquet conversion over a lineitem export — the stage the
+  reference implements as a per-cell Python loop and this engine runs
+  through Spark's vectorized readers/writers.
 
-Each timed entry is min-of-2 runs (damps one-time codegen JIT and host
-noise; both runs execute fully).
+Host normalization: this host shows ±2-3x run-to-run variance across
+boots (BENCH_NOTES.md) — absolute seconds are NOT comparable across
+rounds.  Each run therefore times a fixed CALIBRATION workload (pure
+Spark, no repo code: range -> modular groupBy -> sort) in the same
+session and reports ``baseline_ratio`` = headline_total /
+calibration_sec.  Compare rounds on the ratio, not the seconds: the
+calibration denominator moves with host placement exactly as the
+numerator does.
+
+Medians (not min) damp both one-time codegen JIT and transient host
+stalls without letting a single lucky run mask a regression.
 """
 
 from __future__ import annotations
@@ -19,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -67,7 +80,9 @@ HEADLINE = [
     "q_stream_window",
 ]
 
-RUNS = 2
+RUNS_HEADLINE = 5
+RUNS_EXTENDED = 3
+RUNS_CALIBRATION = 5
 
 
 def _time_once(fn) -> float:
@@ -76,14 +91,42 @@ def _time_once(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _median_time(fn, runs: int) -> float:
+    return statistics.median(_time_once(fn) for _ in range(runs))
+
+
+def _calibration(spark) -> float:
+    """Fixed synthetic workload, zero repo code: 50M-row range ->
+    modular groupBy (one shuffle) -> sort of the 1000-row result.  Its
+    wall time tracks host placement/frequency, not this repo — the
+    denominator for baseline_ratio."""
+
+    def run() -> None:
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(50_000_000)
+            .groupBy((F.col("id") % 1000).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .orderBy("k")
+            .count()
+        )
+
+    return _median_time(run, RUNS_CALIBRATION)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("spectrify-bench")
     qs = E.queries()
+    extended = [k for k in qs if k not in HEADLINE]
 
     # warm the JVM + parquet footers once (excluded from timing)
     qs["q_scan_project"](spark, sf_dir).count()
+
+    calibration = round(_calibration(spark), 3)
+    print(f"# calibration: {calibration:.2f}s", file=sys.stderr)
 
     # Failure isolation: one broken query must never erase the round's
     # entire perf evidence (r4: q_events_sessionize crashed the harness
@@ -92,28 +135,30 @@ def main() -> None:
     # the final JSON line still land.
     timings: dict[str, object] = {}
     errors = 0
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        try:
-            dt = min(
-                _time_once(lambda: fn(spark, sf_dir).count()) for _ in range(RUNS)
-            )
-        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
-            errors += 1
-            timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
-            print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
-            continue
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+    totals = {"headline": 0.0, "extended": 0.0}
+
+    for family, names, runs in (
+        ("headline", HEADLINE, RUNS_HEADLINE),
+        ("extended", extended, RUNS_EXTENDED),
+    ):
+        for name in names:
+            fn = qs[name]
+            try:
+                dt = _median_time(lambda: fn(spark, sf_dir).count(), runs)
+            except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+                errors += 1
+                timings[name] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+                print(f"# {name}: ERROR {type(exc).__name__}", file=sys.stderr)
+                continue
+            timings[name] = round(dt, 3)
+            totals[family] += dt
+            print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     # ETL convert benchmark: the reference's core operation.
     try:
         dt, n_rows = _etl_bench(spark, sf_dir)
         timings["etl_convert_csv"] = round(dt, 3)
         timings["etl_convert_rows_per_sec"] = round(n_rows / dt)
-        total += dt
         print(
             f"# etl_convert_csv: {n_rows} rows in {dt:.2f}s "
             f"({n_rows / dt:,.0f} rows/s)",
@@ -128,9 +173,16 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 3),
+                "value": round(totals["headline"], 3),
                 "unit": "sec",
+                "stat": f"median_of_{RUNS_HEADLINE}",
                 "queries": timings,
+                "extended_total": round(totals["extended"], 3),
+                "extended_stat": f"median_of_{RUNS_EXTENDED}",
+                "calibration_sec": calibration,
+                "baseline_ratio": round(totals["headline"] / calibration, 3)
+                if calibration
+                else None,
                 "errors": errors,
                 "sf": sf,
             }
@@ -143,7 +195,7 @@ def main() -> None:
 
 def _etl_bench(spark, sf_dir: str) -> tuple[float, int]:
     """gzip-CSV -> typed -> parquet round trip over a lineitem export;
-    returns (best wall time, row count)."""
+    returns (median wall time of 3, row count)."""
     from spectrify_spark.sources.parquet import read_table
     from spectrify_spark.transform import convert_manifest, export_to_csv
 
@@ -163,10 +215,13 @@ def _etl_bench(spark, sf_dir: str) -> tuple[float, int]:
         # convert_manifest is the action; its trailing read-back handle
         # is lazy.  The reference's convert stage likewise ends when the
         # files land — counting the output would time a full re-read.
-        def convert(run: int) -> None:
-            convert_manifest(spark, manifest, schema, f"{work}/pq{run}")
+        runs = [0]
 
-        dt = min(_time_once(lambda r=r: convert(r)) for r in range(RUNS))
+        def convert() -> None:
+            convert_manifest(spark, manifest, schema, f"{work}/pq{runs[0]}")
+            runs[0] += 1
+
+        dt = _median_time(convert, RUNS_EXTENDED)
         # verify (untimed): every row survived the round trip
         assert spark.read.parquet(f"{work}/pq0").count() == n_rows
         return dt, n_rows

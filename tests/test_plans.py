@@ -211,6 +211,13 @@ GOLDEN = {
     # + pigeonhole-recall legs union into one wide plan — 14 exchanges
     # over ~2-col scans; the ceiling pins it against iteration growth
     "q_dedup_simhash": dict(max_exchanges=14, max_scan_cols=2),
+    # r6: BM25 retrieval — postings-only shuffles (tf agg, |Q|-row df
+    # agg, per-doc score agg) + TakeOrdered; its nested-loop join is the
+    # designed 1-row corpus-stats broadcast, so no ban; df join stays
+    # broadcast-hash
+    "q_text_bm25": dict(
+        max_exchanges=5, joins=["BroadcastHashJoin"], max_scan_cols=2,
+    ),
 }
 
 

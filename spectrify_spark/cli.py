@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     cu.add_argument("--chunk-overlap", type=int, default=0)
 
+    se = sub.add_parser(
+        "search", help="BM25 keyword retrieval over a documents parquet"
+    )
+    se.add_argument("source", help="parquet with (doc_id, text) columns")
+    se.add_argument("terms", nargs="+", help="query terms (bag of words)")
+    se.add_argument("-k", type=int, default=10, help="top-k docs")
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+
     args = p.parse_args(argv)
     spark = get_spark("spectrify-cli")
 
@@ -134,6 +143,16 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=["split"] if args.partition_by_split else None,
         )
         print(args.dest)
+    elif args.cmd == "search":
+        from spectrify_spark.operators.retrieval import bm25_topk
+        from spectrify_spark.sources.parquet import read_table
+
+        src = read_table(spark, args.source)
+        hits = bm25_topk(
+            src, args.terms, k=args.k, id_col=args.id_col, text_col=args.text_col
+        )
+        for row in hits.collect():
+            print(f"{row[args.id_col]}\t{row['score']}")
     return 0
 
 

@@ -51,9 +51,26 @@ def l2_distance(a: Column, b: Column) -> Column:
 
 
 def normalize(a: Column) -> Column:
-    """Unit-normalize an array<float> (double elements out); NULL-safe."""
-    n = norm(a)
-    return F.when(n > 0, F.transform(a, lambda v: v.cast("double") / n))
+    """Unit-normalize an array<float> (double elements out); NULL-safe.
+
+    The norm is bound ONCE as a lambda-variable struct field: an outer
+    computed expression referenced inside a higher-order-function
+    lambda is re-evaluated per element, so the naive
+    ``transform(a, v -> v / norm(a))`` recomputes the O(d) norm
+    aggregate for every element — O(d²) per row (cf. text.shingles)."""
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(a.alias("v"), norm(a).alias("n"))),
+            lambda s: F.when(
+                s.getField("n") > 0,
+                F.transform(
+                    s.getField("v"),
+                    lambda x: x.cast("double") / s.getField("n"),
+                ),
+            ),
+        ),
+        1,
+    )
 
 
 def cosine_pandas_udf(query_vec: list[float]):

@@ -210,3 +210,26 @@ def test_cli_curate_writes_partitioned_corpus(spark, tmp_path):
     assert {r["split"] for r in back.select("split").distinct().collect()} <= {
         "train", "valid", "test"
     }
+
+
+def test_cli_search_prints_bm25_hits(spark, capsys):
+    from spectrify_spark import cli
+
+    rc = cli.main(
+        [
+            "search",
+            "/root/testdata/sf0.001/documents.parquet",
+            "vector",
+            "stream",
+            "-k",
+            "5",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.strip().splitlines() if "\t" in ln
+    ]
+    assert len(lines) == 5
+    # scores are descending
+    scores = [float(ln.split("\t")[1]) for ln in lines]
+    assert scores == sorted(scores, reverse=True)

@@ -97,14 +97,25 @@ def assign_partitions(
     column.  At scale: write this table partitioned by ``ivf_cell`` so
     probes become partition-pruned scans.
 
-    Implementation note: scores go into ONE array expression and the
+    Implementation notes: scores go into ONE array expression and the
     argmax is array_position(array_max) — a when-chain that tracks
     best-so-far duplicates every earlier score subtree at each level
     (quadratic expression growth; with 64-dim literal centroids that
-    alone dominated plan analysis time)."""
+    alone dominated plan analysis time).  The score is ``dot(v, c) /
+    ||c||`` with the centroid norms precomputed driver-side, NOT the
+    full cosine: argmax is invariant to the positive common factor
+    1/||v||, and the full form recomputes the O(d) ``norm(v)``
+    aggregate once per centroid per row (and the centroid-literal norm
+    per row) — measured ~2x on the Lloyd's/IVF assignment pass."""
+    import math
+
+    def _cnorm(vec: list[float]) -> float:
+        return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+
     scores = F.array(
         *[
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))
+            / F.lit(_cnorm(vec))
             for _, vec in centroids
         ]
     )
@@ -151,13 +162,23 @@ def kmeans_refine(
     centroids: list[tuple[int, list[float]]],
     iters: int = 2,
     vec_col: str = "embedding",
+    persist: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's iterations over the seeded centroids — the iterative-
     algorithm pattern: per-iteration work is fully distributed (assign =
     argmax expression; recompute = posexplode + groupBy mean); only the
     C x dim centroid table (tiny, the model parameters) returns to the
     driver between iterations.  Deterministic given the seeded input.
+
+    ``persist=True`` caches the vector table across the iterations so
+    each Lloyd's round reads the scan+decode once, then UNPERSISTS
+    before returning: every action here happens inside the loop, and a
+    cache left behind would substitute a full-width InMemoryRelation
+    for other queries' pruned, filter-pushed parquet scans (measured
+    1.6x SLOWER on q_dedup_embed when the kmeans cache lingered).
     """
+    if persist:
+        df = df.persist()
     current = centroids
     for _ in range(iters):
         assigned = assign_partitions(df, current, vec_col=vec_col, out_col="__cell")
@@ -177,6 +198,8 @@ def kmeans_refine(
         by_cell = {r["__cell"]: [float(x) for x in r["__vec"]] for r in means}
         # empty cells keep their previous centroid
         current = [(cid, by_cell.get(cid, vec)) for cid, vec in current]
+    if persist:
+        df.unpersist()
     return current
 
 

@@ -60,6 +60,25 @@ def parquet_table_ddl(
     return ddl
 
 
+def orc_table_ddl(
+    table: str,
+    schema: T.StructType,
+    location: str,
+    partition_cols: list[str] | None = None,
+) -> str:
+    """``CREATE EXTERNAL TABLE ... USING ORC LOCATION ...`` — the ORC
+    twin of parquet_table_ddl for consumers standardized on ORC."""
+    ddl = (
+        f"CREATE TABLE IF NOT EXISTS {sanitize_table_name(table)} (\n"
+        f"  {columns_ddl(schema)}\n)\n"
+        f"USING ORC\n"
+    )
+    if partition_cols:
+        ddl += f"PARTITIONED BY ({', '.join(partition_cols)})\n"
+    ddl += f"LOCATION '{location}'"
+    return ddl
+
+
 def csv_table_ddl(
     table: str,
     schema: T.StructType,

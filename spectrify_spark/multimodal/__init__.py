@@ -4,5 +4,6 @@ from spectrify_spark.multimodal.binary_cols import (  # noqa: F401
     extract_features,
     fake_decode_batch,
     media_metadata,
+    resize_images,
     sample_frames,
 )

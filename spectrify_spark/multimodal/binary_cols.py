@@ -112,6 +112,61 @@ def extract_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     return decode_images(df, codec="fake", batch_features=n_features)
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, out_width: int = 8, out_height: int = 8, codec: str = "fake"
+) -> DataFrame:
+    """Resize/thumbnail stage: payload -> fixed (out_width x out_height)
+    thumbnail bytes via Arrow-batched mapInPandas — the same plumbing
+    contract as decode_images; the fake codec stride-samples the source
+    bytes into exactly out_width*out_height bytes (deterministic, NULL
+    payloads pass through as NULL).  ``codec="real"`` is the PIL slot
+    and fails fast at plan build in this container."""
+    if out_width <= 0 or out_height <= 0:
+        raise ValueError(f"need positive dims, got {out_width}x{out_height}")
+    if codec == "real":
+        raise NotImplementedError(
+            "real image resize requires PIL (not installed); "
+            "use codec='fake' for the deterministic test path"
+        )
+    n_out = out_width * out_height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            thumbs = []
+            for buf in pdf["payload"]:
+                if buf is None:
+                    thumbs.append(None)
+                    continue
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if len(arr) == 0:
+                    thumbs.append(b"\x00" * n_out)
+                    continue
+                idx = (np.arange(n_out) * len(arr)) // n_out
+                thumbs.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "out_width": out_width,
+                    "out_height": out_height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(resize, _RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
 ) -> DataFrame:

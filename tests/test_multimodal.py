@@ -73,3 +73,38 @@ def test_sample_frames(spark):
     out = sample_frames(_media(spark), every_ms=1000)
     frames = sorted(r.frame_ts_ms for r in out.collect())
     assert frames == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_fixed_output_shape(spark):
+    from spectrify_spark.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(_media(spark), 4, 3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for mid in (1, 2, 3):
+        r = out[mid]
+        assert (r["out_width"], r["out_height"]) == (4, 3)
+        assert len(bytes(r["thumb"])) == 12  # exactly out_w*out_h bytes
+    assert out[4]["thumb"] is None  # NULL payload passes through
+
+
+def test_resize_images_deterministic(spark):
+    from spectrify_spark.multimodal import resize_images
+
+    a = sorted(
+        (r["media_id"], bytes(r["thumb"]) if r["thumb"] else None)
+        for r in resize_images(_media(spark), 8, 8).collect()
+    )
+    b = sorted(
+        (r["media_id"], bytes(r["thumb"]) if r["thumb"] else None)
+        for r in resize_images(_media(spark), 8, 8).collect()
+    )
+    assert a == b
+
+
+def test_resize_images_validates_and_stubs(spark):
+    from spectrify_spark.multimodal import resize_images
+
+    with pytest.raises(ValueError, match="positive dims"):
+        resize_images(_media(spark), 0, 4)
+    with pytest.raises(NotImplementedError):
+        resize_images(_media(spark), 4, 4, codec="real")

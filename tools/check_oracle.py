@@ -2,7 +2,13 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB,
 compare row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a bare SparkSession (no engine session factory) —
+the driver's actual environment.  The engine's read path must carry its
+own conventions (NTZ inference off, nanos handling) for this to pass;
+the r4 round failed exactly here, so run the window keys vanilla before
+each round ends.
 """
 
 from __future__ import annotations
@@ -58,9 +64,21 @@ def hash_rows(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

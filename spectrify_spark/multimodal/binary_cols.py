@@ -6,7 +6,12 @@ metadata predicates prune scans without touching payloads.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages (one Python worker per partition, whole
-record-batches across the boundary — never per-row Python).  The
+record-batches across the boundary — never per-row Python).  At real
+payload sizes, size the Arrow batches to the media, not the default:
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (10k rows default)
+means 10k decoded images per batch in worker memory — set it so
+batch_rows x payload_bytes fits the Python worker (e.g. 64-256 for
+multi-MB images/video chunks).  The
 actual codec step is STUBBED (image/audio libraries are not in this
 container): ``fake_decode_batch`` is a deterministic stand-in and
 ``decode_images(..., codec="real")`` raises NotImplementedError.  The

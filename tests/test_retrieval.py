@@ -89,3 +89,33 @@ def test_bm25_validates_inputs(spark):
 def test_bm25_idf_positive_even_for_ubiquitous_terms():
     # '+1' smoothing: a term in every doc still gets idf > 0
     assert bm25_idf(100, 100) > 0
+
+
+# ------------------------------------------------------ property tests
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=8), q=st.lists(_word, min_size=1, max_size=3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bm25_invariants(spark, texts, q):
+    """For any corpus/query: scores are positive and descending, every
+    hit contains >= 1 query term, and every doc containing a query term
+    is a hit (k >= corpus size here, so nothing is cut off)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_topk(df, q, k=len(rows)).collect()
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    qset = {t.lower() for t in q}
+    expected_hits = {i for i, t in rows if qset & set(t.split())}
+    assert {r["doc_id"] for r in out} == expected_hits

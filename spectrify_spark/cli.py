@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         help="if >0, emit one row per context-window chunk instead of per doc",
     )
     cu.add_argument("--chunk-overlap", type=int, default=0)
+    cu.add_argument(
+        "--bench",
+        default=None,
+        help="parquet with a `text` column: drop docs sharing 5-gram "
+        "shingles with this benchmark/eval set (decontamination)",
+    )
 
     se = sub.add_parser(
         "search", help="BM25 keyword retrieval over a documents parquet"
@@ -123,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         from spectrify_spark.sources.parquet import read_table, write_parquet
 
         src = read_table(spark, args.source)
+        bench = read_table(spark, args.bench) if args.bench else None
         if args.chunk_size > 0:
             out = curate_chunks(
                 src,
@@ -130,12 +137,14 @@ def main(argv: list[str] | None = None) -> int:
                 overlap=args.chunk_overlap,
                 min_tokens=args.min_tokens,
                 near_dup_threshold=args.near_dup_threshold,
+                bench=bench,
             )
         else:
             out = curate(
                 src,
                 min_tokens=args.min_tokens,
                 near_dup_threshold=args.near_dup_threshold,
+                bench=bench,
             )
         write_parquet(
             out,

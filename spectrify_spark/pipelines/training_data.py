@@ -2,7 +2,8 @@
 operators exist for, as ONE declarative lineage.
 
 clean -> annotate (lang, quality, token counts) -> gate -> exact dedup
--> near dedup (MinHash-LSH) -> deterministic split.  Every stage is a
+-> near dedup (MinHash-LSH) [-> benchmark decontamination] ->
+deterministic split.  Every stage is a
 Catalyst expression or a bucketed join from ``functions/text.py`` /
 ``operators/dedup.py`` — no Python in the row path, so the whole
 pipeline plans as a handful of shuffles regardless of corpus size:
@@ -35,6 +36,9 @@ def curate(
     min_tokens: int = 5,
     near_dup_threshold: float = 0.8,
     split_weights: tuple[int, int, int] = (90, 5, 5),
+    bench: DataFrame | None = None,
+    decontam_ngram: int = 5,
+    decontam_min_overlap: int = 3,
 ) -> DataFrame:
     """documents -> curated training corpus with split assignment.
 
@@ -42,6 +46,13 @@ def curate(
     quality, n_tokens, split)`` where split ∈ {train, valid, test} by
     md5 hash bucket (stable as the corpus grows — rows never migrate
     between splits when new data lands, unlike rand() splits).
+
+    ``bench``, when given, drops survivors sharing >=
+    ``decontam_min_overlap`` distinct ``decontam_ngram``-gram shingles
+    with it (operators/decontaminate.py) — benchmark grams broadcast,
+    so the stage adds zero corpus shuffles.  Decontamination runs after
+    dedup on CLEANED text: the same normalization on both sides is
+    what makes gram collision meaningful.
     """
     # 1. clean: strip URLs, collapse whitespace (C4-style, expression-only)
     cleaned = F.trim(
@@ -85,6 +96,21 @@ def curate(
     # a large fraction of the corpus — let AQE pick the join strategy
     victims = pairs.select(F.col("id_b").alias("id")).distinct()
     deduped = exact.join(victims, "id", "left_anti")
+
+    # 4b. optional benchmark decontamination (broadcast gram join over
+    # the cleaned text; the flagged-id anti join is AQE-sized)
+    if bench is not None:
+        from spectrify_spark.operators.decontaminate import ngram_overlap
+
+        flagged = ngram_overlap(
+            deduped.select(F.col("id").alias("doc_id"), F.col("text_clean").alias("text")),
+            bench,
+            n=decontam_ngram,
+            id_col="doc_id",
+            text_col="text",
+            min_overlap=decontam_min_overlap,
+        ).select(F.col("doc_id").alias("id"))
+        deduped = deduped.join(flagged, "id", "left_anti")
 
     # 5. deterministic split (engine-portable md5 bucket)
     n_train, n_valid, _ = split_weights

@@ -112,3 +112,24 @@ def test_curate_chunks_feeds_sequence_packing(spark):
     ids = sorted(r["shard_id"] for r in per_shard.collect())
     assert ids == list(range(len(ids)))
     packed.unpersist()
+
+
+def test_curate_decontaminates_against_bench(spark):
+    """A doc sharing >= 3 distinct 5-grams with the benchmark must be
+    dropped; clean docs and short-overlap docs survive."""
+    from spectrify_spark.pipelines import curate
+
+    contaminated = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, contaminated),  # verbatim benchmark text
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "alpha beta gamma other words entirely different here now ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, contaminated)], "doc_id bigint, text string")
+    with_bench = {r["id"] for r in curate(docs, min_tokens=1, bench=bench).collect()}
+    without = {r["id"] for r in curate(docs, min_tokens=1).collect()}
+    assert 1 in without
+    assert with_bench == without - {1}

@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
         "shingles with this benchmark/eval set (decontamination)",
     )
 
+    pk = sub.add_parser(
+        "pack", help="assign token-budget shard ids for data-loader packing"
+    )
+    pk.add_argument("source", help="parquet with (doc_id, text) columns")
+    pk.add_argument("dest")
+    pk.add_argument("--budget", type=int, default=2048, help="tokens per shard")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+
     se = sub.add_parser(
         "search", help="BM25 keyword retrieval over a documents parquet"
     )
@@ -151,6 +160,23 @@ def main(argv: list[str] | None = None) -> int:
             args.dest,
             partition_by=["split"] if args.partition_by_split else None,
         )
+        print(args.dest)
+    elif args.cmd == "pack":
+        from pyspark.sql import functions as F
+
+        from spectrify_spark.functions import text as TX
+        from spectrify_spark.operators.packing import pack_sequences
+        from spectrify_spark.sources.parquet import read_table, write_parquet
+
+        src = read_table(spark, args.source)
+        sized = src.select(
+            args.id_col,
+            TX.token_count(F.col(args.text_col)).cast("bigint").alias("n_tokens"),
+        )
+        packed = pack_sequences(
+            sized, [F.col(args.id_col)], "n_tokens", budget=args.budget
+        )
+        write_parquet(packed, args.dest)
         print(args.dest)
     elif args.cmd == "search":
         from spectrify_spark.operators.retrieval import bm25_topk

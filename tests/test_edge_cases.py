@@ -233,3 +233,31 @@ def test_cli_search_prints_bm25_hits(spark, capsys):
     # scores are descending
     scores = [float(ln.split("\t")[1]) for ln in lines]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_pack_assigns_contiguous_shards(spark, tmp_path):
+    from spectrify_spark import cli
+
+    dest = str(tmp_path / "packed")
+    rc = cli.main(
+        [
+            "pack",
+            "/root/testdata/sf0.001/documents.parquet",
+            dest,
+            "--budget",
+            "500",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(dest)
+    assert {"doc_id", "n_tokens", "shard_id"} <= set(back.columns)
+    rows = sorted(
+        ((r["doc_id"], r["shard_id"]) for r in back.collect())
+    )
+    shards = [s for _, s in rows]
+    # shard ids are non-decreasing in doc order and start at 0
+    assert shards[0] == 0
+    assert all(a <= b for a, b in zip(shards, shards[1:]))
+    assert back.count() == spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()

@@ -242,7 +242,9 @@ def merge_changes(
 
     ``changes`` must carry all of ``base``'s columns (plus ``op_col``)
     and at most one row per key — the latest-wins compaction
-    (``dedup.latest_by_key``) runs upstream if the raw log has more.
+    (``dedup.dedup_exact`` with a descending tie-break) runs upstream
+    if the raw log has more; ``streaming.cdc.stream_apply_changes``
+    wires both for the continuous case.
 
     A change row whose ``op_col`` is NULL or outside ``allowed_ops``
     fails the job (``raise_error`` inside the upsert projection) rather

@@ -1,0 +1,99 @@
+"""Streaming CDC apply: maintain a live parquet snapshot from a change
+stream — the continuous form of ``relational.merge_changes``.
+
+Each micro-batch is compacted latest-wins per key, MERGE-applied to the
+current snapshot (anti-join + union, changeset broadcast — the snapshot
+never shuffles), written to a staging dir, and swapped in atomically
+via directory rename.  Replaying a batch after a failure re-applies the
+same keyed upserts/deletes to an already-updated snapshot — a no-op —
+so the apply is idempotent and end-to-end effectively-once without a
+transaction log.
+
+Scope note (honest limits): the atomic rename is a POSIX-filesystem
+property; on object stores you would back this with a table format
+(Delta/Iceberg) whose commit protocol replaces the directory swap.
+Everything above the swap — batch compaction, broadcast MERGE shape,
+idempotent replay — is exactly what those formats run inside their
+commit, so the operator ports by swapping the sink.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators.dedup import dedup_exact
+from spectrify_spark.operators.relational import merge_changes
+
+
+def live_snapshot_path(snapshot_dir: str) -> str:
+    return os.path.join(snapshot_dir, "live")
+
+
+def read_snapshot(spark, snapshot_dir: str) -> DataFrame:
+    """Current live snapshot (empty-looking read fails if none exists —
+    callers should check ``os.path.isdir(live_snapshot_path(...))``)."""
+    return spark.read.parquet(live_snapshot_path(snapshot_dir))
+
+
+def stream_apply_changes(
+    changes: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    seq_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Start a streaming query that folds ``changes`` into a parquet
+    snapshot at ``snapshot_dir``/live.
+
+    ``changes`` is a STREAMING DataFrame carrying the snapshot's
+    columns plus ``op_col`` (and optionally ``seq_col``, the
+    latest-wins order when one micro-batch holds several rows per key —
+    without it the batch must already be <=1 row/key, the
+    ``merge_changes`` contract).  Invalid/NULL ops fail the batch (the
+    merge_changes guard), not silently drop.
+
+    Returns the started StreamingQuery; ``available_now=True`` drains
+    the backlog and stops (the batch-job form), False runs continuous
+    micro-batches.
+    """
+    base_cols = [c for c in changes.columns if c != op_col]
+    base_schema = changes.select(*base_cols).schema
+    live = live_snapshot_path(snapshot_dir)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        if seq_col is not None:
+            tie: list[Column] = [F.col(seq_col).desc()]
+            batch = dedup_exact(batch, [key], tie_break=tie)
+        if os.path.isdir(live):
+            base = spark.read.parquet(live)
+        else:
+            base = spark.createDataFrame([], base_schema)
+        nxt = merge_changes(base, batch, key, op_col=op_col, delete_op=delete_op)
+        staging = os.path.join(snapshot_dir, f"_staging_v{batch_id}")
+        nxt.write.mode("overwrite").parquet(staging)
+        # atomic swap: reads of `live` either see the old or the new
+        # version, never a partial write (staging is fully landed first)
+        old = live + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(staging, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    os.makedirs(snapshot_dir, exist_ok=True)
+    writer = changes.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -95,6 +95,15 @@ def _median_time(fn, runs: int) -> float:
     return statistics.median(_time_once(fn) for _ in range(runs))
 
 
+def _overhead(spark) -> float:
+    """Fixed per-job cost probe: a 1-row count whose compute is ~zero,
+    so its wall time IS the scheduler/JIT/GC floor every query pays.
+    When a round's timings shift by a flat constant (not a ratio),
+    compare overhead_sec across the runs — a host scheduling phase
+    shows up here, a code regression does not."""
+    return _median_time(lambda: spark.range(1).count(), RUNS_CALIBRATION)
+
+
 def _calibration(spark) -> float:
     """Fixed synthetic workload, zero repo code: 50M-row range ->
     modular groupBy (one shuffle) -> sort of the 1000-row result.  Its
@@ -126,7 +135,11 @@ def main() -> None:
     qs["q_scan_project"](spark, sf_dir).count()
 
     calibration = round(_calibration(spark), 3)
-    print(f"# calibration: {calibration:.2f}s", file=sys.stderr)
+    overhead = round(_overhead(spark), 3)
+    print(
+        f"# calibration: {calibration:.2f}s  per-job overhead: {overhead:.3f}s",
+        file=sys.stderr,
+    )
 
     # Failure isolation: one broken query must never erase the round's
     # entire perf evidence (r4: q_events_sessionize crashed the harness
@@ -180,6 +193,7 @@ def main() -> None:
                 "extended_total": round(totals["extended"], 3),
                 "extended_stat": f"median_of_{RUNS_EXTENDED}",
                 "calibration_sec": calibration,
+                "overhead_sec": overhead,
                 "baseline_ratio": round(totals["headline"] / calibration, 3)
                 if calibration
                 else None,

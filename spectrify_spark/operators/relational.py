@@ -282,3 +282,67 @@ def merge_changes(
     survived = base.join(keys, on=key, how="left_anti")
     upserts = checked.filter(F.col(op_col) != delete_op).select(*base.columns)
     return survived.unionByName(upserts)
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two keyed tables: one row per key present in
+    either side, with ``diff_status`` in {added, removed, changed} —
+    unchanged keys are filtered out, so the output is proportional to
+    the drift, not the tables.  ``added``/``removed`` are relative to
+    ``left`` -> ``right`` (added = only in right).
+
+    The reconciliation primitive for CDC pipelines: after
+    ``merge_changes`` / ``streaming.cdc.stream_apply_changes``, diff
+    the snapshot against the source-of-truth extract and expect zero
+    rows.  NULLs compare null-safely (NULL == NULL is unchanged).
+
+    Scale shape: one full-outer equi-join on the key — both sides
+    shuffle once on their key (co-partitioned); the status projection
+    and filter are map-side.  For a small right side AQE broadcasts it.
+    """
+    compare_cols = compare_cols or [c for c in left.columns if c != key]
+    missing_l = set(compare_cols) - set(left.columns)
+    missing_r = set(compare_cols) - set(right.columns)
+    if missing_l or missing_r:
+        raise ValueError(
+            f"compare_cols missing: left={sorted(missing_l)} right={sorted(missing_r)}"
+        )
+    # presence is detected via an explicit per-side sentinel: a compare
+    # column being NULL cannot distinguish "absent row" from "row whose
+    # values are all NULL"
+    l_tag = left.select(key, *compare_cols).withColumn("__l", F.lit(True)).alias("l")
+    r_tag = right.select(key, *compare_cols).withColumn("__r", F.lit(True)).alias("r")
+    joined = l_tag.join(r_tag, on=key, how="full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    status = (
+        F.when(F.col("__l").isNull(), F.lit("added"))
+        .when(F.col("__r").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    out_cols = [F.col(key), status.alias("diff_status")]
+    for c in compare_cols:
+        out_cols.append(F.col(f"l.{c}").alias(f"{c}_left"))
+        out_cols.append(F.col(f"r.{c}").alias(f"{c}_right"))
+    return joined.select(*out_cols).filter(F.col("diff_status").isNotNull())
+
+
+def diff_summary(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(diff_status, n) counts over ``table_diff`` — the cheap
+    reconciliation gate (expect an empty frame when tables agree)."""
+    return (
+        table_diff(left, right, key, compare_cols)
+        .groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -2,6 +2,8 @@
 assertions (pushdown, broadcast, TakeOrderedAndProject) — the plans we
 rely on at 100 TB, checked at unit scale."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spectrify_spark.operators import relational as R
@@ -115,3 +117,77 @@ def test_window_rank_top_n(spark):
     )
     top = R.window_rank(df, ["u"], [F.col("v").desc()], top_n=1)
     assert {(r.u, r.v) for r in top.collect()} == {("u1", 30), ("u2", 5)}
+
+
+# ------------------------------------------------------------ table diff
+
+
+def _diff_tables(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k bigint, v string, x double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B2", 20.0), (3, "c", None), (5, "e", 50.0)],
+        "k bigint, v string, x double",
+    )
+    return left, right
+
+
+def test_table_diff_statuses(spark):
+    from spectrify_spark.operators.relational import table_diff
+
+    left, right = _diff_tables(spark)
+    out = {r["k"]: r["diff_status"] for r in table_diff(left, right, "k").collect()}
+    # k=1 identical, k=3 identical incl. NULL==NULL -> absent from diff
+    assert out == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_table_diff_carries_both_sides(spark):
+    from spectrify_spark.operators.relational import table_diff
+
+    left, right = _diff_tables(spark)
+    row = {
+        r["k"]: r for r in table_diff(left, right, "k").collect()
+    }[2]
+    assert (row["v_left"], row["v_right"]) == ("b", "B2")
+
+
+def test_diff_summary_counts_and_identity(spark):
+    from spectrify_spark.operators.relational import diff_summary
+
+    left, right = _diff_tables(spark)
+    counts = {
+        r["diff_status"]: r["n"] for r in diff_summary(left, right, "k").collect()
+    }
+    assert counts == {"changed": 1, "removed": 1, "added": 1}
+    # identical tables -> empty diff (the reconciliation gate)
+    assert diff_summary(left, left, "k").count() == 0
+
+
+def test_table_diff_validates_compare_cols(spark):
+    from spectrify_spark.operators.relational import table_diff
+
+    left, right = _diff_tables(spark)
+    with pytest.raises(ValueError, match="compare_cols missing"):
+        table_diff(left, right, "k", compare_cols=["nope"])
+
+
+def test_cdc_merge_then_diff_reconciles(spark):
+    """The intended composition: apply a changeset with merge_changes,
+    then table_diff against the independently-built expected table —
+    empty diff proves the snapshot."""
+    from spectrify_spark.operators.relational import diff_summary, merge_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", "U"), (3, None, "D"), (4, "d", "I")],
+        "k bigint, v string, op string",
+    )
+    snapshot = merge_changes(base, changes, key="k")
+    expected = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (4, "d")], "k bigint, v string"
+    )
+    assert diff_summary(snapshot, expected, "k").count() == 0

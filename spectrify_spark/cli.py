@@ -85,6 +85,17 @@ def main(argv: list[str] | None = None) -> int:
         "shingles with this benchmark/eval set (decontamination)",
     )
 
+    di = sub.add_parser(
+        "diff", help="keyed reconciliation diff of two parquet tables"
+    )
+    di.add_argument("left")
+    di.add_argument("right")
+    di.add_argument("key")
+    di.add_argument(
+        "--full", action="store_true", help="print drifted rows, not just counts"
+    )
+    di.add_argument("--limit", type=int, default=20)
+
     pk = sub.add_parser(
         "pack", help="assign token-budget shard ids for data-loader packing"
     )
@@ -161,6 +172,20 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=["split"] if args.partition_by_split else None,
         )
         print(args.dest)
+    elif args.cmd == "diff":
+        from spectrify_spark.operators.relational import diff_summary, table_diff
+        from spectrify_spark.sources.parquet import read_table
+
+        left = read_table(spark, args.left)
+        right = read_table(spark, args.right)
+        if args.full:
+            table_diff(left, right, args.key).show(args.limit, truncate=False)
+        else:
+            rows = diff_summary(left, right, args.key).collect()
+            if not rows:
+                print("identical")
+            for r in rows:
+                print(f"{r['diff_status']}\t{r['n']}")
     elif args.cmd == "pack":
         from pyspark.sql import functions as F
 

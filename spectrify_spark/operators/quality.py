@@ -109,3 +109,70 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-drift metrics between two corpus versions' unigram
+    distributions: KL(A||B), KL(B||A), Jensen-Shannon divergence, and
+    total variation distance — the dataset-version monitoring gate (a
+    retrain on corpus B should know how far B drifted from A).
+
+    Add-k smoothing (``smoothing`` pseudo-count per vocab entry, over
+    the UNION vocabulary) keeps the KLs finite when a token appears in
+    only one corpus.  Returns a single row, all metrics rounded to 6
+    decimals.
+
+    Scale shape: one tokenize+count aggregation per corpus (token-keyed,
+    map-side partial), a full-outer join on token (co-partitioned), one
+    global sum.  Nothing driver-side; vocabulary never materializes off
+    the executors.
+    """
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                        lambda x: x != F.lit(""),
+                    )
+                ).alias("__tok")
+            )
+            .groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca, cb = counts(a, "__ca"), counts(b, "__cb")
+    joined = ca.join(cb, "__tok", "full_outer").select(
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    # smoothed probabilities over the union vocabulary: the totals need
+    # the vocab size, which is itself an aggregate — compute both in one
+    # pass and broadcast the 1-row result back
+    tot = joined.agg(
+        F.sum("__ca").alias("__na"),
+        F.sum("__cb").alias("__nb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    s = F.lit(float(smoothing))
+    p = (F.col("__ca") + s) / (F.col("__na") + s * F.col("__v"))
+    q = (F.col("__cb") + s) / (F.col("__nb") + s * F.col("__v"))
+    m = (p + q) / 2
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        (p * F.log(p / q)).alias("__kl_ab"),
+        (q * F.log(q / p)).alias("__kl_ba"),
+        ((p * F.log(p / m) + q * F.log(q / m)) / 2).alias("__js"),
+        (F.abs(p - q) / 2).alias("__tv"),
+    )
+    return terms.agg(
+        F.round(F.sum("__kl_ab"), 6).alias("kl_ab"),
+        F.round(F.sum("__kl_ba"), 6).alias("kl_ba"),
+        F.round(F.sum("__js"), 6).alias("js_divergence"),
+        F.round(F.sum("__tv"), 6).alias("total_variation"),
+    )

@@ -261,3 +261,18 @@ def test_cli_pack_assigns_contiguous_shards(spark, tmp_path):
     assert back.count() == spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).count()
+
+
+def test_cli_diff_identical_and_drifted(spark, tmp_path, capsys):
+    from spectrify_spark import cli
+
+    src = "/root/testdata/sf0.001/nation.parquet"
+    rc = cli.main(["diff", src, src, "n_nationkey"])
+    assert rc == 0
+    assert "identical" in capsys.readouterr().out
+    drifted = str(tmp_path / "nation2")
+    spark.read.parquet(src).filter("n_nationkey < 20").write.parquet(drifted)
+    rc = cli.main(["diff", src, drifted, "n_nationkey"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "removed\t5" in out

@@ -80,3 +80,66 @@ def test_winsorize_backtick_column_name(spark):
     )
     out = winsorize(df, "odd name", lo=0.0, hi=0.5).collect()
     assert max(r["odd name_w"] for r in out) == 2.0
+
+
+# ----------------------------------------------------- distribution drift
+
+
+def test_distribution_drift_zero_for_identical_corpora(spark):
+    from spectrify_spark.operators.quality import distribution_drift
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma alpha")], "doc_id bigint, text string"
+    )
+    row = distribution_drift(a, a).collect()[0]
+    assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0
+    assert row["js_divergence"] == 0.0 and row["total_variation"] == 0.0
+
+
+def test_distribution_drift_matches_numpy_reference(spark):
+    import numpy as np
+
+    from spectrify_spark.operators.quality import distribution_drift
+
+    texts_a = ["alpha beta beta", "gamma alpha alpha"]
+    texts_b = ["beta beta delta", "delta delta gamma"]
+    a = spark.createDataFrame(list(enumerate(texts_a)), "doc_id bigint, text string")
+    b = spark.createDataFrame(list(enumerate(texts_b)), "doc_id bigint, text string")
+    row = distribution_drift(a, b, smoothing=0.5).collect()[0]
+
+    from collections import Counter
+
+    ca = Counter(w for t in texts_a for w in t.split())
+    cb = Counter(w for t in texts_b for w in t.split())
+    vocab = sorted(set(ca) | set(cb))
+    s, v = 0.5, len(vocab)
+    na, nb = sum(ca.values()), sum(cb.values())
+    p = np.array([(ca[w] + s) / (na + s * v) for w in vocab])
+    q = np.array([(cb[w] + s) / (nb + s * v) for w in vocab])
+    m = (p + q) / 2
+    assert row["kl_ab"] == pytest.approx(float((p * np.log(p / q)).sum()), abs=1e-6)
+    assert row["kl_ba"] == pytest.approx(float((q * np.log(q / p)).sum()), abs=1e-6)
+    assert row["js_divergence"] == pytest.approx(
+        float(((p * np.log(p / m) + q * np.log(q / m)) / 2).sum()), abs=1e-6
+    )
+    assert row["total_variation"] == pytest.approx(
+        float(np.abs(p - q).sum() / 2), abs=1e-6
+    )
+    # JS is symmetric and bounded by ln 2; TV in [0, 1]
+    assert 0 < row["js_divergence"] < 0.6932
+    assert 0 < row["total_variation"] < 1
+
+
+def test_distribution_drift_survives_disjoint_vocab(spark):
+    from spectrify_spark.operators.quality import distribution_drift
+
+    a = spark.createDataFrame([(1, "only in a")], "doc_id bigint, text string")
+    b = spark.createDataFrame([(1, "totally different words")], "doc_id bigint, text string")
+    row = distribution_drift(a, b).collect()[0]
+    import math
+
+    assert all(
+        math.isfinite(row[c])
+        for c in ("kl_ab", "kl_ba", "js_divergence", "total_variation")
+    )
+    assert row["kl_ab"] > 0

@@ -85,6 +85,13 @@ def main(argv: list[str] | None = None) -> int:
         "shingles with this benchmark/eval set (decontamination)",
     )
 
+    dr = sub.add_parser(
+        "drift", help="corpus drift metrics (KL/JS/TV) between two documents parquets"
+    )
+    dr.add_argument("corpus_a")
+    dr.add_argument("corpus_b")
+    dr.add_argument("--text-col", default="text")
+
     di = sub.add_parser(
         "diff", help="keyed reconciliation diff of two parquet tables"
     )
@@ -172,6 +179,17 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=["split"] if args.partition_by_split else None,
         )
         print(args.dest)
+    elif args.cmd == "drift":
+        from spectrify_spark.operators.quality import distribution_drift
+        from spectrify_spark.sources.parquet import read_table
+
+        row = distribution_drift(
+            read_table(spark, args.corpus_a),
+            read_table(spark, args.corpus_b),
+            text_col=args.text_col,
+        ).collect()[0]
+        for name in ("kl_ab", "kl_ba", "js_divergence", "total_variation"):
+            print(f"{name}\t{row[name]}")
     elif args.cmd == "diff":
         from spectrify_spark.operators.relational import diff_summary, table_diff
         from spectrify_spark.sources.parquet import read_table

@@ -276,3 +276,21 @@ def test_cli_diff_identical_and_drifted(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "removed\t5" in out
+
+
+def test_cli_drift_prints_metrics(spark, capsys):
+    from spectrify_spark import cli
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rc = cli.main(["drift", src, src])
+    assert rc == 0
+    out = dict(
+        ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()
+    )
+    # identical corpora: all four metrics exactly zero
+    assert {k: float(v) for k, v in out.items()} == {
+        "kl_ab": 0.0,
+        "kl_ba": 0.0,
+        "js_divergence": 0.0,
+        "total_variation": 0.0,
+    }

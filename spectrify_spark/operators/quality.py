@@ -176,3 +176,43 @@ def distribution_drift(
         F.round(F.sum("__js"), 6).alias("js_divergence"),
         F.round(F.sum("__tv"), 6).alias("total_variation"),
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    out_col: str | None = None,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Median/MAD robust z-score: ``(x - median) / (MAD * 1.4826)`` —
+    outlier scoring that, unlike the mean/stddev z-score, is not itself
+    dragged by the outliers it is meant to find (50% breakdown point vs
+    0%).  The numeric-cleaning companion to ``winsorize`` for reward /
+    score columns.
+
+    Adds ``out_col`` (default ``{value_col}_rz``); rows where MAD is 0
+    (constant column) get NULL.  The median and MAD are two exact
+    percentile aggregations (the second over map-side |x - median|
+    with the 1-row median broadcast); the scoring pass itself is
+    map-side — same shape as winsorize, no shuffle of the data.
+    """
+    out_col = out_col or f"{value_col}_rz"
+    q = "`" + value_col.replace("`", "``") + "`"
+    med = df.agg(F.expr(f"percentile({q}, 0.5)").alias("__med"))
+    mad = (
+        df.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col(value_col) - F.col("__med")).alias("__ad"), "__med")
+        .agg(
+            F.expr("percentile(__ad, 0.5)").alias("__mad"),
+            F.first("__med").alias("__med"),
+        )
+    )
+    scale = F.col("__mad") * F.lit(float(consistency))
+    return (
+        df.crossJoin(F.broadcast(mad))
+        .withColumn(
+            out_col,
+            F.when(scale > 0, (F.col(value_col) - F.col("__med")) / scale),
+        )
+        .drop("__med", "__mad")
+    )

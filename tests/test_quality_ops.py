@@ -143,3 +143,45 @@ def test_distribution_drift_survives_disjoint_vocab(spark):
         for c in ("kl_ab", "kl_ba", "js_divergence", "total_variation")
     )
     assert row["kl_ab"] > 0
+
+
+# ------------------------------------------------------- robust z-score
+
+
+def test_robust_zscore_known_values(spark):
+    from spectrify_spark.operators.quality import robust_zscore
+
+    # values 1..5 + outlier 100: median 3.5? -> with 6 values exact
+    # percentile(0.5) interpolates; use 7 values for a crisp median
+    df = spark.createDataFrame(
+        [(float(v),) for v in (1, 2, 3, 4, 5, 6, 100)], "x double"
+    )
+    out = {r["x"]: r["x_rz"] for r in robust_zscore(df, "x").collect()}
+    # median = 4, |x-4| = [3,2,1,0,1,2,96], MAD = 2
+    import pytest as _pt
+
+    assert out[4.0] == _pt.approx(0.0)
+    assert out[100.0] == _pt.approx(96 / (2 * 1.4826), rel=1e-9)
+    assert out[1.0] == _pt.approx(-3 / (2 * 1.4826), rel=1e-9)
+    # the outlier is flagged hard; inliers are mild
+    assert abs(out[100.0]) > 10 and all(abs(out[v]) < 2 for v in (1.0, 6.0))
+
+
+def test_robust_zscore_constant_column_is_null(spark):
+    from spectrify_spark.operators.quality import robust_zscore
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "x double")
+    assert all(r["x_rz"] is None for r in robust_zscore(df, "x").collect())
+
+
+def test_robust_zscore_resists_outlier_unlike_mean(spark):
+    """The property that justifies MAD: the outlier's own score stays
+    extreme even though it would wreck a mean/stddev z-score."""
+    from spectrify_spark.operators.quality import robust_zscore
+
+    rows = [(float(v),) for v in range(100)] + [(1e9,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = robust_zscore(df, "x").collect()
+    scores = {r["x"]: r["x_rz"] for r in out}
+    assert abs(scores[1e9]) > 1000
+    assert abs(scores[50.0]) < 1.0

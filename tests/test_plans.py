@@ -218,6 +218,23 @@ GOLDEN = {
     "q_text_bm25": dict(
         max_exchanges=5, joins=["BroadcastHashJoin"], max_scan_cols=2,
     ),
+    # r6: table diff is ONE full-outer sort-merge join on the key (both
+    # sides shuffle once, co-partitioned) — a BNLJ here would be the
+    # 100 TB disaster, so it is banned
+    "q_table_diff": dict(
+        max_exchanges=2, joins=["SortMergeJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=3,
+    ),
+    # corpus drift: two token-count aggs + token-keyed full-outer +
+    # global sum; its nested-loop join is the designed 1-row totals
+    # broadcast, so no ban
+    "q_corpus_drift": dict(
+        max_exchanges=6, joins=["SortMergeJoin"], pushed=True,
+        max_scan_cols=2,
+    ),
+    # robust z-score: two 1-row percentile broadcasts (the BNLJs) +
+    # TakeOrderedAndProject top-k — the fact never shuffles
+    "q_zscore_robust": dict(max_exchanges=2, max_scan_cols=2),
 }
 
 

@@ -133,6 +133,73 @@ def split_assign(
     )
 
 
+#: PII detector patterns, ordered — masking applies them in this order
+#: so composite matches resolve deterministically (email before the
+#: digit patterns; SSN's 3-2-4 grouping before phone's 3-3-4).  The
+#: dialect is the Java-regex / RE2 common subset (classes, counted
+#: repetition, \d, \b — no lookaround), so a SQL engine applies the
+#: identical patterns: auditability matters for redaction.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (audit metric)."""
+    pat = dict(PII_PATTERNS)[kind]
+    return F.regexp_count(col, F.lit(pat))
+
+
+def pii_redact(col: Column) -> Column:
+    """Mask every PII match with its ``<KIND>`` token, all patterns in
+    ``PII_PATTERNS`` order.  Pure chained ``regexp_replace`` — map-side,
+    zero shuffle, codegen'd; at 100 TB this pipelines into whatever
+    reads the cleaned text with no extra stage."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def char_entropy(col: Column) -> Column:
+    """Character-level Shannon entropy (bits/char) — the cheap
+    gibberish / binary-junk / low-diversity signal (natural text sits
+    ~3.5-4.5; base64 blobs ~6; 'aaaa...' ~0).  NULL for empty text.
+
+    Expression-only: the char array is bound ONCE as a lambda variable
+    (single-element-array wrapper — see ``shingles`` for why), then one
+    ``aggregate`` over its distinct chars computes -sum(p*log2 p).
+    O(distinct_chars x len) per row, ~26 distinct chars on text."""
+    return F.when(
+        F.length(col) > 0,
+        F.round(
+            F.element_at(
+                F.transform(
+                    F.array(F.split(col, "")),
+                    lambda cs: F.aggregate(
+                        # counts per distinct char first: the O(len)
+                        # filter runs ONCE per char, the entropy fold
+                        # then works on cheap scalars
+                        F.transform(
+                            F.array_distinct(cs),
+                            lambda c: F.size(F.filter(cs, lambda x: x == c))
+                            .cast("double")
+                            / F.size(cs).cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, p: acc - p * F.log2(p),
+                    ),
+                ),
+                1,
+            ),
+            4,
+        ),
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """k-token shingles as array<string> — input to MinHash/Jaccard dedup.
     Documents shorter than k tokens yield their full token string.

@@ -484,3 +484,62 @@ def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Seeded pseudo-random hyperplanes (pure python, reproducible)."""
     rng = random.Random(42)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-global line deduplication: a line that occurs
+    anywhere in the corpus keeps only its FIRST occurrence (lowest
+    ``(id, position)``); every later repeat is dropped and the
+    documents are reassembled from their surviving lines — the
+    boilerplate killer (nav bars, license headers, cookie banners
+    repeat across millions of pages and would otherwise dominate the
+    training mix).
+
+    Output: ``(id_col, n_lines, n_kept, text_clean)`` for EVERY input
+    document — ``text_clean`` is NULL when all lines were repeats.
+
+    Scale shape: posexplode -> ONE line-keyed window (row_number over
+    (id, pos) — the same shuffle a groupBy(line) would cost, but it
+    keeps the winner row intact) -> doc-keyed reassembly agg -> a
+    broadcast-friendly join back onto the (id, n_lines) spine so
+    fully-deduped docs are not lost.  Three line/doc-keyed shuffles
+    total, no all-pairs anything; hot lines (the exact boilerplate
+    being removed) are bounded per-partition by row_number's early
+    rank-1 filter under AQE skew splitting."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    w = Window.partitionBy("__line").orderBy(F.col(id_col), F.col("__pos"))
+    kept = (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    spine = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("n_lines"),
+    )
+    return spine.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        "text_clean",
+    )

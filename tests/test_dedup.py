@@ -124,3 +124,34 @@ def test_embedding_near_dup_detects_duplicate_vector(spark):
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1, 2) in got
     assert all(4 not in p for p in got)
+
+
+def test_dedup_lines_global_first_occurrence(spark):
+    from spectrify_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "nav bar\nreal content one\nfooter"),
+        (2, "nav bar\nreal content two\nfooter"),
+        (3, "nav bar\nfooter"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    # doc 1 saw every line first -> untouched
+    assert out[1].text_clean == "nav bar\nreal content one\nfooter"
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    # doc 2 keeps only its unique line
+    assert out[2].text_clean == "real content two"
+    assert out[2].n_kept == 1
+    # doc 3 is pure boilerplate -> fully deduped but still present
+    assert out[3].n_kept == 0 and out[3].text_clean is None
+
+
+def test_dedup_lines_intra_doc_repeat(spark):
+    from spectrify_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "x\ny\nx\nx")], "doc_id bigint, text string"
+    )
+    r = dedup_lines(df).collect()[0]
+    assert r.text_clean == "x\ny"
+    assert r.n_lines == 4 and r.n_kept == 2

@@ -125,7 +125,7 @@ GOLDEN = {
     # r6: full-surface gating — ceilings taken from the executed-plan
     # audit (tools/explain_all.py, sf0.001) so every registry key with a
     # batch plan is pinned.  Streaming drain twins (q_stream_window,
-    # q_stream_sessionize) are excluded: the registry callable returns a
+    # q_stream_sessionize, q_stream_dedup) are excluded: the registry callable returns a
     # batch read of the drained memory sink, so its "plan" is a local
     # table scan with nothing to gate; their plan properties are pinned
     # by the batch twins they share transformations with.
@@ -235,6 +235,13 @@ GOLDEN = {
     # robust z-score: two 1-row percentile broadcasts (the BNLJs) +
     # TakeOrderedAndProject top-k — the fact never shuffles
     "q_zscore_robust": dict(max_exchanges=2, max_scan_cols=2),
+    # PII redaction is pure chained regexp_replace: zero shuffles
+    "q_text_pii": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # char entropy is an expression; the one Exchange is the report agg
+    "q_text_entropy": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=2),
+    # global line dedup: line-keyed window + doc-keyed reassembly, then
+    # the spine join — a nested-loop here would be the 100 TB disaster
+    "q_dedup_lines": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=2),
 }
 
 

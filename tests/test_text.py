@@ -68,3 +68,33 @@ def test_quality_score_bounds(spark):
     bad = _one(spark, "!!! ??? ***", TX.quality_score(F.col("t")))
     assert good > bad
     assert 0.0 <= bad <= good <= 1.0
+
+
+def test_pii_redact_all_kinds(spark):
+    s = ("write to jane.doe+x@mail.example.org from 192.168.1.10 "
+         "ssn 123-45-6789 call 555-123-4567")
+    v = _one(spark, s, TX.pii_redact(F.col("t")))
+    assert v == "write to <EMAIL> from <IPV4> ssn <SSN> call <PHONE>"
+
+
+def test_pii_redact_leaves_clean_text(spark):
+    s = "nothing sensitive here 12-34 a.b"
+    assert _one(spark, s, TX.pii_redact(F.col("t"))) == s
+
+
+def test_pii_count(spark):
+    s = "a@b.co and c@d.org but not at-sign alone @"
+    assert _one(spark, s, TX.pii_count(F.col("t"), "email")) == 2
+    assert _one(spark, s, TX.pii_count(F.col("t"), "ipv4")) == 0
+
+
+def test_char_entropy_values(spark):
+    # uniform 4-char alphabet -> exactly 2 bits
+    assert _one(spark, "abcd", TX.char_entropy(F.col("t"))) == 2.0
+    # constant string -> 0 bits
+    assert _one(spark, "aaaa", TX.char_entropy(F.col("t"))) == 0.0
+    # empty -> NULL
+    assert _one(spark, "", TX.char_entropy(F.col("t"))) is None
+    # natural-ish text sits between 0 and log2(distinct chars)
+    v = _one(spark, "the quick brown fox", TX.char_entropy(F.col("t")))
+    assert 2.0 < v < 5.0

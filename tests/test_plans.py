@@ -242,6 +242,26 @@ GOLDEN = {
     # global line dedup: line-keyed window + doc-keyed reassembly, then
     # the spine join — a nested-loop here would be the 100 TB disaster
     "q_dedup_lines": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=2),
+    # TPC-H shapes (r6): supplier-keyed agg + 1-row max + dim broadcast
+    "q_top_revenue_supplier": dict(
+        max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=4,
+    ),
+    # Q18: orderkey agg HAVING-pruned before the join; customer broadcast
+    "q_large_orders": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=4,
+    ),
+    # Q14: part broadcast, single 1-row agg Exchange
+    "q_promo_ratio": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=4,
+    ),
+    # Q21 analog: one orderkey agg + tiny supplier count + broadcast
+    "q_single_fault_supplier": dict(
+        max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=3,
+    ),
 }
 
 

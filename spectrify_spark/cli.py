@@ -84,6 +84,17 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet with a `text` column: drop docs sharing 5-gram "
         "shingles with this benchmark/eval set (decontamination)",
     )
+    cu.add_argument(
+        "--dedup-lines",
+        action="store_true",
+        help="C4-style corpus-global line dedup before cleaning "
+        "(docs reduced to nothing are dropped)",
+    )
+    cu.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="mask emails/SSNs/phones/IPs with typed tokens",
+    )
 
     dr = sub.add_parser(
         "drift", help="corpus drift metrics (KL/JS/TV) between two documents parquets"
@@ -165,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens,
                 near_dup_threshold=args.near_dup_threshold,
                 bench=bench,
+                line_dedup=args.dedup_lines,
+                redact_pii=args.redact_pii,
             )
         else:
             out = curate(
@@ -172,6 +185,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens,
                 near_dup_threshold=args.near_dup_threshold,
                 bench=bench,
+                line_dedup=args.dedup_lines,
+                redact_pii=args.redact_pii,
             )
         write_parquet(
             out,

@@ -39,6 +39,8 @@ def curate(
     bench: DataFrame | None = None,
     decontam_ngram: int = 5,
     decontam_min_overlap: int = 3,
+    line_dedup: bool = False,
+    redact_pii: bool = False,
 ) -> DataFrame:
     """documents -> curated training corpus with split assignment.
 
@@ -53,7 +55,22 @@ def curate(
     so the stage adds zero corpus shuffles.  Decontamination runs after
     dedup on CLEANED text: the same normalization on both sides is
     what makes gram collision meaningful.
+
+    ``line_dedup=True`` prepends C4-style corpus-global line dedup
+    (``dedup.dedup_lines``): it must run BEFORE whitespace collapse —
+    the cleaner folds newlines away — so it operates on the raw text's
+    line structure; docs whose every line was boilerplate are dropped.
+    ``redact_pii=True`` masks emails/SSNs/phones/IPs with typed tokens
+    (``text.pii_redact``) inside the same map-side cleaning projection.
     """
+    # 0. optional corpus-global line dedup on the RAW line structure
+    src = docs
+    if line_dedup:
+        ld = D.dedup_lines(docs, id_col=id_col, text_col=text_col)
+        src = ld.filter(F.col("n_kept") > 0).select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
+
     # 1. clean: strip URLs, collapse whitespace (C4-style, expression-only)
     cleaned = F.trim(
         F.regexp_replace(
@@ -62,7 +79,9 @@ def curate(
             " ",
         )
     )
-    base = docs.select(
+    if redact_pii:
+        cleaned = TX.pii_redact(cleaned)
+    base = src.select(
         F.col(id_col).alias("id"),
         cleaned.alias("text_clean"),
     )

@@ -133,3 +133,36 @@ def test_curate_decontaminates_against_bench(spark):
     without = {r["id"] for r in curate(docs, min_tokens=1).collect()}
     assert 1 in without
     assert with_bench == without - {1}
+
+
+def test_curate_redact_pii_masks_planted_pii(spark):
+    docs = _docs(spark).limit(50).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at someone@example.com or 10.0.0.1"),
+        ),
+    )
+    out = curate(docs, redact_pii=True, min_tokens=1)
+    joined = out.agg(
+        F.sum(F.when(F.col("text_clean").contains("<EMAIL>"), 1).otherwise(0)).alias("e"),
+        F.sum(F.when(F.col("text_clean").contains("@example.com"), 1).otherwise(0)).alias("raw"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert joined.e == joined.n and joined.raw == 0
+
+
+def test_curate_line_dedup_drops_boilerplate(spark):
+    rows = [
+        (1, "unique content alpha beta\nSHARED BOILERPLATE LINE"),
+        (2, "unique content gamma delta\nSHARED BOILERPLATE LINE"),
+        (3, "SHARED BOILERPLATE LINE"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.id: r for r in curate(docs, line_dedup=True, min_tokens=1).collect()}
+    # doc 3 was pure boilerplate -> dropped entirely
+    assert 3 not in out
+    # doc 1 keeps the shared line (first occurrence), doc 2 loses it
+    assert "SHARED BOILERPLATE LINE" in out[1].text_clean
+    assert "SHARED BOILERPLATE" not in out[2].text_clean
+    assert "gamma delta" in out[2].text_clean

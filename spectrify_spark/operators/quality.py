@@ -178,6 +178,46 @@ def distribution_drift(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency discretization: assign each row the quantile bin
+    (1..n_bins) of ``value_col`` — feature binning / difficulty
+    bucketing for curriculum sampling.  Unlike ``ntile`` (a GLOBAL sort
+    window — one single-task shuffle of the entire table), the bin
+    edges are ONE exact-percentile aggregation broadcast as a 1-row
+    dimension and the assignment is a map-side fold over the edge
+    array: the data never shuffles, which is the version that survives
+    100 TB.  Ties land in the lowest bin whose upper edge admits them
+    (bin = 1 + #edges strictly below the value), so rows with equal
+    values always share a bin — ntile's arbitrary tie-splitting is the
+    price it pays for exact equal counts.
+    """
+    if n_bins < 2:
+        raise ValueError(f"quantile_bins requires n_bins >= 2, got {n_bins}")
+    out_col = out_col or f"{value_col}_bin"
+    q = "`" + value_col.replace("`", "``") + "`"
+    fracs = ",".join(repr(i / n_bins) for i in range(1, n_bins))
+    edges = df.agg(F.expr(f"percentile({q}, array({fracs}))").alias("__edges"))
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(
+            out_col,
+            F.lit(1)
+            + F.aggregate(
+                F.col("__edges"),
+                F.lit(0),
+                lambda acc, e: acc
+                + F.when(F.col(value_col) > e, 1).otherwise(0),
+            ),
+        )
+        .drop("__edges")
+    )
+
+
 def robust_zscore(
     df: DataFrame,
     value_col: str,

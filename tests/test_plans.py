@@ -263,6 +263,9 @@ GOLDEN = {
         max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True,
         pushed=True, max_scan_cols=3,
     ),
+    # quantile binning: the BNLJ is the designed 1-row edge-array
+    # broadcast; exchanges = edge agg + report agg, fact never shuffles
+    "q_quantile_bins": dict(max_exchanges=2, max_scan_cols=2),
 }
 
 

@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from spectrify_spark.operators.quality import unigram_logprob, winsorize
 
 
@@ -185,3 +187,37 @@ def test_robust_zscore_resists_outlier_unlike_mean(spark):
     scores = {r["x"]: r["x_rz"] for r in out}
     assert abs(scores[1e9]) > 1000
     assert abs(scores[50.0]) < 1.0
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from spectrify_spark.operators.quality import quantile_bins
+
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    out = quantile_bins(df, "v", n_bins=4)
+    counts = {r.v_bin: r.n for r in out.groupBy("v_bin").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # 1..1000 quartiles -> 4 bins of 250
+    assert counts == {1: 250, 2: 250, 3: 250, 4: 250}
+
+
+def test_quantile_bins_ties_share_a_bin(spark):
+    from spectrify_spark.operators.quality import quantile_bins
+
+    df = spark.createDataFrame([(1.0,)] * 8 + [(2.0,)] * 2, ["v"])
+    out = quantile_bins(df, "v", n_bins=2)
+    bins = {
+        v: {r.v_bin for r in out.filter(F.col("v") == v).collect()}
+        for v in (1.0, 2.0)
+    }
+    # all equal values land in one bin (unlike ntile's arbitrary split)
+    assert len(bins[1.0]) == 1 and len(bins[2.0]) == 1
+    assert bins[1.0] != bins[2.0]
+
+
+def test_quantile_bins_validates_n_bins(spark):
+    import pytest
+
+    from spectrify_spark.operators.quality import quantile_bins
+
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    with pytest.raises(ValueError):
+        quantile_bins(df, "v", n_bins=1)

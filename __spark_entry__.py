@@ -2177,10 +2177,14 @@ def q_single_fault_supplier(spark, sf):
     supplier-keyed count, the supplier dim broadcast, top-k."""
     li = _t(spark, sf, "lineitem")
     fail_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    # collect_set, not countDistinct: two DISTINCT aggregates compile to
+    # an Expand (3x row amplification into the shuffle); per-order
+    # supplier sets are tiny and bounded, so one hash-agg pass wins
+    # (measured 1.83s -> see BENCH_NOTES r6)
     per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__ns"),
-        F.countDistinct(fail_supp).alias("__nf"),
-        F.min(fail_supp).alias("__fs"),
+        F.size(F.collect_set("l_suppkey")).alias("__ns"),
+        F.size(F.collect_set(fail_supp)).alias("__nf"),
+        F.array_min(F.collect_set(fail_supp)).alias("__fs"),
     )
     counts = (
         per_order.filter((F.col("__ns") >= 2) & (F.col("__nf") == 1))

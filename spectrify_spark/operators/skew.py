@@ -88,3 +88,26 @@ def explain_skew(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col(key))
         .limit(top_n)
     )
+
+
+def skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Hot-key report: the ``top_n`` heaviest keys with their
+    ``skew_factor`` (key rows / mean rows-per-key) — the number that
+    decides the join strategy (factor ~1: plain shuffle join; tens:
+    AQE skew split; hundreds+: salt or isolate the key).
+
+    Scale shape: one key-keyed count agg, a 1-row mean broadcast back
+    over the (already small) per-key counts, TakeOrderedAndProject
+    top-k — no second scan of the data and no global sort."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    mean = counts.agg(F.avg("n_rows").alias("__mean"))
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__mean"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .limit(top_n)
+    )

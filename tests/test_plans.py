@@ -266,6 +266,8 @@ GOLDEN = {
     # quantile binning: the BNLJ is the designed 1-row edge-array
     # broadcast; exchanges = edge agg + report agg, fact never shuffles
     "q_quantile_bins": dict(max_exchanges=2, max_scan_cols=2),
+    # skew report: key agg + 1-row mean broadcast (the BNLJ) + top-k
+    "q_skew_report": dict(max_exchanges=3, max_scan_cols=1),
 }
 
 

@@ -89,7 +89,9 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return cols
 
 
-def _read_ltz(spark: SparkSession, path: str) -> DataFrame:
+def _read_ltz(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """``spark.read.parquet`` with NTZ inference forced off (save/
     restore), so tz-naive producer files yield TimestampType (LTZ) under
     the UTC session zone — the engine's event-time convention — even on
@@ -97,8 +99,11 @@ def _read_ltz(spark: SparkSession, path: str) -> DataFrame:
     same conf session-wide)."""
     prev = spark.conf.get(NTZ_INFER_CONF, None)
     spark.conf.set(NTZ_INFER_CONF, "false")
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     try:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     finally:
         if prev is None:
             spark.conf.unset(NTZ_INFER_CONF)
@@ -106,11 +111,20 @@ def _read_ltz(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.set(NTZ_INFER_CONF, prev)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Read a parquet table, transparently converting TIMESTAMP(NANOS)
     columns to Spark TimestampType (µs, truncating — the same truncation
     DuckDB applies, so oracle comparisons agree), and reading tz-naive
     timestamps as LTZ (see :data:`NTZ_INFER_CONF`).
+
+    ``merge_schema=True`` unions the schemas of all footers (columns
+    added by newer writers surface as NULL in older shards) — the
+    schema-evolution read for long-lived lakes where shards accumulate
+    across producer versions.  Off by default: merging reads every
+    footer at planning time, so a petabyte table with a stable schema
+    should not pay it.
 
     The legacy ``nanosAsLong`` conf is restored after the read: the
     parquet schema is resolved eagerly at ``load()``, so the returned
@@ -119,11 +133,11 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     silently yielding bigint columns for ns files."""
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
-        return _read_ltz(spark, path)
+        return _read_ltz(spark, path, merge_schema)
     prev = spark.conf.get(NANOS_AS_LONG_CONF, None)
     spark.conf.set(NANOS_AS_LONG_CONF, "true")
     try:
-        df = _read_ltz(spark, path)
+        df = _read_ltz(spark, path, merge_schema)
     finally:
         if prev is None:
             spark.conf.unset(NANOS_AS_LONG_CONF)

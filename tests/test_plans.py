@@ -268,6 +268,12 @@ GOLDEN = {
     "q_quantile_bins": dict(max_exchanges=2, max_scan_cols=2),
     # skew report: key agg + 1-row mean broadcast (the BNLJ) + top-k
     "q_skew_report": dict(max_exchanges=3, max_scan_cols=1),
+    # validation suite: one agg pass (partial+final) for all row-level
+    # checks + the broadcast anti-join FK leg + the report union
+    "q_quality_checks": dict(
+        max_exchanges=4, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=4,
+    ),
 }
 
 

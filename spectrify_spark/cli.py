@@ -96,6 +96,31 @@ def main(argv: list[str] | None = None) -> int:
         help="mask emails/SSNs/phones/IPs with typed tokens",
     )
 
+    va = sub.add_parser(
+        "validate", help="data-quality check suite over a parquet table"
+    )
+    va.add_argument("source")
+    va.add_argument(
+        "--not-null", action="append", default=[], metavar="COL",
+        help="NULL fraction must be 0 (repeatable)",
+    )
+    va.add_argument(
+        "--unique", action="append", default=[], metavar="COL",
+        help="no duplicate values (repeatable)",
+    )
+    va.add_argument(
+        "--in-range", action="append", default=[], metavar="COL:LO:HI",
+        help="non-NULL values must lie in [LO, HI] (repeatable)",
+    )
+    va.add_argument(
+        "--fk", action="append", default=[], metavar="COL=PARQUET:KEY",
+        help="references must exist in the dim parquet (repeatable)",
+    )
+    va.add_argument(
+        "--strict", action="store_true",
+        help="exit nonzero if any check fails",
+    )
+
     dr = sub.add_parser(
         "drift", help="corpus drift metrics (KL/JS/TV) between two documents parquets"
     )
@@ -194,6 +219,32 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=["split"] if args.partition_by_split else None,
         )
         print(args.dest)
+    elif args.cmd == "validate":
+        from spectrify_spark.operators import validate as V
+        from spectrify_spark.sources.parquet import read_table
+
+        df = read_table(spark, args.source)
+        checks = []
+        checks += [V.not_null(c) for c in args.not_null]
+        checks += [V.unique(c) for c in args.unique]
+        for spec in args.in_range:
+            col, lo, hi = spec.rsplit(":", 2)
+            checks.append(V.in_range(col, float(lo), float(hi)))
+        for spec in args.fk:
+            col, target = spec.split("=", 1)
+            dim_path, dim_key = target.rsplit(":", 1)
+            checks.append(
+                V.foreign_key(col, read_table(spark, dim_path), dim_key)
+            )
+        if not checks:
+            raise SystemExit("validate: give at least one check flag")
+        report = V.validate(df, checks).collect()
+        failed = [r for r in report if not r.passed]
+        for r in report:
+            status = "ok  " if r.passed else "FAIL"
+            print(f"{status} {r.check_name}: metric={r.metric} threshold={r.threshold}")
+        if args.strict and failed:
+            raise SystemExit(f"{len(failed)} check(s) failed")
     elif args.cmd == "drift":
         from spectrify_spark.operators.quality import distribution_drift
         from spectrify_spark.sources.parquet import read_table

@@ -294,3 +294,24 @@ def test_cli_drift_prints_metrics(spark, capsys):
         "js_divergence": 0.0,
         "total_variation": 0.0,
     }
+
+
+def test_cli_validate_reports_and_strict_gates(capsys):
+    import pytest as _pytest
+
+    from spectrify_spark import cli
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    rc = cli.main([
+        "validate", src,
+        "--not-null", "l_extendedprice",
+        "--in-range", "l_quantity:1:50",
+        "--fk", "l_orderkey=/root/testdata/sf0.001/orders.parquet:o_orderkey",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ok   not_null(l_extendedprice)" in out
+    assert "FAIL" not in out
+    # --strict turns a failing check into a nonzero exit
+    with _pytest.raises(SystemExit):
+        cli.main(["validate", src, "--unique", "l_orderkey", "--strict"])

@@ -71,16 +71,20 @@ def foreign_key(col: str, dim: DataFrame, dim_key: str) -> Check:
 
 
 def _metric_expr(c: Check, n: Column) -> Column:
+    # every metric is NULL-safe on an EMPTY table (SUM over zero rows is
+    # NULL): no rows means no violations, so the suite passes — an empty
+    # date-slice must not report NULL/unknown check results
     v = F.col(c.col)
     if c.kind == "not_null":
-        return F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("double") / n
+        frac = F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("double") / n
+        return F.coalesce(frac, F.lit(0.0))
     if c.kind == "in_range":
         lo, hi = c.params["lo"], c.params["hi"]
         bad = v.isNotNull() & ((v < F.lit(lo)) | (v > F.lit(hi)))
-        return F.sum(F.when(bad, 1).otherwise(0)).cast("double")
+        return F.coalesce(F.sum(F.when(bad, 1).otherwise(0)).cast("double"), F.lit(0.0))
     if c.kind == "accepted_values":
         bad = v.isNotNull() & ~v.isin(c.params["values"])
-        return F.sum(F.when(bad, 1).otherwise(0)).cast("double")
+        return F.coalesce(F.sum(F.when(bad, 1).otherwise(0)).cast("double"), F.lit(0.0))
     if c.kind == "unique":
         return (F.count(v) - F.count_distinct(v)).cast("double")
     raise ValueError(f"unknown check kind {c.kind!r}")

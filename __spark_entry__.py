@@ -2012,11 +2012,18 @@ def q_stream_dedup(spark, sf):
     deduped = SE.dedup_within_watermark(
         src, keys=["user_id", "event_type"], watermark="90 days"
     ).select("user_id", "event_type")
-    q = SE.run_to_memory_sink(deduped, name, output_mode="append")
+    # scope the drain to 8 shuffle partitions: dedup state stores are
+    # per-partition and their setup dominates (see q_stream_join)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = SE.run_to_memory_sink(deduped, name, output_mode="append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -2147,11 +2154,20 @@ def q_stream_join(spark, sf):
         interval="1 hour",
         watermark="90 days",
     ).select("l_event_id", "r_event_id")
-    q = SE.run_to_memory_sink(joined, name, output_mode="append")
+    # state-store setup is per shuffle partition (x2 join sides) and
+    # dominates a small drain: 32 partitions = 12s, 8 = 2.7s at sf0.1,
+    # identical results.  Scoped save/restore; a production stream
+    # sizes this to sustained throughput instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = SE.run_to_memory_sink(joined, name, output_mode="append")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

@@ -64,6 +64,29 @@ def _qty_dec(col: str = "l_quantity"):
     return F.col(col).cast(DEC2)
 
 
+def _drain_scoped(spark, stream_df, name, output_mode, n_partitions=8):
+    """Drain a streaming plan to a memory sink with the shuffle
+    partitions scoped down: streaming state stores are allocated PER
+    shuffle partition (x2 for stream-stream joins), and their setup
+    dominates an availableNow drain — 32 partitions = 12s vs 8 = 2.7s
+    for the sf0.1 stream-stream join, identical results.  The session
+    setting is restored so batch queries keep their parallelism; a
+    production stream sizes this to sustained throughput instead."""
+    from spectrify_spark.streaming.events import run_to_memory_sink
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        q = run_to_memory_sink(stream_df, name, output_mode=output_mode)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------- flagship
 
 
@@ -1666,12 +1689,7 @@ def q_stream_window(spark, sf):
             "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double"),
         },
     )
-    q = SE.run_to_memory_sink(agg, name, output_mode="complete")
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    return _drain_scoped(spark, agg, name, "complete").select(
         "window_start", "event_type", "n_events", "sum_value"
     )
 
@@ -1690,12 +1708,7 @@ def q_stream_sessionize(spark, sf):
     name = f"q_stream_sessionize_{uuid.uuid4().hex[:8]}"
     src = SE.read_event_stream(spark, f"{sf}/events.parquet")
     agg = SE.session_windows(src, gap="30 minutes")
-    q = SE.run_to_memory_sink(agg, name, output_mode="complete")
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    return _drain_scoped(spark, agg, name, "complete").select(
         "user_id", "session_start", "session_end", "n_events"
     )
 
@@ -2012,19 +2025,7 @@ def q_stream_dedup(spark, sf):
     deduped = SE.dedup_within_watermark(
         src, keys=["user_id", "event_type"], watermark="90 days"
     ).select("user_id", "event_type")
-    # scope the drain to 8 shuffle partitions: dedup state stores are
-    # per-partition and their setup dominates (see q_stream_join)
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = SE.run_to_memory_sink(deduped, name, output_mode="append")
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _drain_scoped(spark, deduped, name, "append")
 
 
 def q_stream_cdc(spark, sf):
@@ -2154,21 +2155,7 @@ def q_stream_join(spark, sf):
         interval="1 hour",
         watermark="90 days",
     ).select("l_event_id", "r_event_id")
-    # state-store setup is per shuffle partition (x2 join sides) and
-    # dominates a small drain: 32 partitions = 12s, 8 = 2.7s at sf0.1,
-    # identical results.  Scoped save/restore; a production stream
-    # sizes this to sustained throughput instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = SE.run_to_memory_sink(joined, name, output_mode="append")
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _drain_scoped(spark, joined, name, "append")
 
 
 def q_top_revenue_supplier(spark, sf):

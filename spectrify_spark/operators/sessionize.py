@@ -83,3 +83,50 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         (F.max(epoch_us(ts_col)) - F.min(epoch_us(ts_col))).alias("duration_us"),
     )
+
+
+def funnel_first_conversion(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: for each id, the FIRST strictly-increasing
+    completion of ``steps`` (first step-0 event, then the first step-1
+    event after it, ...).  One row per id that completes every step,
+    with a ``ts_<step>`` column per stage — conversion analysis /
+    curriculum-event ordering.
+
+    Greedy-first is the standard funnel semantics and is correct for
+    completion: if ANY increasing assignment exists, the greedy one
+    exists (earliest choices only widen later stages' windows).
+
+    Scale shape: one id-keyed aggregate for step 0, then per later step
+    one id-keyed equi-join (co-partitioned — every stage shuffles on
+    the SAME key, so Exchange reuse keeps it to one real shuffle per
+    side) + aggregate that keeps the min timestamp after the previous
+    stage.  Never a per-id sort or a collect_list of event history, so
+    an id with millions of events costs its share of an agg, not a
+    driver-side array.
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(id_col)
+        .agg(F.min(ts_col).alias(f"ts_{steps[0]}"))
+    )
+    prev_ts = f"ts_{steps[0]}"
+    for step in steps[1:]:
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(id_col), F.col(ts_col).alias("__t")
+        )
+        cur = (
+            cur.join(nxt, on=id_col)
+            .filter(F.col("__t") > F.col(prev_ts))
+            .groupBy(id_col, *[c for c in cur.columns if c != id_col])
+            .agg(F.min("__t").alias(f"ts_{step}"))
+        )
+        prev_ts = f"ts_{step}"
+    return cur

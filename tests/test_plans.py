@@ -274,6 +274,13 @@ GOLDEN = {
         max_exchanges=4, joins=["BroadcastHashJoin"], ban_bnlj=True,
         pushed=True, max_scan_cols=4,
     ),
+    # funnel: every stage joins/aggs on the SAME id key — Exchange
+    # reuse collapses it to one shuffle per side; a per-user sort or
+    # history array would be the unscalable alternative
+    "q_funnel": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=3,
+    ),
 }
 
 

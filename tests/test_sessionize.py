@@ -46,3 +46,38 @@ def test_tumbling_window_alignment(spark):
     assert rows[0][1] == 5
     assert rows[1][0] == datetime.datetime(2024, 1, 1, 2, 0)
     assert rows[1][1] == 1
+
+
+def test_funnel_first_conversion(spark):
+    from spectrify_spark.operators.sessionize import funnel_first_conversion
+
+    rows = [
+        # user 1 converts: s@1, c@3 (first click after s), p@5
+        (1, 1, "signup"), (1, 2, "click"), (1, 3, "click"),
+        (1, 5, "purchase"),
+        # user 2: purchase BEFORE click -> no conversion
+        (2, 1, "signup"), (2, 5, "click"), (2, 3, "purchase"),
+        # user 3: never signed up
+        (3, 1, "click"), (3, 2, "purchase"),
+        # user 4: click at the same instant as signup is NOT after it
+        (4, 1, "signup"), (4, 1, "click"), (4, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), k) for u, t, k in rows], "user_id bigint, ts double, event_type string"
+    )
+    out = {r.user_id: r for r in funnel_first_conversion(
+        df, ["signup", "click", "purchase"]
+    ).collect()}
+    assert set(out) == {1}
+    assert (out[1].ts_signup, out[1].ts_click, out[1].ts_purchase) == (1.0, 2.0, 5.0)
+
+
+def test_funnel_greedy_completes_when_any_order_exists(spark):
+    from spectrify_spark.operators.sessionize import funnel_first_conversion
+
+    # s@1, c@2, p@3 plus an earlier decoy click@0 (before signup)
+    df = spark.createDataFrame(
+        [(1, 0.0, "click"), (1, 1.0, "signup"), (1, 2.0, "click"), (1, 3.0, "purchase")],
+        "user_id bigint, ts double, event_type string",
+    )
+    assert funnel_first_conversion(df, ["signup", "click", "purchase"]).count() == 1

@@ -130,3 +130,48 @@ def funnel_first_conversion(
         )
         prev_ts = f"ts_{step}"
     return cur
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period
+    (their cohort), counted as retained in each later period they are
+    active — ``(cohort, period_offset, n_active)`` plus the cohort size
+    for rate computation downstream.
+
+    Scale shape: one id-keyed aggregate finds each id's cohort (its min
+    event time truncated to ``period``); the events then join that
+    1-col-per-id table on the SAME id key (co-partitioned — Exchange
+    reuse, no second full shuffle) and a (cohort, offset)-keyed
+    count-distinct finishes.  No per-id history arrays, no window sort.
+
+    ``period_offset`` is whole calendar periods between the truncated
+    cohort start and the truncated event time (``date_diff`` on the
+    truncations), so offset 0 is the cohort period itself.
+    """
+    cohorts = events.groupBy(id_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("__cohort")
+    )
+    unit = {"week": 7, "day": 1}.get(period)
+    if unit is None:
+        raise ValueError(f"unsupported period {period!r} (use 'day' or 'week')")
+    joined = events.select(id_col, F.col(ts_col)).join(cohorts, on=id_col)
+    offset = (
+        F.datediff(F.date_trunc(period, F.col(ts_col)), F.col("__cohort")) / unit
+    ).cast("bigint")
+    active = (
+        joined.select(id_col, F.col("__cohort").alias("cohort"), offset.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_active"))
+    )
+    sizes = (
+        cohorts.groupBy(F.col("__cohort").alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    return active.join(sizes, on="cohort").select(
+        "cohort", "period_offset", "n_active", "cohort_size"
+    )

@@ -281,6 +281,12 @@ GOLDEN = {
         max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
         pushed=True, max_scan_cols=3,
     ),
+    # retention: cohort agg + co-partitioned join back + matrix
+    # count-distinct + sizes join
+    "q_retention": dict(
+        max_exchanges=5, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        max_scan_cols=2,
+    ),
 }
 
 

@@ -2,6 +2,8 @@
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from spectrify_spark.operators import sessionize as S
 
 
@@ -81,3 +83,25 @@ def test_funnel_greedy_completes_when_any_order_exists(spark):
         "user_id bigint, ts double, event_type string",
     )
     assert funnel_first_conversion(df, ["signup", "click", "purchase"]).count() == 1
+
+
+def test_cohort_retention_matrix(spark):
+    from spectrify_spark.operators.sessionize import cohort_retention
+
+    # user 1 first seen day 0 (Mon 2024-01-01), active weeks 0 and 2
+    # user 2 first seen week 0, active only week 0
+    # user 3 first seen week 2
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-16"),
+        (2, "2024-01-03"),
+        (3, "2024-01-17"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, d string").select(
+        "user_id", F.to_timestamp("d").alias("ts")
+    )
+    out = {(str(r.cohort.date()), r.period_offset): (r.n_active, r.cohort_size)
+           for r in cohort_retention(df).collect()}
+    assert out[("2024-01-01", 0)] == (2, 2)   # users 1,2 in week-0 cohort
+    assert out[("2024-01-01", 2)] == (1, 2)   # only user 1 back in week 2
+    assert out[("2024-01-15", 0)] == (1, 1)   # user 3's own cohort
+    assert ("2024-01-01", 1) not in out       # nobody active in week 1

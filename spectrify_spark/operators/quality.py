@@ -111,6 +111,50 @@ def winsorize(
     )
 
 
+def winsorize_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+    broadcast_bounds: bool = True,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` into its exact
+    [lo, hi] percentile range WITHIN each ``group_col`` — per-domain /
+    per-language outlier taming, where one domain's tail is another's
+    median.
+
+    Scale shape: the bounds are a one-row-per-group aggregate (tiny)
+    joined back onto the data — with ``broadcast_bounds`` the clip pass
+    is map-side and the fact never shuffles.  This deliberately avoids
+    the window formulation (``percentile(...) OVER (PARTITION BY g)``),
+    which shuffles AND buffers entire partitions per group.  For
+    group cardinalities too large to broadcast, pass
+    ``broadcast_bounds=False`` and AQE picks the join.
+    """
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError(
+            f"winsorize_grouped requires 0 <= lo <= hi <= 1, got lo={lo!r} hi={hi!r}"
+        )
+    out_col = out_col or f"{value_col}_w"
+    q = "`" + value_col.replace("`", "``") + "`"
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({q}, {lo!r})").alias("__lo"),
+        F.expr(f"percentile({q}, {hi!r})").alias("__hi"),
+    )
+    if broadcast_bounds:
+        bounds = F.broadcast(bounds)
+    return (
+        df.join(bounds, on=group_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
 def distribution_drift(
     a: DataFrame,
     b: DataFrame,

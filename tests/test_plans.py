@@ -288,6 +288,12 @@ GOLDEN = {
         max_exchanges=5, joins=["BroadcastHashJoin"], ban_bnlj=True,
         max_scan_cols=2,
     ),
+    # grouped winsorize: per-group bounds agg broadcast back (never a
+    # full-partition window buffer) + report agg
+    "q_winsorize_grouped": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        max_scan_cols=2,
+    ),
 }
 
 

@@ -221,3 +221,31 @@ def test_quantile_bins_validates_n_bins(spark):
     df = spark.createDataFrame([(1.0,)], ["v"])
     with pytest.raises(ValueError):
         quantile_bins(df, "v", n_bins=1)
+
+
+def test_winsorize_grouped_per_group_bounds(spark):
+    from spectrify_spark.operators.quality import winsorize_grouped
+
+    # group a: 1..100; group b: 1000..1100 — global bounds would mangle b
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(i)) for i in range(1000, 1101)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize_grouped(df, "v", "g", lo=0.10, hi=0.90)
+    stats = {
+        r.g: (r.mn, r.mx)
+        for r in out.groupBy("g").agg(
+            F.min("v_w").alias("mn"), F.max("v_w").alias("mx")
+        ).collect()
+    }
+    # each group clipped within ITS OWN band
+    assert 10 <= stats["a"][0] < 12 and 89 < stats["a"][1] <= 91
+    assert 1009 < stats["b"][0] < 1012 and 1089 < stats["b"][1] <= 1091
+
+
+def test_winsorize_grouped_validates(spark):
+    from spectrify_spark.operators.quality import winsorize_grouped
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        winsorize_grouped(df, "v", "g", lo=0.9, hi=0.1)

@@ -130,3 +130,52 @@ def simhash_bits(a: Column, planes: list[list[float]]) -> Column:
         )
         bits = bits + F.shiftleft(bit, i)
     return bits
+
+
+def standardize_embeddings(df, vec_col: str = "embedding"):
+    """Per-DIMENSION z-score standardization of an embedding column:
+    each coordinate is centered on its corpus mean and scaled by its
+    corpus sample stddev — the feature-prep step before distance-based
+    ops when dimensions live on different scales.  Constant dimensions
+    (sd = 0) standardize to 0.0 rather than dividing by zero.
+
+    Scale shape: posexplode -> one (pos)-keyed mean/std aggregate
+    (dim-count rows, tiny) -> repacked into two position-ordered arrays
+    in a 1-ROW aggregate -> broadcast cross join -> the normalization
+    itself is a map-side zip_with.  The corpus is scanned twice (stats
+    pass + normalize pass) — inherent, the stats ARE a global reduce —
+    but never shuffled, and the second pass is expression-only.
+
+    Returns the input frame plus ``<vec_col>_std`` (array<double>).
+    """
+    dims = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__pos", "__x"))
+        .groupBy("__pos")
+        .agg(
+            F.avg(F.col("__x").cast("double")).alias("__mu"),
+            F.stddev_samp(F.col("__x").cast("double")).alias("__sd"),
+        )
+    )
+    packed = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__mu"))),
+            lambda s: s["__mu"],
+        ).alias("__mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__sd"))),
+            lambda s: s["__sd"],
+        ).alias("__sds"),
+    )
+    centered = F.zip_with(
+        F.col(vec_col), F.col("__mus"), lambda x, m: x.cast("double") - m
+    )
+    scaled = F.zip_with(
+        centered,
+        F.col("__sds"),
+        lambda d, s: F.when(s > 0, d / s).otherwise(F.lit(0.0)),
+    )
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn(f"{vec_col}_std", scaled)
+        .drop("__mus", "__sds")
+    )

@@ -294,6 +294,9 @@ GOLDEN = {
         max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
         max_scan_cols=2,
     ),
+    # embedding standardization: the BNLJ is the designed 1-row
+    # stat-array broadcast; stats agg + repack agg, map-side zip_with
+    "q_embed_standardize": dict(max_exchanges=2, max_scan_cols=2),
 }
 
 

@@ -37,3 +37,23 @@ def test_embedding_centroids_grouped_map(spark):
     assert out[1].centroid == [2.0, 1.0]
     assert out[1].n_vecs == 2
     assert out[2].centroid == [5.0, 5.0]
+
+
+def test_standardize_embeddings_zero_mean_unit_std(spark):
+    import numpy as np
+
+    from spectrify_spark.functions.vectors import standardize_embeddings
+
+    rng = np.random.default_rng(7)
+    # dim 0 ~ N(100, 5), dim 1 ~ N(-3, 0.1), dim 2 constant
+    raw = [(i, [float(rng.normal(100, 5)), float(rng.normal(-3, 0.1)), 42.0])
+           for i in range(200)]
+    df = spark.createDataFrame(raw, "vec_id bigint, embedding array<double>")
+    out = standardize_embeddings(df)
+    mat = np.array([r.embedding_std for r in out.collect()])
+    # standardized dims: mean ~0, sample std ~1
+    assert abs(mat[:, 0].mean()) < 1e-9 and abs(mat[:, 1].mean()) < 1e-9
+    assert abs(mat[:, 0].std(ddof=1) - 1) < 1e-9
+    assert abs(mat[:, 1].std(ddof=1) - 1) < 1e-9
+    # constant dim -> exactly 0, not NaN/inf
+    assert (mat[:, 2] == 0.0).all()

@@ -1,0 +1,33 @@
+"""The examples/ scripts must stay runnable (the reference ships a
+runnable example; so do we)."""
+
+from __future__ import annotations
+
+import runpy
+import sys
+
+
+def _run(path, argv):
+    old = sys.argv
+    sys.argv = [path] + argv
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_event_analytics_example(spark, sf_dir, capsys):
+    _run("examples/event_analytics.py", [sf_dir])
+    out = capsys.readouterr().out
+    assert "converting users" in out
+
+
+def test_curate_example(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "corpus")
+    _run("examples/curate_corpus.py", [sf_dir, dest])
+    assert spark.read.parquet(dest).count() > 0
+
+
+def test_cdc_example_reconciles(spark, sf_dir, tmp_path, capsys):
+    _run("examples/cdc_pipeline.py", [sf_dir, str(tmp_path / "cdc")])
+    assert "agree" in capsys.readouterr().out

@@ -297,6 +297,9 @@ GOLDEN = {
     # embedding standardization: the BNLJ is the designed 1-row
     # stat-array broadcast; stats agg + repack agg, map-side zip_with
     "q_embed_standardize": dict(max_exchanges=2, max_scan_cols=2),
+    # nearest as-of: ONE union shuffle, two window sorts over the same
+    # Exchange — a range join here would be the 100 TB disaster
+    "q_asof_nearest": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
 }
 
 

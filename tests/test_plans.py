@@ -126,7 +126,7 @@ GOLDEN = {
     # audit (tools/explain_all.py, sf0.001) so every registry key with a
     # batch plan is pinned.  Streaming drain twins (q_stream_window,
     # q_stream_sessionize, q_stream_dedup, q_stream_join, q_stream_cdc,
-    # q_stream_stateful)
+    # q_stream_stateful, q_stream_convert)
     # are excluded: the registry callable returns a
     # batch read of the drained memory sink, so its "plan" is a local
     # table scan with nothing to gate; their plan properties are pinned

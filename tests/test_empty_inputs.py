@@ -80,3 +80,30 @@ def test_sampling_and_packing_on_empty(spark):
     ).count() == 0
     sized = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
     assert pack_sequences(sized, [F.col("doc_id")], "n_tokens", budget=10).count() == 0
+
+
+def test_null_text_rows_are_null_safe(spark):
+    """NULL text must flow through the text family as NULL/dropped —
+    never crash, never fabricate values."""
+    from spectrify_spark.functions import text as TX
+    from spectrify_spark.operators.dedup import dedup_lines
+    from spectrify_spark.operators.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b\na b")], "doc_id bigint, text string"
+    )
+    r = {x.doc_id: x for x in df.select(
+        "doc_id",
+        TX.pii_redact(F.col("text")).alias("red"),
+        TX.char_entropy(F.col("text")).alias("h"),
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert r[1].red is None and r[1].h is None and r[1].lang == "unknown"
+    assert r[2].h is not None
+    # dedup_lines keeps the NULL-text doc (visible, zero kept lines)
+    dl = {x.doc_id: x for x in dedup_lines(df).collect()}
+    assert dl[1].n_kept == 0 and dl[1].text_clean is None
+    assert dl[2].text_clean == "a b"
+    # token-based scoring silently drops the tokenless doc
+    assert {x.doc_id for x in unigram_logprob(df).collect()} == {2}

@@ -300,6 +300,8 @@ GOLDEN = {
     # nearest as-of: ONE union shuffle, two window sorts over the same
     # Exchange — a range join here would be the 100 TB disaster
     "q_asof_nearest": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
+    # multimodal decode: zero-shuffle mapInPandas over a pruned scan
+    "q_multimodal_decode": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
 }
 
 

@@ -2208,6 +2208,53 @@ def q_stream_stateful(spark, sf):
     )
 
 
+def q_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: the canonical filter-everything scan-agg —
+    revenue delta from discount changes in one year / quantity band.
+    Map-side predicate (pushed to the scan) into ONE 1-row decimal
+    aggregate; the simplest query that still exercises pushdown,
+    pruning, and decimal exactness."""
+    li = _t(spark, sf, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").cast("decimal(6,4)") >= F.lit(0.05).cast("decimal(6,4)"))
+        & (F.col("l_discount").cast("decimal(6,4)") <= F.lit(0.07).cast("decimal(6,4)"))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC2) * F.col("l_discount").cast("decimal(6,4)")
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+    )
+
+
+def q_shipmode_priority(spark, sf):
+    """TPC-H Q12 shape (adapted: this schema has no l_shipmode /
+    commitdate, so the 'mode' is the line-number parity band and
+    lateness is shipping >90 days after the order date): per mode,
+    counts of high- vs low-priority orders among late-shipped lines —
+    the join + two-way conditional aggregate.  Orders dim broadcast;
+    one 2-row agg."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy((F.col("l_linenumber") % 2).cast("bigint").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
 def q_multimodal_decode(spark, sf):
     """The multimodal DECODE path earning an oracle-backed driver row:
     text payloads (the corpus is pure ASCII, so bytes == chars) flow
@@ -2487,7 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 124 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 126 keys and a 50-key window, keys are
     scheduled least-recently-driver-verified first, with two rules in
     priority order: (1) a key whose executed code path changed this
     round (semantics or read path, not comment/validation-only edits)
@@ -2509,7 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_stream_sessionize shares that exact code path and was re-verified
     at sf0.01 by tools/check_oracle.py this round (7/7 pass) plus the
     per-pytest sweep; it keeps its r5 row and rotates normally in r7.
-    Past-window: the other 49 r5-green keys plus the twenty-five
+    Past-window: the other 49 r5-green keys plus the twenty-seven
     new-in-r6 keys (q_text_bm25, q_table_diff, q_corpus_drift,
     q_zscore_robust, q_text_pii, q_text_entropy, q_dedup_lines,
     q_stream_dedup, q_stream_join, q_stream_cdc, q_quantile_bins,
@@ -2517,9 +2564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_stream_stateful, q_stream_convert, q_winsorize_grouped,
     q_embed_standardize, q_asof_nearest, q_multimodal_decode, and the
     TPC-H shapes q_top_revenue_supplier / q_large_orders /
-    q_promo_ratio / q_single_fault_supplier — each sweep- and
+    q_promo_ratio / q_single_fault_supplier / q_forecast_revenue /
+    q_shipmode_priority — each sweep- and
     sf0.01-verified at birth via tools/check_oracle.py), scheduled for
-    r7.  With 124 keys and a 50-key window the rotation period is 3
+    r7.  With 126 keys and a 50-key window the rotation period is 3
     rounds at worst; the per-pytest full sweep keeps every key
     continuously verified in between.
     """
@@ -2654,6 +2702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_nearest": q_asof_nearest,
         "q_stream_convert": q_stream_convert,
         "q_multimodal_decode": q_multimodal_decode,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_shipmode_priority": q_shipmode_priority,
     }
 
 
@@ -2862,6 +2912,33 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o2.o_custkey = e.user_id
                             AND o2.o_orderdate <= e.ts)) AS last_orderkey
             FROM events e
+        """,
+        # TPC-H Q6 shape: one filtered scan, one 1-row decimal agg
+        "q_forecast_revenue": """
+            SELECT COUNT(*) AS n_items,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(l_discount AS DECIMAL(6,4)) BETWEEN
+                  CAST(0.05 AS DECIMAL(6,4)) AND CAST(0.07 AS DECIMAL(6,4))
+              AND l_quantity < 24
+        """,
+        # TPC-H Q12 shape: late-shipped lines by mode band, two-way
+        # conditional counts over the priority class
+        "q_shipmode_priority": """
+            SELECT CAST(l.l_linenumber % 2 AS BIGINT) AS ship_mode,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+              AND date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+            GROUP BY 1
         """,
         # recomputes multimodal.fake_decode_batch byte-for-byte from the
         # ASCII payload: ascii codes list, byte-sum hash (the x2^63

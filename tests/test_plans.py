@@ -317,6 +317,12 @@ GOLDEN = {
         max_exchanges=1, joins=["BroadcastHashJoin"], ban_bnlj=True,
         pushed=True, max_scan_cols=6,
     ),
+    # TPC-H Q2: per-part min agg + argmin join-back (co-partitioned),
+    # supplier broadcast, TakeOrdered top-100
+    "q_min_price_supplier": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=3,
+    ),
 }
 
 

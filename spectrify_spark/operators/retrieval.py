@@ -125,3 +125,57 @@ def bm25_topk(
 def bm25_idf(n_docs: int, doc_freq: int) -> float:
     """Reference scalar form of the idf used above (unit-test anchor)."""
     return math.log(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k: int = 10,
+    c: float = 60.0,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (hybrid
+    retrieval: lexical BM25 + embedding cosine, or any mix).
+
+    Each input is a CANDIDATE LIST ``(id_col, score_col)`` — the
+    top-k output of another retriever, k rows, not a corpus.  Ranks
+    are recomputed here (dense row_number over ``score DESC, id ASC``)
+    so fusion never trusts the physical row order of a DataFrame, and
+    a doc appearing in several lists sums its ``1/(c + rank)``
+    contributions (standard RRF, Cormack et al.).
+
+    Output: ``(id_col, rrf)`` — rrf rounded to 6 decimals, top-``k``
+    by (rrf DESC, id ASC).
+
+    Scale shape: the single-partition rank window is over k-row
+    candidate lists (bounded by construction — the expensive corpus
+    scans already happened inside the upstream retrievers), so the
+    union + groupBy moves O(sum of list sizes) rows, not corpus rows.
+
+    Raises ``ValueError`` on no lists or non-positive k/c.
+    """
+    from pyspark.sql import Window
+
+    if not lists:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    if k <= 0 or c <= 0:
+        raise ValueError(f"rrf_fuse: need k>0 and c>0; got k={k} c={c}")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    contribs = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.row_number().over(w))).alias(
+                "__contrib"
+            ),
+        )
+        for df in lists
+    ]
+    allc = contribs[0]
+    for other in contribs[1:]:
+        allc = allc.unionByName(other)
+    return (
+        allc.groupBy(id_col)
+        .agg(F.round(F.sum("__contrib"), 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -84,3 +84,63 @@ def fixed_n_per_stratum(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    key_col: str,
+    targets: dict[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample strata so the kept rows follow a TARGET MIXTURE.
+
+    ``targets`` gives the desired relative proportions per stratum
+    (domain weights for a training mix — only ratios matter, the dict
+    need not sum to 1; strata absent from ``targets`` are dropped).
+    The operator computes the largest total T such that every stratum
+    can supply its share without oversampling — ``T = min_i(count_i /
+    target_i)`` — then keeps a deterministic ``target_i * T / count_i``
+    hash-fraction of each stratum.  No stratum is upsampled; the
+    binding stratum (the min) keeps 100% of its rows.
+
+    Rates are scale-invariant in the target weights (tgt*T/cnt is
+    unchanged if all targets are multiplied by a constant), so integer
+    weights work and stay float-exact across engines.
+
+    Scale shape: two passes over ``df`` — a column-pruned count
+    aggregate (|strata| rows) and the map-side filtered scan; the
+    per-stratum rate table is a broadcast join.  Everything is
+    declarative (no driver collect), and membership is the same
+    engine-portable md5 bucket as ``weighted_sample``.
+
+    Raises ``ValueError`` on empty targets or non-positive weights.
+    """
+    if not targets:
+        raise ValueError("rebalance_mixture requires at least one target")
+    for s, t in targets.items():
+        if t <= 0:
+            raise ValueError(f"target for {s!r} must be positive, got {t}")
+    tmap = F.create_map(
+        *[F.lit(x) for kv in sorted(targets.items()) for x in (kv[0], float(kv[1]))]
+    )
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__tgt", tmap[F.col(stratum_col)])
+        .filter(F.col("__tgt").isNotNull())
+    )
+    cap = counts.agg(
+        F.min(F.col("__cnt") / F.col("__tgt")).alias("__T")
+    )
+    rates = counts.crossJoin(F.broadcast(cap)).select(
+        stratum_col,
+        (F.col("__tgt") * F.col("__T") / F.col("__cnt")).alias("__rate"),
+    )
+    b = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(b < F.col("__rate") * buckets)
+        .drop("__rate")
+    )

@@ -180,3 +180,56 @@ def test_q_decontaminate_registry_nonvacuous(spark):
 
     out = e.queries()["q_decontaminate"](spark, "/root/testdata/sf0.001")
     assert out.count() > 0
+
+
+def test_rebalance_mixture_hits_target_proportions(spark, sf_dir):
+    """Kept counts must follow the target ratios (within hash-bucket
+    granularity) and the binding stratum keeps ~all of its rows."""
+    from spectrify_spark.operators.sampling import rebalance_mixture
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = rebalance_mixture(
+        d,
+        stratum_col="source",
+        key_col="doc_id",
+        targets={"src0": 3.0, "src1": 1.0},
+    )
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # only targeted strata survive
+    assert set(counts) <= {"src0", "src1"}
+    orig = {r["source"]: r["n"] for r in
+            d.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # the binding stratum (smaller count/target ratio) keeps everything;
+    # hash granularity can lose a few rows at small N
+    import math
+    t = min(orig["src0"] / 3.0, orig["src1"] / 1.0)
+    want0, want1 = 3.0 * t, 1.0 * t
+    assert counts.get("src0", 0) <= orig["src0"]
+    assert counts.get("src1", 0) <= orig["src1"]
+    # achieved ratio near 3:1 — md5 buckets are uniform but finite
+    ratio = counts["src0"] / max(counts["src1"], 1)
+    assert 1.8 < ratio < 5.0, (counts, want0, want1)
+
+
+def test_rebalance_mixture_scale_invariant_in_targets(spark, sf_dir):
+    """Only target RATIOS matter: {3,1} and {0.75,0.25} keep the same rows."""
+    from spectrify_spark.operators.sampling import rebalance_mixture
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = rebalance_mixture(d, stratum_col="source", key_col="doc_id",
+                          targets={"src0": 3.0, "src1": 1.0})
+    b = rebalance_mixture(d, stratum_col="source", key_col="doc_id",
+                          targets={"src0": 0.75, "src1": 0.25})
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids(a) == ids(b)
+
+
+def test_rebalance_mixture_validates_targets(spark):
+    from spectrify_spark.operators.sampling import rebalance_mixture
+
+    df = spark.createDataFrame([("a", 1)], "s string, k bigint")
+    with pytest.raises(ValueError):
+        rebalance_mixture(df, stratum_col="s", key_col="k", targets={})
+    with pytest.raises(ValueError):
+        rebalance_mixture(df, stratum_col="s", key_col="k", targets={"a": 0.0})

@@ -323,6 +323,31 @@ GOLDEN = {
         max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True,
         pushed=True, max_scan_cols=3,
     ),
+    # r6 late batch.  Q8: six dims broadcast, date pushdown, the only
+    # shuffle is the year agg (at scale the lineitem-orders fact join
+    # adds its pair — ceiling leaves room without allowing plan rot).
+    "q_market_share": dict(
+        max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=5,
+    ),
+    # Q11: per-part agg + re-agg; the nested-loop join is the designed
+    # 1-row global-total broadcast (q_text_tfidf precedent)
+    "q_important_parts": dict(max_exchanges=3, max_scan_cols=3),
+    # Q20: PROMO dim broadcast into the scan join, pair agg + per-part
+    # window + distinct; the dominant-supplier list broadcasts into the
+    # semi join
+    "q_excess_suppliers": dict(
+        max_exchanges=5, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True, max_scan_cols=4,
+    ),
+    # hybrid RRF: BM25 leg's 1-row stats cross join is the designed
+    # scalar broadcast; fusion itself is candidate-list sized
+    "q_hybrid_rrf": dict(max_exchanges=6, joins=["BroadcastHashJoin"], max_scan_cols=2),
+    # mixture rebalance: counts agg + 1-row capacity broadcast (the
+    # nested-loop join) + broadcast rate join, map-side md5 filter
+    "q_mixture_rebalance": dict(
+        max_exchanges=5, joins=["BroadcastHashJoin"], pushed=True, max_scan_cols=2,
+    ),
 }
 
 

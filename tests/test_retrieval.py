@@ -119,3 +119,48 @@ def test_bm25_invariants(spark, texts, q):
     qset = {t.lower() for t in q}
     expected_hits = {i for i, t in rows if qset & set(t.split())}
     assert {r["doc_id"] for r in out} == expected_hits
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_hand_computation(spark):
+    """Fusion must equal sum of 1/(c+rank) with ranks recomputed from
+    scores, independent of the physical row order of the inputs."""
+    from spectrify_spark.operators.retrieval import rrf_fuse
+
+    # list A ranks: doc 2 (rank 1), doc 1 (rank 2); rows given in the
+    # OPPOSITE physical order to prove rank comes from score
+    a = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "doc_id bigint, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.1), (3, 0.8)], "doc_id bigint, score double"
+    )
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k=10, c=60.0).collect()}
+    assert out[2] == pytest.approx(round(1 / 61 + 1 / 62, 6), abs=1e-6)
+    assert out[1] == pytest.approx(round(1 / 62, 6), abs=1e-6)
+    assert out[3] == pytest.approx(round(1 / 61, 6), abs=1e-6)
+
+
+def test_rrf_fuse_tiebreak_by_id(spark):
+    """Equal scores rank by id ASC, so fusion is deterministic."""
+    from spectrify_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(7, 1.0), (3, 1.0)], "doc_id bigint, score double"
+    )
+    rows = rrf_fuse([a], k=2).collect()
+    assert [r["doc_id"] for r in rows] == [3, 7]
+
+
+def test_rrf_fuse_validates_inputs(spark):
+    from spectrify_spark.operators.retrieval import rrf_fuse
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id bigint, score double")
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([df], k=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([df], c=0.0)

@@ -2767,6 +2767,75 @@ def q_mixture_rebalance(spark, sf):
     )
 
 
+def q_ewma(spark, sf):
+    """Per-user trailing-10 EWMA of event values (alpha=0.3, chosen non-dyadic so rounded values cannot sit on exact decimal ties across engines) — the
+    standard per-entity smoothing feature, computed as a bounded
+    collect_list window + one F.aggregate fold (no UDF, state O(window)
+    per row).  One shuffle: the user partition
+    (operators/timeseries.py::ewma_trailing)."""
+    from spectrify_spark.operators.timeseries import ewma_trailing
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    return ewma_trailing(
+        ev,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.3,
+        window_rows=10,
+    ).select("event_id", "user_id", "ewma")
+
+
+def q_trend_fit(spark, sf):
+    """Per-event-type OLS trend of daily totals (regr_slope /
+    regr_intercept over day index) — the linear-forecast primitive.
+    Daily sums are rounded to 4 decimals BEFORE the regression so both
+    engines regress identical y values (raw float sums differ in ulps
+    across accumulation orders); slope/intercept round to 6.  Two
+    Exchanges: the (type, day) agg and the per-type regression agg."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__d")
+    ).agg(F.round(F.sum("value"), 4).alias("__y"))
+    x = F.datediff(F.col("__d"), F.lit("1995-01-01").cast("date")).cast("double")
+    return daily.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("__y"), x), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("__y"), x), 6).alias("intercept"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+def q_transition_matrix(spark, sf):
+    """Per-user event-type transition counts (Markov chain estimation
+    for behavioral modeling): lead() over the (ts, event_id)-ordered
+    per-user stream pairs each event with its successor, then one
+    (from, to) count agg.  The tiebreaker column makes the order total,
+    so the matrix is deterministic.  Two Exchanges: user window + pair
+    agg."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+
+
+def q_text_readability(spark, sf):
+    """Flesch reading-ease approximation per document (vowel-group
+    syllable heuristic, sentence count floored at 1 for
+    punctuation-free corpora) — the classic readability quality signal.
+    Expression-only, zero shuffle (functions/text.py::flesch_ease)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", TX.flesch_ease(F.col("text")).alias("flesch")
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -2774,7 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 133 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 137 keys and a 50-key window, keys are
     scheduled least-recently-driver-verified first, with two rules in
     priority order: (1) a key whose executed code path changed this
     round (semantics or read path, not comment/validation-only edits)
@@ -2807,10 +2876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_promo_ratio / q_single_fault_supplier / q_forecast_revenue /
     q_shipmode_priority / q_profit_by_nation / q_min_price_supplier — each sweep- and
     sf0.01-verified at birth via tools/check_oracle.py), scheduled for
-    r7, as are the five late-r6 keys (TPC-H shapes q_market_share /
-    q_important_parts / q_excess_suppliers plus q_hybrid_rrf and
-    q_mixture_rebalance, same at-birth sf0.01 verification).
-    With 133 keys and a 50-key window the rotation period is 3
+    r7, as are the nine late-r6 keys (TPC-H shapes q_market_share /
+    q_important_parts / q_excess_suppliers, the hybrid-retrieval and
+    mixture keys q_hybrid_rrf / q_mixture_rebalance, and the
+    time-series/text batch q_ewma / q_trend_fit / q_transition_matrix /
+    q_text_readability — same at-birth sf0.01 verification).
+    With 137 keys and a 50-key window the rotation period is 3
     rounds at worst; the per-pytest full sweep keeps every key
     continuously verified in between.
     """
@@ -2956,6 +3027,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_excess_suppliers": q_excess_suppliers,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_mixture_rebalance": q_mixture_rebalance,
+        "q_ewma": q_ewma,
+        "q_trend_fit": q_trend_fit,
+        "q_transition_matrix": q_transition_matrix,
+        "q_text_readability": q_text_readability,
     }
 
 
@@ -4747,5 +4822,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
                        AS INTEGER) % 10000 < r.rate * 10000
             GROUP BY d.source
+        """,
+        # trailing-10 EWMA: list window frame + left fold seeded at the
+        # frame's oldest element (list_reduce matches F.aggregate's
+        # seed-then-fold exactly)
+        "q_ewma": """
+            SELECT event_id, user_id,
+                   ROUND(list_reduce(CAST(xs AS DOUBLE[]),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+            FROM (
+              SELECT event_id, user_id,
+                     list(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+              FROM events) t
+        """,
+        # per-type OLS trend over daily totals; y rounded pre-regression
+        "q_trend_fit": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d,
+                     ROUND(SUM(value), 4) AS y
+              FROM events GROUP BY event_type, d)
+            SELECT event_type,
+                   ROUND(regr_slope(y, CAST(d - DATE '1995-01-01' AS DOUBLE)), 6)
+                     AS slope,
+                   ROUND(regr_intercept(y, CAST(d - DATE '1995-01-01' AS DOUBLE)), 6)
+                     AS intercept,
+                   COUNT(*) AS n_days
+            FROM daily GROUP BY event_type
+        """,
+        # Markov transition counts: lead over the totally-ordered
+        # per-user stream
+        "q_transition_matrix": """
+            SELECT event_type, next_type, COUNT(*) AS n_trans
+            FROM (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_type
+              FROM events) t
+            WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        """,
+        # Flesch reading ease, vowel-group syllables, sentences >= 1
+        "q_text_readability": """
+            SELECT doc_id,
+                   CASE WHEN words > 0 THEN
+                     ROUND(206.835 - 1.015 * words / sents
+                           - 84.6 * syll / words, 4)
+                   END AS flesch
+            FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS DOUBLE) AS words,
+                     CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                       AS DOUBLE) AS syll,
+                     CAST(greatest(1, len(list_filter(
+                       string_split_regex(text, '[.!?]+'),
+                       x -> trim(x) <> ''))) AS DOUBLE) AS sents
+              FROM documents) t
         """,
     }

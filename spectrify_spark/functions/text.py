@@ -233,3 +233,36 @@ def shingles(col: Column, k: int = 3) -> Column:
         ),
         1,
     )
+
+
+def flesch_ease(col: Column) -> Column:
+    """Flesch reading-ease approximation: ``206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words)``, with syllables estimated as
+    vowel groups (the standard no-dictionary heuristic) and sentences
+    as ``[.!?]+`` runs, floored at 1 so punctuation-free corpora (e.g.
+    token streams) degrade to a words+syllables measure instead of a
+    divide-by-zero.  NULL for empty/whitespace text.  Rounded to 4.
+
+    Expression-only (three regexp passes), no shuffle, no UDF."""
+    lower = F.lower(col)
+    words = F.size(
+        F.filter(F.split(F.trim(lower), r"\s+"), lambda x: x != F.lit(""))
+    )
+    syll = F.size(F.regexp_extract_all(lower, F.lit("[aeiou]+"), F.lit(0)))
+    sents = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(col, r"[.!?]+"), lambda x: F.trim(x) != F.lit("")
+            )
+        ),
+    )
+    return F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words.cast("double") / sents.cast("double")
+            - F.lit(84.6) * syll.cast("double") / words.cast("double"),
+            4,
+        ),
+    )

@@ -77,3 +77,55 @@ def resample_ffill(
         F.last("__v", ignorenulls=True).over(w).alias("value_filled"),
         F.col("__v").isNotNull().alias("is_observed"),
     )
+
+
+def ewma_trailing(
+    df: DataFrame,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+    window_rows: int = 10,
+    out_col: str = "ewma",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average over a TRAILING bounded
+    window — the standard smoothing feature for per-entity time-series
+    (load signals, engagement trends, sensor denoise).
+
+    Within each ``key_col`` partition, rows ordered by ``order_cols``
+    (include a unique tiebreaker — a timestamp alone is not total
+    order) carry ``out_col`` = the recursive EWMA ``s_i = alpha*x_i +
+    (1-alpha)*s_{i-1}`` seeded at the OLDEST row of the trailing
+    ``window_rows``-row frame.  The bounded frame keeps state O(window)
+    per row instead of O(history), which is what makes the op safe on
+    unbounded per-key histories.
+
+    Implementation: collect_list over a rows-framed window (frame order
+    = sort order) + a single fold with ``F.aggregate`` — no UDF, no
+    per-row Python.  One shuffle (the key partition).
+
+    Raises ``ValueError`` unless 0 < alpha <= 1 and window_rows >= 1.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    xs = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # seed = oldest element in frame; fold the rest left-to-right
+    # (matches DuckDB list_reduce seeding for the oracle twin)
+    ew = F.aggregate(
+        F.slice(xs, 2, window_rows),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(float(alpha)) * x
+        + F.lit(float(1.0 - alpha)) * acc,
+    )
+    if round_digits is not None:
+        ew = F.round(ew, round_digits)
+    return df.withColumn(out_col, ew)

@@ -348,6 +348,14 @@ GOLDEN = {
     "q_mixture_rebalance": dict(
         max_exchanges=5, joins=["BroadcastHashJoin"], pushed=True, max_scan_cols=2,
     ),
+    # bounded-window EWMA: one user-key shuffle, no join, no UDF
+    "q_ewma": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=4),
+    # OLS trend: daily agg + per-type regression agg
+    "q_trend_fit": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=3),
+    # Markov transitions: user window + pair count agg
+    "q_transition_matrix": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=4),
+    # readability: expression-only, zero shuffle
+    "q_text_readability": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
 }
 
 

@@ -98,3 +98,31 @@ def test_char_entropy_values(spark):
     # natural-ish text sits between 0 and log2(distinct chars)
     v = _one(spark, "the quick brown fox", TX.char_entropy(F.col("t")))
     assert 2.0 < v < 5.0
+
+
+def test_flesch_ease_hand_computation(spark):
+    """One sentence, hand-countable vowel groups: 'the cat sat.' ->
+    words=3, sentences=1, syllable groups e/a/a = 3."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.functions.text import flesch_ease
+
+    df = spark.createDataFrame([("the cat sat.",), ("",), (None,)], "t string")
+    out = df.select(flesch_ease(F.col("t")).alias("f")).collect()
+    expected = round(206.835 - 1.015 * 3 / 1 - 84.6 * 3 / 3, 4)
+    assert out[0]["f"] == expected
+    # empty and NULL text -> NULL score, not a crash or a zero
+    assert out[1]["f"] is None
+    assert out[2]["f"] is None
+
+
+def test_flesch_ease_sentence_floor(spark):
+    """Punctuation-free text must not divide by zero: sentences
+    floors at 1, so the score equals the one-sentence formula."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.functions.text import flesch_ease
+
+    df = spark.createDataFrame([("no punctuation here",)], "t string")
+    (row,) = df.select(flesch_ease(F.col("t")).alias("f")).collect()
+    assert row["f"] is not None

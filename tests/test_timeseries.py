@@ -26,3 +26,68 @@ def test_resample_ffill_fills_gaps(spark):
     assert out[(1, d(2024, 1, 1, 2, 0))] == (11.0, False)  # filled
     assert out[(1, d(2024, 1, 1, 3, 0))] == (40.0, True)
     assert out[(2, d(2024, 1, 1, 5, 0))] == (99.0, True)
+
+
+# ------------------------------------------------------------- EWMA
+
+
+def test_ewma_matches_hand_recursion(spark):
+    """EWMA must equal the scalar recursion s_i = a*x_i + (1-a)*s_{i-1}
+    while the frame is unsaturated (window larger than history)."""
+    import datetime
+
+    from spectrify_spark.operators.timeseries import ewma_trailing
+
+    d = datetime.datetime
+    rows = [
+        (1, 7, d(2024, 1, 1, 0), 10.0),
+        (2, 7, d(2024, 1, 1, 1), 20.0),
+        (3, 7, d(2024, 1, 1, 2), 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_trailing(
+            df, key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", alpha=0.5, window_rows=10,
+        ).collect()
+    }
+    assert out[1] == 10.0
+    assert out[2] == 0.5 * 20.0 + 0.5 * 10.0
+    assert out[3] == 0.5 * 30.0 + 0.5 * (0.5 * 20.0 + 0.5 * 10.0)
+
+
+def test_ewma_window_bounds_history(spark):
+    """A window_rows=1 EWMA is the value itself: the trailing frame,
+    not the full history, feeds the fold."""
+    import datetime
+
+    from spectrify_spark.operators.timeseries import ewma_trailing
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [(i, 1, d(2024, 1, 1, i), float(i * 10)) for i in range(1, 5)],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    out = ewma_trailing(
+        df, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", alpha=0.3, window_rows=1,
+    ).collect()
+    for r in out:
+        assert r["ewma"] == r["value"]
+
+
+def test_ewma_validates_params(spark):
+    from spectrify_spark.operators.timeseries import ewma_trailing
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "e bigint, u bigint, v double")
+    import pytest
+
+    with pytest.raises(ValueError):
+        ewma_trailing(df, key_col="u", order_cols=["e"], value_col="v",
+                      alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma_trailing(df, key_col="u", order_cols=["e"], value_col="v",
+                      window_rows=0)

@@ -2855,38 +2855,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     run, so "past the window" never means "unverified since last code
     change" (the r3 stale-green gap).
 
-    Window r6 = the 49 keys with no CORRECTNESS_r05 row — led by
-    q_sample_fixed_n (the only key never driver-checked; added late in
-    r5), then the 46 r4-green keys plus q_cast_types / q_scalar_dates
-    (r4-green; the r5 docstring over-promised them a slot they did not
-    get — this round they actually have one) — plus q_stream_window in
-    the 50th slot because its single-file read path changed this round
-    (read_event_stream now scopes the stream with pathGlobFilter).
-    q_stream_sessionize shares that exact code path and was re-verified
-    at sf0.01 by tools/check_oracle.py this round (7/7 pass) plus the
-    per-pytest sweep; it keeps its r5 row and rotates normally in r7.
-    Past-window: the other 49 r5-green keys plus the twenty-nine
-    new-in-r6 keys (q_text_bm25, q_table_diff, q_corpus_drift,
-    q_zscore_robust, q_text_pii, q_text_entropy, q_dedup_lines,
-    q_stream_dedup, q_stream_join, q_stream_cdc, q_quantile_bins,
-    q_skew_report, q_quality_checks, q_funnel, q_retention,
-    q_stream_stateful, q_stream_convert, q_winsorize_grouped,
-    q_embed_standardize, q_asof_nearest, q_multimodal_decode, and the
-    TPC-H shapes q_top_revenue_supplier / q_large_orders /
-    q_promo_ratio / q_single_fault_supplier / q_forecast_revenue /
-    q_shipmode_priority / q_profit_by_nation / q_min_price_supplier — each sweep- and
-    sf0.01-verified at birth via tools/check_oracle.py), scheduled for
-    r7, as are the nine late-r6 keys (TPC-H shapes q_market_share /
-    q_important_parts / q_excess_suppliers, the hybrid-retrieval and
-    mixture keys q_hybrid_rrf / q_mixture_rebalance, and the
-    time-series/text batch q_ewma / q_trend_fit / q_transition_matrix /
-    q_text_readability — same at-birth sf0.01 verification).
-    With 137 keys and a 50-key window the rotation period is 3
-    rounds at worst; the per-pytest full sweep keeps every key
-    continuously verified in between.
+    Window r7 = the 38 r6-born keys (sweep- and sf0.01-verified at
+    birth but never driver-checked — highest priority under the
+    least-recently-driver-verified rule) followed by the 12 oldest
+    r5-green keys (q_agg_hash .. q_grouping_sets, in r5 window order).
+    The remaining 37 r5-green keys are at the 3-round rotation bound
+    and take the r8 window; in the interim they stay verified by the
+    per-pytest full sweep (tests/test_oracle_parity.py) and this
+    round's explicit tools/check_oracle.py runs.  Keys born in r7
+    (q_sim_ivf_recall and later additions) are placed PAST the window —
+    per the r6 verdict, new keys must not displace overdue ones — and
+    earn their driver row in r8 after at-birth sf0.01 verification.
+    With 137+ keys and a 50-key window the rotation period is 3 rounds
+    at worst; the per-pytest full sweep keeps every key continuously
+    verified in between.
     """
     return {
-        # -- r6 window: 49 keys without an r5 driver row, oldest first
+        # -- r7 window, slots 1-38: the r6-born keys, never
+        #    driver-checked, in birth order
+        "q_text_bm25": q_text_bm25,
+        "q_table_diff": q_table_diff,
+        "q_corpus_drift": q_corpus_drift,
+        "q_zscore_robust": q_zscore_robust,
+        "q_text_pii": q_text_pii,
+        "q_text_entropy": q_text_entropy,
+        "q_dedup_lines": q_dedup_lines,
+        "q_stream_dedup": q_stream_dedup,
+        "q_top_revenue_supplier": q_top_revenue_supplier,
+        "q_large_orders": q_large_orders,
+        "q_promo_ratio": q_promo_ratio,
+        "q_single_fault_supplier": q_single_fault_supplier,
+        "q_stream_join": q_stream_join,
+        "q_quantile_bins": q_quantile_bins,
+        "q_skew_report": q_skew_report,
+        "q_stream_cdc": q_stream_cdc,
+        "q_quality_checks": q_quality_checks,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_stream_stateful": q_stream_stateful,
+        "q_winsorize_grouped": q_winsorize_grouped,
+        "q_embed_standardize": q_embed_standardize,
+        "q_asof_nearest": q_asof_nearest,
+        "q_stream_convert": q_stream_convert,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_profit_by_nation": q_profit_by_nation,
+        "q_min_price_supplier": q_min_price_supplier,
+        "q_market_share": q_market_share,
+        "q_important_parts": q_important_parts,
+        "q_excess_suppliers": q_excess_suppliers,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_mixture_rebalance": q_mixture_rebalance,
+        "q_ewma": q_ewma,
+        "q_trend_fit": q_trend_fit,
+        "q_transition_matrix": q_transition_matrix,
+        "q_text_readability": q_text_readability,
+        # -- r7 window, slots 39-50: oldest r5-green keys
+        "q_agg_hash": q_agg_hash,
+        "q_scan_project": q_scan_project,
+        "q_filter_daterange": q_filter_daterange,
+        "q_json_extract": q_json_extract,
+        "q_array_slice": q_array_slice,
+        "q_unpivot": q_unpivot,
+        "q_join_multi": q_join_multi,
+        "q_join_star": q_join_star,
+        "q_join_two_dims": q_join_two_dims,
+        "q_topk_customers": q_topk_customers,
+        "q_asof_join": q_asof_join,
+        "q_grouping_sets": q_grouping_sets,
+        # -- past the window: the other 37 r5-green keys (r8 window, at
+        #    the 3-round bound; pytest-sweep-verified meanwhile)
+        "q_resample_ffill": q_resample_ffill,
+        "q_agg_median": q_agg_median,
+        "q_histogram": q_histogram,
+        "q_agg_approx": q_agg_approx,
+        "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_pivot": q_pivot,
+        "q_window_range": q_window_range,
+        "q_row_number_global": q_row_number_global,
+        "q_interval_join": q_interval_join,
+        "q_embed_centroid": q_embed_centroid,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_wordcount": q_text_wordcount,
+        "q_text_ngram": q_text_ngram,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_null_handling": q_null_handling,
+        "q_anti_blacklist": q_anti_blacklist,
+        "q_scalar_subquery_global": q_scalar_subquery_global,
+        "q_dedup_latest": q_dedup_latest,
+        "q_split_train_test": q_split_train_test,
+        "q_sim_topk": q_sim_topk,
+        "q_sim_knn": q_sim_knn,
+        "q_text_stats": q_text_stats,
+        "q_text_tokens": q_text_tokens,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_multimodal_cols": q_multimodal_cols,
+        "q_events_window": q_events_window,
+        "q_events_sliding": q_events_sliding,
+        "q_sim_threshold": q_sim_threshold,
+        "q_events_sessionize": q_events_sessionize,
+        "q_asof_tolerance": q_asof_tolerance,
+        "q_asof_forward": q_asof_forward,
+        "q_stream_sessionize": q_stream_sessionize,
+        "q_chunk_documents": q_chunk_documents,
+        "q_merge_upsert": q_merge_upsert,
+        "q_text_ulm": q_text_ulm,
+        "q_winsorize": q_winsorize,
+        # -- r6-window keys (driver-green in CORRECTNESS_r06)
         "q_sample_fixed_n": q_sample_fixed_n,
         "q_cast_types": q_cast_types,
         "q_scalar_dates": q_scalar_dates,
@@ -2936,101 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_sample_weighted": q_sample_weighted,
-        # -- 50th slot: single-file stream read path changed this round
         "q_stream_window": q_stream_window,
-        # -- past the 50-key window: r5-green, scheduled for r7
-        "q_agg_hash": q_agg_hash,
-        "q_scan_project": q_scan_project,
-        "q_filter_daterange": q_filter_daterange,
-        "q_json_extract": q_json_extract,
-        "q_array_slice": q_array_slice,
-        "q_unpivot": q_unpivot,
-        "q_join_multi": q_join_multi,
-        "q_join_star": q_join_star,
-        "q_join_two_dims": q_join_two_dims,
-        "q_topk_customers": q_topk_customers,
-        "q_asof_join": q_asof_join,
-        "q_grouping_sets": q_grouping_sets,
-        "q_resample_ffill": q_resample_ffill,
-        "q_agg_median": q_agg_median,
-        "q_histogram": q_histogram,
-        "q_agg_approx": q_agg_approx,
-        "q_rollup": q_rollup,
-        "q_cube": q_cube,
-        "q_pivot": q_pivot,
-        "q_window_range": q_window_range,
-        "q_row_number_global": q_row_number_global,
-        "q_interval_join": q_interval_join,
-        "q_embed_centroid": q_embed_centroid,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_wordcount": q_text_wordcount,
-        "q_text_ngram": q_text_ngram,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
-        "q_null_handling": q_null_handling,
-        "q_anti_blacklist": q_anti_blacklist,
-        "q_scalar_subquery_global": q_scalar_subquery_global,
-        "q_dedup_latest": q_dedup_latest,
-        "q_split_train_test": q_split_train_test,
-        "q_sim_topk": q_sim_topk,
-        "q_sim_knn": q_sim_knn,
-        "q_text_stats": q_text_stats,
-        "q_text_tokens": q_text_tokens,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_multimodal_cols": q_multimodal_cols,
-        "q_events_window": q_events_window,
-        "q_events_sliding": q_events_sliding,
-        "q_sim_threshold": q_sim_threshold,
-        "q_events_sessionize": q_events_sessionize,
-        "q_asof_tolerance": q_asof_tolerance,
-        "q_asof_forward": q_asof_forward,
-        "q_stream_sessionize": q_stream_sessionize,
-        "q_chunk_documents": q_chunk_documents,
-        "q_merge_upsert": q_merge_upsert,
-        "q_text_ulm": q_text_ulm,
-        "q_winsorize": q_winsorize,
-        # -- new this round (r6): sweep- and sf0.01-oracle-verified at
-        # birth, driver row scheduled r7 (new keys yield window slots to
-        # keys at their 2-round deadline)
-        "q_text_bm25": q_text_bm25,
-        "q_table_diff": q_table_diff,
-        "q_corpus_drift": q_corpus_drift,
-        "q_zscore_robust": q_zscore_robust,
-        "q_text_pii": q_text_pii,
-        "q_text_entropy": q_text_entropy,
-        "q_dedup_lines": q_dedup_lines,
-        "q_stream_dedup": q_stream_dedup,
-        "q_top_revenue_supplier": q_top_revenue_supplier,
-        "q_large_orders": q_large_orders,
-        "q_promo_ratio": q_promo_ratio,
-        "q_single_fault_supplier": q_single_fault_supplier,
-        "q_stream_join": q_stream_join,
-        "q_quantile_bins": q_quantile_bins,
-        "q_skew_report": q_skew_report,
-        "q_stream_cdc": q_stream_cdc,
-        "q_quality_checks": q_quality_checks,
-        "q_funnel": q_funnel,
-        "q_retention": q_retention,
-        "q_stream_stateful": q_stream_stateful,
-        "q_winsorize_grouped": q_winsorize_grouped,
-        "q_embed_standardize": q_embed_standardize,
-        "q_asof_nearest": q_asof_nearest,
-        "q_stream_convert": q_stream_convert,
-        "q_multimodal_decode": q_multimodal_decode,
-        "q_forecast_revenue": q_forecast_revenue,
-        "q_shipmode_priority": q_shipmode_priority,
-        "q_profit_by_nation": q_profit_by_nation,
-        "q_min_price_supplier": q_min_price_supplier,
-        # -- new in r6 (late batch): sweep/sf0.01-verified at birth,
-        #    scheduled for the r7 window
-        "q_market_share": q_market_share,
-        "q_important_parts": q_important_parts,
-        "q_excess_suppliers": q_excess_suppliers,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_mixture_rebalance": q_mixture_rebalance,
-        "q_ewma": q_ewma,
-        "q_trend_fit": q_trend_fit,
-        "q_transition_matrix": q_transition_matrix,
-        "q_text_readability": q_text_readability,
     }
 
 

@@ -8,17 +8,21 @@ rows-only check).
 Determinism conventions (so the driver's order-insensitive value hash
 matches across engines):
 - money aggregates are computed in DECIMAL (exact, association-free)
-  internally, then every FINAL decimal output is cast to DOUBLE on both
-  sides (the driver's canonicalizer renders Decimal values
-  engine-specifically, so DECIMAL-typed outputs hash-mismatch even when
-  equal; an exact decimal with <=2^53 scaled units converts to the same
-  IEEE double in Spark and DuckDB).  Bound: this identity needs
-  10^scale exactly representable (scale <= 22) AND |sum| < 2^53 scaled
-  units — at scale 6 that is ~9.0e9 currency units, ample for the
-  actual gate data (sf<=0.1; group sums there are ~5e9 scaled units)
-  but NOT for sf>=1 (TPC-H Q1 group sums reach ~5e16 scaled units,
-  past 2^53); before any larger-SF gate run, normalize via
-  ROUND(CAST(x AS DOUBLE), k) identically on both sides instead.
+  internally, then every FINAL decimal output crosses to DOUBLE via a
+  STRING hop: Spark ``.cast("string").cast("double")``, DuckDB
+  ``CAST(CAST(x AS VARCHAR) AS DOUBLE)``.  Rationale: the direct
+  decimal->double cast is engine-specific past 2^53 scaled units
+  (measured r7: 162/742 bit mismatches on a >2^53 grid — DuckDB
+  double-rounds int128/10^scale while the JVM converts correctly
+  rounded), whereas decimal->string formatting is identical in both
+  engines (212/212 grid incl. -0.000001, trailing zeros, 37-digit
+  values) and string->double parsing is correctly rounded in both —
+  so the hop yields the bit-identical, correctly-rounded double of the
+  exact sum at ANY magnitude (re-verified: 14 money keys hash-match at
+  /tmp/sf1 = 10x sf0.1 where Q1 group sums hit 5e16 scaled units; see
+  tools/make_sf.py).  The r6 ROUND(CAST(x AS DOUBLE), k) remediation
+  idea was rejected: 1-ulp engine disagreement straddles round-half
+  boundaries, which scale-6 money values hit constantly.
   Never narrow a decimal's scale at the boundary (e.g. scale-6 sum ->
   DECIMAL(38,2)): the two engines round half-way values differently
   (Spark HALF_UP, DuckDB half-even) — the r2 hash-fail root cause;
@@ -104,14 +108,14 @@ def q_agg_hash(spark: SparkSession, sf: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_qty_dec()).cast(DEC2_OUT).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum(_qty_dec()).cast(DEC2_OUT).cast("string").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("string").cast("double").alias("sum_disc_price"),
             F.round(
-                F.sum(_qty_dec()).cast("double") / F.count(F.lit(1)), 4
+                F.sum(_qty_dec()).cast("string").cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_qty"),
             F.round(
-                F.sum(F.col("l_extendedprice").cast(DEC2)).cast("double")
+                F.sum(F.col("l_extendedprice").cast(DEC2)).cast("string").cast("double")
                 / F.count(F.lit(1)),
                 4,
             ).alias("avg_price"),
@@ -122,13 +126,13 @@ def q_agg_hash(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_AGG_HASH = """
 SELECT l_returnflag, l_linestatus,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE)
+  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
     AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*), 4) AS avg_price,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -186,7 +190,7 @@ def q_partition_key(spark, sf):
         .groupBy("partition_date")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double").alias("sum_value"),
         )
     )
 
@@ -239,7 +243,7 @@ def q_conditional_agg(spark, sf):
         F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_heavy"),
         F.sum(
             F.when(F.col("l_linestatus") == "O", F.col("l_quantity").cast(DEC2))
-        ).cast(DEC2_OUT).cast("double").alias("open_qty"),
+        ).cast(DEC2_OUT).cast("string").cast("double").alias("open_qty"),
         F.bool_or(F.col("l_discount") > 0.05).alias("any_deep_discount"),
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
     )
@@ -320,7 +324,7 @@ def q_join_multi(spark, sf):
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .agg(F.sum(disc_price).cast("decimal(38,6)").cast("string").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -347,7 +351,7 @@ def q_join_star(spark, sf):
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
     return joined.groupBy("n_name").agg(
-        F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.sum(disc_price).cast("decimal(38,6)").cast("string").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -464,7 +468,7 @@ def q_topk_customers(spark, sf):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("revenue"))
+        .agg(F.sum(disc_price).cast("decimal(38,6)").cast("string").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -480,7 +484,7 @@ def q_grouping_sets(spark, sf):
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM __gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -543,7 +547,7 @@ def q_scalar_subquery_global(spark, sf):
     )
     return rich.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("total_bal"),
+        F.sum(F.col("c_acctbal").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double").alias("total_bal"),
     )
 
 
@@ -637,7 +641,7 @@ def q_filter_compound(spark, sf):
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .filter(branch1 | branch2)
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -657,7 +661,7 @@ def q_partition_rollup(spark, sf):
         .groupBy("week_start", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("p").cast(DEC2_OUT).cast("double").alias("sum_price"),
+            F.sum("p").cast(DEC2_OUT).cast("string").cast("double").alias("sum_price"),
         )
     )
 
@@ -686,7 +690,7 @@ def q_join_two_dims(spark, sf):
         .join(F.broadcast(cust_nation), o["o_custkey"] == cust_nation["c_custkey"])
         .groupBy("supp_nation", "cust_nation")
         .agg(
-            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias("revenue"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("string").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -725,7 +729,7 @@ def q_rollup(spark, sf):
         li,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": F.sum(_qty_dec()).cast(DEC2_OUT).cast("double"),
+            "sum_qty": F.sum(_qty_dec()).cast(DEC2_OUT).cast("string").cast("double"),
             "n_rows": F.count(F.lit(1)),
         },
     )
@@ -738,7 +742,7 @@ def q_cube(spark, sf):
         ["o_orderstatus", "o_orderpriority"],
         {
             "n_orders": F.count(F.lit(1)),
-            "sum_price": F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).cast("double"),
+            "sum_price": F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double"),
         },
     )
 
@@ -748,7 +752,7 @@ def q_pivot(spark, sf):
     p = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(_qty_dec()).cast(DEC2_OUT).cast("double"))
+        .agg(F.sum(_qty_dec()).cast(DEC2_OUT).cast("string").cast("double"))
     )
     return p.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
@@ -774,7 +778,7 @@ def q_subquery_scalar(spark, sf):
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double").alias("sum_price"),
             F.count(F.lit(1)).alias("n_below"),
         )
     )
@@ -786,7 +790,7 @@ def q_agg_having(spark, sf):
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("total"),
+            F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double").alias("total"),
         )
         .filter(F.col("n_orders") >= 15)
     )
@@ -820,7 +824,7 @@ def q_window_analytic(spark, sf):
         "user_id",
         "value",
         F.lag("value").over(w).alias("prev_value"),
-        F.sum(F.col("value").cast(DEC2)).over(wrun).cast(DEC2_OUT).cast("double").alias("running_value"),
+        F.sum(F.col("value").cast(DEC2)).over(wrun).cast(DEC2_OUT).cast("string").cast("double").alias("running_value"),
     )
 
 
@@ -1633,7 +1637,7 @@ def q_events_window(spark, sf):
         group_cols=["event_type"],
         aggs={
             "n_events": F.count(F.lit(1)),
-            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double"),
+            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double"),
         },
     )
     return out.select("window_start", "event_type", "n_events", "sum_value")
@@ -1647,7 +1651,7 @@ def q_events_sliding(spark, sf):
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -1711,7 +1715,7 @@ def q_stream_window(spark, sf):
         duration="1 hour",
         aggs={
             "n_events": F.count(F.lit(1)),
-            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("double"),
+            "sum_value": F.sum(F.col("value").cast(DEC2)).cast(DEC2_OUT).cast("string").cast("double"),
         },
     )
     return _drain_scoped(spark, agg, name, "complete").select(
@@ -2225,7 +2229,7 @@ def q_forecast_revenue(spark, sf):
     rev = F.col("l_extendedprice").cast(DEC2) * F.col("l_discount").cast("decimal(6,4)")
     return sel.agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue"),
+        F.sum(rev).cast("decimal(38,6)").cast("string").cast("double").alias("revenue"),
     )
 
 
@@ -2317,7 +2321,7 @@ def q_profit_by_nation(spark, sf):
             "n_name", F.year("l_shipdate").cast("bigint").alias("o_year")
         )
         .agg(
-            F.sum(rev - cost).cast("decimal(38,6)").cast("double").alias("profit")
+            F.sum(rev - cost).cast("decimal(38,6)").cast("string").cast("double").alias("profit")
         )
     )
 
@@ -2487,7 +2491,7 @@ def q_top_revenue_supplier(spark, sf):
         .select(
             "s_suppkey",
             "s_name",
-            F.col("__rev").cast("double").alias("total_revenue"),
+            F.col("__rev").cast("string").cast("double").alias("total_revenue"),
         )
     )
 
@@ -2521,7 +2525,7 @@ def q_large_orders(spark, sf):
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("__qty").cast("double").alias("sum_qty"),
+            F.col("__qty").cast("string").cast("double").alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
@@ -2552,8 +2556,9 @@ def q_promo_ratio(spark, sf):
                 )
             )
             .cast("decimal(38,6)")
+            .cast("string")
             .cast("double")
-            / F.sum(disc_price).cast("decimal(38,6)").cast("double"),
+            / F.sum(disc_price).cast("decimal(38,6)").cast("string").cast("double"),
             6,
         ).alias("promo_ratio"),
     )
@@ -2641,8 +2646,9 @@ def q_market_share(spark, sf):
                     )
                 )
                 .cast("decimal(38,6)")
+                .cast("string")
                 .cast("double")
-                / F.sum(rev).cast("decimal(38,6)").cast("double"),
+                / F.sum(rev).cast("decimal(38,6)").cast("string").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -2677,11 +2683,12 @@ def q_important_parts(spark, sf):
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("__val").cast("double") > F.lit(0.0006) * F.col("__tot").cast("double")
+            F.col("__val").cast("string").cast("double")
+            > F.lit(0.0006) * F.col("__tot").cast("string").cast("double")
         )
         .select(
             "l_partkey",
-            F.col("__val").cast("double").alias("part_value"),
+            F.col("__val").cast("string").cast("double").alias("part_value"),
         )
     )
 
@@ -2709,7 +2716,7 @@ def q_excess_suppliers(spark, sf):
     )
     w = Window.partitionBy("l_partkey")
     excess = pair.withColumn("__pt", F.sum("__sq").over(w)).filter(
-        F.col("__sq").cast("double") > F.lit(0.5) * F.col("__pt").cast("double")
+        F.col("__sq").cast("string").cast("double") > F.lit(0.5) * F.col("__pt").cast("string").cast("double")
     )
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
@@ -3161,7 +3168,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_partition_key": """
             SELECT CAST(ts AS DATE) AS partition_date, COUNT(*) AS n_events,
-                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+                   CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
         """,
         "q_join_inner": """
@@ -3187,9 +3194,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_multi": """
             SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+                        AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3199,9 +3206,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_star": """
             SELECT n.n_name,
-                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+                        AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3242,12 +3249,12 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H Q9 shape: deep star join, signed exact-decimal profit
         "q_profit_by_nation": """
             SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
-                   CAST(CAST(SUM(
+                   CAST(CAST(CAST(SUM(
                      CAST(l.l_extendedprice AS DECIMAL(18,2))
                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4)))
                      - CAST(p.p_retailprice AS DECIMAL(18,2))
                        * CAST(l.l_quantity AS DECIMAL(18,2))
-                   ) AS DECIMAL(38,6)) AS DOUBLE) AS profit
+                   ) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS profit
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -3257,8 +3264,8 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H Q6 shape: one filtered scan, one 1-row decimal agg
         "q_forecast_revenue": """
             SELECT COUNT(*) AS n_items,
-                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6))
+                   CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS VARCHAR)
                         AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -3366,8 +3373,8 @@ def oracle_sql() -> dict[str, str]:
         "q_conditional_agg": """
             SELECT l_returnflag,
                    COUNT(*) FILTER (l_quantity >= 25) AS n_heavy,
-                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        FILTER (l_linestatus = 'O') AS DECIMAL(38,2)) AS DOUBLE) AS open_qty,
+                   CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        FILTER (l_linestatus = 'O') AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS open_qty,
                    bool_or(l_discount > 0.05) AS any_deep_discount,
                    bool_and(l_quantity > 0) AS all_positive
             FROM lineitem GROUP BY l_returnflag
@@ -3393,9 +3400,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_topk_customers": """
             SELECT c.c_custkey, c.c_name,
-                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+                        AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3407,7 +3414,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
                    CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -3441,7 +3448,7 @@ def oracle_sql() -> dict[str, str]:
               ON g.user_id = h.user_id AND g.bucket_ts = h.bucket_ts
         """,
         "q_filter_compound": """
-            SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+            SELECT CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 15)
@@ -3450,14 +3457,14 @@ def oracle_sql() -> dict[str, str]:
         "q_partition_rollup": """
             SELECT CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS week_start,
                    o_orderstatus, COUNT(*) AS n_orders,
-                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+                   CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
             FROM orders GROUP BY 1, 2
         """,
         "q_join_two_dims": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+                        AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3507,7 +3514,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_subquery_scalar": """
             SELECT l.l_partkey,
-                   CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+                   CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price,
                    COUNT(*) AS n_below
             FROM lineitem l
             WHERE l.l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
@@ -3516,7 +3523,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_agg_having": """
             SELECT o_custkey, COUNT(*) AS n_orders,
-                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
+                   CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total
             FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         """,
         "q_window_range": """
@@ -3542,21 +3549,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_rollup": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "q_cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+                   CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "q_pivot": """
             SELECT l_returnflag,
-                   CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
-                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS qty_O,
-                   CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
-                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS qty_F
+                   CAST(CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS qty_O,
+                   CAST(CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS qty_F
             FROM lineitem GROUP BY l_returnflag
         """,
         "q_window_rank": """
@@ -3569,10 +3576,10 @@ def oracle_sql() -> dict[str, str]:
         "q_window_analytic": """
             SELECT event_id, user_id, value,
                    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS DECIMAL(38,2)) AS DOUBLE) AS running_value
+                        AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS running_value
             FROM events
         """,
         "q_row_number_global": """
@@ -3650,7 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         "q_scalar_subquery_global": """
             SELECT c.c_mktsegment,
                    COUNT(*) AS n_customers,
-                   CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+                   CAST(CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total_bal
             FROM customer c
             WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
             GROUP BY c.c_mktsegment
@@ -3757,7 +3764,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_window": """
             SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events,
-                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+                   CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "q_chunk_documents": """
@@ -3816,7 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_window": """
             SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events,
-                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+                   CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         # streaming session_window drain vs the BATCH sessionization
@@ -3842,7 +3849,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sliding": """
             SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start,
                    COUNT(*) AS n_events,
-                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+                   CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
             FROM (
               SELECT (epoch_us(ts) // 1000000 // 1800 * 1800) - off AS s, value
               FROM events CROSS JOIN (VALUES (0), (1800)) o(off)
@@ -4449,7 +4456,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                 AND l_shipdate <  TIMESTAMP '1996-04-01'
               GROUP BY l_suppkey)
-            SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+            SELECT s.s_suppkey, s.s_name, CAST(CAST(rev.r AS VARCHAR) AS DOUBLE) AS total_revenue
             FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
             WHERE rev.r = (SELECT MAX(r) FROM rev)
         """,
@@ -4461,7 +4468,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_orderkey
               HAVING qty > 150)
             SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
-                   o.o_totalprice, CAST(big.qty AS DOUBLE) AS sum_qty
+                   o.o_totalprice, CAST(CAST(big.qty AS VARCHAR) AS DOUBLE) AS sum_qty
             FROM big
             JOIN orders o ON big.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -4472,13 +4479,13 @@ def oracle_sql() -> dict[str, str]:
         "q_promo_ratio": """
             SELECT COUNT(*) AS n_items,
                    ROUND(100.0
-                     * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     * CAST(CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                          THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4)))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS DOUBLE)
-                     / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4))))
-                        AS DECIMAL(38,6)) AS DOUBLE),
+                        AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE),
                    6) AS promo_ratio
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -4678,14 +4685,14 @@ def oracle_sql() -> dict[str, str]:
         "q_market_share": """
             SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
                    ROUND(
-                     CAST(CAST(SUM(CASE WHEN ns.n_name = 'NATION_7' THEN
+                     CAST(CAST(CAST(SUM(CASE WHEN ns.n_name = 'NATION_7' THEN
                        CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4)))
-                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS DOUBLE)
-                     / CAST(CAST(SUM(
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(CAST(SUM(
                        CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(6,4)))
-                       ) AS DECIMAL(38,6)) AS DOUBLE),
+                       ) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE),
                    6) AS mkt_share
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
@@ -4710,9 +4717,9 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY l_partkey),
             total AS (
               SELECT CAST(SUM(val) AS DECIMAL(38,6)) AS tot FROM per_part)
-            SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+            SELECT l_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS part_value
             FROM per_part CROSS JOIN total
-            WHERE CAST(val AS DOUBLE) > 0.0006 * CAST(tot AS DOUBLE)
+            WHERE CAST(CAST(val AS VARCHAR) AS DOUBLE) > 0.0006 * CAST(CAST(tot AS VARCHAR) AS DOUBLE)
         """,
         # TPC-H Q20 shape: suppliers shipping >50% of a PROMO part's volume
         "q_excess_suppliers": """
@@ -4726,8 +4733,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l.l_partkey, l.l_suppkey),
             dom AS (
               SELECT l_suppkey FROM (
-                SELECT l_suppkey, CAST(sq AS DOUBLE) AS sqd,
-                       CAST(SUM(sq) OVER (PARTITION BY l_partkey) AS DOUBLE) AS ptd
+                SELECT l_suppkey, CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqd,
+                       CAST(CAST(SUM(sq) OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE) AS ptd
                 FROM pair) x
               WHERE sqd > 0.5 * ptd)
             SELECT s.s_suppkey, s.s_name

@@ -81,7 +81,13 @@ def main() -> int:
         spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; make_sf.py rehearsal
+        # dirs are Spark-written directories -> glob the part files
+        import os
+
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -2675,7 +2675,12 @@ def q_important_parts(spark, sf):
     )
     # persist the |parts|-row agg so the global re-aggregation does NOT
     # trigger a second corpus scan (Catalyst won't CSE across the agg;
-    # cf. quality.unigram_logprob's persisted token table)
+    # cf. quality.unigram_logprob's persisted token table).  The cache
+    # is deliberately NOT unpersisted: the returned DataFrame is lazy,
+    # so the consumer materializes it after this function returns —
+    # same accepted MEMORY_AND_DISK leak as bm25_topk(persist=True)
+    # (ADVICE r6); the |parts|-row footprint is dim-sized, and a
+    # repeated-run harness recycles the whole session anyway
     per_part = li.groupBy("l_partkey").agg(
         F.sum("__rev").cast("decimal(38,6)").alias("__val")
     ).persist()

@@ -102,6 +102,13 @@ def ewma_trailing(
     per row instead of O(history), which is what makes the op safe on
     unbounded per-key histories.
 
+    NULL semantics: a NULL ``value_col`` anywhere in the trailing frame
+    yields a NULL EWMA for that row (NULL propagates through the fold,
+    matching DuckDB list()/list_reduce).  Without the explicit guard
+    below, Spark's collect_list would silently DROP the NULL and
+    shrink/shift the frame — a different answer than the SQL engines
+    give (ADVICE r6).
+
     Implementation: collect_list over a rows-framed window (frame order
     = sort order) + a single fold with ``F.aggregate`` — no UDF, no
     per-row Python.  One shuffle (the key partition).
@@ -126,6 +133,13 @@ def ewma_trailing(
         lambda acc, x: F.lit(float(alpha)) * x
         + F.lit(float(1.0 - alpha)) * acc,
     )
+    # NULL-in-frame guard: collect_list drops NULLs, so detect them
+    # over the SAME frame and poison the result the way the SQL
+    # engines' list fold would
+    frame_has_null = (
+        F.max(F.col(value_col).isNull().cast("int")).over(w) == 1
+    )
+    ew = F.when(frame_has_null, F.lit(None).cast("double")).otherwise(ew)
     if round_digits is not None:
         ew = F.round(ew, round_digits)
     return df.withColumn(out_col, ew)

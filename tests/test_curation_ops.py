@@ -202,7 +202,6 @@ def test_rebalance_mixture_hits_target_proportions(spark, sf_dir):
             d.groupBy("source").count().withColumnRenamed("count", "n").collect()}
     # the binding stratum (smaller count/target ratio) keeps everything;
     # hash granularity can lose a few rows at small N
-    import math
     t = min(orig["src0"] / 3.0, orig["src1"] / 1.0)
     want0, want1 = 3.0 * t, 1.0 * t
     assert counts.get("src0", 0) <= orig["src0"]

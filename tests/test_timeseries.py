@@ -79,6 +79,40 @@ def test_ewma_window_bounds_history(spark):
         assert r["ewma"] == r["value"]
 
 
+def test_ewma_null_in_frame_poisons_result(spark):
+    """A NULL value anywhere in the trailing frame must yield a NULL
+    EWMA for that row (DuckDB list_reduce parity — collect_list would
+    otherwise silently drop the NULL and shift the frame, ADVICE r6).
+    Rows whose frame has slid past the NULL recover."""
+    import datetime
+
+    from spectrify_spark.operators.timeseries import ewma_trailing
+
+    d = datetime.datetime
+    rows = [
+        (1, 7, d(2024, 1, 1, 0), 10.0),
+        (2, 7, d(2024, 1, 1, 1), None),
+        (3, 7, d(2024, 1, 1, 2), 30.0),
+        (4, 7, d(2024, 1, 1, 3), 40.0),
+        (5, 7, d(2024, 1, 1, 4), 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_trailing(
+            df, key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", alpha=0.5, window_rows=2,
+        ).collect()
+    }
+    assert out[1] == 10.0
+    assert out[2] is None  # NULL enters the frame
+    assert out[3] is None  # frame = [NULL, 30.0]
+    assert out[4] == 0.5 * 40.0 + 0.5 * 30.0  # frame slid past the NULL
+    assert out[5] == 0.5 * 50.0 + 0.5 * 40.0
+
+
 def test_ewma_validates_params(spark):
     from spectrify_spark.operators.timeseries import ewma_trailing
 

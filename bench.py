@@ -182,26 +182,43 @@ def main() -> None:
         timings["etl_convert_csv"] = {"err": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"# etl_convert_csv: ERROR {type(exc).__name__}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(totals["headline"], 3),
-                "unit": "sec",
-                "stat": f"median_of_{RUNS_HEADLINE}",
-                "queries": timings,
-                "extended_total": round(totals["extended"], 3),
-                "extended_stat": f"median_of_{RUNS_EXTENDED}",
-                "calibration_sec": calibration,
-                "overhead_sec": overhead,
-                "baseline_ratio": round(totals["headline"] / calibration, 3)
-                if calibration
-                else None,
-                "errors": errors,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(totals["headline"], 3),
+        "unit": "sec",
+        "stat": f"median_of_{RUNS_HEADLINE}",
+        "queries": timings,
+        "extended_total": round(totals["extended"], 3),
+        "extended_stat": f"median_of_{RUNS_EXTENDED}",
+        "calibration_sec": calibration,
+        "overhead_sec": overhead,
+        "baseline_ratio": round(totals["headline"] / calibration, 3)
+        if calibration
+        else None,
+        "errors": errors,
+        "sf": sf,
+    }
+    # Durable full record: the driver captures only the last ~2,000
+    # chars of stdout, which severed the 137-key per-query dict from
+    # BENCH_r06.json ("parsed": null).  The complete record lives in
+    # BENCH_RESULT.json next to this script; the stdout line keeps the
+    # same shape but carries only the HEADLINE per-query timings (plus
+    # errored keys) so it always fits the capture window intact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_RESULT.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    compact = dict(record)
+    compact["queries"] = {
+        k: (v if not isinstance(v, dict) else {"err": str(v.get("err"))[:80]})
+        for k, v in timings.items()
+        if k in HEADLINE or isinstance(v, dict)
+    }
+    compact["full_record"] = "BENCH_RESULT.json"
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never let the record outgrow the capture window
+        compact["queries"] = {"truncated": "see BENCH_RESULT.json"}
+        line = json.dumps(compact)
+    print(line)
     # exit 0 even with errors: the JSON line above is the record, and a
     # nonzero rc risks the harness discarding the valid measurements
     # (the r4 failure mode); the "errors" field flags the gap instead.

@@ -203,6 +203,73 @@ def kmeans_refine(
     return current
 
 
+def ivf_knn_join(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Approximate top-k for MANY query vectors over an IVF-assigned
+    corpus — the batched probe path (single-query twin: ``ivf_topk``).
+
+    Probe-cell selection is an expression, not a driver loop: each
+    query scores the C centroid literals into an array of (score, cell)
+    structs, array_sorts it, and explodes the top ``nprobe`` cells.
+    The resulting (query, cell) probe table is |Q| x nprobe rows —
+    broadcast it against the corpus so the corpus NEVER shuffles; only
+    the probed slices are scored, and the per-query top-k window runs
+    over candidate rows already cut down by the cell filter.  At scale
+    pair with ``write_ivf_index``: the cell equi-join becomes a
+    partition-pruned scan of nprobe/C of the data.
+    """
+    import math
+
+    def _cnorm(vec: list[float]) -> float:
+        return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+
+    from pyspark.sql import Window
+
+    pairs = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col(query_vec), F.array(*[F.lit(float(x)) for x in vec]))
+                    / F.lit(_cnorm(vec))
+                ).alias("s"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    top_cells = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    probe = queries.select(
+        query_id,
+        query_vec,
+        F.explode(F.transform(top_cells, lambda x: x["c"])).alias("__cell"),
+    )
+    cand = assigned.join(
+        F.broadcast(probe), F.col(cell_col) == F.col("__cell")
+    ).select(
+        query_id,
+        F.col(corpus_id),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(corpus_id)
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def cluster_sizes(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -245,6 +312,8 @@ __all__ = [
     "choose_centroids",
     "assign_partitions",
     "ivf_topk",
+    "ivf_knn_join",
+    "kmeans_refine",
     "write_ivf_index",
     "read_ivf_index",
     "dot",

@@ -46,6 +46,41 @@ def test_ivf_full_probe_matches_brute_force(spark):
     assert approx == exact  # probing every cell == exact search
 
 
+def test_ivf_knn_join_full_probe_matches_knn_join(spark):
+    """Probing every cell makes the batched IVF path exact — it must
+    reproduce knn_join_topk per query, which pins the probe-table
+    explode, the cell equi-join, and the per-query window."""
+    corpus = _df(spark)
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])], ["q_id", "q_vec"]
+    )
+    cents = SIM.choose_centroids(corpus, n_centroids=3)
+    assigned = SIM.assign_partitions(corpus, cents)
+    exact = {}
+    for r in SIM.knn_join_topk(corpus, queries, k=2).collect():
+        exact.setdefault(r.q_id, []).append(r.vec_id)
+    approx = {}
+    out = SIM.ivf_knn_join(assigned, cents, queries, k=2, nprobe=3)
+    for r in out.orderBy("q_id", "vec_id").collect():
+        approx.setdefault(r.q_id, []).append(r.vec_id)
+    assert {q: sorted(v) for q, v in approx.items()} == {
+        q: sorted(v) for q, v in exact.items()
+    }
+
+
+def test_ivf_knn_join_partial_probe_respects_cells(spark):
+    """nprobe=1 must only ever return candidates from each query's
+    single nearest cell — no leakage across the cell filter."""
+    corpus = _df(spark)
+    queries = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
+    cents = SIM.choose_centroids(corpus, n_centroids=3)
+    assigned = SIM.assign_partitions(corpus, cents)
+    cell_of = {r.vec_id: r.ivf_cell for r in assigned.collect()}
+    out = SIM.ivf_knn_join(assigned, cents, queries, k=5, nprobe=1).collect()
+    cells = {cell_of[r.vec_id] for r in out}
+    assert len(cells) == 1
+
+
 def test_kmeans_refine_reduces_scatter(spark):
     """Two well-separated blobs: refined centroids must land near the
     blob means and assign each blob to one cell."""

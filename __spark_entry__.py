@@ -68,6 +68,16 @@ def _qty_dec(col: str = "l_quantity"):
     return F.col(col).cast(DEC2)
 
 
+#: Streaming-plan audit captured by _drain_scoped, keyed by the
+#: query's base name (uuid suffix stripped).  The registry callables
+#: for q_stream_* return a batch read of the drained memory sink, so
+#: their batch "plan" is a local table scan — the REAL streaming plan
+#: (state stores, watermarks, join strategy) lives here, gated by
+#: tests/test_streaming_plans.py and printed into PLANS.md by
+#: tools/explain_all.py --streaming.
+STREAM_AUDITS: dict = {}
+
+
 def _drain_scoped(spark, stream_df, name, output_mode, n_partitions=8):
     """Drain a streaming plan to a memory sink with the shuffle
     partitions scoped down: streaming state stores are allocated PER
@@ -75,7 +85,13 @@ def _drain_scoped(spark, stream_df, name, output_mode, n_partitions=8):
     dominates an availableNow drain — 32 partitions = 12s vs 8 = 2.7s
     for the sf0.1 stream-stream join, identical results.  The session
     setting is restored so batch queries keep their parallelism; a
-    production stream sizes this to sustained throughput instead."""
+    production stream sizes this to sustained throughput instead.
+
+    Before stopping, the query's executed STREAMING plan and final
+    progress (stateOperators, eventTime watermark) are recorded in
+    ``STREAM_AUDITS`` — the memory-sink table the caller returns has a
+    trivial batch plan, so this is the only window where the streaming
+    plan shape is observable."""
     from spectrify_spark.streaming.events import run_to_memory_sink
 
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -84,6 +100,13 @@ def _drain_scoped(spark, stream_df, name, output_mode, n_partitions=8):
         q = run_to_memory_sink(stream_df, name, output_mode=output_mode)
         try:
             q.processAllAvailable()
+            try:
+                STREAM_AUDITS[name.rsplit("_", 1)[0]] = {
+                    "plan": q._jsq.explainInternal(False),
+                    "progress": q.lastProgress,
+                }
+            except Exception:  # noqa: BLE001 — audit is best-effort
+                pass
         finally:
             q.stop()
     finally:

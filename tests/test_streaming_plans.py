@@ -1,0 +1,111 @@
+"""Streaming-plan regression gate (VERDICT r6 item 4).
+
+The q_stream_* registry callables return a batch read of the drained
+memory sink, so tests/test_plans.py's batch gate sees only a local
+table scan.  The REAL streaming plan — which stateful operator fires,
+whether the watermark survives the plan, how many state-store
+partitions are allocated — is captured by __spark_entry__._drain_scoped
+into STREAM_AUDITS right before the query stops.  This gate pins:
+
+- the stateful operator NODE (StateStoreSave vs
+  SessionWindowStateStoreSave vs StreamingDeduplicateWithinWatermark vs
+  FlatMapGroupsInPandasWithState vs StreamingSymmetricHashJoin): a
+  rewrite that silently degrades e.g. session_window to a batch-style
+  sort would change the node and fail here;
+- the watermark tag (`col#n-T<delay>ms`) in the plan for the
+  watermark-bounded shapes — losing it means unbounded state at scale;
+- numShufflePartitions == 8 on every state operator: state stores are
+  allocated per shuffle partition, and the drain helper scopes them
+  down (32 -> 8 was a 4.4x drain-latency win, PERF_NOTES r5); a leak
+  back to the session's 32 is a silent 4x state-store overhead;
+- the stream-stream join's 4-stores-per-partition layout (32
+  instances): left/right x keyToNumValues/keyWithIndexToValue is the
+  StreamingSymmetricHashJoin contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+#: key -> (registry callable name, required plan node, watermark tag
+#: required in plan, expected numStateStoreInstances or None to skip)
+GOLDEN = {
+    "q_stream_window": dict(node="StateStoreSave", wm_tag=True, stores=8),
+    "q_stream_sessionize": dict(
+        node="SessionWindowStateStoreSave", wm_tag=True, stores=None
+    ),
+    # dropDuplicatesWithinWatermark: the node itself is the watermark
+    # bound (state evicted past the horizon); the -T tag is not printed
+    # because the watermark column is projected away before the sink
+    "q_stream_dedup": dict(
+        node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=8
+    ),
+    # applyInPandasWithState runs NoTimeout by design (processing-time
+    # timeouts never settle under processAllAvailable) — no watermark
+    "q_stream_stateful": dict(
+        node="FlatMapGroupsInPandasWithState", wm_tag=False, stores=8
+    ),
+    # stream-stream interval join: 4 state stores per partition
+    # (left/right x keyToNumValues/keyWithIndexToValue)
+    "q_stream_join": dict(
+        node="StreamingSymmetricHashJoin", wm_tag=True, stores=32
+    ),
+}
+
+_WM_TAG = re.compile(r"-T\d+ms")
+
+
+@pytest.fixture(scope="module")
+def audits(spark, sf_dir):
+    """Run each drain twin once; _drain_scoped records the audit."""
+    for name in GOLDEN:
+        E.queries()[name](spark, sf_dir).collect()
+    return dict(E.STREAM_AUDITS)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_streaming_plan_shape(audits, name):
+    golden = GOLDEN[name]
+    assert name in audits, f"{name}: no streaming audit captured"
+    plan = audits[name]["plan"]
+    progress = audits[name]["progress"]
+
+    assert golden["node"] in plan, (
+        f"{name}: stateful operator changed — expected {golden['node']} "
+        f"in the streaming physical plan"
+    )
+    if golden["wm_tag"]:
+        assert _WM_TAG.search(plan), (
+            f"{name}: watermark tag (-T<delay>ms) missing from the "
+            f"streaming plan — state is no longer watermark-bounded"
+        )
+
+    ops = progress.get("stateOperators", [])
+    assert ops, f"{name}: no stateOperators reported in lastProgress"
+    for op in ops:
+        assert op["numShufflePartitions"] == 8, (
+            f"{name}: state-store partitions leaked back to the session "
+            f"default — {op['numShufflePartitions']} != 8 (drain scope, "
+            f"PERF_NOTES r5: 32 partitions cost 4.4x drain latency)"
+        )
+    if golden["stores"] is not None:
+        total = sum(op["numStateStoreInstances"] for op in ops)
+        assert total == golden["stores"], (
+            f"{name}: state-store instance count changed — {total} != "
+            f"{golden['stores']}"
+        )
+
+
+def test_stream_dedup_watermark_reported(audits):
+    """The dedup twin's watermark column is projected away before the
+    sink (no -T tag), so pin watermark presence via the progress
+    record's eventTime section instead."""
+    et = audits["q_stream_dedup"]["progress"].get("eventTime", {})
+    assert "watermark" in et, (
+        "q_stream_dedup: no eventTime.watermark in progress — the "
+        "withWatermark bound was dropped"
+    )

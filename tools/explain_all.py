@@ -73,10 +73,57 @@ def audit(name: str, df) -> None:
     )
 
 
+#: drain twins whose REAL plan is streaming (captured by
+#: __spark_entry__._drain_scoped into STREAM_AUDITS; the registry
+#: callable's batch plan is just the memory-sink scan)
+STREAMING_KEYS = (
+    "q_stream_window",
+    "q_stream_sessionize",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    "q_stream_join",
+)
+
+
+def audit_streaming(spark, sf_dir: str) -> None:
+    """Print the streaming-plan audit for the drain twins: stateful
+    operator node, watermark tag presence, state-store partition count
+    and instance count — the properties tests/test_streaming_plans.py
+    gates."""
+    node_re = re.compile(
+        r"\b(StateStoreSave|SessionWindowStateStoreSave"
+        r"|StreamingDeduplicate\w*|FlatMapGroupsInPandasWithState"
+        r"|TransformWithState\w*|StreamingSymmetricHashJoin)\b"
+    )
+    for name in STREAMING_KEYS:
+        try:
+            E.queries()[name](spark, sf_dir).collect()
+            a = E.STREAM_AUDITS[name]
+            nodes = sorted(set(node_re.findall(a["plan"])))
+            wm = bool(re.search(r"-T\d+ms", a["plan"]))
+            ops = a["progress"].get("stateOperators", [])
+            parts = sorted({o["numShufflePartitions"] for o in ops})
+            stores = sum(o["numStateStoreInstances"] for o in ops)
+            et = a["progress"].get("eventTime", {})
+            print(
+                f"{name:22s} state_op={','.join(nodes) or '-':40s} "
+                f"wm_tag={'Y' if wm else '-'} "
+                f"wm_reported={'Y' if 'watermark' in et else '-'} "
+                f"state_partitions={parts} store_instances={stores}"
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR {e}")
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--streaming"]
+    streaming = "--streaming" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark("explain-all")
+    if streaming:
+        audit_streaming(spark, sf_dir)
+        return
     for name, fn in E.queries().items():
         if only and name not in only:
             continue

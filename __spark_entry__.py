@@ -101,9 +101,17 @@ def _drain_scoped(spark, stream_df, name, output_mode, n_partitions=8):
         try:
             q.processAllAvailable()
             try:
+                # lastProgress is None when no microbatch ran — record
+                # {} so the plan-gate asserts fire with their own
+                # "no stateOperators" diagnostics instead of an
+                # AttributeError on None.get.  explainInternal is a
+                # private Spark API (version-fragile) — the except arm
+                # below degrades the audit, never the drain.
                 STREAM_AUDITS[name.rsplit("_", 1)[0]] = {
                     "plan": q._jsq.explainInternal(False),
-                    "progress": q.lastProgress,
+                    "progress": q.lastProgress
+                    if q.lastProgress is not None
+                    else {},
                 }
             except Exception:  # noqa: BLE001 — audit is best-effort
                 pass
@@ -1440,9 +1448,10 @@ def q_sim_ivf_recall(spark, sf):
     ivf_knn_join over assign_partitions cells, centroids Lloyd's-
     refined 2 iters from the seeded sample — similarity.py:160) against
     the exact kNN join, for the 16 lowest-id query vectors.  SELF-
-    VALIDATING single row: n_queries / k / brute_pairs are exact values
-    the oracle recomputes with plain window SQL (so the exact side is
-    genuinely cross-checked), and the measured recall surfaces as
+    VALIDATING single row: n_queries is COUNTED from the actual query
+    frame on both engines and brute_pairs is recomputed by the oracle's
+    plain window SQL (k stays the configured literal — it is an input,
+    not a measurement), and the measured recall surfaces as
     recall_ge_080 — a literal-TRUE bound.  ANN quality is thereby
     driver-checked as a measurement, not asserted only by construction.
 
@@ -1470,14 +1479,16 @@ def q_sim_ivf_recall(spark, sf):
     )
     brute = SIM.knn_join_topk(e, qs, k=10).select("q_id", "vec_id")
     n_brute = brute.agg(F.count(F.lit(1)).alias("brute_pairs"))
+    n_q = qs.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
     hits = brute.join(
         ivf,
         (brute["q_id"] == ivf["iq"]) & (brute["vec_id"] == ivf["ivf_id"]),
     ).agg(F.count(F.lit(1)).alias("__hits"))
     return (
         n_brute.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_q))
         .select(
-            F.lit(16).cast("bigint").alias("n_queries"),
+            "n_queries",
             F.lit(10).cast("bigint").alias("k"),
             "brute_pairs",
             (
@@ -2230,11 +2241,22 @@ def q_embed_standardize(spark, sf):
     out = standardize_embeddings(e)
     # + 0.0 after rounding: a coordinate just below zero rounds to
     # SIGNED zero and the engines disagree on the sign; -0.0 + 0.0 is
-    # +0.0 in IEEE, so both sides normalize identically
+    # +0.0 in IEEE, so both sides normalize identically.  The array is
+    # serialized to a comma-joined fixed-4-decimal string because the
+    # driver's pandas canonicalizer cannot sort/hash list cells; the
+    # decimal(20,4) hop pins an identical textual form on both engines
+    # (the rounded double sits ~1e-17 from the 4-decimal grid point, so
+    # the decimal snap is unambiguous regardless of tie rule).
     return out.select(
         "vec_id",
-        F.transform(
-            F.col("embedding_std"), lambda x: F.round(x, 4) + F.lit(0.0)
+        F.array_join(
+            F.transform(
+                F.col("embedding_std"),
+                lambda x: (F.round(x, 4) + F.lit(0.0))
+                .cast("decimal(20,4)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("emb_std"),
     )
 
@@ -2425,12 +2447,22 @@ def q_multimodal_decode(spark, sf):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     out = extract_features(media, n_features=4)
+    # comma-joined fixed-3-decimal string instead of array<double>: the
+    # driver's pandas canonicalizer cannot sort/hash list cells, and
+    # the decimal(20,3) hop pins an identical textual form on both
+    # engines (chunk means are non-negative, no -0.0 risk)
     return out.select(
         "media_id",
         "n_bytes",
         "content_hash",
-        F.transform(
-            F.col("features"), lambda x: F.round(x.cast("double"), 3)
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double"), 3)
+                .cast("decimal(20,3)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("features"),
     )
 
@@ -2945,80 +2977,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     run, so "past the window" never means "unverified since last code
     change" (the r3 stale-green gap).
 
-    Window r7 = the 38 r6-born keys (sweep- and sf0.01-verified at
-    birth but never driver-checked — highest priority under the
-    least-recently-driver-verified rule) followed by the 12 oldest
-    r5-green keys (q_agg_hash .. q_grouping_sets, in r5 window order).
-    The remaining 37 r5-green keys are at the 3-round rotation bound
-    and take the r8 window; in the interim they stay verified by the
-    per-pytest full sweep (tests/test_oracle_parity.py) and this
-    round's explicit tools/check_oracle.py runs.  Keys born in r7
-    (q_sim_ivf_recall and later additions) are placed PAST the window —
-    per the r6 verdict, new keys must not displace overdue ones — and
-    earn their driver row in r8 after at-birth sf0.01 verification.
-    With 137+ keys and a 50-key window the rotation period is 3 rounds
-    at worst; the per-pytest full sweep keeps every key continuously
-    verified in between.
+    Window r8 = the four r7 reds re-checked first (q_winsorize_grouped,
+    q_embed_standardize, q_multimodal_decode, q_shipmode_priority —
+    fixed this round: HUGEINT casts + array-output serialization, per
+    VERDICT r7), then q_sim_ivf_recall (born r7, first driver row),
+    then the 37 r5-green keys at the 3-round rotation bound
+    (q_resample_ffill .. q_winsorize), then the 8 oldest r6-green keys
+    (q_sample_fixed_n .. q_nullify_empty).  Past the window: the
+    remaining 42 r6-green keys (r9 window candidates), then the 46
+    r7-green keys (freshest).  Keys born in r8 are placed PAST the
+    window — new keys must not displace overdue ones — and earn their
+    driver row in r9 after at-birth sf0.01 verification.  With 138+
+    keys and a 50-key window the rotation period is 3 rounds at worst;
+    the per-pytest full sweep keeps every key continuously verified in
+    between.
     """
     return {
-        # -- r7 window, slots 1-38: the r6-born keys, never
-        #    driver-checked, in birth order
-        "q_text_bm25": q_text_bm25,
-        "q_table_diff": q_table_diff,
-        "q_corpus_drift": q_corpus_drift,
-        "q_zscore_robust": q_zscore_robust,
-        "q_text_pii": q_text_pii,
-        "q_text_entropy": q_text_entropy,
-        "q_dedup_lines": q_dedup_lines,
-        "q_stream_dedup": q_stream_dedup,
-        "q_top_revenue_supplier": q_top_revenue_supplier,
-        "q_large_orders": q_large_orders,
-        "q_promo_ratio": q_promo_ratio,
-        "q_single_fault_supplier": q_single_fault_supplier,
-        "q_stream_join": q_stream_join,
-        "q_quantile_bins": q_quantile_bins,
-        "q_skew_report": q_skew_report,
-        "q_stream_cdc": q_stream_cdc,
-        "q_quality_checks": q_quality_checks,
-        "q_funnel": q_funnel,
-        "q_retention": q_retention,
-        "q_stream_stateful": q_stream_stateful,
+        # -- r8 window, slots 1-4: the r7 reds, re-checked first
         "q_winsorize_grouped": q_winsorize_grouped,
         "q_embed_standardize": q_embed_standardize,
-        "q_asof_nearest": q_asof_nearest,
-        "q_stream_convert": q_stream_convert,
         "q_multimodal_decode": q_multimodal_decode,
-        "q_forecast_revenue": q_forecast_revenue,
         "q_shipmode_priority": q_shipmode_priority,
-        "q_profit_by_nation": q_profit_by_nation,
-        "q_min_price_supplier": q_min_price_supplier,
-        "q_market_share": q_market_share,
-        "q_important_parts": q_important_parts,
-        "q_excess_suppliers": q_excess_suppliers,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_mixture_rebalance": q_mixture_rebalance,
-        "q_ewma": q_ewma,
-        "q_trend_fit": q_trend_fit,
-        "q_transition_matrix": q_transition_matrix,
-        "q_text_readability": q_text_readability,
-        # -- r7 window, slots 39-50: oldest r5-green keys
-        "q_agg_hash": q_agg_hash,
-        "q_scan_project": q_scan_project,
-        "q_filter_daterange": q_filter_daterange,
-        "q_json_extract": q_json_extract,
-        "q_array_slice": q_array_slice,
-        "q_unpivot": q_unpivot,
-        "q_join_multi": q_join_multi,
-        "q_join_star": q_join_star,
-        "q_join_two_dims": q_join_two_dims,
-        "q_topk_customers": q_topk_customers,
-        "q_asof_join": q_asof_join,
-        "q_grouping_sets": q_grouping_sets,
-        # -- born in r7 (placed past the window per the r6 verdict;
-        #    sf0.01-verified at birth, driver row due r8)
+        # -- r8 window, slot 5: born r7, first driver row
         "q_sim_ivf_recall": q_sim_ivf_recall,
-        # -- past the window: the other 37 r5-green keys (r8 window, at
-        #    the 3-round bound; pytest-sweep-verified meanwhile)
+        # -- r8 window, slots 6-42: the 37 r5-green keys at the
+        #    3-round rotation bound
         "q_resample_ffill": q_resample_ffill,
         "q_agg_median": q_agg_median,
         "q_histogram": q_histogram,
@@ -3056,7 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_text_ulm": q_text_ulm,
         "q_winsorize": q_winsorize,
-        # -- r6-window keys (driver-green in CORRECTNESS_r06)
+        # -- r8 window, slots 43-50: oldest r6-green keys
         "q_sample_fixed_n": q_sample_fixed_n,
         "q_cast_types": q_cast_types,
         "q_scalar_dates": q_scalar_dates,
@@ -3065,6 +3048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch": q_quantile_sketch,
         "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
+        # -- past the window: remaining r6-green keys (r9 window
+        #    candidates; pytest-sweep-verified meanwhile)
         "q_partition_key": q_partition_key,
         "q_join_inner": q_join_inner,
         "q_join_broadcast": q_join_broadcast,
@@ -3107,6 +3092,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_sample_weighted": q_sample_weighted,
         "q_stream_window": q_stream_window,
+        # -- freshest: driver-green in r7
+        "q_text_bm25": q_text_bm25,
+        "q_table_diff": q_table_diff,
+        "q_corpus_drift": q_corpus_drift,
+        "q_zscore_robust": q_zscore_robust,
+        "q_text_pii": q_text_pii,
+        "q_text_entropy": q_text_entropy,
+        "q_dedup_lines": q_dedup_lines,
+        "q_stream_dedup": q_stream_dedup,
+        "q_top_revenue_supplier": q_top_revenue_supplier,
+        "q_large_orders": q_large_orders,
+        "q_promo_ratio": q_promo_ratio,
+        "q_single_fault_supplier": q_single_fault_supplier,
+        "q_stream_join": q_stream_join,
+        "q_quantile_bins": q_quantile_bins,
+        "q_skew_report": q_skew_report,
+        "q_stream_cdc": q_stream_cdc,
+        "q_quality_checks": q_quality_checks,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_stream_stateful": q_stream_stateful,
+        "q_asof_nearest": q_asof_nearest,
+        "q_stream_convert": q_stream_convert,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_profit_by_nation": q_profit_by_nation,
+        "q_min_price_supplier": q_min_price_supplier,
+        "q_market_share": q_market_share,
+        "q_important_parts": q_important_parts,
+        "q_excess_suppliers": q_excess_suppliers,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_mixture_rebalance": q_mixture_rebalance,
+        "q_ewma": q_ewma,
+        "q_trend_fit": q_trend_fit,
+        "q_transition_matrix": q_transition_matrix,
+        "q_text_readability": q_text_readability,
+        "q_agg_hash": q_agg_hash,
+        "q_scan_project": q_scan_project,
+        "q_filter_daterange": q_filter_daterange,
+        "q_json_extract": q_json_extract,
+        "q_array_slice": q_array_slice,
+        "q_unpivot": q_unpivot,
+        "q_join_multi": q_join_multi,
+        "q_join_star": q_join_star,
+        "q_join_two_dims": q_join_two_dims,
+        "q_topk_customers": q_topk_customers,
+        "q_asof_join": q_asof_join,
+        "q_grouping_sets": q_grouping_sets,
     }
 
 
@@ -3364,10 +3396,10 @@ def oracle_sql() -> dict[str, str]:
         # conditional counts over the priority class
         "q_shipmode_priority": """
             SELECT CAST(l.l_linenumber % 2 AS BIGINT) AS ship_mode,
-                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate <  TIMESTAMP '1997-01-01'
@@ -3389,17 +3421,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    CAST(n AS INTEGER) AS n_bytes,
                    CAST(list_sum(cs) * 2654435761 AS BIGINT) AS content_hash,
-                   [ROUND(CAST(CAST(
-                      CASE WHEN (n // 4 + CASE WHEN j < n % 4 THEN 1 ELSE 0 END) = 0
-                           THEN 0.0
-                           ELSE list_aggregate(
-                             cs[j * (n // 4) + least(j, n % 4) + 1 :
-                                j * (n // 4) + least(j, n % 4)
-                                + (n // 4)
-                                + CASE WHEN j < n % 4 THEN 1 ELSE 0 END],
-                             'avg')
-                      END AS FLOAT) AS DOUBLE), 3)
-                    FOR j IN [0, 1, 2, 3]] AS features
+                   array_to_string(
+                     [CAST(CAST(ROUND(CAST(CAST(
+                        CASE WHEN (n // 4
+                                   + CASE WHEN j < n % 4 THEN 1 ELSE 0 END) = 0
+                             THEN 0.0
+                             ELSE list_aggregate(
+                               cs[j * (n // 4) + least(j, n % 4) + 1 :
+                                  j * (n // 4) + least(j, n % 4)
+                                  + (n // 4)
+                                  + CASE WHEN j < n % 4 THEN 1 ELSE 0 END],
+                               'avg')
+                        END AS FLOAT) AS DOUBLE), 3)
+                      AS DECIMAL(20,3)) AS VARCHAR)
+                      FOR j IN [0, 1, 2, 3]], ',') AS features
             FROM codes
         """,
         # the streamed CSV->parquet convert must reproduce the source
@@ -3807,7 +3842,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings c, q
                   QUALIFY ROW_NUMBER() OVER (PARTITION BY q.q_id
                                              ORDER BY cos DESC, c.vec_id) <= 10)
-            SELECT CAST(16 AS BIGINT) AS n_queries, CAST(10 AS BIGINT) AS k,
+            SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+                   CAST(10 AS BIGINT) AS k,
                    COUNT(*) AS brute_pairs, TRUE AS recall_ge_080
             FROM r
         """,
@@ -4388,10 +4424,15 @@ def oracle_sql() -> dict[str, str]:
                      list(sd ORDER BY pos) AS sds
               FROM dims)
             SELECT vec_id,
-                   [ROUND(CASE WHEN sds[i] > 0
-                          THEN (CAST(embedding[i] AS DOUBLE) - mus[i]) / sds[i]
-                          ELSE 0.0 END, 4) + 0.0
-                    FOR i IN range(1, len(embedding) + 1)] AS emb_std
+                   array_to_string(
+                     [CAST(CAST(
+                        ROUND(CASE WHEN sds[i] > 0
+                              THEN (CAST(embedding[i] AS DOUBLE) - mus[i])
+                                   / sds[i]
+                              ELSE 0.0 END, 4) + 0.0
+                        AS DECIMAL(20,4)) AS VARCHAR)
+                      FOR i IN range(1, len(embedding) + 1)], ',')
+                     AS emb_std
             FROM embeddings CROSS JOIN packed
         """,
         # mirrors quality.winsorize_grouped: per-group quantile_cont
@@ -4407,10 +4448,10 @@ def oracle_sql() -> dict[str, str]:
                      least(greatest(o.o_totalprice, b.lo), b.hi) AS w
               FROM orders o JOIN bounds b USING (o_orderpriority))
             SELECT o_orderpriority, COUNT(*) AS n,
-                   SUM(CASE WHEN w > o_totalprice THEN 1 ELSE 0 END)
-                     AS n_clip_lo,
-                   SUM(CASE WHEN w < o_totalprice THEN 1 ELSE 0 END)
-                     AS n_clip_hi,
+                   CAST(SUM(CASE WHEN w > o_totalprice THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clip_lo,
+                   CAST(SUM(CASE WHEN w < o_totalprice THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_clip_hi,
                    ROUND(MIN(w), 4) AS min_w,
                    ROUND(MAX(w), 4) AS max_w
             FROM w GROUP BY o_orderpriority

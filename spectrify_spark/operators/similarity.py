@@ -235,19 +235,27 @@ def ivf_knn_join(
 
     from pyspark.sql import Window
 
+    # NEGATED score + list-position tiebreak in the sort key: ascending
+    # array_sort on (-s, i) puts the best cell first AND breaks exact
+    # score ties toward the FIRST-LISTED centroid — exactly matching
+    # assign_partitions' array_position-of-max rule, so a corpus
+    # vector's own cell is never skipped when nprobe covers the tied
+    # cells (the old reverse(array_sort) on (s, c) broke ties toward
+    # the higher cell id and could).
     pairs = F.array(
         *[
             F.struct(
                 (
-                    dot(F.col(query_vec), F.array(*[F.lit(float(x)) for x in vec]))
+                    -dot(F.col(query_vec), F.array(*[F.lit(float(x)) for x in vec]))
                     / F.lit(_cnorm(vec))
-                ).alias("s"),
+                ).alias("neg_s"),
+                F.lit(int(i)).alias("i"),
                 F.lit(int(cid)).alias("c"),
             )
-            for cid, vec in centroids
+            for i, (cid, vec) in enumerate(centroids)
         ]
     )
-    top_cells = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    top_cells = F.slice(F.array_sort(pairs), 1, nprobe)
     probe = queries.select(
         query_id,
         query_vec,

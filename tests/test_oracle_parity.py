@@ -18,7 +18,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-from tools.check_oracle import TABLES, hash_rows
+from tools.check_oracle import TABLES, compare_key
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -45,19 +45,12 @@ def test_every_key_has_oracle_or_unit_coverage():
 
 @pytest.mark.parametrize("name", _ORACLE_KEYS)
 def test_oracle_parity(spark, duck, name):
+    """Driver-faithful compare (r8): both result sets round-trip
+    through pandas exactly like the driver's canonicalizer, including
+    the meta-checks the r7 reds motivated — no array/map/struct output
+    columns, no int/float dtype-kind drift (DuckDB HUGEINT -> float64),
+    and a sort_values crash probe."""
     df = _QUERIES[name](spark, SF_DIR)
-    cols = df.columns
-    rows = [tuple(r) for r in df.collect()]
-
     ores = duck.sql(_ORACLES[name])
-    ocols = list(ores.columns)
-    orows = ores.fetchall()
-
-    assert len(rows) == len(orows), (
-        f"{name}: rowcount spark={len(rows)} duckdb={len(orows)}"
-    )
-    assert sorted(c.lower() for c in cols) == sorted(c.lower() for c in ocols), (
-        f"{name}: cols spark={sorted(cols)} duckdb={sorted(ocols)}"
-    )
-    hs, ho = hash_rows(cols, rows), hash_rows(ocols, orows)
-    assert hs == ho, f"{name}: value-hash mismatch spark={hs} duckdb={ho}"
+    problems = compare_key(df, ores)
+    assert not problems, f"{name}: " + "; ".join(problems)

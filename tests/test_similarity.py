@@ -69,16 +69,34 @@ def test_ivf_knn_join_full_probe_matches_knn_join(spark):
 
 
 def test_ivf_knn_join_partial_probe_respects_cells(spark):
-    """nprobe=1 must only ever return candidates from each query's
-    single nearest cell — no leakage across the cell filter."""
+    """nprobe=1 must probe exactly the query's NEAREST cell — the one
+    an independent argmax over the centroid list picks, with the
+    assign_partitions tie rule (first-listed on an exact score tie).
+    Asserting the cell IDENTITY (not just uniqueness) pins probe
+    selection itself, and requiring non-empty output rules out a
+    vacuous pass on an empty probed cell."""
+    import math
+
     corpus = _df(spark)
-    queries = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
+    qv = [1.0, 0.0, 0.0]
+    queries = spark.createDataFrame([(100, qv)], ["q_id", "q_vec"])
     cents = SIM.choose_centroids(corpus, n_centroids=3)
     assigned = SIM.assign_partitions(corpus, cents)
     cell_of = {r.vec_id: r.ivf_cell for r in assigned.collect()}
+
+    # independent probe-cell computation: argmax of dot(q, c)/||c||,
+    # first-listed wins ties — the assign_partitions contract
+    def score(vec):
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return sum(a * b for a, b in zip(qv, vec)) / n
+
+    best = max(range(len(cents)), key=lambda i: (score(cents[i][1]), -i))
+    expect_cell = cents[best][0]
+
     out = SIM.ivf_knn_join(assigned, cents, queries, k=5, nprobe=1).collect()
+    assert out, "probed cell produced no candidates"
     cells = {cell_of[r.vec_id] for r in out}
-    assert len(cells) == 1
+    assert cells == {expect_cell}
 
 
 def test_kmeans_refine_reduces_scatter(spark):

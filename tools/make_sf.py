@@ -27,8 +27,17 @@ from pyspark.sql import functions as F
 
 
 def _step(df, key: str) -> int:
-    """Key offset per replica: next power of 10 above max(key)."""
-    mx = df.agg(F.max(key)).collect()[0][0] or 0
+    """Key offset per replica: next power of 10 above max(key).
+
+    Raises on an empty/all-NULL key column: a silent step of 1 would
+    make replicas collide with real keys (offset i*1), corrupting the
+    rehearsal data instead of failing fast."""
+    mx = df.agg(F.max(key)).collect()[0][0]
+    if mx is None:
+        raise ValueError(
+            f"cannot derive a replica step: column {key!r} is empty or "
+            "all NULL in the source table"
+        )
     step = 1
     while step <= mx:
         step *= 10

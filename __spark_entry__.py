@@ -2958,6 +2958,97 @@ def q_text_readability(spark, sf):
     )
 
 
+# ------------------------------------------------------ graph / layout
+
+
+def q_graph_pagerank(spark, sf):
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the bipartite
+    supplier<->part purchase graph from lineitem (disjoint node ids:
+    2*suppkey vs 2*partkey+1, edges both directions) — link analysis is
+    a standard corpus-curation signal (host/domain authority weighting)
+    and the repo's second iterative-algorithm family next to
+    dedup.connected_components.  Unnormalized convention (init 1.0,
+    update (1-d) + d*sum) keeps ranks O(1) at every scale; dangling
+    mass is NOT redistributed (documented simplification on both
+    engines).  Scale shape (operators/graph.py::pagerank): persisted
+    contribution-edge table re-joined each round on the same key,
+    per-round checkpoint lineage truncation — constant plan size,
+    O(iters) shuffles, no driver state.  The oracle unrolls the 3
+    iterations as chained CTEs; top-20 ordered by the ROUNDED rank
+    (then id) so the cut boundary is deterministic on both engines."""
+    from spectrify_spark.operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_partkey")
+    sup = F.col("l_suppkey").cast("long") * F.lit(2)
+    prt = F.col("l_partkey").cast("long") * F.lit(2) + F.lit(1)
+    edges = li.select(sup.alias("src"), prt.alias("dst")).unionByName(
+        li.select(prt.alias("src"), sup.alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
+
+
+def q_zorder_layout(spark, sf):
+    """Z-order clustering key over (custkey-bucket, orderdate-day) —
+    the write-side layout op that makes parquet min/max row-group
+    pruning work for filters on EITHER dimension at 100 TB (what
+    Delta/Iceberg call OPTIMIZE ZORDER BY).  The interleave is pure
+    Catalyst bit arithmetic (operators/layout.py::zorder_key, 32
+    shift/and/or terms, whole-stage codegen, no UDF); exact integer
+    math means the oracle replicates it bit-for-bit with DuckDB's
+    bitwise operators.  The companion zorder_layout() adds the
+    repartitionByRange + sortWithinPartitions write path (global
+    Z-order without a single-reducer sort) — gated by
+    tests/test_layout.py; this key hash-checks the key function."""
+    from spectrify_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf, "orders")
+    zx = F.pmod(F.col("o_custkey").cast("long"), F.lit(65536))
+    zy = F.pmod(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1992-01-01").cast("date"),
+        ).cast("long"),
+        F.lit(65536),
+    )
+    return (
+        o.select("o_orderkey", zx.alias("zx"), zy.alias("zy"))
+        .withColumn("z", zorder_key([F.col("zx"), F.col("zy")], bits=16))
+        .orderBy("z", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_events_anomaly(spark, sf):
+    """Per-entity activity-burst detection: daily event counts flagged
+    when they exceed the USER'S OWN mean + 2 sigma baseline (>=3 active
+    days required — sample stddev over fewer points flags noise).
+    Complements the global robust_zscore: one user's burst is another's
+    idle day, so a global threshold cannot see it.  Scale shape
+    (operators/timeseries.py::count_anomalies): (user, day) count agg,
+    user-level stats over those counts (tiny), key join back — the
+    stats shuffle is co-partitioned with the count shuffle, output is
+    proportional to the anomaly rate."""
+    from spectrify_spark.operators.timeseries import count_anomalies
+
+    e = _t(spark, sf, "events").select("user_id", "ts")
+    out = count_anomalies(
+        e, key_col="user_id", ts_col="ts", grain="day",
+        sigmas=2.0, min_periods=3,
+    )
+    return out.select(
+        "user_id",
+        F.to_date("bucket").alias("day"),
+        "n_events",
+        F.round("mu", 4).alias("mu"),
+        F.round("sigma", 4).alias("sigma"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3139,6 +3230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_customers": q_topk_customers,
         "q_asof_join": q_asof_join,
         "q_grouping_sets": q_grouping_sets,
+        # -- born in r8 (placed past the window; sf0.01-verified at
+        #    birth, driver row due r9)
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_zorder_layout": q_zorder_layout,
+        "q_events_anomaly": q_events_anomaly,
     }
 
 
@@ -3260,6 +3356,16 @@ _SQL_MERGED_ORDERS = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM changes WHERE op <> 'D'
 """
+
+
+#: bit-interleave expression for the q_zorder_layout oracle — the
+#: DuckDB-side twin of layout.zorder_key(bits=16, 2 cols): bit b of zx
+#: lands at position 2b, bit b of zy at 2b+1 (generated, not
+#: hand-typed, so the two engines cannot drift term-by-term)
+_Z_TERMS = " | ".join(
+    f"(((zx >> {b}) & 1) << {2 * b}) | (((zy >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5010,5 +5116,90 @@ def oracle_sql() -> dict[str, str]:
                        string_split_regex(text, '[.!?]+'),
                        x -> trim(x) <> ''))) AS DOUBLE) AS sents
               FROM documents) t
+        """,
+        # unrolled 3-iteration PageRank over the same bipartite
+        # supplier<->part graph: distinct pairs, both-direction edges
+        # (UNION ALL is safe — even/odd node encodings cannot collide),
+        # per-edge weight 1/outdeg precomputed, each iteration a
+        # LEFT-JOINed contribution sum over the node spine.  (1-d) is
+        # computed in DOUBLE ((1 - 0.85) = 0.15000000000000002, the
+        # same value Python's 1.0 - 0.85 feeds Spark) and the final
+        # ORDER BY uses the ROUNDED rank so the top-20 cut is
+        # deterministic on both engines.
+        "q_graph_pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS s,
+                              CAST(l_partkey AS BIGINT) * 2 + 1 AS p
+              FROM lineitem),
+            edges AS (
+              SELECT s AS src, p AS dst FROM pairs
+              UNION ALL
+              SELECT p AS src, s AS dst FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges
+                      UNION SELECT DISTINCT dst AS id FROM edges),
+            ce AS (
+              SELECT e.src, e.dst, CAST(1 AS DOUBLE) / d.outdeg AS w
+              FROM edges e JOIN (
+                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+              ) d ON d.src = e.src),
+            r0 AS (SELECT id, CAST(1 AS DOUBLE) AS rank FROM nodes),
+            r1 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * COALESCE(s.v, 0) AS rank
+                   FROM nodes n LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r0.rank * ce.w) AS v
+                     FROM ce JOIN r0 ON r0.id = ce.src
+                     GROUP BY ce.dst) s USING (id)),
+            r2 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * COALESCE(s.v, 0) AS rank
+                   FROM nodes n LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r1.rank * ce.w) AS v
+                     FROM ce JOIN r1 ON r1.id = ce.src
+                     GROUP BY ce.dst) s USING (id)),
+            r3 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * COALESCE(s.v, 0) AS rank
+                   FROM nodes n LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r2.rank * ce.w) AS v
+                     FROM ce JOIN r2 ON r2.id = ce.src
+                     GROUP BY ce.dst) s USING (id))
+            SELECT id, ROUND(rank, 6) AS rank FROM r3
+            ORDER BY ROUND(rank, 6) DESC, id
+            LIMIT 20
+        """,
+        # bit-for-bit replica of layout.zorder_key's interleave (exact
+        # integer shift/and/or — no FP anywhere), generated by
+        # _Z_TERMS at import time so both engines share one definition
+        "q_zorder_layout": f"""
+            WITH b AS (
+              SELECT o_orderkey,
+                     CAST(o_custkey % 65536 AS BIGINT) AS zx,
+                     CAST(date_diff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) % 65536
+                       AS BIGINT) AS zy
+              FROM orders)
+            SELECT o_orderkey, zx, zy,
+                   CAST(({_Z_TERMS}) AS BIGINT) AS z
+            FROM b ORDER BY z, o_orderkey LIMIT 100
+        """,
+        # mirrors timeseries.count_anomalies at day grain: (user, day)
+        # counts, per-user mean/sample-stddev over those counts,
+        # >= 3 active days, burst = count > mu + 2*sigma
+        "q_events_anomaly": """
+            WITH counts AS (
+              SELECT user_id, date_trunc('day', ts) AS bucket,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT user_id, COUNT(*) AS periods, AVG(n_events) AS mu,
+                     STDDEV_SAMP(CAST(n_events AS DOUBLE)) AS sigma
+              FROM counts GROUP BY user_id)
+            SELECT c.user_id, CAST(c.bucket AS DATE) AS day,
+                   CAST(c.n_events AS BIGINT) AS n_events,
+                   ROUND(s.mu, 4) AS mu, ROUND(s.sigma, 4) AS sigma
+            FROM counts c JOIN stats s USING (user_id)
+            WHERE s.periods >= 3
+              AND CAST(c.n_events AS DOUBLE) > s.mu + 2.0 * s.sigma
         """,
     }

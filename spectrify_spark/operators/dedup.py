@@ -328,7 +328,18 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-dup: SimHash-bucket by random hyperplanes,
     verify candidates with exact cosine.  ``planes`` defaults to a
-    deterministic pseudo-random set (seeded, driver-side literals)."""
+    deterministic pseudo-random set (seeded, driver-side literals).
+
+    SIZE THE BANDS TO THE CORPUS: candidate volume is
+    ~n_bands * n^2 / 2^band_bits for near-uniform fingerprints, so a
+    fixed ``band_bits`` goes quadratic as n grows (the sf1 rehearsal
+    measured exactly this: 10x corpus -> ~100x candidates at
+    band_bits=8).  At 100 TB use wider bands (band_bits 16-24 with
+    proportionally more planes) so expected bucket size stays O(1-10);
+    recall per band falls as p^band_bits (p = 1 - acos(cos_threshold)/pi),
+    compensated by more bands — the standard LSH (bands, rows)
+    trade-off.  Defaults here are tuned for the test corpora, not for
+    scale."""
     if planes is None:
         planes = deterministic_planes(n_planes, dim)
     sig = df.select(
@@ -338,9 +349,17 @@ def embedding_near_dup(
     )
     n_bands = len(planes) // band_bits
     mask = (1 << band_bits) - 1
+    # Candidate generation is NARROW on purpose (r8, from the sf1
+    # rehearsal): the banded table carries only (id, band, bucket) —
+    # never the 64-double vector — so the band self-join shuffles two
+    # longs per row instead of two embeddings, pairs are deduped on
+    # ids BEFORE any cosine, and each unique candidate is verified
+    # exactly once after re-attaching vectors via two id-keyed joins.
+    # The old shape (vectors through the exploded join, cosine per
+    # band-duplicate, distinct over the wide row) measured 116s on the
+    # x10 sf0.1 replica vs ~30s for this one, same output.
     banded = sig.select(
         "id",
-        "vec",
         F.explode(
             F.array(
                 *[
@@ -354,21 +373,27 @@ def embedding_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    vecs = sig.select("id", "vec")
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("__va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 

@@ -1,0 +1,105 @@
+"""Iterative graph algorithms over edge tables.
+
+The reference engine has no graph surface (its core is a 3-stage ETL —
+``/root/reference/spectrify/transform.py``); this module is part of the
+north-star LLM-pipeline extension: link analysis over web-crawl-derived
+corpora (host/domain authority for quality weighting) is a standard
+curation signal, and its shape — an edge table orders of magnitude
+larger than the node table, iterated joins — is exactly the workload
+that separates a toy from a 100 TB engine.
+
+Design (same discipline as ``dedup.connected_components``):
+
+- state is always a distributed (node, value) DataFrame, never
+  collected to the driver;
+- the edge table is the reused, persisted side — each iteration joins
+  ranks to edges on the SAME key, so a cluster run pre-partitions
+  edges once (``repartition(src)``) and every iteration's shuffle
+  reuses that layout;
+- every round's state is checkpointed (:func:`~spectrify_spark.
+  operators.dedup._truncate_lineage`): without lineage truncation the
+  plan doubles per iteration and planning time becomes the bottleneck
+  long before data size does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spectrify_spark.operators.dedup import _truncate_lineage
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table.
+
+    Uses the unnormalized convention (init rank 1.0, update
+    ``(1 - d) + d * sum(in-contributions)``) so ranks are O(1)
+    regardless of graph size — mean rank ~1 — which keeps rounded
+    outputs comparable across scale factors.  Dangling-node mass is
+    NOT redistributed (the classic simplified formulation): a node
+    with no out-edges contributes nothing, a node with no in-edges
+    settles at ``1 - d``.  Fixed ``iters`` (not convergence-tested)
+    keeps the computation a deterministic, oracle-checkable function
+    of the input.
+
+    Scale shape per iteration: ranks ⋈ edges on ``src`` (both sides
+    hash-partitioned on the join key; edges persisted so the big side
+    is scanned from cache), one ``groupBy(dst)`` partial-aggregated
+    sum, one left join back to the node spine so rank-less nodes keep
+    the ``1 - d`` floor.  State is checkpointed every round — constant
+    plan size, O(iters) total shuffles, nothing on the driver.
+
+    Input: ``edges(src, dst)`` (duplicates allowed — deduped here).
+    Output: ``(id, rank)`` for every node appearing as src or dst.
+    """
+    e = _truncate_lineage(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+    )
+    e.persist()
+    nodes = _truncate_lineage(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes.persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    # contribution edges: (src, dst, 1/outdeg) — precomputed once so the
+    # per-iteration join carries one double instead of recomputing the
+    # degree join every round
+    contrib_edges = _truncate_lineage(
+        e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("__outdeg")).alias("__w")
+        )
+    )
+    contrib_edges.persist()
+
+    ranks = nodes.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        sums = (
+            contrib_edges.join(
+                ranks, contrib_edges["src"] == ranks["id"]
+            )
+            .select(F.col("dst").alias("id"), (F.col("rank") * F.col("__w")).alias("__c"))
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = _truncate_lineage(
+            nodes.join(sums, "id", "left").select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    e.unpersist()
+    nodes.unpersist()
+    contrib_edges.unpersist()
+    return ranks

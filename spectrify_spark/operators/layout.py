@@ -1,0 +1,77 @@
+"""Data-layout operators: multi-dimensional clustering keys.
+
+The reference's parquet sink writes in arrival order
+(``/root/reference/spectrify/transform.py`` fans out one file per
+source split); at 100 TB the WRITE ORDER is a first-class query
+optimization — parquet row-group min/max statistics only prune scans
+when rows with nearby key values are physically adjacent.  Sorting by
+a single column clusters one dimension and destroys the others;
+Z-ordering (bit-interleaving) gives every participating dimension
+locality, so selective filters on ANY of them skip most row groups.
+This is the same technique Delta/Iceberg expose as ``OPTIMIZE ZORDER
+BY`` — here it is a plain Catalyst bit-arithmetic expression, fully
+codegen'd, no UDF.
+
+Usage at scale::
+
+    df.repartitionByRange(N, zorder_key(...)) \\
+      .sortWithinPartitions(zorder_key(...)) \\
+      .write.parquet(...)
+
+(range-partition + local sort = total order without a single-reducer
+global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative integer)
+    column into one Z-value: bit ``b`` of column ``i`` lands at output
+    position ``b * len(cols) + i``.
+
+    Pure integer bit arithmetic (shift/and/or) — exact on every
+    engine, whole-stage-codegen'd, and cheap enough to compute inline
+    during a write job.  Callers bucket raw values into
+    ``[0, 2**bits)`` first (modulo id, days-since-epoch, quantile
+    rank, ...); with ``bits=16`` and 2 columns the key fits in 32 bits
+    of a long.
+    """
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cl = c.cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cl, b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[Column],
+    bits: int = 16,
+    n_partitions: int | None = None,
+    out_col: str = "z",
+) -> DataFrame:
+    """Return ``df`` with a Z-value column, range-partitioned and
+    locally sorted by it — the write-side layout step.
+
+    Range partitioning (sampled boundaries, no single reducer) plus
+    ``sortWithinPartitions`` yields a global Z-order across output
+    files without a global sort; each parquet file then covers a
+    compact Z-range, i.e. a small hyper-rectangle of the key space,
+    and min/max pruning works for filters on any interleaved column.
+    """
+    out = df.withColumn(out_col, zorder_key(cols, bits))
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, F.col(out_col))
+    else:
+        out = out.repartitionByRange(F.col(out_col))
+    return out.sortWithinPartitions(out_col)

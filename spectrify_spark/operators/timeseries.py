@@ -143,3 +143,50 @@ def ewma_trailing(
     if round_digits is not None:
         ew = F.round(ew, round_digits)
     return df.withColumn(out_col, ew)
+
+
+def count_anomalies(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    grain: str = "day",
+    sigmas: float = 2.0,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Per-entity activity-burst detection: bucket events to ``grain``,
+    count per (entity, bucket), and flag buckets whose count exceeds
+    the ENTITY'S OWN mean + ``sigmas``·stddev — volume spikes relative
+    to each entity's baseline, which a global threshold
+    (``quality.robust_zscore``) cannot see because one entity's burst
+    is another's idle day.
+
+    Entities with fewer than ``min_periods`` active buckets are skipped
+    (a sample stddev over 1-2 points flags noise).  Scale shape: one
+    (key, bucket) count agg, one key-level stats agg over THOSE counts
+    (orders of magnitude smaller than the events), joined back on the
+    key — co-partitioned with the first shuffle, so AQE reuses the
+    exchange.  Output: flagged buckets only — proportional to the
+    anomaly rate, not the corpus.
+    """
+    counts = (
+        df.select(key_col, F.date_trunc(grain, F.col(ts_col)).alias("bucket"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = counts.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__periods"),
+        F.avg("n_events").alias("mu"),
+        F.stddev_samp(F.col("n_events").cast("double")).alias("sigma"),
+    )
+    return (
+        counts.join(stats, key_col)
+        .filter(
+            (F.col("__periods") >= min_periods)
+            & (
+                F.col("n_events").cast("double")
+                > F.col("mu") + F.lit(float(sigmas)) * F.col("sigma")
+            )
+        )
+        .select(key_col, "bucket", "n_events", "mu", "sigma")
+    )

@@ -1,0 +1,69 @@
+"""PageRank tests (operators/graph.py) against a pure-Python
+reference implementation of the same fixed-iteration, unnormalized,
+dangling-mass-ignored formulation."""
+
+from __future__ import annotations
+
+import pytest
+
+from spectrify_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, iters=3, d=0.85):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            inc[t] += ranks[s] / outdeg[s]
+        ranks = {n: (1.0 - d) + d * inc[n] for n in nodes}
+    return ranks
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.id: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_cycle_is_stationary(spark):
+    """A 3-cycle is already the fixed point: every rank stays 1.0."""
+    out = _run(spark, [(1, 2), (2, 3), (3, 1)], iters=3)
+    assert out == {1: pytest.approx(1.0), 2: pytest.approx(1.0), 3: pytest.approx(1.0)}
+
+
+def test_star_matches_reference(spark):
+    """Hub with two leaves, edges both ways — ranks after 3 rounds must
+    match the Python reference to FP precision."""
+    edges = [(0, 1), (0, 2), (1, 0), (2, 0)]
+    ref = _py_pagerank(edges, iters=3)
+    out = _run(spark, edges, iters=3)
+    assert set(out) == set(ref)
+    for n in ref:
+        assert out[n] == pytest.approx(ref[n], abs=1e-12)
+    # the hub outranks the leaves
+    assert out[0] > out[1] == pytest.approx(out[2])
+
+
+def test_dangling_and_sourceless_nodes(spark):
+    """A -> B only: B is dangling (contributes nothing), A has no
+    in-edges and settles at 1 - d; both still appear in the output."""
+    out = _run(spark, [(10, 20)], iters=3)
+    ref = _py_pagerank([(10, 20)], iters=3)
+    assert out[10] == pytest.approx(0.15)
+    assert out[20] == pytest.approx(ref[20], abs=1e-12)
+
+
+def test_duplicate_edges_deduped(spark):
+    """Duplicate input edges must not double-count contributions."""
+    once = _run(spark, [(1, 2), (2, 1)], iters=2)
+    dup = _run(spark, [(1, 2), (1, 2), (2, 1)], iters=2)
+    assert once == dup
+
+
+def test_iters_zero_returns_init(spark):
+    out = _run(spark, [(1, 2)], iters=0)
+    assert out == {1: 1.0, 2: 1.0}

@@ -1,0 +1,74 @@
+"""Z-order layout tests (operators/layout.py): bit-interleave
+correctness against a Python reference, and the range-partition +
+local-sort write layout invariant."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators.layout import zorder_key, zorder_layout
+
+
+def _py_z(vals: list[int], bits: int) -> int:
+    n = len(vals)
+    z = 0
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * n + i)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    rng = random.Random(42)
+    rows = [(i, rng.randrange(65536), rng.randrange(65536)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = {
+        r.id: r.z
+        for r in df.select(
+            "id", zorder_key([F.col("x"), F.col("y")], bits=16).alias("z")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert out[i] == _py_z([x, y], 16), (i, x, y)
+
+
+def test_zorder_key_three_columns(spark):
+    df = spark.createDataFrame([(5, 3, 6)], ["a", "b", "c"])
+    z = df.select(
+        zorder_key([F.col("a"), F.col("b"), F.col("c")], bits=4).alias("z")
+    ).collect()[0].z
+    assert z == _py_z([5, 3, 6], 4)
+
+
+def test_zorder_key_locality():
+    """The point of Z-order: points close in BOTH dimensions get close
+    z-values, so each parquet file covers a compact hyper-rectangle.
+    Check the quadrant property — the top bit pair partitions the
+    space into 4 quadrants that the z-value orders contiguously."""
+    for x, y in [(0, 0), (70000 % 65536, 9), (65535, 65535)]:
+        z = _py_z([x, y], 16)
+        # the two highest interleaved bits are the quadrant id
+        assert (z >> 30) & 3 == ((x >> 15) & 1) | (((y >> 15) & 1) << 1)
+
+
+def test_zorder_layout_partitions_are_ordered(spark):
+    """After zorder_layout, partitions hold disjoint ascending
+    z-ranges (repartitionByRange) and rows are locally sorted — i.e.
+    a parquet write would produce files with non-overlapping z min/max,
+    which is exactly what makes row-group pruning work."""
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(256), rng.randrange(256)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = zorder_layout(df, [F.col("x"), F.col("y")], bits=8, n_partitions=4)
+    got = out.withColumn("pid", F.spark_partition_id()).collect()
+    by_pid: dict[int, list[int]] = {}
+    for r in got:
+        by_pid.setdefault(r.pid, []).append(r.z)
+    assert len(got) == 1000
+    for zs in by_pid.values():
+        assert zs == sorted(zs)  # local sort
+    spans = sorted((min(zs), max(zs)) for zs in by_pid.values())
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # disjoint ascending ranges across partitions

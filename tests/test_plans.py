@@ -53,6 +53,17 @@ GOLDEN = {
     # iterative clustering: plan must stay CONSTANT-size (was 475
     # exchanges by iteration 10 without per-round checkpointing)
     "q_dedup_clusters": dict(max_exchanges=6),
+    # iterative PageRank: the returned frame reads the CHECKPOINTED
+    # final ranks (per-round lineage truncation), so the visible plan
+    # is scan -> TakeOrderedAndProject; gaining an Exchange here means
+    # the truncation regressed
+    "q_graph_pagerank": dict(max_exchanges=1, ban_bnlj=True),
+    # z-key is pure map-side bit arithmetic + top-k: no shuffle, and
+    # the scan must stay pruned to the 3 input columns
+    "q_zorder_layout": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
+    # per-entity burst detection: count shuffle + stats shuffle +
+    # broadcast join back (the stats side is tiny by construction)
+    "q_events_anomaly": dict(max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

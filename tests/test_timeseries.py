@@ -2,6 +2,8 @@
 
 import datetime
 
+import pytest
+
 from spectrify_spark.operators.timeseries import resample_ffill
 
 
@@ -125,3 +127,56 @@ def test_ewma_validates_params(spark):
     with pytest.raises(ValueError):
         ewma_trailing(df, key_col="u", order_cols=["e"], value_col="v",
                       window_rows=0)
+
+
+def test_count_anomalies_flags_burst_only(spark):
+    """User 1: stable 2-events/day baseline for 5 days plus one 10-event
+    burst day -> exactly the burst is flagged.  User 2: only 2 active
+    days -> excluded by min_periods regardless of spread."""
+    import datetime
+
+    from spectrify_spark.operators.timeseries import count_anomalies
+
+    d = datetime.datetime
+    rows = []
+    eid = 0
+    for day in range(1, 6):  # user 1 baseline: 2 events/day
+        for j in range(2):
+            eid += 1
+            rows.append((eid, 1, d(2024, 1, day, 10 + j)))
+    for j in range(10):  # user 1 burst on day 6
+        eid += 1
+        rows.append((eid, 1, d(2024, 1, 6, 8 + j)))
+    for day, n in [(1, 1), (2, 50)]:  # user 2: huge spread, 2 days only
+        for j in range(n):
+            eid += 1
+            rows.append((eid, 2, d(2024, 2, day, 1, j)))
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = count_anomalies(
+        df, key_col="user_id", ts_col="ts", grain="day",
+        sigmas=2.0, min_periods=3,
+    ).collect()
+    assert [(r.user_id, r.bucket.day, r.n_events) for r in out] == [(1, 6, 10)]
+    # mu/sigma are over ALL 6 active days of user 1: mean 10/3... no —
+    # counts [2,2,2,2,2,10]: mu = 20/6, sigma = sample stddev
+    import statistics
+
+    r = out[0]
+    assert r.mu == pytest.approx(statistics.mean([2, 2, 2, 2, 2, 10]))
+    assert r.sigma == pytest.approx(statistics.stdev([2, 2, 2, 2, 2, 10]))
+
+
+def test_count_anomalies_constant_counts_never_flag(spark):
+    """sigma = 0 on a constant baseline: n > mu + 0 is false for every
+    day — no flags, no NULL leakage."""
+    import datetime
+
+    from spectrify_spark.operators.timeseries import count_anomalies
+
+    d = datetime.datetime
+    rows = [
+        (i * 10 + j, 1, d(2024, 1, i, 6 + j)) for i in range(1, 5) for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = count_anomalies(df, key_col="user_id", ts_col="ts").collect()
+    assert out == []

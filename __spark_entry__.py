@@ -3049,6 +3049,152 @@ def q_events_anomaly(spark, sf):
     )
 
 
+# ------------------------------------------------------- sketch algebra
+
+
+def q_kll_rollup(spark, sf):
+    """Mergeable KLL quantile rollup (operators/sketches.py::
+    kll_sketches/kll_rollup): per-month KLL sketches of order value
+    merged to a GLOBAL sketch without re-reading rows — quantiles get
+    the same pre-aggregation cube trick q_agg_sketch_hll gives distinct
+    counts (the q_quantile_sketch approx_percentile path is transient;
+    KLL is the materializable sketch-table form).  Self-validating row:
+    n_rows is the sketch's losslessly-merged stream length (oracle
+    recomputes COUNT(*)), p25/p50/p95 are the EXACT percentiles (oracle
+    quantile_cont), and the booleans assert the TRUE empirical rank of
+    each sketch-estimated quantile (fraction of rows at or below it,
+    recomputed exactly over the data) is within 0.02 of its target —
+    k=800 gives ~0.5% rank error at 99% confidence, so the 4x margin
+    cannot flake.  (kll_sketch_get_rank_double needs a foldable value,
+    so the check is inverted: estimate-the-quantile, then measure its
+    rank — the same KLL guarantee, checked from the data side.)"""
+    from spectrify_spark.operators.sketches import kll_sketches
+
+    o = _t(spark, sf, "orders").withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    ests = (
+        kll_sketches(o, ["month"], "o_totalprice", k=800)
+        .agg(F.expr("kll_merge_agg_double(kll_sketch)").alias("__kll"))
+        .select(
+            F.expr("kll_sketch_get_n_double(__kll)").alias("__n_sk"),
+            F.expr("kll_sketch_get_quantile_double(__kll, 0.25D)").alias("__q25"),
+            F.expr("kll_sketch_get_quantile_double(__kll, 0.5D)").alias("__q50"),
+            F.expr("kll_sketch_get_quantile_double(__kll, 0.95D)").alias("__q95"),
+        )
+    )
+    agg = o.crossJoin(F.broadcast(ests)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(o_totalprice, 0.25D)").alias("__e25"),
+        F.expr("percentile(o_totalprice, 0.5D)").alias("__e50"),
+        F.expr("percentile(o_totalprice, 0.95D)").alias("__e95"),
+        *[
+            F.avg(
+                (F.col("o_totalprice") <= F.col(f"__q{t}")).cast("double")
+            ).alias(f"__r{t}")
+            for t in (25, 50, 95)
+        ],
+        F.first("__n_sk").alias("__n_sk"),
+    )
+    return agg.select(
+        "n_rows",
+        F.round("__e25", 4).alias("p25"),
+        F.round("__e50", 4).alias("p50"),
+        F.round("__e95", 4).alias("p95"),
+        (F.col("__n_sk") == F.col("n_rows")).alias("n_merged_exact"),
+        *[
+            (F.abs(F.col(f"__r{t}") - F.lit(p)) <= 0.02).alias(
+                f"p{t}_rank_ok"
+            )
+            for t, p in ((25, 0.25), (50, 0.5), (95, 0.95))
+        ],
+    )
+
+
+def q_theta_setops(spark, sf):
+    """Theta-sketch SET ALGEBRA (operators/sketches.py::theta_sketches/
+    theta_set_estimates): distinct customers per order status 'F' and
+    'O' sketched separately, union AND intersection estimated from the
+    sketches alone — the audience-overlap computation HLL cannot do
+    (no intersection), and the 100 TB alternative to a distinct
+    self-join.  Self-validating: the exact per-status distincts, exact
+    union, and exact intersection (inclusion-exclusion) are plain SQL
+    the oracle recomputes; the booleans assert both sketch estimates
+    land within 5% (at gate SFs the per-status cardinality is under
+    2^14 so the sketches are in EXACT mode — the margin covers the
+    estimation regime at larger SFs)."""
+    from spectrify_spark.operators.sketches import (
+        theta_set_estimates,
+        theta_sketches,
+    )
+
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderstatus", "o_custkey")
+    )
+    est = theta_set_estimates(
+        theta_sketches(o, ["o_orderstatus"], "o_custkey", lgk=14)
+    )
+    exact = o.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_f"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("n_o"),
+        F.countDistinct("o_custkey").alias("union_exact"),
+    ).select(
+        "n_f",
+        "n_o",
+        "union_exact",
+        (F.col("n_f") + F.col("n_o") - F.col("union_exact")).alias(
+            "inter_exact"
+        ),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_f",
+        "n_o",
+        "union_exact",
+        "inter_exact",
+        (
+            F.abs(F.col("union_distinct") - F.col("union_exact"))
+            <= 0.05 * F.col("union_exact")
+        ).alias("union_est_ok"),
+        (
+            F.abs(F.col("intersection_distinct") - F.col("inter_exact"))
+            <= 0.05 * F.col("inter_exact")
+        ).alias("inter_est_ok"),
+    )
+
+
+def q_topk_sketch(spark, sf):
+    """Mergeable frequent-items rollup (operators/sketches.py::
+    topk_sketches/topk_rollup): approx_top_k state ACCUMULATED per
+    month, COMBINED to global, estimated — the materializable top-k
+    that rolls up along any hierarchy without re-scanning.  The item
+    cardinality (5 order priorities) is far under max_items_tracked,
+    so the combined counts are EXACT and the oracle is the plain
+    GROUP BY — the strongest check: the whole
+    accumulate/combine/estimate pipeline must reproduce exact counts,
+    not just land near them."""
+    from spectrify_spark.operators.sketches import (
+        topk_rollup,
+        topk_sketches,
+    )
+
+    o = _t(spark, sf, "orders").withColumn(
+        "month", F.date_trunc("month", "o_orderdate")
+    )
+    tk = topk_rollup(
+        topk_sketches(o, ["month"], "o_orderpriority"), [], k=10
+    )
+    return tk.select(
+        F.col("item").alias("o_orderpriority"),
+        F.col("est_count").cast("bigint").alias("n_orders"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3235,6 +3381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_pagerank": q_graph_pagerank,
         "q_zorder_layout": q_zorder_layout,
         "q_events_anomaly": q_events_anomaly,
+        "q_kll_rollup": q_kll_rollup,
+        "q_theta_setops": q_theta_setops,
+        "q_topk_sketch": q_topk_sketch,
     }
 
 
@@ -5201,5 +5350,47 @@ def oracle_sql() -> dict[str, str]:
             FROM counts c JOIN stats s USING (user_id)
             WHERE s.periods >= 3
               AND CAST(c.n_events AS DOUBLE) > s.mu + 2.0 * s.sigma
+        """,
+        # self-validating KLL rollup: exact stream length + exact
+        # percentiles; the rank booleans certify the merged sketch
+        "q_kll_rollup": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+                   TRUE AS n_merged_exact,
+                   TRUE AS p25_rank_ok,
+                   TRUE AS p50_rank_ok,
+                   TRUE AS p95_rank_ok
+            FROM orders
+        """,
+        # self-validating theta set algebra: exact per-status/union/
+        # intersection distincts (inclusion-exclusion), booleans certify
+        # the sketch estimates
+        "q_theta_setops": """
+            WITH s AS (
+              SELECT o_orderstatus, o_custkey FROM orders
+              WHERE o_orderstatus IN ('F', 'O'))
+            SELECT
+              CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+                                       THEN o_custkey END) AS BIGINT) AS n_f,
+              CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'O'
+                                       THEN o_custkey END) AS BIGINT) AS n_o,
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS union_exact,
+              CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F'
+                                       THEN o_custkey END)
+                   + COUNT(DISTINCT CASE WHEN o_orderstatus = 'O'
+                                         THEN o_custkey END)
+                   - COUNT(DISTINCT o_custkey) AS BIGINT) AS inter_exact,
+              TRUE AS union_est_ok,
+              TRUE AS inter_est_ok
+            FROM s
+        """,
+        # the accumulate/combine/estimate pipeline must reproduce the
+        # EXACT per-priority counts (cardinality << max_items_tracked)
+        "q_topk_sketch": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderpriority
         """,
     }

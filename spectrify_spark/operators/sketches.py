@@ -81,3 +81,140 @@ def quantile_profile(
             f"approx_percentile({value_col}, {probs}, {accuracy})"
         ).alias("quantiles")
     )
+
+
+def kll_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 800,
+) -> DataFrame:
+    """Per-group KLL quantile sketches of ``value_col`` (double).
+
+    Unlike ``approx_percentile`` (a transient aggregate), KLL is a
+    MATERIALIZABLE DataSketches binary: write the fine-grain sketch
+    table once, serve every coarser quantile rollup from it via
+    :func:`kll_rollup` without re-reading raw rows — quantiles get the
+    same cube trick :func:`hll_sketches` gives distinct counts.
+    ``k`` controls the accuracy/size trade-off: rank error is
+    ~1.7%·(200/k)^0.9 at 99% confidence (k=800 -> ~0.5%), a few KB per
+    sketch.
+    """
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.expr(
+            f"kll_sketch_agg_double(CAST({value_col} AS DOUBLE), {int(k)})"
+        ).alias("kll_sketch")
+    )
+
+
+def kll_rollup(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    probabilities: Sequence[float] = (0.25, 0.5, 0.95),
+) -> DataFrame:
+    """Merge fine-grain KLL sketches up to ``group_cols`` and read
+    quantile estimates (plus the EXACT stream length ``n`` the sketch
+    tracks losslessly — a free mergeability self-check).
+
+    Merging is lossless in the KLL error model: the merged sketch
+    carries the same rank-error bound as a sketch built directly over
+    the unioned input, so a (day, shard) sketch table answers monthly
+    or global quantiles at full fidelity without touching raw data.
+    """
+    gb = [F.col(c) for c in group_cols]
+    merged = sketches.groupBy(*gb).agg(
+        F.expr("kll_merge_agg_double(kll_sketch)").alias("__kll")
+    )
+    cols = list(group_cols) + [
+        F.expr("kll_sketch_get_n_double(__kll)").alias("n"),
+    ]
+    for p in probabilities:
+        cols.append(
+            F.expr(
+                f"kll_sketch_get_quantile_double(__kll, CAST({float(p)} AS DOUBLE))"
+            ).alias(f"p{int(round(p * 100)):02d}")
+        )
+    return merged.select(*cols)
+
+
+def theta_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Per-group Theta sketches of ``value_col`` — distinct-count
+    sketches that, unlike HLL, support a full SET ALGEBRA: union,
+    intersection, and difference of the underlying distinct sets are
+    all estimable from the sketches alone (DataSketches Theta).
+
+    The 100 TB use case HLL cannot serve: audience overlap ("distinct
+    users active in BOTH periods"), cross-corpus contamination
+    estimates, retention without a self-join — computed from a
+    per-segment sketch table instead of an n-way distinct join.  Below
+    ~2^lgk distinct values the sketch is in exact mode and the
+    estimates are exact.
+    """
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.expr(f"theta_sketch_agg({value_col}, {int(lgk)})").alias(
+            "theta_sketch"
+        )
+    )
+
+
+def theta_set_estimates(sketches: DataFrame) -> DataFrame:
+    """Collapse a theta-sketch table (any number of rows) into one row
+    of set-algebra estimates: distinct count of the UNION and of the
+    INTERSECTION of all groups' value sets."""
+    return sketches.agg(
+        F.expr(
+            "theta_sketch_estimate(theta_union_agg(theta_sketch))"
+        ).alias("union_distinct"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection_agg(theta_sketch))"
+        ).alias("intersection_distinct"),
+    )
+
+
+def topk_sketches(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 10,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Per-group mergeable frequent-items state (``approx_top_k_accumulate``).
+
+    The materializable form of top-k: accumulate per shard/partition
+    grain, then :func:`topk_rollup` combines states along any
+    hierarchy without re-scanning.  When a group's distinct cardinality
+    stays under ``max_items_tracked`` the counts are EXACT — the sketch
+    only approximates past that."""
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.expr(
+            f"approx_top_k_accumulate({value_col}, {int(max_items_tracked)})"
+        ).alias("topk_state")
+    )
+
+
+def topk_rollup(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 10,
+) -> DataFrame:
+    """Combine per-grain top-k states up to ``group_cols`` and emit the
+    (item, count) estimates as exploded rows."""
+    gb = [F.col(c) for c in group_cols]
+    merged = sketches.groupBy(*gb).agg(
+        F.expr("approx_top_k_combine(topk_state)").alias("__state")
+    )
+    return merged.select(
+        *group_cols,
+        F.explode(
+            F.expr(f"approx_top_k_estimate(__state, {int(k)})")
+        ).alias("__e"),
+    ).select(
+        *group_cols,
+        F.col("__e.item").alias("item"),
+        F.col("__e.count").alias("est_count"),
+    )

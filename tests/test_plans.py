@@ -64,6 +64,12 @@ GOLDEN = {
     # per-entity burst detection: count shuffle + stats shuffle +
     # broadcast join back (the stats side is tiny by construction)
     "q_events_anomaly": dict(max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True),
+    # sketch algebra: the BNLJ in kll/theta is the designed 1-row
+    # estimate broadcast; topk is two agg shuffles (accumulate grain +
+    # combine)
+    "q_kll_rollup": dict(max_exchanges=4),
+    "q_theta_setops": dict(max_exchanges=4),
+    "q_topk_sketch": dict(max_exchanges=2, ban_bnlj=True),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

@@ -107,3 +107,68 @@ def test_profile_table_approx_mode(spark):
     # one scan regardless of column count: no Expand in the approx plan
     plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+# ---------------------------------------------------- r8: KLL / theta / topk
+
+
+def test_kll_rollup_merge_is_lossless_on_n_and_tight_on_rank(spark):
+    """Per-shard KLL sketches merged globally: stream length n is exact
+    (KLL tracks it losslessly), and the merged p50 estimate must sit
+    within 2% rank of the true median of the UNION."""
+    from spectrify_spark.operators.sketches import kll_rollup, kll_sketches
+
+    df = spark.range(10_000).selectExpr(
+        "id % 4 AS shard", "CAST(id AS DOUBLE) AS v"
+    )
+    fine = kll_sketches(df, ["shard"], "v", k=800)
+    out = kll_rollup(fine, [], probabilities=(0.5,)).collect()[0]
+    assert out["n"] == 10_000
+    # true median of 0..9999 is ~4999.5; 2% rank = 200 positions
+    assert abs(out["p50"] - 4999.5) <= 200
+
+
+def test_kll_sketch_table_serves_multiple_rollup_axes(spark):
+    from spectrify_spark.operators.sketches import kll_rollup, kll_sketches
+
+    df = spark.range(6000).selectExpr(
+        "id % 3 AS region", "id % 2 AS day", "CAST(id AS DOUBLE) AS v"
+    )
+    fine = kll_sketches(df, ["region", "day"], "v")
+    by_region = kll_rollup(fine, ["region"], probabilities=(0.5,))
+    assert {r.region: r.n for r in by_region.collect()} == {0: 2000, 1: 2000, 2: 2000}
+    global_ = kll_rollup(fine, [], probabilities=(0.5,)).collect()[0]
+    assert global_["n"] == 6000
+
+
+def test_theta_set_estimates_exact_mode(spark):
+    """Two groups with engineered overlap, cardinality << 2^lgk so the
+    sketches are in exact mode: union and intersection estimates must
+    be exactly right."""
+    from spectrify_spark.operators.sketches import (
+        theta_set_estimates,
+        theta_sketches,
+    )
+
+    # group 0: users 0..599; group 1: users 400..999 -> union 1000,
+    # intersection 200
+    df = spark.sql(
+        "SELECT 0 AS g, id AS u FROM range(0, 600) "
+        "UNION ALL SELECT 1 AS g, id AS u FROM range(400, 1000)"
+    )
+    out = theta_set_estimates(theta_sketches(df, ["g"], "u")).collect()[0]
+    assert out["union_distinct"] == 1000
+    assert out["intersection_distinct"] == 200
+
+
+def test_topk_rollup_exact_under_capacity_and_mergeable(spark):
+    """Counts are exact when distinct items fit the tracked capacity,
+    and combining per-shard states equals a direct global count."""
+    from spectrify_spark.operators.sketches import topk_rollup, topk_sketches
+
+    df = spark.range(900).selectExpr(
+        "id % 3 AS shard", "CONCAT('item', id % 9) AS item_col"
+    )
+    fine = topk_sketches(df, ["shard"], "item_col")
+    out = {r.item: r.est_count for r in topk_rollup(fine, [], k=9).collect()}
+    assert out == {f"item{i}": 100 for i in range(9)}

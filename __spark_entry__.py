@@ -3195,6 +3195,57 @@ def q_topk_sketch(spark, sf):
     )
 
 
+def q_stream_sketch(spark, sf):
+    """Streaming SKETCH aggregation — the composition that makes
+    sketches the natural streaming aggregate: per-day distinct users
+    estimated by hll_sketch_agg INSIDE a Structured Streaming windowed
+    aggregation (sketches are order-independent set functions, so the
+    drained state is deterministic regardless of microbatch split),
+    then certified against the BATCH exact distinct per window.  At
+    scale this is the live-dashboard pattern: the stream maintains
+    per-window sketch state (bounded, mergeable), and any rollup of the
+    sink table is served from sketches without replaying events.
+    Self-validating: window_start and exact_distinct are plain SQL the
+    oracle recomputes; est_within_2pct is the sketch certification
+    (lgK=14 is ~0.8% RSE; gate cardinalities are far below the flake
+    regime)."""
+    import uuid
+
+    from spectrify_spark.streaming import events as SE
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"q_stream_sketch_{uuid.uuid4().hex[:8]}"
+    src = SE.read_event_stream(spark, f"{sf}/events.parquet")
+    agg = SE.windowed_counts(
+        src,
+        duration="1 day",
+        aggs={"hll": F.hll_sketch_agg("user_id", 14)},
+    )
+    # the stream maintains (day, event_type)-grain sketch state; the
+    # per-day estimate is a lossless hll_union_agg over the drained
+    # sink — the rollup-without-replay this pattern exists for
+    drained = (
+        _drain_scoped(spark, agg, name, "complete")
+        .groupBy("window_start")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("__est")
+        )
+    )
+    exact = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return exact.join(drained, "window_start").select(
+        "window_start",
+        "exact_distinct",
+        (
+            F.abs(F.col("__est") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct")
+        ).alias("est_within_2pct"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3384,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kll_rollup": q_kll_rollup,
         "q_theta_setops": q_theta_setops,
         "q_topk_sketch": q_topk_sketch,
+        "q_stream_sketch": q_stream_sketch,
     }
 
 
@@ -5392,5 +5444,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        # batch twin of the streaming windowed HLL: exact per-day
+        # distinct users; the boolean certifies the drained sketch
+        "q_stream_sketch": """
+            SELECT date_trunc('day', ts) AS window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS exact_distinct,
+                   TRUE AS est_within_2pct
+            FROM events GROUP BY 1
         """,
     }

@@ -75,3 +75,48 @@ def zorder_layout(
     else:
         out = out.repartitionByRange(F.col(out_col))
     return out.sortWithinPartitions(out_col)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[Column] | None = None,
+    bits: int = 16,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_bytes`` (the OPTIMIZE half of Delta/Iceberg's
+    OPTIMIZE [ZORDER BY]).
+
+    Small files are the silent scale killer the reference's
+    one-file-per-source-shard layout produces
+    (/root/reference/spectrify/convert.py writes one parquet per CSV
+    shard): at 100 TB that is millions of files — NameNode/S3-listing
+    pressure, a scheduler task per file, and row groups too small for
+    effective column skipping.  The file count is derived from the
+    dataset's ACTUAL on-disk bytes via the Hadoop FileSystem API (works
+    on any FS Spark can reach), not row counts, so compressed width is
+    respected.
+
+    With ``zorder_cols`` the rewrite also Z-orders
+    (:func:`zorder_layout`): compaction and multi-dimensional
+    clustering in the same single pass over the data.
+
+    Returns the target file count.
+    """
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(hconf)
+    size = fs.getContentSummary(path).getLength()
+    n = max(1, math.ceil(size / float(target_file_bytes)))
+    df = spark.read.parquet(src)
+    if zorder_cols:
+        out = zorder_layout(df, zorder_cols, bits=bits, n_partitions=n)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    return n

@@ -72,3 +72,43 @@ def test_zorder_layout_partitions_are_ordered(spark):
     spans = sorted((min(zs), max(zs)) for zs in by_pid.values())
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo  # disjoint ascending ranges across partitions
+
+
+def test_compact_parquet_reduces_file_count_preserving_rows(spark, tmp_path):
+    import glob
+
+    from spectrify_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).selectExpr(
+        "id", "CAST(id % 97 AS LONG) AS x", "CAST(id % 89 AS LONG) AS y"
+    ).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    n = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == n <= 4
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert a == b
+
+
+def test_compact_parquet_with_zorder_keeps_rows_and_adds_key(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(2_000).selectExpr(
+        "id", "CAST(id % 32 AS LONG) AS x", "CAST(id % 17 AS LONG) AS y"
+    ).repartition(16).write.parquet(src)
+    compact_parquet(
+        spark, src, dst,
+        target_file_bytes=64 * 1024 * 1024,
+        zorder_cols=[F.col("x"), F.col("y")], bits=8,
+    )
+    out = spark.read.parquet(dst)
+    assert out.count() == 2_000
+    assert "z" in out.columns  # the clustering key is materialized

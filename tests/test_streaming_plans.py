@@ -54,6 +54,9 @@ GOLDEN = {
     "q_stream_join": dict(
         node="StreamingSymmetricHashJoin", wm_tag=True, stores=32
     ),
+    # windowed HLL sketch agg (r8): same stateful shape as
+    # q_stream_window — sketch state per (window, type) partition
+    "q_stream_sketch": dict(node="StateStoreSave", wm_tag=True, stores=8),
 }
 
 _WM_TAG = re.compile(r"-T\d+ms")

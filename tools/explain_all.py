@@ -82,6 +82,7 @@ STREAMING_KEYS = (
     "q_stream_dedup",
     "q_stream_stateful",
     "q_stream_join",
+    "q_stream_sketch",
 )
 
 

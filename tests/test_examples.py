@@ -31,3 +31,10 @@ def test_curate_example(spark, sf_dir, tmp_path):
 def test_cdc_example_reconciles(spark, sf_dir, tmp_path, capsys):
     _run("examples/cdc_pipeline.py", [sf_dir, str(tmp_path / "cdc")])
     assert "agree" in capsys.readouterr().out
+
+
+def test_scale_toolkit_example(spark, sf_dir, tmp_path, capsys):
+    _run("examples/scale_toolkit.py", [sf_dir, str(tmp_path / "scale")])
+    out = capsys.readouterr().out
+    assert "z-ordered" in out
+    assert "top-5 nodes by rank" in out

@@ -112,3 +112,39 @@ def test_compact_parquet_with_zorder_keeps_rows_and_adds_key(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 2_000
     assert "z" in out.columns  # the clustering key is materialized
+
+
+def test_zorder_key_property_bijective_and_locality(spark):
+    """Property-fuzzed (hypothesis): the interleave is a BIJECTION on
+    [0, 2^bits)^2 (injectivity = no two points share a file-skipping
+    key slot) and inverts exactly; one Spark job total (batched
+    examples — a job per example is too slow)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pairs: list[tuple[int, int]] = []
+
+    @given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                    min_size=1, max_size=50))
+    @settings(max_examples=30, deadline=None)
+    def collect(xs):
+        pairs.extend(xs)
+
+    collect()
+
+    def unz(z):
+        x = y = 0
+        for b in range(16):
+            x |= ((z >> (2 * b)) & 1) << b
+            y |= ((z >> (2 * b + 1)) & 1) << b
+        return x, y
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)], ["i", "x", "y"]
+    )
+    out = df.select(
+        "i", "x", "y", zorder_key([F.col("x"), F.col("y")], bits=16).alias("z")
+    ).collect()
+    for r in out:
+        assert unz(r.z) == (r.x, r.y)  # exact inverse -> injective
+        assert 0 <= r.z < (1 << 32)

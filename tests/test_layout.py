@@ -148,3 +148,56 @@ def test_zorder_key_property_bijective_and_locality(spark):
     for r in out:
         assert unz(r.z) == (r.x, r.y)  # exact inverse -> injective
         assert 0 <= r.z < (1 << 32)
+
+
+def test_zorder_write_narrows_rowgroup_stats_for_both_dims(spark, tmp_path):
+    """The point of the layout op, measured from the parquet FOOTERS:
+    after zorder_layout both x and y have per-file min/max spans far
+    below the global span (each file covers a compact hyper-rectangle),
+    while a hash-repartitioned write leaves every file spanning
+    ~the whole domain — i.e. min/max pruning can skip files for filters
+    on EITHER dimension only under the Z-order layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n, dom = 20_000, 256
+    df = spark.range(n).selectExpr(
+        "CAST(pmod(hash(id), 256) AS LONG) AS x",
+        "CAST(pmod(hash(id * 7 + 3), 256) AS LONG) AS y",
+    )
+
+    def mean_span(path_dir, col):
+        spans = []
+        for f in glob.glob(f"{path_dir}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return sum(spans) / len(spans), len(spans)
+
+    scattered = str(tmp_path / "hash")
+    df.repartition(16).write.parquet(scattered)
+    zordered = str(tmp_path / "zorder")
+    zorder_layout(
+        df, [F.col("x"), F.col("y")], bits=8, n_partitions=16
+    ).write.parquet(zordered)
+
+    for col in ("x", "y"):
+        span_hash, n_hash = mean_span(scattered, col)
+        span_z, n_z = mean_span(zordered, col)
+        assert n_hash >= 8 and n_z >= 8  # both layouts really multi-file
+        # hash layout: every file spans ~the whole domain
+        assert span_hash > 0.9 * (dom - 1)
+        # z-order: mean per-file span collapses for BOTH dimensions
+        assert span_z < 0.5 * span_hash, (col, span_z, span_hash)

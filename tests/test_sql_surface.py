@@ -48,3 +48,23 @@ def test_stream_convert_csv(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "pq")).count() == 3
+    # incremental resume: NEW shards landing later are converted from
+    # the same checkpoint — old shards are not reprocessed, new rows
+    # appear exactly once (the cron-replacement contract)
+    import glob
+    import shutil
+
+    late = spark.createDataFrame([(4, "d"), (5, "e")], schema)
+    late_dir = str(tmp_path / "late")
+    write_unload_csv(late, late_dir)
+    for i, f in enumerate(sorted(glob.glob(f"{late_dir}/*.csv.gz"))):
+        shutil.copy(f, f"{csv_dir}/late-{i:04d}.csv.gz")
+    q3 = stream_convert_csv(
+        spark, csv_dir, schema, str(tmp_path / "pq"), str(tmp_path / "ckpt")
+    )
+    q3.awaitTermination(120)
+    back3 = spark.read.parquet(str(tmp_path / "pq"))
+    assert back3.count() == 5
+    assert sorted(
+        r.id for r in back3.select("id").collect()
+    ) == [1, 2, 3, 4, 5]

@@ -148,6 +148,25 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--id-col", default="doc_id")
     pk.add_argument("--text-col", default="text")
 
+    co = sub.add_parser(
+        "compact",
+        help="rewrite a parquet dataset to ~target-size files, "
+        "optionally Z-ordering by columns for multi-dim data skipping",
+    )
+    co.add_argument("source")
+    co.add_argument("dest")
+    co.add_argument(
+        "--target-mb", type=int, default=128, help="target file size (MiB)"
+    )
+    co.add_argument(
+        "--zorder",
+        nargs="*",
+        default=None,
+        metavar="COL",
+        help="integer columns to Z-order by (low bits interleaved)",
+    )
+    co.add_argument("--bits", type=int, default=16)
+
     se = sub.add_parser(
         "search", help="BM25 keyword retrieval over a documents parquet"
     )
@@ -287,6 +306,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_parquet(packed, args.dest)
         print(args.dest)
+    elif args.cmd == "compact":
+        from pyspark.sql import functions as F
+
+        from spectrify_spark.operators.layout import compact_parquet
+
+        zcols = (
+            [F.col(c).cast("long") for c in args.zorder]
+            if args.zorder
+            else None
+        )
+        n = compact_parquet(
+            spark,
+            args.source,
+            args.dest,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            zorder_cols=zcols,
+            bits=args.bits,
+        )
+        print(f"{args.dest}: {n} file(s)")
     elif args.cmd == "search":
         from spectrify_spark.operators.retrieval import bm25_topk
         from spectrify_spark.sources.parquet import read_table

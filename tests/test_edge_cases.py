@@ -315,3 +315,23 @@ def test_cli_validate_reports_and_strict_gates(capsys):
     # --strict turns a failing check into a nonzero exit
     with _pytest.raises(SystemExit):
         cli.main(["validate", src, "--unique", "l_orderkey", "--strict"])
+
+
+def test_cli_compact_with_zorder(spark, tmp_path, capsys):
+    import glob
+
+    from spectrify_spark import cli
+
+    src = str(tmp_path / "scattered")
+    dest = str(tmp_path / "compacted")
+    spark.range(5000).selectExpr(
+        "id", "CAST(id % 50 AS LONG) AS a", "CAST(id % 31 AS LONG) AS b"
+    ).repartition(32).write.parquet(src)
+    rc = cli.main(
+        ["compact", src, dest, "--target-mb", "64", "--zorder", "a", "b", "--bits", "8"]
+    )
+    assert rc == 0
+    assert "file(s)" in capsys.readouterr().out
+    assert len(glob.glob(f"{dest}/part-*.parquet")) < 32
+    out = spark.read.parquet(dest)
+    assert out.count() == 5000 and "z" in out.columns

@@ -140,3 +140,69 @@ def write_unload_csv(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.csv(path)
+
+
+#: Quarantine-channel column name (shared convention with sources/jsonl.py).
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_unload_csv_quarantine(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType,
+    **overrides: str,
+) -> tuple[DataFrame, DataFrame]:
+    """UNLOAD CSV read with a corrupt-record QUARANTINE channel:
+    returns ``(clean_typed_rows, corrupt_raw_lines)``.
+
+    The reference fails the whole convert on the first bad cell
+    (ValueError per cell, reference spectrify/convert.py:40-56) — the
+    right default for schema drift, kept here as
+    :func:`read_unload_csv`'s strict modes.  At 100 TB a single
+    truncated shard should not kill a day-long load: PERMISSIVE parsing
+    routes unparseable LINES (wrong column count, uncastable numerics)
+    into a raw-text quarantine output for repair/re-drive, while every
+    clean row proceeds — the same channel convention as
+    ``sources/jsonl.py``.  Bool/'t'/'f' and lenient-timestamp columns
+    go through the same expression casts as the strict reader, with
+    rows whose cells fail THOSE casts also diverted to quarantine (the
+    vectorized parser can't see them)."""
+    opts = {**CSV_OPTIONS, **overrides}
+    read_schema, bool_cols, ts_cols = _expr_cols_as_string_schema(schema)
+    with_corrupt = T.StructType(
+        list(read_schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.options(**opts)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(with_corrupt)
+        .csv(paths)
+    ).cache()
+    bad_line = F.col(CORRUPT_COL).isNotNull()
+    # expression-cast failures: non-empty cell the cast NULLs
+    bad_cast = F.lit(False)
+    for c in bool_cols:
+        bad_cast = bad_cast | (
+            F.nullif(F.col(c), F.lit("")).isNotNull()
+            & parse_bool_tf(F.col(c), strict=False).isNull()
+        )
+    for c in ts_cols:
+        bad_cast = bad_cast | (
+            F.nullif(F.col(c), F.lit("")).isNotNull()
+            & parse_timestamp_lenient(F.col(c), strict=False).isNull()
+        )
+    quarantine = df.filter(bad_line | bad_cast).select(
+        F.coalesce(
+            F.col(CORRUPT_COL),
+            F.concat_ws("|", *[F.col(f.name) for f in read_schema.fields]),
+        ).alias(CORRUPT_COL)
+    )
+    clean = df.filter(~(bad_line | bad_cast)).drop(CORRUPT_COL)
+    for c in bool_cols:
+        clean = clean.withColumn(c, parse_bool_tf(F.col(c), strict=False))
+    for c in ts_cols:
+        clean = clean.withColumn(
+            c, parse_timestamp_lenient(F.col(c), strict=False)
+        )
+    return clean, quarantine

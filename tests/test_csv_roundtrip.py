@@ -172,3 +172,46 @@ def test_malformed_timestamp_counter_and_strict(spark, tmp_path):
     strict = read_unload_csv(spark, str(p), schema, strict_timestamps=True)
     with pytest.raises(Exception, match="Unparseable timestamp"):
         strict.collect()
+
+
+def test_read_unload_csv_quarantine_routes_bad_rows(spark, tmp_path):
+    """Planted corruption: a wrong-column-count line, an uncastable
+    numeric, and a bad 't'/'f' cell must land in quarantine as raw
+    text while every clean row converts — and clean+quarantine
+    partitions the input."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from spectrify_spark.sources.csv import read_unload_csv_quarantine
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    lines = [
+        "1|alpha|3.5|t|2024-01-01 10:00:00",
+        "2|beta|oops|f|2024-01-02 11:00:00",      # uncastable double
+        "3|gamma|1.25",                            # wrong column count
+        "4|delta|2.0|x|2024-01-04 09:00:00",      # bad bool cell
+        "5|eps|9.75|f|2024-01-05 08:30:00",
+    ]
+    with gzip.open(d / "shard-000.csv.gz", "wt") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    clean, quarantine = read_unload_csv_quarantine(spark, str(d), schema)
+    good = sorted(r.id for r in clean.collect())
+    assert good == [1, 5]
+    bad = [r[0] for r in quarantine.collect()]
+    assert len(bad) == 3
+    assert any("oops" in b for b in bad)
+    assert any(b.startswith("3|gamma") for b in bad)
+    assert any("|x|" in b or "delta" in b for b in bad)
+    # typed schema on the clean channel
+    assert clean.schema == schema

@@ -3246,6 +3246,44 @@ def q_stream_sketch(spark, sf):
     )
 
 
+def q_scd2_lookup(spark, sf):
+    """POINT-IN-TIME lookup join (relational.scd2_lookup): every event
+    picks up the customer's order state AS OF the event timestamp from
+    the SCD2 history q_scd2 materializes — the feature-store
+    correctness primitive (training features must reflect what the
+    model would have seen at event time, not today's state).  Contract
+    pinned by the oracle's LATERAL: among versions with valid_from <=
+    ts, the greatest (valid_from, tie_break) wins; inclusive start;
+    NULLs before the first version.  Scale shape: the as-of family's
+    union + ONE key shuffle + one ordered window pass (the naive
+    formulation is a per-fact inequality join, quadratic per key), with
+    the attrs filled from a single version row via a struct."""
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    hist = R.scd2_history(
+        o, key="o_custkey", ts="o_orderdate", tie_break="o_orderkey",
+        attrs=["o_totalprice"],
+    )
+    out = R.scd2_lookup(
+        ev,
+        hist,
+        fact_key="user_id",
+        fact_ts="ts",
+        attrs=["o_orderkey", "o_totalprice"],
+        hist_key="o_custkey",
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("version_orderkey"),
+        F.round("o_totalprice", 4).alias("version_totalprice"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3436,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theta_setops": q_theta_setops,
         "q_topk_sketch": q_topk_sketch,
         "q_stream_sketch": q_stream_sketch,
+        "q_scd2_lookup": q_scd2_lookup,
     }
 
 
@@ -5453,5 +5492,20 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_distinct,
                    TRUE AS est_within_2pct
             FROM events GROUP BY 1
+        """,
+        # point-in-time contract as a LATERAL: greatest
+        # (valid_from, tie) version at or before the fact timestamp
+        "q_scd2_lookup": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   v.o_orderkey AS version_orderkey,
+                   ROUND(v.o_totalprice, 4) AS version_totalprice
+            FROM events e
+            LEFT JOIN LATERAL (
+              SELECT o.o_orderkey, o.o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+              LIMIT 1
+            ) v ON TRUE
         """,
     }

@@ -228,6 +228,85 @@ def scd2_history(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    attrs: Sequence[str],
+    hist_key: str = None,
+    valid_from: str = "valid_from",
+    tie_break: str = None,
+) -> DataFrame:
+    """POINT-IN-TIME join: each fact row picks up the dimension
+    attributes of the version that was valid AT the fact's timestamp —
+    the feature-store correctness primitive (training features must
+    reflect the state the model would have seen, not today's state).
+
+    Contract: among versions with ``valid_from <= fact_ts``, the one
+    with the greatest ``(valid_from, tie_break)`` wins (a version
+    starting exactly at the fact timestamp IS visible — inclusive
+    start, matching :func:`scd2_history`'s ``[valid_from, valid_to)``
+    intervals); facts before the first version get NULL attrs.
+
+    Scale shape: the naive formulation is a per-fact inequality join
+    (quadratic per key); this is the union + single key-shuffle + one
+    ordered window pass the as-of family uses — version rows sort
+    before fact rows at equal timestamps, and a ``last(ignorenulls)``
+    over a STRUCT of the attrs fills each fact from ONE version row
+    (per-column fills could mix versions when an attr is legitimately
+    NULL in some version).
+    """
+    hist_key = hist_key or fact_key
+    tb = (
+        F.col(tie_break)
+        if tie_break
+        else F.lit(0)
+    )
+    l = facts.select(
+        F.col(fact_key).alias("__k"),
+        F.col(fact_ts).alias("__t"),
+        F.lit(1).alias("__src"),
+        F.lit(None).cast("long").alias("__tb"),
+        *facts.columns,
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{a}:{history.schema[a].dataType.simpleString()}"
+                for a in attrs
+            )
+            + ">"
+        )
+        .alias("__v"),
+    )
+    r = history.select(
+        F.col(hist_key).alias("__k"),
+        F.col(valid_from).alias("__t"),
+        F.lit(0).alias("__src"),
+        tb.cast("long").alias("__tb"),
+        *[
+            F.lit(None).cast(facts.schema[c].dataType).alias(c)
+            for c in facts.columns
+        ],
+        F.struct(*[F.col(a) for a in attrs]).alias("__v"),
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__src", F.col("__tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last(
+        F.when(F.col("__src") == 0, F.col("__v")), ignorenulls=True
+    ).over(w)
+    return (
+        u.withColumn("__f", filled)
+        .filter(F.col("__src") == 1)
+        .select(*facts.columns, *[F.col(f"__f.{a}").alias(a) for a in attrs])
+    )
+
+
 def merge_changes(
     base: DataFrame,
     changes: DataFrame,

@@ -70,6 +70,10 @@ GOLDEN = {
     "q_kll_rollup": dict(max_exchanges=4),
     "q_theta_setops": dict(max_exchanges=4),
     "q_topk_sketch": dict(max_exchanges=2, ban_bnlj=True),
+    # point-in-time lookup: union + ONE key shuffle + window pass —
+    # gaining a join here means the quadratic inequality-join shape
+    # crept back
+    "q_scd2_lookup": dict(max_exchanges=2, ban_bnlj=True),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

@@ -191,3 +191,53 @@ def test_cdc_merge_then_diff_reconciles(spark):
         [(1, "a"), (2, "b2"), (4, "d")], "k bigint, v string"
     )
     assert diff_summary(snapshot, expected, "k").count() == 0
+
+
+def test_scd2_lookup_point_in_time_contract(spark):
+    """Hand-built history with an instant-boundary tie: the fact AT a
+    version's valid_from sees that version (inclusive start); two
+    versions at the same instant resolve to the higher tie_break; facts
+    before the first version get NULLs; attrs fill from ONE version row
+    (struct fill) even when an attr is NULL in the winning version."""
+    import datetime
+
+    from spectrify_spark.operators.relational import scd2_history, scd2_lookup
+
+    d = datetime.datetime
+    # change log: customer 1 has versions at t1 (seq 10), t2 (seq 20
+    # AND seq 21 — same-instant pair), customer 2 one version
+    log = spark.createDataFrame(
+        [
+            (1, 10, d(2024, 1, 1), 100.0),
+            (1, 20, d(2024, 1, 5), 200.0),
+            (1, 21, d(2024, 1, 5), None),   # same instant, higher seq, NULL attr
+            (2, 30, d(2024, 2, 1), 999.0),
+        ],
+        ["cust", "seq", "vts", "price"],
+    )
+    hist = scd2_history(log, key="cust", ts="vts", tie_break="seq", attrs=["price"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, d(2023, 12, 31)),  # before first version -> NULLs
+            (101, 1, d(2024, 1, 1)),    # exactly at v10 -> sees v10
+            (102, 1, d(2024, 1, 4)),    # between -> v10
+            (103, 1, d(2024, 1, 5)),    # at the tied instant -> seq 21 (NULL price!)
+            (104, 1, d(2024, 3, 1)),    # after -> seq 21
+            (105, 2, d(2024, 2, 2)),    # customer 2 -> seq 30
+        ],
+        ["event_id", "cust", "ts"],
+    )
+    out = {
+        r.event_id: (r.seq, r.price)
+        for r in scd2_lookup(
+            facts, hist, fact_key="cust", fact_ts="ts",
+            attrs=["seq", "price"], tie_break="seq",
+        ).collect()
+    }
+    assert out[100] == (None, None)
+    assert out[101] == (10, 100.0)
+    assert out[102] == (10, 100.0)
+    # struct fill: seq 21's NULL price must NOT fall back to seq 20's 200.0
+    assert out[103] == (21, None)
+    assert out[104] == (21, None)
+    assert out[105] == (30, 999.0)

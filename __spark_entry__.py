@@ -3284,6 +3284,42 @@ def q_scd2_lookup(spark, sf):
     )
 
 
+def q_graph_hits(spark, sf):
+    """HITS dual ranking over the DIRECTED supplier -> part purchase
+    graph (operators/graph.py::hits): suppliers are hubs (buy many
+    good parts), parts are authorities (bought by many good hubs) —
+    the complementary link-analysis signal to q_graph_pagerank's
+    single-score walk, L1-normalized each half-step so the 2-iteration
+    result is scale-free.  Top-10 per kind, ordered by the ROUNDED
+    score (8 decimals — values are O(1/|nodes|), and accumulated FP
+    order noise is ~1e-20 absolute, nine orders below the grid) with
+    id tiebreak so the cut is deterministic on both engines.  The
+    oracle unrolls both half-steps per iteration with scalar-subquery
+    normalizations."""
+    from spectrify_spark.operators.graph import hits
+
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_partkey")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.col("l_partkey").cast("long").alias("dst"),
+    )
+    scores = hits(edges, iters=2)
+    rounded = scores.select(
+        "id", "kind", F.round("score", 8).alias("score")
+    )
+    top_h = (
+        rounded.filter(F.col("kind") == "hub")
+        .orderBy(F.col("score").desc(), "id")
+        .limit(10)
+    )
+    top_a = (
+        rounded.filter(F.col("kind") == "authority")
+        .orderBy(F.col("score").desc(), "id")
+        .limit(10)
+    )
+    return top_h.unionByName(top_a)
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3475,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_sketch": q_topk_sketch,
         "q_stream_sketch": q_stream_sketch,
         "q_scd2_lookup": q_scd2_lookup,
+        "q_graph_hits": q_graph_hits,
     }
 
 
@@ -5492,6 +5529,40 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_distinct,
                    TRUE AS est_within_2pct
             FROM events GROUP BY 1
+        """,
+        # HITS unrolled: two half-steps per iteration, scalar-subquery
+        # L1 normalization after each; top-10 per kind by rounded score
+        "q_graph_hits": """
+            WITH e AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                              CAST(l_partkey AS BIGINT) AS dst
+              FROM lineitem),
+            h0 AS (SELECT DISTINCT src AS id, CAST(1 AS DOUBLE) AS hub
+                   FROM e),
+            ra1 AS (SELECT e.dst AS id, SUM(h0.hub) AS auth
+                    FROM e JOIN h0 ON h0.id = e.src GROUP BY e.dst),
+            a1 AS (SELECT id, auth / (SELECT SUM(auth) FROM ra1) AS auth
+                   FROM ra1),
+            rh1 AS (SELECT e.src AS id, SUM(a1.auth) AS hub
+                    FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src),
+            h1 AS (SELECT id, hub / (SELECT SUM(hub) FROM rh1) AS hub
+                   FROM rh1),
+            ra2 AS (SELECT e.dst AS id, SUM(h1.hub) AS auth
+                    FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst),
+            a2 AS (SELECT id, auth / (SELECT SUM(auth) FROM ra2) AS auth
+                   FROM ra2),
+            rh2 AS (SELECT e.src AS id, SUM(a2.auth) AS hub
+                    FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src),
+            h2 AS (SELECT id, hub / (SELECT SUM(hub) FROM rh2) AS hub
+                   FROM rh2)
+            SELECT * FROM (
+              SELECT id, 'hub' AS kind, ROUND(hub, 8) AS score FROM h2
+              ORDER BY ROUND(hub, 8) DESC, id LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT id, 'authority' AS kind, ROUND(auth, 8) AS score
+              FROM a2
+              ORDER BY ROUND(auth, 8) DESC, id LIMIT 10)
         """,
         # point-in-time contract as a LATERAL: greatest
         # (valid_from, tie) version at or before the fact timestamp

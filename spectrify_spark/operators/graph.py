@@ -103,3 +103,71 @@ def pagerank(
     nodes.unpersist()
     contrib_edges.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Hyperlink-Induced Topic Search): hub scores for source
+    nodes, authority scores for destination nodes, L1-normalized after
+    every half-step so the fixed-iteration result is scale-free and
+    oracle-checkable (unnormalized HITS grows without bound).
+
+    On a bipartite graph (e.g. supplier -> part purchases) this is the
+    classic dual ranking: a good hub buys many good parts, a good
+    authority is bought by many good hubs — the complementary signal to
+    :func:`pagerank`'s single-score walk.
+
+    Scale shape per half-step: one edge⋈score join on the score key,
+    one groupBy, one 1-row L1-total broadcast for the normalization —
+    never a driver-side vector; scores checkpoint per round so the plan
+    stays constant-size.
+
+    Returns ``(id, kind, score)`` with kind in {'hub', 'authority'}.
+    Raises ``ValueError`` unless ``iters >= 1`` (authority scores only
+    exist after the first half-step).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = _truncate_lineage(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+    )
+    e.persist()
+
+    def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("__tot"))
+        return df.crossJoin(F.broadcast(total)).select(
+            "id", (F.col(col) / F.col("__tot")).alias(col)
+        )
+
+    hubs = _truncate_lineage(
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(1.0).alias("hub"))
+    )
+    auths = None
+    for _ in range(iters):
+        raw_auth = (
+            e.join(hubs, e["src"] == hubs["id"])
+            .groupBy(e["dst"].alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auths = _truncate_lineage(_l1_normalize(raw_auth, "auth"))
+        raw_hub = (
+            e.join(auths, e["dst"] == auths["id"])
+            .groupBy(e["src"].alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hubs = _truncate_lineage(_l1_normalize(raw_hub, "hub"))
+    e.unpersist()
+    return hubs.select(
+        "id", F.lit("hub").alias("kind"), F.col("hub").alias("score")
+    ).unionByName(
+        auths.select(
+            "id", F.lit("authority").alias("kind"), F.col("auth").alias("score")
+        )
+    )

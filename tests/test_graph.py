@@ -67,3 +67,53 @@ def test_duplicate_edges_deduped(spark):
 def test_iters_zero_returns_init(spark):
     out = _run(spark, [(1, 2)], iters=0)
     assert out == {1: 1.0, 2: 1.0}
+
+
+def _py_hits(edges, iters=2):
+    edges = sorted(set(edges))
+    hubs = {s: 1.0 for s, _ in edges}
+    auths = None
+    for _ in range(iters):
+        auths = {}
+        for s, t in edges:
+            auths[t] = auths.get(t, 0.0) + hubs[s]
+        tot = sum(auths.values())
+        auths = {k: v / tot for k, v in auths.items()}
+        hubs = {}
+        for s, t in edges:
+            hubs[s] = hubs.get(s, 0.0) + auths[t]
+        tot = sum(hubs.values())
+        hubs = {k: v / tot for k, v in hubs.items()}
+    return hubs, auths
+
+
+def test_hits_matches_reference_and_ranks_hub(spark):
+    """Supplier 1 buys three parts, supplier 2 buys one shared part:
+    scores must match the Python reference, hub/authority L1 sums are
+    1, and the busier supplier is the better hub."""
+    from spectrify_spark.operators.graph import hits
+
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10)]
+    ref_h, ref_a = _py_hits(edges, iters=2)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = hits(df, iters=2).collect()
+    got_h = {r.id: r.score for r in out if r.kind == "hub"}
+    got_a = {r.id: r.score for r in out if r.kind == "authority"}
+    assert set(got_h) == set(ref_h) and set(got_a) == set(ref_a)
+    for k in ref_h:
+        assert got_h[k] == pytest.approx(ref_h[k], abs=1e-12)
+    for k in ref_a:
+        assert got_a[k] == pytest.approx(ref_a[k], abs=1e-12)
+    assert sum(got_h.values()) == pytest.approx(1.0)
+    assert sum(got_a.values()) == pytest.approx(1.0)
+    assert got_h[1] > got_h[2]
+    # the shared part 10 is the strongest authority
+    assert got_a[10] == max(got_a.values())
+
+
+def test_hits_rejects_zero_iters(spark):
+    from spectrify_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        hits(df, iters=0)

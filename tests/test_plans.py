@@ -74,6 +74,9 @@ GOLDEN = {
     # gaining a join here means the quadratic inequality-join shape
     # crept back
     "q_scd2_lookup": dict(max_exchanges=2, ban_bnlj=True),
+    # HITS: like pagerank, the visible plan reads checkpointed scores
+    # (per-half-step lineage truncation) -> two TakeOrdered legs
+    "q_graph_hits": dict(max_exchanges=1),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

@@ -3320,6 +3320,38 @@ def q_graph_hits(spark, sf):
     return top_h.unionByName(top_a)
 
 
+def q_negative_sample(spark, sf):
+    """Deterministic negative sampling (sampling.negative_sample): for
+    each low-id customer, 5 pseudo-random orders they did NOT place —
+    the contrastive-pair generator for training data, with ZERO RNG:
+    draw j for query q indexes the corpus at md5(q ':' j) % N over a
+    dense distributed numbering, so the oracle reproduces the exact
+    sample with the same md5 arithmetic and a ROW_NUMBER index.
+    Positives collide out via anti-join; first 5 survivors per query
+    by (draw order, candidate id).  Scale shape: distributed corpus
+    numbering (range partition + offsets, never one sort task),
+    |Q|*k*oversample narrow draw rows, one equi-join on the computed
+    position, one anti-join, one per-query window."""
+    from spectrify_spark.operators.sampling import negative_sample
+
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    pairs = o.filter(F.col("o_custkey") < 50)
+    out = negative_sample(
+        pairs,
+        query_col="o_custkey",
+        pos_col="o_orderkey",
+        k=5,
+        oversample=3,
+        corpus=o,
+        num_partitions=8,
+    )
+    return out.select(
+        "o_custkey",
+        F.col("neg_o_orderkey").alias("neg_orderkey"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3512,6 +3544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sketch": q_stream_sketch,
         "q_scd2_lookup": q_scd2_lookup,
         "q_graph_hits": q_graph_hits,
+        "q_negative_sample": q_negative_sample,
     }
 
 
@@ -5529,6 +5562,42 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_distinct,
                    TRUE AS est_within_2pct
             FROM events GROUP BY 1
+        """,
+        # negative sampling replicated exactly: same md5 position
+        # arithmetic over a ROW_NUMBER corpus index, same anti-join,
+        # dedup-by-first-draw, per-query rank <= k
+        "q_negative_sample": """
+            WITH ids AS (SELECT DISTINCT o_orderkey AS cand FROM orders),
+            idx AS (SELECT cand,
+                           ROW_NUMBER() OVER (ORDER BY cand) AS rid
+                    FROM ids),
+            n AS (SELECT COUNT(*) AS n FROM ids),
+            qs AS (SELECT DISTINCT o_custkey AS q FROM orders
+                   WHERE o_custkey < 50),
+            draws AS (
+              SELECT q, j,
+                     (CAST(('0x' || substr(md5(CAST(q AS VARCHAR) || ':'
+                            || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % (SELECT n FROM n)) + 1 AS pos
+              FROM qs CROSS JOIN (SELECT unnest(range(0, 15)) AS j)),
+            cand AS (
+              SELECT d.q, d.j, i.cand
+              FROM draws d JOIN idx i ON i.rid = d.pos),
+            neg AS (
+              SELECT c.q, c.cand, MIN(c.j) AS first_j
+              FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.q
+                                  AND o.o_orderkey = c.cand)
+              GROUP BY c.q, c.cand),
+            ranked AS (
+              SELECT q, cand,
+                     ROW_NUMBER() OVER (PARTITION BY q
+                                        ORDER BY first_j, cand) AS rk
+              FROM neg)
+            SELECT q AS o_custkey, cand AS neg_orderkey,
+                   CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 5
         """,
         # HITS unrolled: two half-steps per iteration, scalar-subquery
         # L1 normalization after each; top-10 per kind by rounded score

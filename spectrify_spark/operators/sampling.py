@@ -144,3 +144,112 @@ def rebalance_mixture(
         .filter(b < F.col("__rate") * buckets)
         .drop("__rate")
     )
+
+
+def negative_sample(
+    pairs: DataFrame,
+    *,
+    query_col: str,
+    pos_col: str,
+    k: int,
+    oversample: int = 3,
+    corpus: DataFrame = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every distinct query in ``pairs``, draw ``k`` pseudo-random
+    candidates from the corpus that are NOT that query's positives.
+
+    No RNG anywhere: draw ``j`` for query ``q`` indexes the corpus at
+    ``md5(q ':' j) % N`` over a dense 1..N index built with the
+    distributed ``global_row_numbers`` (never a single-partition sort),
+    so the sample is reproducible across runs, engines, and partition
+    layouts — the property that makes training data auditable.
+    Collisions with positives and duplicate draws are dropped, then the
+    first ``k`` survivors per query (by draw order, candidate id
+    tie-break) are kept; ``oversample`` bounds how many extra draws
+    cover those losses (with positives ≪ corpus, k·oversample draws
+    leave a vanishing shortfall probability).
+
+    ``corpus`` defaults to the distinct positives universe of ``pairs``
+    (in-batch negatives); pass a frame with a ``pos_col`` column to
+    sample from a larger pool.
+
+    Scale shape: one distributed numbering of the corpus, one
+    equi-join of |Q|·k·oversample draw rows against the index on the
+    computed position, one anti-join against the positives, one
+    per-query window.  Output: (query, negative, rank 1..k).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    from pyspark.sql import Window
+
+    from spectrify_spark.operators.relational import global_row_numbers
+
+    pool = (corpus if corpus is not None else pairs).select(
+        F.col(pos_col).alias("__cand")
+    ).distinct()
+    idx = global_row_numbers(
+        pool, [F.col("__cand")], id_col="__rid", num_partitions=num_partitions
+    )
+    n_pool = pool.agg(F.count(F.lit(1)).alias("__n"))
+
+    draws = (
+        pairs.select(F.col(query_col).alias("__q"))
+        .distinct()
+        .select(
+            "__q",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(k * oversample) - 1))
+            ).alias("__j"),
+        )
+        .crossJoin(F.broadcast(n_pool))
+        .select(
+            "__q",
+            "__j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("__q").cast("string"),
+                                F.col("__j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("__n")
+                + F.lit(1)
+            ).alias("__pos"),
+        )
+    )
+    cand = draws.join(idx, draws["__pos"] == idx["__rid"]).select(
+        "__q", "__j", "__cand"
+    )
+    positives = pairs.select(
+        F.col(query_col).alias("__pq"), F.col(pos_col).alias("__pp")
+    ).distinct()
+    neg = cand.join(
+        positives,
+        (cand["__q"] == positives["__pq"])
+        & (cand["__cand"] == positives["__pp"]),
+        "left_anti",
+    )
+    first = neg.groupBy("__q", "__cand").agg(F.min("__j").alias("__first_j"))
+    w = Window.partitionBy("__q").orderBy("__first_j", "__cand")
+    return (
+        first.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__cand").alias(f"neg_{pos_col}"),
+            F.col("__rk").alias("rk"),
+        )
+    )

@@ -232,3 +232,47 @@ def test_rebalance_mixture_validates_targets(spark):
         rebalance_mixture(df, stratum_col="s", key_col="k", targets={})
     with pytest.raises(ValueError):
         rebalance_mixture(df, stratum_col="s", key_col="k", targets={"a": 0.0})
+
+
+def test_negative_sample_deterministic_and_excludes_positives(spark):
+    """Negatives never collide with the query's positives, exactly k per
+    query (corpus >> positives), ranks are 1..k, and the sample is
+    bit-identical across runs and partition layouts (no RNG)."""
+    from spectrify_spark.operators.sampling import negative_sample
+
+    pairs = spark.createDataFrame(
+        [(q, q * 10 + j) for q in (1, 2, 3) for j in range(3)],
+        ["q", "item"],
+    )
+    corpus = spark.range(1000).selectExpr("id AS item")
+    a = negative_sample(
+        pairs, query_col="q", pos_col="item", k=4, corpus=corpus
+    )
+    rows = a.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q, []).append((r.rk, r.neg_item))
+    assert set(by_q) == {1, 2, 3}
+    pos = {(q, q * 10 + j) for q in (1, 2, 3) for j in range(3)}
+    for q, items in by_q.items():
+        assert sorted(rk for rk, _ in items) == [1, 2, 3, 4]
+        for _, it in items:
+            assert (q, it) not in pos
+    # determinism across partition layouts
+    b = negative_sample(
+        pairs.repartition(7),
+        query_col="q",
+        pos_col="item",
+        k=4,
+        corpus=corpus.repartition(5),
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_negative_sample_drops_positive_collisions(spark):
+    """A corpus equal to the positives leaves nothing to sample."""
+    from spectrify_spark.operators.sampling import negative_sample
+
+    pairs = spark.createDataFrame([(1, 100), (1, 101)], ["q", "item"])
+    out = negative_sample(pairs, query_col="q", pos_col="item", k=3)
+    assert out.collect() == []

@@ -77,6 +77,12 @@ GOLDEN = {
     # HITS: like pagerank, the visible plan reads checkpointed scores
     # (per-half-step lineage truncation) -> two TakeOrdered legs
     "q_graph_hits": dict(max_exchanges=1),
+    # negative sampling: distributed corpus numbering (range partition
+    # + offset broadcast) + draw join + anti join + per-query window;
+    # its BNLJ is the designed 1-row corpus-count broadcast.  The lazy
+    # pre-AQE plan prints 11 Exchanges (executed audit: 10 — the
+    # numbering's offset branch is double-printed before reuse).
+    "q_negative_sample": dict(max_exchanges=11, joins=["BroadcastHashJoin"]),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

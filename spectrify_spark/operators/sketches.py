@@ -163,9 +163,16 @@ def theta_sketches(
 
 
 def theta_set_estimates(sketches: DataFrame) -> DataFrame:
-    """Collapse a theta-sketch table (any number of rows) into one row
-    of set-algebra estimates: distinct count of the UNION and of the
-    INTERSECTION of all groups' value sets."""
+    """Collapse a theta-sketch table into one row of set-algebra
+    estimates: distinct count of the UNION and of the INTERSECTION of
+    all groups' value sets.
+
+    Contract: the sketch table must be NON-EMPTY.  The union of zero
+    sets is the empty set (estimate 0), but the intersection of zero
+    sets is the infinite set — DataSketches raises
+    ``SketchesStateException`` for exactly this reason, and this
+    operator passes that through rather than invent a value.  Guard
+    with a count when the group list can be empty."""
     return sketches.agg(
         F.expr(
             "theta_sketch_estimate(theta_union_agg(theta_sketch))"

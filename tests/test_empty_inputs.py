@@ -107,3 +107,88 @@ def test_null_text_rows_are_null_safe(spark):
     assert dl[2].text_clean == "a b"
     # token-based scoring silently drops the tokenless doc
     assert {x.doc_id for x in unigram_logprob(df).collect()} == {2}
+
+
+def test_graph_ops_on_empty(spark):
+    from spectrify_spark.operators.graph import hits, pagerank
+
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(e, iters=2).count() == 0
+    out = hits(e, iters=1)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "kind", "score"}
+
+
+def test_layout_ops_on_empty(spark, tmp_path):
+    from spectrify_spark.operators.layout import compact_parquet, zorder_layout
+
+    e = spark.createDataFrame([], "x bigint, y bigint")
+    out = zorder_layout(e, [F.col("x"), F.col("y")], bits=8, n_partitions=2)
+    assert out.count() == 0 and "z" in out.columns
+    src = str(tmp_path / "empty_src")
+    e.write.parquet(src)
+    n = compact_parquet(spark, src, str(tmp_path / "empty_dst"))
+    assert n >= 1
+    assert spark.read.parquet(str(tmp_path / "empty_dst")).count() == 0
+
+
+def test_sketch_ops_on_empty(spark):
+    from spectrify_spark.operators.sketches import (
+        kll_rollup,
+        kll_sketches,
+        theta_set_estimates,
+        theta_sketches,
+        topk_rollup,
+        topk_sketches,
+    )
+
+    from pyspark.sql import functions as SF
+
+    e = spark.createDataFrame([], "g bigint, v double, s string")
+    assert kll_rollup(kll_sketches(e, ["g"], "v"), ["g"]).count() == 0
+    sk = theta_sketches(e, ["g"], "s")
+    assert sk.count() == 0
+    # the union of zero sets is the empty set (estimate 0)...
+    assert (
+        sk.agg(
+            SF.expr("theta_sketch_estimate(theta_union_agg(theta_sketch))")
+        ).collect()[0][0]
+        == 0
+    )
+    # ...but the intersection of zero sets is the INFINITE set:
+    # theta_set_estimates documents (and passes through) DataSketches'
+    # refusal rather than inventing a value
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="infinite set|SketchesState"):
+        theta_set_estimates(sk).collect()
+    assert topk_rollup(topk_sketches(e, ["g"], "s"), ["g"]).count() == 0
+
+
+def test_timeseries_anomaly_and_negative_sample_on_empty(spark):
+    from spectrify_spark.operators.sampling import negative_sample
+    from spectrify_spark.operators.timeseries import count_anomalies
+
+    ev = spark.createDataFrame([], "event_id bigint, user_id bigint, ts timestamp")
+    assert count_anomalies(ev, key_col="user_id", ts_col="ts").count() == 0
+    pairs = spark.createDataFrame([], "q bigint, item bigint")
+    assert negative_sample(pairs, query_col="q", pos_col="item", k=3).count() == 0
+
+
+def test_scd2_lookup_on_empty_sides(spark):
+    from spectrify_spark.operators.relational import scd2_history, scd2_lookup
+
+    hist = scd2_history(
+        spark.createDataFrame([], "k bigint, seq bigint, vts timestamp, p double"),
+        key="k", ts="vts", tie_break="seq", attrs=["p"],
+    )
+    facts = spark.createDataFrame([(1, 7)], "event_id bigint, k bigint").selectExpr(
+        "event_id", "k", "CAST('2024-01-01' AS TIMESTAMP) AS ts"
+    )
+    # empty history: facts survive with NULL attrs
+    out = scd2_lookup(facts, hist, fact_key="k", fact_ts="ts", attrs=["p"]).collect()
+    assert len(out) == 1 and out[0].p is None
+    # empty facts: empty output with the right schema
+    empty_facts = facts.filter("1=0")
+    out2 = scd2_lookup(empty_facts, hist, fact_key="k", fact_ts="ts", attrs=["p"])
+    assert out2.count() == 0 and "p" in out2.columns

@@ -35,6 +35,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table.
 
@@ -55,13 +56,29 @@ def pagerank(
     the ``1 - d`` floor.  State is checkpointed every round — constant
     plan size, O(iters) total shuffles, nothing on the driver.
 
-    Input: ``edges(src, dst)`` (duplicates allowed — deduped here).
+    Input: ``edges(src, dst)`` (duplicates allowed — deduped here;
+    with ``weight`` set, duplicate (src, dst) rows SUM their weights).
+    ``weight`` names an edge-weight column: each node splits its rank
+    over out-edges proportionally to weight instead of uniformly —
+    e.g. purchase quantity, link count, co-occurrence strength.
     Output: ``(id, rank)`` for every node appearing as src or dst.
     """
-    e = _truncate_lineage(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-    )
+    if weight is None:
+        e = _truncate_lineage(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .withColumn("__wt", F.lit(1.0))
+        )
+    else:
+        e = _truncate_lineage(
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("__wt"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("__wt").alias("__wt"))
+        )
     e.persist()
     nodes = _truncate_lineage(
         e.select(F.col("src").alias("id"))
@@ -69,13 +86,14 @@ def pagerank(
         .distinct()
     )
     nodes.persist()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
-    # contribution edges: (src, dst, 1/outdeg) — precomputed once so the
-    # per-iteration join carries one double instead of recomputing the
-    # degree join every round
+    outdeg = e.groupBy("src").agg(F.sum("__wt").alias("__outw"))
+    # contribution edges: (src, dst, wt/total_out_weight) — precomputed
+    # once so the per-iteration join carries one double instead of
+    # recomputing the degree join every round (uniform weights reduce
+    # this to the classic 1/outdeg)
     contrib_edges = _truncate_lineage(
         e.join(outdeg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("__outdeg")).alias("__w")
+            "src", "dst", (F.col("__wt") / F.col("__outw")).alias("__w")
         )
     )
     contrib_edges.persist()

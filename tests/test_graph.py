@@ -117,3 +117,35 @@ def test_hits_rejects_zero_iters(spark):
     df = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError):
         hits(df, iters=0)
+
+
+def test_pagerank_weighted_reduces_to_uniform_and_respects_weights(spark):
+    """Equal weights reproduce the unweighted ranks exactly; a heavier
+    edge pulls proportionally more rank to its target."""
+    from spectrify_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1)]
+    base = _run(spark, edges, iters=3)
+    wdf = spark.createDataFrame(
+        [(s, t, 1.0) for s, t in edges], ["src", "dst", "w"]
+    )
+    uniform = {
+        r.id: r.rank for r in pagerank(wdf, iters=3, weight="w").collect()
+    }
+    for n in base:
+        assert uniform[n] == pytest.approx(base[n], abs=1e-12)
+    # now 1 -> 2 carries 3x the weight of 1 -> 3
+    skew = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "dst", "w"],
+    )
+    ranks = {r.id: r.rank for r in pagerank(skew, iters=3, weight="w").collect()}
+    assert ranks[2] > ranks[3]
+    # duplicate weighted edges sum: (1->2, 1.5) twice == (1->2, 3.0)
+    dup = spark.createDataFrame(
+        [(1, 2, 1.5), (1, 2, 1.5), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "dst", "w"],
+    )
+    ranks_dup = {r.id: r.rank for r in pagerank(dup, iters=3, weight="w").collect()}
+    for n in ranks:
+        assert ranks_dup[n] == pytest.approx(ranks[n], abs=1e-12)

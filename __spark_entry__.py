@@ -3352,6 +3352,35 @@ def q_negative_sample(spark, sf):
     )
 
 
+def q_graph_pagerank_weighted(spark, sf):
+    """WEIGHTED PageRank (operators/graph.py::pagerank with weight=):
+    the supplier<->part graph again, but each edge carries the TOTAL
+    QUANTITY shipped over that relationship — rank flows
+    proportionally to business volume instead of uniformly over
+    out-edges, which is how link analysis is actually weighted in
+    curation (co-occurrence counts, link multiplicity).  Same
+    scale/checkpoint shape as q_graph_pagerank; the oracle unrolls the
+    3 iterations with per-edge w = qty / total_out_qty.  Top-20 by
+    ROUNDED rank with id tiebreak."""
+    from spectrify_spark.operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    sup = F.col("l_suppkey").cast("long") * F.lit(2)
+    prt = F.col("l_partkey").cast("long") * F.lit(2) + F.lit(1)
+    qty = F.col("l_quantity").cast("double")
+    edges = li.select(
+        sup.alias("src"), prt.alias("dst"), qty.alias("w")
+    ).unionByName(li.select(prt.alias("src"), sup.alias("dst"), qty.alias("w")))
+    ranks = pagerank(edges, iters=3, damping=0.85, weight="w")
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3545,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_lookup": q_scd2_lookup,
         "q_graph_hits": q_graph_hits,
         "q_negative_sample": q_negative_sample,
+        "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
     }
 
 
@@ -5562,6 +5592,54 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_distinct,
                    TRUE AS est_within_2pct
             FROM events GROUP BY 1
+        """,
+        # weighted PageRank unrolled: per-pair quantity sums are EXACT
+        # (integer-valued doubles < 2^53, order-independent), so edge
+        # weights w = qty_sum / total_out_qty are bit-identical on both
+        # engines; only the rank sums carry FP order noise, absorbed by
+        # ROUND(,6) exactly as in the unweighted twin
+        "q_graph_pagerank_weighted": """
+            WITH pairs AS (
+              SELECT CAST(l_suppkey AS BIGINT) * 2 AS s,
+                     CAST(l_partkey AS BIGINT) * 2 + 1 AS p,
+                     SUM(CAST(l_quantity AS DOUBLE)) AS w
+              FROM lineitem GROUP BY 1, 2),
+            edges AS (
+              SELECT s AS src, p AS dst, w FROM pairs
+              UNION ALL
+              SELECT p AS src, s AS dst, w FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges
+                      UNION SELECT DISTINCT dst AS id FROM edges),
+            ce AS (
+              SELECT e.src, e.dst, e.w / d.outw AS w
+              FROM edges e JOIN (
+                SELECT src, SUM(w) AS outw FROM edges GROUP BY src
+              ) d ON d.src = e.src),
+            r0 AS (SELECT id, CAST(1 AS DOUBLE) AS rank FROM nodes),
+            r1 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * COALESCE(s.v, 0) AS rank
+                   FROM nodes n LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r0.rank * ce.w) AS v
+                     FROM ce JOIN r0 ON r0.id = ce.src
+                     GROUP BY ce.dst) s USING (id)),
+            r2 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * COALESCE(s.v, 0) AS rank
+                   FROM nodes n LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r1.rank * ce.w) AS v
+                     FROM ce JOIN r1 ON r1.id = ce.src
+                     GROUP BY ce.dst) s USING (id)),
+            r3 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * COALESCE(s.v, 0) AS rank
+                   FROM nodes n LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r2.rank * ce.w) AS v
+                     FROM ce JOIN r2 ON r2.id = ce.src
+                     GROUP BY ce.dst) s USING (id))
+            SELECT id, ROUND(rank, 6) AS rank FROM r3
+            ORDER BY ROUND(rank, 6) DESC, id
+            LIMIT 20
         """,
         # negative sampling replicated exactly: same md5 position
         # arithmetic over a ROW_NUMBER corpus index, same anti-join,

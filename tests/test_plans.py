@@ -77,6 +77,7 @@ GOLDEN = {
     # HITS: like pagerank, the visible plan reads checkpointed scores
     # (per-half-step lineage truncation) -> two TakeOrdered legs
     "q_graph_hits": dict(max_exchanges=1),
+    "q_graph_pagerank_weighted": dict(max_exchanges=1, ban_bnlj=True),
     # negative sampling: distributed corpus numbering (range partition
     # + offset broadcast) + draw join + anti join + per-query window;
     # its BNLJ is the designed 1-row corpus-count broadcast.  The lazy

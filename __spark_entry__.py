@@ -3381,6 +3381,56 @@ def q_graph_pagerank_weighted(spark, sf):
     )
 
 
+def q_split_temporal(spark, sf):
+    """Leakage-free temporal split with a 1-day embargo
+    (sampling.split_temporal): train strictly before the cutoff, test
+    at/after cutoff+1d, the gap dropped — the evaluation contract
+    hash splits cannot give (test is strictly in the future, and the
+    embargo absorbs straddling sessions / lookback features).
+    Map-side literal comparisons, pushed to the scan."""
+    from spectrify_spark.operators.sampling import split_temporal
+
+    e = _t(spark, sf, "events").select("event_id", "ts")
+    out = split_temporal(
+        e, ts_col="ts", cutoff="2024-01-20 00:00:00", embargo_seconds=86400
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def q_split_grouped(spark, sf):
+    """Group-aware split (sampling.split_grouped): every event of a
+    user lands in the SAME split (portable md5 of user_id), so a
+    user's history can never straddle train/test — the user-level
+    leakage row-keyed splits allow.  The output reports per-split
+    sizes AND the cross-split user-overlap count the oracle recomputes
+    as zero BY CONSTRUCTION — i.e. the no-leakage property itself is
+    hash-checked, not just the assignment."""
+    from spectrify_spark.operators.sampling import split_grouped
+
+    e = _t(spark, sf, "events").select("event_id", "user_id")
+    out = split_grouped(e, group_col="user_id")
+    per_split = out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    leaked = (
+        out.select("user_id", "split")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n_splits"))
+        .agg(
+            F.sum(
+                F.when(F.col("__n_splits") > 1, 1).otherwise(0)
+            ).cast("bigint").alias("users_in_multiple_splits")
+        )
+    )
+    return per_split.crossJoin(F.broadcast(leaked))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3575,6 +3625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_hits": q_graph_hits,
         "q_negative_sample": q_negative_sample,
         "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "q_split_temporal": q_split_temporal,
+        "q_split_grouped": q_split_grouped,
     }
 
 
@@ -5592,6 +5644,40 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_distinct,
                    TRUE AS est_within_2pct
             FROM events GROUP BY 1
+        """,
+        # temporal split: literal boundaries, embargo gap excluded
+        "q_split_temporal": """
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS min_ts, MAX(ts) AS max_ts
+            FROM (
+              SELECT ts,
+                     CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                            THEN 'train'
+                          WHEN ts >= TIMESTAMP '2024-01-21 00:00:00'
+                            THEN 'test'
+                     END AS split
+              FROM events) t
+            WHERE split IS NOT NULL
+            GROUP BY split
+        """,
+        # grouped split: same portable md5 bucket arithmetic; the
+        # zero-leakage invariant is asserted as a literal 0 the Spark
+        # side must reproduce by construction
+        "q_split_grouped": """
+            WITH a AS (
+              SELECT event_id, user_id,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT event_id, user_id,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 4)) AS INTEGER) % 100 AS b
+                FROM events) t)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(0 AS BIGINT) AS users_in_multiple_splits
+            FROM a GROUP BY split
         """,
         # weighted PageRank unrolled: per-pair quantity sums are EXACT
         # (integer-valued doubles < 2^53, order-independent), so edge

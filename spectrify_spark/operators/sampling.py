@@ -253,3 +253,75 @@ def negative_sample(
             F.col("__rk").alias("rk"),
         )
     )
+
+
+def split_temporal(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    cutoff,
+    embargo_seconds: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-free TEMPORAL split: rows strictly before ``cutoff`` are
+    'train', rows at/after ``cutoff + embargo_seconds`` are 'test',
+    rows inside the embargo gap are DROPPED.
+
+    The split hash-based samplers cannot give: evaluation data is
+    strictly in the future of every training row, and the embargo
+    absorbs boundary effects (sessions/documents straddling the cutoff,
+    feature windows that look back across it) — without it, a feature
+    computed over [t-1h, t] leaks test-period signal into training.
+    Map-side filter + literal comparison: pushed to the scan, zero
+    shuffle, partition-prunable when the data is date-partitioned.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    # constant-folds to a timestamp literal, so BOTH sides of the OR
+    # are plain column-vs-literal comparisons
+    test_start = F.timestamp_micros(
+        F.unix_micros(cut) + F.lit(int(embargo_seconds) * 1_000_000)
+    )
+    # filter FIRST on the raw timestamp predicates (pushed to the scan
+    # / prunes date partitions), then label — filtering on the computed
+    # label column would leave the scan unpruned
+    in_split = (F.col(ts_col) < cut) | (F.col(ts_col) >= test_start)
+    return df.filter(in_split).withColumn(
+        out_col,
+        F.when(F.col(ts_col) < cut, F.lit("train")).otherwise(F.lit("test")),
+    )
+
+
+def split_grouped(
+    df: DataFrame,
+    *,
+    group_col: str,
+    out_col: str = "split",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """GROUP-AWARE split: every row of a group lands in the SAME split
+    (bucket = portable md5 of the group key), so correlated rows — a
+    user's events, a near-dup cluster's documents, a session's turns —
+    can never straddle train and test.  Row-keyed splits leak: the
+    model trains on one copy of a near-duplicate and is scored on the
+    other.  Pair with ``dedup.connected_components`` cluster ids as the
+    group for dedup-aware corpus splits.
+
+    Map-side expression only (md5 + bucket compare), no shuffle; the
+    same engine-portable arithmetic as ``split_assign``/
+    ``weighted_sample`` so membership is reproducible anywhere.
+    """
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"invalid split percentages: train={train_pct} val={val_pct}"
+        )
+    from spectrify_spark.functions.text import hash_bucket
+
+    b = hash_bucket(F.col(group_col).cast("string"), buckets)
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct * buckets / 100, F.lit("train"))
+        .when(b < (train_pct + val_pct) * buckets / 100, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -276,3 +276,57 @@ def test_negative_sample_drops_positive_collisions(spark):
     pairs = spark.createDataFrame([(1, 100), (1, 101)], ["q", "item"])
     out = negative_sample(pairs, query_col="q", pos_col="item", k=3)
     assert out.collect() == []
+
+
+def test_split_temporal_embargo_and_boundaries(spark):
+    import datetime
+
+    from spectrify_spark.operators.sampling import split_temporal
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 10)),           # train
+        (2, d(2024, 1, 19, 23, 59)),   # train (strictly before cutoff)
+        (3, d(2024, 1, 20)),           # embargo -> dropped (at cutoff)
+        (4, d(2024, 1, 20, 12)),       # embargo -> dropped
+        (5, d(2024, 1, 21)),           # test (exactly at cutoff+1d)
+        (6, d(2024, 2, 1)),            # test
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {
+        r.event_id: r.split
+        for r in split_temporal(
+            df, ts_col="ts", cutoff="2024-01-20 00:00:00",
+            embargo_seconds=86400,
+        ).collect()
+    }
+    assert out == {1: "train", 2: "train", 5: "test", 6: "test"}
+
+
+def test_split_grouped_never_straddles_groups(spark):
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.sampling import split_grouped
+
+    df = spark.range(5000).selectExpr("id AS event_id", "id % 97 AS user_id")
+    out = split_grouped(df, group_col="user_id")
+    # every user in exactly one split
+    per_user = (
+        out.select("user_id", "split").distinct()
+        .groupBy("user_id").count().filter("count > 1")
+    )
+    assert per_user.count() == 0
+    # all three splits populated and proportions sane for 97 users
+    sizes = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+
+def test_split_grouped_rejects_bad_percentages(spark):
+    import pytest as _pytest
+
+    from spectrify_spark.operators.sampling import split_grouped
+
+    df = spark.range(10).selectExpr("id AS g")
+    with _pytest.raises(ValueError):
+        split_grouped(df, group_col="g", train_pct=90, val_pct=20)

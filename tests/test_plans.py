@@ -78,6 +78,12 @@ GOLDEN = {
     # (per-half-step lineage truncation) -> two TakeOrdered legs
     "q_graph_hits": dict(max_exchanges=1),
     "q_graph_pagerank_weighted": dict(max_exchanges=1, ban_bnlj=True),
+    # temporal split: the OR of timestamp-literal predicates MUST reach
+    # the scan (that is the partition-pruning story at scale)
+    "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),
+    # grouped split: map-side assignment + two small aggs; the BNLJ is
+    # the designed 1-row leakage-counter broadcast
+    "q_split_grouped": dict(max_exchanges=5),
     # negative sampling: distributed corpus numbering (range partition
     # + offset broadcast) + draw join + anti join + per-query window;
     # its BNLJ is the designed 1-row corpus-count broadcast.  The lazy

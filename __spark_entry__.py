@@ -3431,6 +3431,26 @@ def q_split_grouped(spark, sf):
     return per_split.crossJoin(F.broadcast(leaked))
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental near-dup (dedup.near_dup_pairs_incremental): the
+    production dedup shape — a delta batch (doc_id >= 400) probed
+    against the existing corpus (doc_id < 400) WITHOUT re-pairing the
+    corpus with itself.  At scale the corpus band table is a
+    materialized index partitioned by (band, bucket), so each daily
+    increment is a partition-pruned probe.  The oracle brute-forces
+    every J>=0.2 pair touching the delta, so hash equality proves the
+    cross-probe AND delta-internal candidate generators both reach
+    recall=1.0 on the gate corpus (same pair family as q_dedup_near:
+    J~0.95, 32-hash/8-band miss probability ~1e-6)."""
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+    pairs = dedup.near_dup_pairs_incremental(
+        corpus, delta, num_hashes=32, bands=8, shingle_k=3, threshold=0.2
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -3627,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
         "q_split_temporal": q_split_temporal,
         "q_split_grouped": q_split_grouped,
+        "q_dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -4522,6 +4543,13 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_near": f"""
             SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
             FROM ({_SQL_BRUTE_JACCARD}) WHERE jaccard >= 0.2
+        """,
+        # incremental near-dup: every true pair TOUCHING the delta
+        # (id >= 400) — corpus-internal pairs excluded by construction
+        "q_dedup_incremental": f"""
+            SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+            FROM ({_SQL_BRUTE_JACCARD})
+            WHERE jaccard >= 0.2 AND (id_a >= 400 OR id_b >= 400)
         """,
         "q_dedup_jaccard": f"""
             SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard

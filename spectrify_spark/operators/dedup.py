@@ -568,3 +568,78 @@ def dedup_lines(
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         "text_clean",
     )
+
+
+def near_dup_pairs_incremental(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-dup pairs INTRODUCED BY a delta batch against an existing
+    corpus — the production dedup shape at 100 TB: a daily increment
+    must not re-pair the whole corpus with itself.
+
+    Exactly the pairs ``near_dup_pairs(corpus ∪ delta)`` would emit
+    MINUS the corpus-internal ones (pinned by test): delta x corpus
+    candidates come from joining the delta's band table against the
+    corpus's band table (at scale the corpus side is a MATERIALIZED
+    band index — write it partitioned by (band, bucket) once, and each
+    increment is a partition-pruned probe, never a corpus re-scan);
+    delta-internal candidates are the usual bucket self-pairs.  Both
+    candidate sets are narrow id pairs deduped BEFORE the exact-Jaccard
+    verify (the r8 candidate-width rule), which joins back the hashed
+    shingle sets from either side.  Output: (id_a, id_b, jaccard) with
+    id_a < id_b, jaccard >= threshold.  Corpus and delta ids must be
+    disjoint (they are different batches by construction).
+    """
+    sh_c = shingle_sets(corpus, id_col, text_col, shingle_k)
+    sh_d = shingle_sets(delta, id_col, text_col, shingle_k)
+    if persist:
+        sh_c = sh_c.persist()
+        sh_d = sh_d.persist()
+    band_c = _band_explode(
+        minhash_signatures_from_shingles(sh_c, num_hashes), num_hashes, bands
+    )
+    band_d = _band_explode(
+        minhash_signatures_from_shingles(sh_d, num_hashes), num_hashes, bands
+    )
+    d, c = band_d.alias("d"), band_c.alias("c")
+    cross = (
+        d.join(
+            c,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    internal = _bucket_pairs(band_d)
+    cand = cross.unionByName(internal).distinct()
+    sh_all = sh_c.unionByName(sh_d)
+    out = (
+        cand.join(
+            sh_all.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh_all.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out

@@ -155,3 +155,32 @@ def test_dedup_lines_intra_doc_repeat(spark):
     r = dedup_lines(df).collect()[0]
     assert r.text_clean == "x\ny"
     assert r.n_lines == 4 and r.n_kept == 2
+
+
+def test_incremental_near_dup_equals_full_minus_corpus_internal(spark, sf_dir):
+    """The incremental contract: pairs(corpus ∪ delta) ==
+    pairs(corpus) ∪ incremental(corpus, delta) — the delta probe finds
+    every pair touching the delta and ONLY those."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.dedup import (
+        near_dup_pairs,
+        near_dup_pairs_incremental,
+    )
+    from spectrify_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in df.collect()}
+
+    full = pairset(near_dup_pairs(d, threshold=0.2))
+    corpus_only = pairset(near_dup_pairs(corpus, threshold=0.2))
+    inc = pairset(near_dup_pairs_incremental(corpus, delta, threshold=0.2))
+    assert corpus_only | inc == full
+    assert corpus_only & inc == set()
+    # every incremental pair touches the delta
+    for a, b, _ in inc:
+        assert a >= 400 or b >= 400

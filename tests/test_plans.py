@@ -49,6 +49,10 @@ GOLDEN = {
     # dedup / similarity: bucket-join shaped, bounded plans
     "q_dedup_exact": dict(max_exchanges=1, ban_bnlj=True),
     "q_dedup_near": dict(max_exchanges=4, ban_bnlj=True),
+    # incremental probe: two band tables + cross/internal candidates +
+    # two shingle re-attach joins (the corpus side is a materialized,
+    # partition-pruned index at scale)
+    "q_dedup_incremental": dict(max_exchanges=8, ban_bnlj=True, pushed=True),
     "q_dedup_embed": dict(max_exchanges=2, joins=["BroadcastHashJoin"], ban_bnlj=True),
     # iterative clustering: plan must stay CONSTANT-size (was 475
     # exchanges by iteration 10 without per-round checkpointing)

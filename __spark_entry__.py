@@ -3470,79 +3470,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     run, so "past the window" never means "unverified since last code
     change" (the r3 stale-green gap).
 
-    Window r8 = the four r7 reds re-checked first (q_winsorize_grouped,
-    q_embed_standardize, q_multimodal_decode, q_shipmode_priority —
-    fixed this round: HUGEINT casts + array-output serialization, per
-    VERDICT r7), then q_sim_ivf_recall (born r7, first driver row),
-    then the 37 r5-green keys at the 3-round rotation bound
-    (q_resample_ffill .. q_winsorize), then the 8 oldest r6-green keys
-    (q_sample_fixed_n .. q_nullify_empty).  Past the window: the
-    remaining 42 r6-green keys (r9 window candidates), then the 46
-    r7-green keys (freshest).  Keys born in r8 are placed PAST the
-    window — new keys must not displace overdue ones — and earn their
-    driver row in r9 after at-birth sf0.01 verification.  With 138+
-    keys and a 50-key window the rotation period is 3 rounds at worst;
-    the per-pytest full sweep keeps every key continuously verified in
-    between.
+    Window r9 = the 14 r8-born keys first (per VERDICT r8 item 1 —
+    first driver rows: q_graph_pagerank[_weighted], q_graph_hits,
+    q_zorder_layout, q_events_anomaly, q_kll_rollup, q_theta_setops,
+    q_topk_sketch, q_stream_sketch, q_scd2_lookup, q_negative_sample,
+    q_split_temporal, q_split_grouped, q_dedup_incremental), then the
+    36 oldest r6-green keys (slots 15-50).  Past the window: the
+    remaining 6 r6-green keys (they head the r10 window), then the 46
+    r7-greens, then the 50 r8-greens (freshest).  At 152 keys with a
+    50-key window the steady-state rotation period is ceil(152/50) = 4
+    rounds at worst (the 6 carried-over r6 keys will be 4 rounds stale
+    when re-sampled in r10); the per-pytest full sweep at sf0.001 and
+    the recorded vanilla sf0.01 sweep keep every key continuously
+    verified in between, so driver-row staleness never means
+    unverified.
     """
     return {
-        # -- r8 window, slots 1-4: the r7 reds, re-checked first
-        "q_winsorize_grouped": q_winsorize_grouped,
-        "q_embed_standardize": q_embed_standardize,
-        "q_multimodal_decode": q_multimodal_decode,
-        "q_shipmode_priority": q_shipmode_priority,
-        # -- r8 window, slot 5: born r7, first driver row
-        "q_sim_ivf_recall": q_sim_ivf_recall,
-        # -- r8 window, slots 6-42: the 37 r5-green keys at the
-        #    3-round rotation bound
-        "q_resample_ffill": q_resample_ffill,
-        "q_agg_median": q_agg_median,
-        "q_histogram": q_histogram,
-        "q_agg_approx": q_agg_approx,
-        "q_rollup": q_rollup,
-        "q_cube": q_cube,
-        "q_pivot": q_pivot,
-        "q_window_range": q_window_range,
-        "q_row_number_global": q_row_number_global,
-        "q_interval_join": q_interval_join,
-        "q_embed_centroid": q_embed_centroid,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_wordcount": q_text_wordcount,
-        "q_text_ngram": q_text_ngram,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
-        "q_null_handling": q_null_handling,
-        "q_anti_blacklist": q_anti_blacklist,
-        "q_scalar_subquery_global": q_scalar_subquery_global,
-        "q_dedup_latest": q_dedup_latest,
-        "q_split_train_test": q_split_train_test,
-        "q_sim_topk": q_sim_topk,
-        "q_sim_knn": q_sim_knn,
-        "q_text_stats": q_text_stats,
-        "q_text_tokens": q_text_tokens,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_multimodal_cols": q_multimodal_cols,
-        "q_events_window": q_events_window,
-        "q_events_sliding": q_events_sliding,
-        "q_sim_threshold": q_sim_threshold,
-        "q_events_sessionize": q_events_sessionize,
-        "q_asof_tolerance": q_asof_tolerance,
-        "q_asof_forward": q_asof_forward,
-        "q_stream_sessionize": q_stream_sessionize,
-        "q_chunk_documents": q_chunk_documents,
-        "q_merge_upsert": q_merge_upsert,
-        "q_text_ulm": q_text_ulm,
-        "q_winsorize": q_winsorize,
-        # -- r8 window, slots 43-50: oldest r6-green keys
-        "q_sample_fixed_n": q_sample_fixed_n,
-        "q_cast_types": q_cast_types,
-        "q_scalar_dates": q_scalar_dates,
-        "q_scd2": q_scd2,
-        "q_window_navigation": q_window_navigation,
-        "q_quantile_sketch": q_quantile_sketch,
-        "q_profile_table": q_profile_table,
-        "q_nullify_empty": q_nullify_empty,
-        # -- past the window: remaining r6-green keys (r9 window
-        #    candidates; pytest-sweep-verified meanwhile)
+        # -- r9 window, slots 1-14: r8-born keys, first driver rows
+        "q_graph_pagerank": q_graph_pagerank,
+        "q_zorder_layout": q_zorder_layout,
+        "q_events_anomaly": q_events_anomaly,
+        "q_kll_rollup": q_kll_rollup,
+        "q_theta_setops": q_theta_setops,
+        "q_topk_sketch": q_topk_sketch,
+        "q_stream_sketch": q_stream_sketch,
+        "q_scd2_lookup": q_scd2_lookup,
+        "q_graph_hits": q_graph_hits,
+        "q_negative_sample": q_negative_sample,
+        "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "q_split_temporal": q_split_temporal,
+        "q_split_grouped": q_split_grouped,
+        "q_dedup_incremental": q_dedup_incremental,
+        # -- r9 window, slots 15-50: the 36 oldest r6-green keys;
+        #    the remaining 6 r6 keys head the r10 window
         "q_partition_key": q_partition_key,
         "q_join_inner": q_join_inner,
         "q_join_broadcast": q_join_broadcast,
@@ -3579,13 +3539,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
+        # -- past the window: last 6 r6-green keys (r10 slots 1-6),
+        #    pytest-sweep-verified meanwhile
         "q_join_salted": q_join_salted,
         "q_subquery_scalar": q_subquery_scalar,
         "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_sample_weighted": q_sample_weighted,
         "q_stream_window": q_stream_window,
-        # -- freshest: driver-green in r7
+        # -- past the window: r7-green keys, then r8-green (freshest)
         "q_text_bm25": q_text_bm25,
         "q_table_diff": q_table_diff,
         "q_corpus_drift": q_corpus_drift,
@@ -3632,22 +3594,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_customers": q_topk_customers,
         "q_asof_join": q_asof_join,
         "q_grouping_sets": q_grouping_sets,
-        # -- born in r8 (placed past the window; sf0.01-verified at
-        #    birth, driver row due r9)
-        "q_graph_pagerank": q_graph_pagerank,
-        "q_zorder_layout": q_zorder_layout,
-        "q_events_anomaly": q_events_anomaly,
-        "q_kll_rollup": q_kll_rollup,
-        "q_theta_setops": q_theta_setops,
-        "q_topk_sketch": q_topk_sketch,
-        "q_stream_sketch": q_stream_sketch,
-        "q_scd2_lookup": q_scd2_lookup,
-        "q_graph_hits": q_graph_hits,
-        "q_negative_sample": q_negative_sample,
-        "q_graph_pagerank_weighted": q_graph_pagerank_weighted,
-        "q_split_temporal": q_split_temporal,
-        "q_split_grouped": q_split_grouped,
-        "q_dedup_incremental": q_dedup_incremental,
+        "q_winsorize_grouped": q_winsorize_grouped,
+        "q_embed_standardize": q_embed_standardize,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_sim_ivf_recall": q_sim_ivf_recall,
+        "q_resample_ffill": q_resample_ffill,
+        "q_agg_median": q_agg_median,
+        "q_histogram": q_histogram,
+        "q_agg_approx": q_agg_approx,
+        "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_pivot": q_pivot,
+        "q_window_range": q_window_range,
+        "q_row_number_global": q_row_number_global,
+        "q_interval_join": q_interval_join,
+        "q_embed_centroid": q_embed_centroid,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_wordcount": q_text_wordcount,
+        "q_text_ngram": q_text_ngram,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_null_handling": q_null_handling,
+        "q_anti_blacklist": q_anti_blacklist,
+        "q_scalar_subquery_global": q_scalar_subquery_global,
+        "q_dedup_latest": q_dedup_latest,
+        "q_split_train_test": q_split_train_test,
+        "q_sim_topk": q_sim_topk,
+        "q_sim_knn": q_sim_knn,
+        "q_text_stats": q_text_stats,
+        "q_text_tokens": q_text_tokens,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_multimodal_cols": q_multimodal_cols,
+        "q_events_window": q_events_window,
+        "q_events_sliding": q_events_sliding,
+        "q_sim_threshold": q_sim_threshold,
+        "q_events_sessionize": q_events_sessionize,
+        "q_asof_tolerance": q_asof_tolerance,
+        "q_asof_forward": q_asof_forward,
+        "q_stream_sessionize": q_stream_sessionize,
+        "q_chunk_documents": q_chunk_documents,
+        "q_merge_upsert": q_merge_upsert,
+        "q_text_ulm": q_text_ulm,
+        "q_winsorize": q_winsorize,
+        "q_sample_fixed_n": q_sample_fixed_n,
+        "q_cast_types": q_cast_types,
+        "q_scalar_dates": q_scalar_dates,
+        "q_scd2": q_scd2,
+        "q_window_navigation": q_window_navigation,
+        "q_quantile_sketch": q_quantile_sketch,
+        "q_profile_table": q_profile_table,
+        "q_nullify_empty": q_nullify_empty,
     }
 
 

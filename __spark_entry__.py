@@ -3432,21 +3432,38 @@ def q_split_grouped(spark, sf):
 
 
 def q_dedup_incremental(spark, sf):
-    """Incremental near-dup (dedup.near_dup_pairs_incremental): the
-    production dedup shape — a delta batch (doc_id >= 400) probed
-    against the existing corpus (doc_id < 400) WITHOUT re-pairing the
-    corpus with itself.  At scale the corpus band table is a
-    materialized index partitioned by (band, bucket), so each daily
-    increment is a partition-pruned probe.  The oracle brute-forces
-    every J>=0.2 pair touching the delta, so hash equality proves the
-    cross-probe AND delta-internal candidate generators both reach
-    recall=1.0 on the gate corpus (same pair family as q_dedup_near:
-    J~0.95, 32-hash/8-band miss probability ~1e-6)."""
+    """Incremental near-dup over a MATERIALIZED band index
+    (dedup.write_band_index + near_dup_pairs_indexed): the production
+    dedup shape — the corpus (doc_id < 400) is shingled/banded ONCE
+    into a parquet index partitioned by (band, pbucket); the delta
+    batch (doc_id >= 400) is then a partition-pruned probe that never
+    re-reads corpus text (PartitionFilters asserted by
+    tests/test_dedup.py and the plan gate).  Threshold 0.8 keeps the
+    key inside LSH's high-recall regime (32 hashes / 8 bands: miss
+    probability <=1.5% at J=0.8 exactly, ~1e-6 at the fixture family's
+    J~0.95 — ADVICE r8: a 0.2 threshold was only data-dependently
+    green), and the oracle brute-forces every J>=0.8 pair touching the
+    delta, so hash equality proves cross-probe AND delta-internal
+    recall on the gate corpus."""
+    import tempfile
+
     d = _t(spark, sf, "documents")
     corpus = d.filter(F.col("doc_id") < 400)
     delta = d.filter(F.col("doc_id") >= 400)
-    pairs = dedup.near_dup_pairs_incremental(
-        corpus, delta, num_hashes=32, bands=8, shingle_k=3, threshold=0.2
+    # index dir left for the OS to reap: the returned frame lazily
+    # reads it (same convention as q_stream_cdc's snapshot dirs)
+    work = tempfile.mkdtemp(prefix="q_dedup_incremental_")
+    dedup.write_band_index(
+        corpus, f"{work}/band_index", num_hashes=32, bands=8, shingle_k=3
+    )
+    pairs = dedup.near_dup_pairs_indexed(
+        spark,
+        f"{work}/band_index",
+        delta,
+        num_hashes=32,
+        bands=8,
+        shingle_k=3,
+        threshold=0.8,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -4541,11 +4558,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_SQL_BRUTE_JACCARD}) WHERE jaccard >= 0.2
         """,
         # incremental near-dup: every true pair TOUCHING the delta
-        # (id >= 400) — corpus-internal pairs excluded by construction
+        # (id >= 400) — corpus-internal pairs excluded by construction;
+        # 0.8 = the LSH high-recall threshold (ADVICE r8)
         "q_dedup_incremental": f"""
             SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
             FROM ({_SQL_BRUTE_JACCARD})
-            WHERE jaccard >= 0.2 AND (id_a >= 400 OR id_b >= 400)
+            WHERE jaccard >= 0.8 AND (id_a >= 400 OR id_b >= 400)
         """,
         "q_dedup_jaccard": f"""
             SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard

@@ -597,6 +597,15 @@ def near_dup_pairs_incremental(
     shingle sets from either side.  Output: (id_a, id_b, jaccard) with
     id_a < id_b, jaccard >= threshold.  Corpus and delta ids must be
     disjoint (they are different batches by construction).
+
+    ``persist=True`` caches the two shingle tables for the duration of
+    the returned (lazy) frame's consumption; in a long-lived session
+    the caller owns cleanup — call ``spark.catalog.clearCache()``
+    after collecting, or pass ``persist=False`` (each shingle table is
+    then recomputed once per consumer, no retained executor state).
+    For repeated increments against the same corpus, use
+    :func:`write_band_index` + :func:`near_dup_pairs_indexed` instead:
+    the corpus is shingled exactly once, at index-build time.
     """
     sh_c = shingle_sets(corpus, id_col, text_col, shingle_k)
     sh_d = shingle_sets(delta, id_col, text_col, shingle_k)
@@ -643,3 +652,135 @@ def near_dup_pairs_incremental(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def write_band_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the corpus's LSH band index as parquet partitioned
+    by ``(band, pbucket)`` — the repeated-increment dedup shape at
+    100 TB: the corpus text is shingled/MinHashed exactly ONCE, here,
+    and every daily delta probe after that is a partition-pruned scan
+    of this index, never a corpus re-read.
+
+    ``pbucket = pmod(bucket, n_buckets)`` is the partition column (the
+    raw 64-bit bucket would create one directory per distinct value);
+    the exact ``bucket`` stays as a data column for the equi-join.  A
+    delta touching B distinct (band, pbucket) cells reads B of the
+    ``bands * n_buckets`` partitions — for a small increment that is a
+    small fraction of the index, and the pruning is visible as
+    PartitionFilters in the scan plan (same gate as
+    similarity.write_ivf_index).
+
+    Each row also carries the doc's hashed shingle set ``sh`` so the
+    exact-Jaccard verify reads ONLY pruned partitions — no separate
+    corpus-wide shingle lookup join.  That duplicates ``sh`` once per
+    band (``bands``x storage, on int64 arrays ~the size of the
+    original text); the buy is that an increment's entire read
+    footprint is pruned-partitions-only.
+    """
+    sh = shingle_sets(corpus, id_col, text_col, shingle_k)
+    banded = _band_explode(
+        minhash_signatures_from_shingles(sh, num_hashes), num_hashes, bands
+    )
+    (
+        banded.join(sh, "id")
+        .withColumn("pbucket", F.pmod(F.col("bucket"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("band", "pbucket")
+        .parquet(path)
+    )
+
+
+def near_dup_pairs_indexed(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Near-dup pairs introduced by ``delta`` against a corpus whose
+    band index was materialized by :func:`write_band_index` — output
+    is identical to :func:`near_dup_pairs_incremental` on the same
+    (corpus, delta), but the corpus side is a partition-pruned index
+    probe instead of a full re-shingle (pinned by test).
+
+    The delta's distinct band and pbucket value sets — at most
+    ``bands`` + ``n_buckets`` driver-side values — become one IN-filter
+    per partition column, so pruning happens at PLANNING time
+    (PartitionFilters in the scan), not per-task.  (Per-column IN is a
+    cross-product superset of the exact (band, pbucket) cell set — a
+    deliberate trade: two flat IN lists instead of a Catalyst OR-tree
+    that overflows the expression stack at a few hundred cells, and the
+    exact 64-bit bucket equi-join discards any superset rows.)  Candidates follow the r8 width rule: the
+    (band, bucket) equi-join carries ids only, pairs are
+    distinct-deduped, and only then are shingle sets attached — the
+    corpus side's from the SAME pruned index subset (cached, read
+    once), the delta side's from the in-memory shingle table.
+    LSH params must match the ones the index was built with.
+    """
+    sh_d = shingle_sets(delta, id_col, text_col, shingle_k)
+    sh_d = sh_d.persist()
+    band_d = _band_explode(
+        minhash_signatures_from_shingles(sh_d, num_hashes), num_hashes, bands
+    ).withColumn("pbucket", F.pmod(F.col("bucket"), F.lit(n_buckets)))
+
+    cells = [
+        (r["band"], r["pbucket"])
+        for r in band_d.select("band", "pbucket").distinct().collect()
+    ]
+    idx = spark.read.parquet(index_path)
+    if cells:
+        idx = idx.filter(
+            F.col("band").isin(sorted({b for b, _ in cells}))
+            & F.col("pbucket").isin(sorted({p for _, p in cells}))
+        )
+    idx = idx.persist()
+
+    d, c = band_d.alias("d"), idx.alias("c")
+    cross = (
+        d.join(
+            c,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    internal = _bucket_pairs(band_d.drop("pbucket"))
+    cand = cross.unionByName(internal).distinct()
+    sh_all = idx.select("id", "sh").dropDuplicates(["id"]).unionByName(
+        sh_d
+    )
+    return (
+        cand.join(
+            sh_all.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh_all.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -40,6 +40,12 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     of a long.
     """
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {n} cols = {bits * n} interleaved "
+            "bits exceeds the 63 usable bits of a signed long; reduce "
+            "bits (e.g. bits=63//len(cols)) to avoid sign-bit overflow"
+        )
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         cl = c.cast("long")
@@ -106,6 +112,16 @@ def compact_parquet(
     Returns the target file count.
     """
     import math
+    import os
+
+    src_abs = os.path.realpath(src)
+    dst_abs = os.path.realpath(dst)
+    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+        raise ValueError(
+            f"compact_parquet: dst {dst!r} equals or is nested under src "
+            f"{src!r}; mode('overwrite') would destroy the source dataset "
+            "mid-read — write to a sibling path and swap instead"
+        )
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()

@@ -166,7 +166,13 @@ def read_unload_csv_quarantine(
     ``sources/jsonl.py``.  Bool/'t'/'f' and lenient-timestamp columns
     go through the same expression casts as the strict reader, with
     rows whose cells fail THOSE casts also diverted to quarantine (the
-    vectorized parser can't see them)."""
+    vectorized parser can't see them).
+
+    The raw scan is cached so the clean and quarantine channels share
+    one pass over the files; after BOTH outputs are consumed, call
+    ``spark.catalog.clearCache()`` or pass ``cache=False`` (per-channel
+    re-scan, no retained state) in long-lived sessions."""
+    cache = bool(overrides.pop("cache", True))
     opts = {**CSV_OPTIONS, **overrides}
     read_schema, bool_cols, ts_cols = _expr_cols_as_string_schema(schema)
     with_corrupt = T.StructType(
@@ -178,7 +184,9 @@ def read_unload_csv_quarantine(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(with_corrupt)
         .csv(paths)
-    ).cache()
+    )
+    if cache:
+        df = df.cache()
     bad_line = F.col(CORRUPT_COL).isNotNull()
     # expression-cast failures: non-empty cell the cast NULLs
     bad_cast = F.lit(False)
@@ -192,10 +200,21 @@ def read_unload_csv_quarantine(
             F.nullif(F.col(c), F.lit("")).isNotNull()
             & parse_timestamp_lenient(F.col(c), strict=False).isNull()
         )
+    # Faithful raw-line reconstruction for cast-failure rows: use the
+    # reader's ACTUAL separator and keep NULL/empty cells as empty
+    # fields (concat_ws alone silently drops NULLs, shifting columns
+    # and making the quarantined line un-re-drivable).
+    sep = opts.get("sep", "|")
     quarantine = df.filter(bad_line | bad_cast).select(
         F.coalesce(
             F.col(CORRUPT_COL),
-            F.concat_ws("|", *[F.col(f.name) for f in read_schema.fields]),
+            F.concat_ws(
+                sep,
+                *[
+                    F.coalesce(F.col(f.name), F.lit(""))
+                    for f in read_schema.fields
+                ],
+            ),
         ).alias(CORRUPT_COL)
     )
     clean = df.filter(~(bad_line | bad_cast)).drop(CORRUPT_COL)

@@ -215,3 +215,40 @@ def test_read_unload_csv_quarantine_routes_bad_rows(spark, tmp_path):
     assert any("|x|" in b or "delta" in b for b in bad)
     # typed schema on the clean channel
     assert clean.schema == schema
+
+
+def test_quarantine_lines_faithful_nulls_and_sep(spark, tmp_path):
+    """Cast-failure rows must be reconstructed with the reader's ACTUAL
+    separator and with empty cells kept as empty fields (ADVICE r8:
+    concat_ws alone drops NULLs and shifts columns, making the
+    quarantined line un-re-drivable)."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from spectrify_spark.sources.csv import read_unload_csv_quarantine
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    # comma-separated; bad bool cell in a row that ALSO has an empty
+    # middle field — the reconstruction must keep the empty slot
+    lines = [
+        "1,alpha,3.5,t",
+        "2,,7.0,x",
+    ]
+    with gzip.open(d / "shard-000.csv.gz", "wt") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    clean, quarantine = read_unload_csv_quarantine(
+        spark, str(d), schema, sep=",", cache=False
+    )
+    assert sorted(r.id for r in clean.collect()) == [1]
+    bad = [r[0] for r in quarantine.collect()]
+    assert bad == ["2,,7.0,x"]

@@ -184,3 +184,39 @@ def test_incremental_near_dup_equals_full_minus_corpus_internal(spark, sf_dir):
     # every incremental pair touches the delta
     for a, b, _ in inc:
         assert a >= 400 or b >= 400
+
+
+def test_indexed_near_dup_matches_in_memory_and_prunes(spark, sf_dir, tmp_path):
+    """write_band_index + near_dup_pairs_indexed: output identity with
+    near_dup_pairs_incremental on the same (corpus, delta), AND the
+    probe's corpus scan shows PartitionFilters on (band, pbucket) — the
+    partition-pruned shape that makes an increment O(delta), not
+    O(corpus), at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.dedup import (
+        near_dup_pairs_incremental,
+        near_dup_pairs_indexed,
+        write_band_index,
+    )
+    from spectrify_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "band_index")
+    write_band_index(corpus, path)
+
+    out = near_dup_pairs_indexed(spark, path, delta, threshold=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "band" in plan and "pbucket" in plan
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in df.collect()}
+
+    in_mem = pairset(
+        near_dup_pairs_incremental(corpus, delta, threshold=0.2, persist=False)
+    )
+    assert pairset(out) == in_mem
+    spark.catalog.clearCache()

@@ -201,3 +201,27 @@ def test_zorder_write_narrows_rowgroup_stats_for_both_dims(spark, tmp_path):
         assert span_hash > 0.9 * (dom - 1)
         # z-order: mean per-file span collapses for BOTH dimensions
         assert span_z < 0.5 * span_hash, (col, span_z, span_hash)
+
+
+def test_zorder_key_rejects_sign_bit_overflow():
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([F.col(c) for c in "abcd"], bits=16)  # 64 bits > 63
+
+
+def test_compact_parquet_rejects_dst_inside_src(spark, tmp_path):
+    import pytest
+
+    from spectrify_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "data")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="nested|equals|destroy"):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="nested|equals|destroy"):
+        compact_parquet(spark, src, src + "/sub")

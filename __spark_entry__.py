@@ -2426,6 +2426,45 @@ def q_profit_by_nation(spark, sf):
     )
 
 
+def q_multimodal_real(spark, sf):
+    """The REAL multimodal codec earning an oracle-backed driver row:
+    each document's first 64 chars (space-padded; the corpus is pure
+    ASCII) are wrapped as an actual binary PGM image ("P5\n8 8\n255\n"
+    + bytes) and decoded by codec="real" — stdlib PGM header parse in
+    the Arrow-batched mapInPandas worker (multimodal/codecs.py), the
+    same code path that inflates + unfilters PNG.  Because a PGM's
+    decoded pixels ARE its payload bytes, DuckDB can recompute every
+    output (byte-sum hash, 4 chunk means over 16-byte chunks — exact
+    in float32: integer sums < 2^24, divide by 16 is a power of two)
+    from the padded text, so the real-codec path is hash-verified, not
+    just golden-image tested."""
+    from spectrify_spark.multimodal.binary_cols import decode_images
+
+    d = _t(spark, sf, "documents")
+    padded = F.rpad(F.substring(F.col("text"), 1, 64), 64, " ")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit("P5\n8 8\n255\n"), padded), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    out = decode_images(media, codec="real", batch_features=4)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double"), 3)
+                .cast("decimal(20,3)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features"),
+    )
+
+
 def q_multimodal_decode(spark, sf):
     """The multimodal DECODE path earning an oracle-backed driver row:
     text payloads (the corpus is pure ASCII, so bytes == chars) flow
@@ -3661,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch": q_quantile_sketch,
         "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
+        # -- born r9: past the window (new keys never displace overdue)
+        "q_multimodal_real": q_multimodal_real,
     }
 
 
@@ -3965,6 +4006,24 @@ def oracle_sql() -> dict[str, str]:
                                   + CASE WHEN j < n % 4 THEN 1 ELSE 0 END],
                                'avg')
                         END AS FLOAT) AS DOUBLE), 3)
+                      AS DECIMAL(20,3)) AS VARCHAR)
+                      FOR j IN [0, 1, 2, 3]], ',') AS features
+            FROM codes
+        """,
+        # real-codec twin: decoded PGM pixels == the padded text bytes
+        "q_multimodal_real": """
+            WITH codes AS (
+              SELECT doc_id AS media_id,
+                     [ascii(t[i:i]) FOR i IN range(1, 65)] AS cs
+              FROM (SELECT doc_id, rpad(text[1:64], 64, ' ') AS t
+                    FROM documents))
+            SELECT media_id,
+                   CAST(64 AS INTEGER) AS n_bytes,
+                   CAST(list_sum(cs) * 2654435761 AS BIGINT) AS content_hash,
+                   array_to_string(
+                     [CAST(CAST(ROUND(CAST(CAST(
+                        list_aggregate(cs[j * 16 + 1 : j * 16 + 16], 'avg')
+                        AS FLOAT) AS DOUBLE), 3)
                       AS DECIMAL(20,3)) AS VARCHAR)
                       FOR j IN [0, 1, 2, 3]], ',') AS features
             FROM codes

@@ -11,12 +11,14 @@ payload sizes, size the Arrow batches to the media, not the default:
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (10k rows default)
 means 10k decoded images per batch in worker memory — set it so
 batch_rows x payload_bytes fits the Python worker (e.g. 64-256 for
-multi-MB images/video chunks).  The
-actual codec step is STUBBED (image/audio libraries are not in this
-container): ``fake_decode_batch`` is a deterministic stand-in and
-``decode_images(..., codec="real")`` raises NotImplementedError.  The
-Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is real and tested.
+multi-MB images/video chunks).  Two codecs plug into the same batch
+contract: ``codec="fake"`` is the deterministic byte-level stand-in
+(oracle-replicable, used by the driver keys), ``codec="real"`` decodes
+actual PNG (stdlib zlib inflate + scanline unfilter) and binary
+PPM/PGM via :mod:`codecs` — no external image library required; PIL /
+ffmpeg slot in by replacing ``codecs.decode_image``.  The Spark-side
+plumbing — schema, batching, partitioning, UDF signatures — is shared
+and golden-image tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -90,22 +92,45 @@ def fake_decode_batch(payload: pd.Series, n_features: int = 8) -> pd.DataFrame:
     )
 
 
+def real_decode_batch(payload: pd.Series, n_features: int = 8) -> pd.DataFrame:
+    """REAL codec batch: PNG (zlib inflate + scanline unfilter) or
+    binary PPM/PGM via :mod:`codecs` — stdlib-only, no PIL needed.
+
+    Output contract matches :func:`fake_decode_batch`, computed over
+    the DECODED pixel buffer instead of the raw payload: ``n_bytes`` is
+    the decoded byte count (h*w*c), ``content_hash``/``features`` the
+    same byte-sum hash and positional chunk means over the pixels.
+    NULL payloads pass through as NULL; undecodable bytes raise
+    (strict, like the reference's per-cell casts — route through a
+    quarantine split upstream if partial failure is acceptable)."""
+    from spectrify_spark.multimodal.codecs import decode_image
+
+    decoded = pd.Series(
+        [
+            None if buf is None else decode_image(bytes(buf))[3].tobytes()
+            for buf in payload
+        ]
+    )
+    return fake_decode_batch(decoded, n_features)
+
+
 def decode_images(df: DataFrame, codec: str = "fake", batch_features: int = 8) -> DataFrame:
     """Decode stage: binary payload -> features, via mapInPandas.
 
-    ``codec="real"`` is the production slot (PIL/torchvision) — not
-    available in this container, raises NotImplementedError at plan
-    build time (fail fast, not per-task).
+    ``codec="real"`` decodes actual image bytes (PNG / binary PPM —
+    stdlib zlib, see :mod:`codecs`); ``codec="fake"`` is the
+    deterministic byte-level stand-in the oracle-backed driver key
+    uses.  Swap in PIL/torchvision by replacing
+    :func:`codecs.decode_image` — batch shape and schema are the
+    contract either way.
     """
-    if codec == "real":
-        raise NotImplementedError(
-            "real image decode requires PIL/torchvision (not installed); "
-            "use codec='fake' for the deterministic test path"
-        )
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r} (want 'fake' or 'real')")
+    batch_fn = real_decode_batch if codec == "real" else fake_decode_batch
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = fake_decode_batch(pdf["payload"], batch_features)
+            out = batch_fn(pdf["payload"], batch_features)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
@@ -132,27 +157,39 @@ def resize_images(
 ) -> DataFrame:
     """Resize/thumbnail stage: payload -> fixed (out_width x out_height)
     thumbnail bytes via Arrow-batched mapInPandas — the same plumbing
-    contract as decode_images; the fake codec stride-samples the source
-    bytes into exactly out_width*out_height bytes (deterministic, NULL
-    payloads pass through as NULL).  ``codec="real"`` is the PIL slot
-    and fails fast at plan build in this container."""
+    contract as decode_images.  ``codec="fake"`` stride-samples the raw
+    source bytes into exactly out_width*out_height bytes
+    (deterministic, NULL payloads pass through as NULL);
+    ``codec="real"`` decodes PNG / binary PPM (stdlib, see
+    :mod:`codecs`) and nearest-neighbor-resamples the actual 2-D image,
+    so ``thumb`` is out_height*out_width*channels interleaved bytes."""
     if out_width <= 0 or out_height <= 0:
         raise ValueError(f"need positive dims, got {out_width}x{out_height}")
-    if codec == "real":
-        raise NotImplementedError(
-            "real image resize requires PIL (not installed); "
-            "use codec='fake' for the deterministic test path"
-        )
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r} (want 'fake' or 'real')")
     n_out = out_width * out_height
+    real = codec == "real"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        if real:
+            from spectrify_spark.multimodal.codecs import (
+                decode_image,
+                resize_nearest,
+            )
 
         for pdf in batches:
             thumbs = []
             for buf in pdf["payload"]:
                 if buf is None:
                     thumbs.append(None)
+                    continue
+                if real:
+                    _, _, _, pixels = decode_image(bytes(buf))
+                    thumbs.append(
+                        resize_nearest(pixels, out_width, out_height).tobytes()
+                    )
                     continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 if len(arr) == 0:

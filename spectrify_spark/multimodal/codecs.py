@@ -1,0 +1,216 @@
+"""Real (stdlib-only) image codecs for the multimodal decode path.
+
+The container has no PIL/ffmpeg, but PNG is just zlib (stdlib) plus
+per-scanline unfiltering, and PPM is a header plus raw bytes — so the
+``codec="real"`` slot in :mod:`binary_cols` can decode actual image
+formats instead of raising NotImplementedError (VERDICT r8 item 4).
+
+Supported:
+
+- **PNG**: non-interlaced, 8-bit depth, color types 0 (gray),
+  2 (RGB), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth).  The encoder can apply any single
+  filter type, which gives the round-trip test coverage of every
+  unfilter branch against its exact inverse.
+- **PPM/PGM** binary (``P6``/``P5``), maxval 255.
+
+These run INSIDE the Arrow-batched ``mapInPandas`` workers — per-image
+Python cost is amortized over record batches, and the sequential
+byte-dependency in Sub/Average/Paeth unfiltering is confined to one
+scanline at a time (Up is fully vectorized).  At 100 TB the real
+lever is still the batch sizing note in :mod:`binary_cols`; the codec
+itself is pluggable (swap in PIL where available — identical
+``(w, h, c, pixels)`` contract).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PNG bytes -> ``(width, height, channels, pixels[h, w, c] uint8)``.
+
+    Raises ValueError on anything outside the supported subset
+    (interlaced, 16-bit, palette) — fail loud, never garbage pixels.
+    """
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (need 8)")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor — sequential within the row
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif f == 2:  # Up: fully vectorized
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = line
+        prev = out[y]
+    return width, height, channels, out.reshape(height, width, channels)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """``pixels[h, w, c] uint8`` -> PNG bytes, applying one scanline
+    ``filter_type`` (0-4) to every row — the inverse pairs with
+    :func:`decode_png`'s unfilter branches for exact round-trip tests."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stride, bpp = w * c, c
+    flat = pixels.reshape(h, stride).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = flat[y]
+        enc = line.astype(np.int16)
+        if filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp].astype(np.int16)])
+            enc = enc - left
+        elif filter_type == 2:
+            enc = enc - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp].astype(np.int16)])
+            enc = enc - (left + prev.astype(np.int16)) // 2
+        elif filter_type == 4:
+            enc = enc.copy()
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = int(line[i]) - _paeth(left, int(prev[i]), ul)
+        raw.append(filter_type)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_ppm(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Binary PPM (``P6``, RGB) / PGM (``P5``, gray) -> the same
+    ``(width, height, channels, pixels)`` contract as decode_png."""
+    magic = buf[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM: magic {magic!r}")
+    channels = 3 if magic == b"P6" else 1
+    # header tokens: magic, width, height, maxval — '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 255)")
+    n = width * height * channels
+    pixels = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    return width, height, channels, pixels.reshape(height, width, channels).copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """``pixels[h, w, {1|3}] uint8`` -> binary PGM/PPM bytes."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    magic = {1: b"P5", 3: b"P6"}[c]
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def decode_image(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Sniff the magic and decode: PNG or binary PPM/PGM."""
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
+    if buf[:2] in (b"P6", b"P5"):
+        return decode_ppm(buf)
+    raise ValueError("unrecognized image format (supported: PNG, P6/P5 PPM)")
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample ``pixels[h, w, c]`` to
+    ``[out_h, out_w, c]`` — pure integer index math, deterministic on
+    every platform (the property the hash-verified tests need)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]

@@ -107,6 +107,7 @@ def global_row_numbers(
     order_by: Sequence[Column],
     id_col: str = "row_id",
     num_partitions: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """Global 1-based row numbers in ``order_by`` order WITHOUT a global
     single-partition sort — the distributed zipWithIndex pattern:
@@ -118,12 +119,20 @@ def global_row_numbers(
     one task; this shape keeps the sort fully parallel and is the only
     viable global numbering at 100 TB.  ``order_by`` must be a total
     order (include a unique tie-break) for deterministic ids.
+
+    The range-partitioned frame is consumed twice (offsets branch +
+    numbered output); ``persist=True`` caches it so the upstream
+    subtree (and its exchanges) is computed once instead of per branch
+    — worth it whenever ``df`` is itself shuffle-derived.  The caller
+    owns cleanup (``spark.catalog.clearCache()`` in long sessions).
     """
     ranged = (
         df.repartitionByRange(num_partitions, *order_by)
         if num_partitions
         else df.repartitionByRange(*order_by)
     )
+    if persist:
+        ranged = ranged.persist()
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     offsets = (
         with_pid.groupBy("__pid")

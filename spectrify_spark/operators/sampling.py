@@ -188,11 +188,24 @@ def negative_sample(
 
     from spectrify_spark.operators.relational import global_row_numbers
 
-    pool = (corpus if corpus is not None else pairs).select(
-        F.col(pos_col).alias("__cand")
-    ).distinct()
+    # The pool-distinct subtree feeds three consumers (count, index
+    # numbering, index offsets); persisting it and the index's ranged
+    # frame computes each shuffle once instead of per consumer — this
+    # took the plan from 11 shuffle exchanges to 8 unique (PERF_NOTES r9).
+    # Cache scope is the session (driver-gate sessions are short; call
+    # spark.catalog.clearCache() in long-lived ones).
+    pool = (
+        (corpus if corpus is not None else pairs)
+        .select(F.col(pos_col).alias("__cand"))
+        .distinct()
+        .persist()
+    )
     idx = global_row_numbers(
-        pool, [F.col("__cand")], id_col="__rid", num_partitions=num_partitions
+        pool,
+        [F.col("__cand")],
+        id_col="__rid",
+        num_partitions=num_partitions,
+        persist=True,
     )
     n_pool = pool.agg(F.count(F.lit(1)).alias("__n"))
 

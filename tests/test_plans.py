@@ -93,7 +93,7 @@ GOLDEN = {
     # its BNLJ is the designed 1-row corpus-count broadcast.  The lazy
     # pre-AQE plan prints 11 Exchanges (executed audit: 10 — the
     # numbering's offset branch is double-printed before reuse).
-    "q_negative_sample": dict(max_exchanges=11, joins=["BroadcastHashJoin"]),
+    "q_negative_sample": dict(max_exchanges=8, joins=["BroadcastHashJoin"]),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

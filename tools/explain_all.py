@@ -54,9 +54,23 @@ def plan_props(df, execute: bool = False) -> dict:
     joins = sorted(set(re.findall(r"(\w*HashJoin|SortMergeJoin|BroadcastNestedLoopJoin)", plan)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # Count exchanges by UNIQUE plan_id where available: a persisted
+    # subtree's build plan is reprinted under EVERY InMemoryRelation
+    # referencing it, so a raw regex count charges each cached shuffle
+    # once per consumer instead of once per execution (surfaced by
+    # negative_sample's r9 pool caching).  Exchanges printed without a
+    # plan_id (older formats) fall back to the raw count.
+    ex_lines = [ln for ln in plan.splitlines() if re.search(r"\bExchange\b", ln)]
+    ex_ids = {
+        m.group(1)
+        for ln in ex_lines
+        for m in [re.search(r"plan_id=(\d+)", ln)]
+        if m
+    }
+    n_unidentified = sum(1 for ln in ex_lines if "plan_id=" not in ln)
     return {
         "joins": joins,
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "exchanges": len(ex_ids) + n_unidentified,
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed_filters": any(p.strip() for p in pushed),
         "scan_cols": [len(r.split(",")) for r in reads if r],

@@ -225,3 +225,95 @@ def topk_rollup(
         F.col("__e.item").alias("item"),
         F.col("__e.count").alias("est_count"),
     )
+
+
+def cm_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch of ``item_col`` frequencies: ``(d, bucket, cnt)``
+    counter matrix, ``depth`` independent hash rows x ``width`` buckets.
+
+    The hash is the engine-portable md5 bucket
+    (``functions.text.hash_bucket`` over ``item ':' d``), so the ENTIRE
+    sketch — not just its invariants — is replicable by any engine that
+    can md5 a string (the DuckDB oracle recomputes every counter and
+    every estimate bit-for-bit; the other sketch families can only
+    assert bounds).
+
+    Scale shape: one ``groupBy(item)`` count first (items << rows — the
+    only pass over raw data), THEN a depth-way explode of the compact
+    item-count table into counters: the d-x amplification touches
+    |distinct items| rows, never the corpus.  Counters are additive, so
+    sketches merge by bucket-wise sum (:func:`cm_merge`) — the algebra
+    that lets 100 TB of shards pre-aggregate independently.
+    """
+    from spectrify_spark.functions.text import hash_bucket
+
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    counts = df.groupBy(F.col(item_col).alias("__item")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    rows = counts.select(
+        "__item",
+        "__n",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
+    )
+    bucket = hash_bucket(
+        F.concat_ws(":", F.col("__item").cast("string"), F.col("d").cast("string")),
+        width,
+    )
+    return (
+        rows.select("d", bucket.alias("bucket"), "__n")
+        .groupBy("d", "bucket")
+        .agg(F.sum("__n").alias("cnt"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (depth, width):
+    bucket-wise counter sum — the mergeability that makes per-shard
+    sketches a 100 TB rollup primitive."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_point_estimates(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[item_col]``:
+    ``est = min over d of counter[d][h_d(item)]`` — the classic CM
+    guarantee ``exact <= est <= exact + eps*N`` (overcounts only, never
+    under).  A missing counter row reads as 0 (sparse sketch storage).
+
+    The probe side is tiny by construction, so the join broadcasts the
+    PROBES' (item, d, bucket) rows against the sketch — no shuffle of
+    the sketch.  Output: (item, est).
+    """
+    from spectrify_spark.functions.text import hash_bucket
+
+    depth_vals = [r["d"] for r in sketch.select("d").distinct().collect()]
+    pr = probes.select(F.col(item_col).alias("__item")).distinct()
+    pd_rows = pr.select(
+        "__item",
+        F.explode(F.array(*[F.lit(d) for d in sorted(depth_vals)])).alias("d"),
+    )
+    bucket = hash_bucket(
+        F.concat_ws(":", F.col("__item").cast("string"), F.col("d").cast("string")),
+        width,
+    )
+    keyed = pd_rows.select("__item", "d", bucket.alias("bucket"))
+    return (
+        sketch.join(F.broadcast(keyed), ["d", "bucket"], "right")
+        .groupBy("__item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(F.col("__item").alias(item_col), "est")
+    )

@@ -49,18 +49,37 @@ def build(spark, src_dir: str, k: int, hot_frac: float, hot_dup: int, work: str)
         "__i", F.explode(F.array(*[F.lit(i).cast("long") for i in range(k)]))
     )
     step = 100_000_000
-    # deterministic hot_frac of rows -> the single hot key
-    hot = (F.xxhash64("l_orderkey", "l_partkey", "__i") % 1000) < int(
+    # deterministic hot_frac of rows -> the single hot key (pmod, not
+    # %: Spark's % keeps the sign, which silently doubled the hot
+    # fraction in the first r9 probe by routing every negative hash in)
+    hot = F.pmod(F.xxhash64("l_orderkey", "l_partkey", "__i"), F.lit(1000)) < int(
         hot_frac * 1000
     )
+    # high-entropy payload: real fact rows carry incompressible bytes;
+    # without this, the K-way replica explode lays identical rows
+    # ADJACENT in the shuffle stream and LZ4 flattens the hot
+    # partition's bytes below AQE's (byte-based!) skew threshold even
+    # at 13x row skew — the detector literally cannot see a
+    # highly-compressible hot key (first r9 probe, documented in
+    # BENCH_NOTES)
     fact = rep.select(
         F.when(hot, F.lit(HOT_KEY))
         .otherwise(F.col("l_orderkey") + F.col("__i") * F.lit(step))
         .alias("fk"),
         "l_quantity",
-        "l_extendedprice",
+        F.xxhash64("l_orderkey", "l_partkey", "l_quantity", "__i").alias(
+            "payload"
+        ),
     )
-    fact.write.mode("overwrite").parquet(f"{work}/fact")
+    # 64 files: AQE splits a skewed reduce partition along MAP-output
+    # boundaries, so the upstream stage needs enough map tasks — a
+    # single fat parquet file makes the hot partition unsplittable
+    # (createSkewPartitionSpecs -> None) no matter how skewed it is.
+    # At 100 TB map counts are naturally in the thousands; locally the
+    # file count stands in for them.  (Found by decompiling
+    # OptimizeSkewedJoin when a 2.6x-over-threshold partition still
+    # logged "number of skewed partitions: 0".)
+    fact.repartition(64).write.mode("overwrite").parquet(f"{work}/fact")
 
     keys = rep.select(
         (F.col("l_orderkey") + F.col("__i") * F.lit(step)).alias("fk")
@@ -95,12 +114,15 @@ def run_join(spark, work: str, salted: bool, skew_aqe: bool) -> dict:
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_aqe).lower())
     if skew_aqe:
-        # local-scale stand-ins for the 256MB/64MB defaults that would
-        # govern a real 100 TB shuffle partition
+        # local-scale stand-ins for the 256MB/64MB/5.0 defaults that
+        # would govern a real 100 TB shuffle partition: local compressed
+        # blocks are ~100s of KB, so the default thresholds can never
+        # trip here by construction
         spark.conf.set(
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
         )
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
         # the join output feeds an agg, so splitting the skewed
         # partition adds a shuffle downstream — without force, AQE
         # (correctly, by its cost model) declines to split at local
@@ -113,7 +135,16 @@ def run_join(spark, work: str, salted: bool, skew_aqe: bool) -> dict:
     else:
         out = fact.join(dim, "fk")
     agg = out.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("s"),
+        # carry high-entropy bytes through the join shuffle: Catalyst
+        # pushes this projection below the join, so the modulus must be
+        # LARGE — pmod 1000 left 0-999 values that LZ4 flattened until
+        # the hot partition read 1.95x median, under the 2.0 factor
+        # (debugged via ShuffleQueryStage mapStats).  1e9+7 keeps ~30
+        # bits/row in the shuffle and the 81M-row sum far inside long
+        # range under ANSI.
+        F.sum(F.pmod(F.col("payload"), F.lit(1_000_000_007))).alias("p"),
     )
     row = agg.collect()[0]
     sec = round(time.monotonic() - t0, 2)
@@ -124,6 +155,7 @@ def run_join(spark, work: str, salted: bool, skew_aqe: bool) -> dict:
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.adaptive.forceOptimizeSkewedJoin",
     ):

@@ -3091,6 +3091,44 @@ def q_events_anomaly(spark, sf):
 # ------------------------------------------------------- sketch algebra
 
 
+def q_sketch_cm(spark, sf):
+    """Count-min sketch (sketches.cm_build/cm_merge/cm_point_estimates):
+    the frequency-estimation member of the mergeable-sketch family
+    (next to HLL distinct, KLL quantiles, theta set-ops, top-k).  The
+    sketch is built PER SHARD (l_orderkey parity split) and merged by
+    bucket-wise counter sum — additivity makes the merged sketch
+    byte-identical to a single-pass build, so this key exercises the
+    100 TB shard-rollup algebra, not just the estimator.  Hashes are
+    the engine-portable md5 bucket (functions/text.py::hash_bucket), so
+    the DuckDB oracle recomputes EVERY counter and estimate exactly —
+    the only sketch family with a full value oracle rather than
+    invariant booleans.  Output per probed part key: CM estimate,
+    exact count, and the overcount-only guarantee est >= exact."""
+    from spectrify_spark.operators.sketches import (
+        cm_build,
+        cm_merge,
+        cm_point_estimates,
+    )
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    s1 = cm_build(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey", depth=4, width=64)
+    s2 = cm_build(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", depth=4, width=64)
+    sk = cm_merge(s1, s2)
+    probes = li.filter(F.col("l_partkey") <= 12).select("l_partkey").distinct()
+    est = cm_point_estimates(sk, probes, "l_partkey", width=64)
+    exact = (
+        li.filter(F.col("l_partkey") <= 12)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "l_partkey").select(
+        "l_partkey",
+        F.col("est").cast("bigint").alias("est"),
+        F.col("exact").cast("bigint").alias("exact"),
+        (F.col("est") >= F.col("exact")).alias("over_ok"),
+    )
+
+
 def q_kll_rollup(spark, sf):
     """Mergeable KLL quantile rollup (operators/sketches.py::
     kll_sketches/kll_rollup): per-month KLL sketches of order value
@@ -3702,6 +3740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nullify_empty": q_nullify_empty,
         # -- born r9: past the window (new keys never displace overdue)
         "q_multimodal_real": q_multimodal_real,
+        "q_sketch_cm": q_sketch_cm,
     }
 
 
@@ -4027,6 +4066,36 @@ def oracle_sql() -> dict[str, str]:
                       AS DECIMAL(20,3)) AS VARCHAR)
                       FOR j IN [0, 1, 2, 3]], ',') AS features
             FROM codes
+        """,
+        # full-value CM oracle: md5 buckets are engine-portable, so
+        # every counter and estimate is recomputed exactly
+        "q_sketch_cm": """
+            WITH counts AS (
+              SELECT l_partkey AS item, COUNT(*) AS n
+              FROM lineitem GROUP BY 1),
+            ds AS (SELECT unnest(range(4)) AS d),
+            cm AS (
+              SELECT d,
+                     CAST(('0x' || substr(md5(CAST(item AS VARCHAR) || ':'
+                       || CAST(d AS VARCHAR)), 1, 4)) AS INTEGER) % 64 AS bucket,
+                     SUM(n) AS cnt
+              FROM counts, ds GROUP BY 1, 2),
+            probes AS (
+              SELECT DISTINCT l_partkey AS item FROM lineitem
+              WHERE l_partkey <= 12),
+            pb AS (
+              SELECT item, d,
+                     CAST(('0x' || substr(md5(CAST(item AS VARCHAR) || ':'
+                       || CAST(d AS VARCHAR)), 1, 4)) AS INTEGER) % 64 AS bucket
+              FROM probes, ds),
+            est AS (
+              SELECT pb.item, MIN(COALESCE(cm.cnt, 0)) AS est
+              FROM pb LEFT JOIN cm USING (d, bucket) GROUP BY 1)
+            SELECT e.item AS l_partkey,
+                   CAST(e.est AS BIGINT) AS est,
+                   CAST(c.n AS BIGINT) AS exact,
+                   e.est >= c.n AS over_ok
+            FROM est e JOIN counts c ON c.item = e.item
         """,
         # the streamed CSV->parquet convert must reproduce the source
         # rows exactly — its oracle is the source projection itself

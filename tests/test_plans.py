@@ -94,6 +94,12 @@ GOLDEN = {
     # pre-AQE plan prints 11 Exchanges (executed audit: 10 — the
     # numbering's offset branch is double-printed before reuse).
     "q_negative_sample": dict(max_exchanges=8, joins=["BroadcastHashJoin"]),
+    # count-min: two shard-sketch groupBys + merge agg + probe distinct
+    # + exact-count agg + broadcast probe join — all bounded by
+    # |distinct items|, never corpus rows, after the first groupBy
+    "q_sketch_cm": dict(max_exchanges=6, joins=["BroadcastHashJoin"], pushed=True, ban_bnlj=True),
+    # real-codec decode is pure mapInPandas over a pruned 2-col scan
+    "q_multimodal_real": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

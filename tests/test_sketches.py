@@ -172,3 +172,45 @@ def test_topk_rollup_exact_under_capacity_and_mergeable(spark):
     fine = topk_sketches(df, ["shard"], "item_col")
     out = {r.item: r.est_count for r in topk_rollup(fine, [], k=9).collect()}
     assert out == {f"item{i}": 100 for i in range(9)}
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cm_estimates_overcount_only_and_merge_is_exact(spark):
+    """CM guarantees exact <= est (never undercounts), and merging
+    per-shard sketches equals the single-pass sketch exactly (counter
+    additivity) — the 100 TB shard-rollup property."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.sketches import (
+        cm_build,
+        cm_merge,
+        cm_point_estimates,
+    )
+
+    rows = [(i % 37,) for i in range(5000)] + [(999,)] * 500
+    df = spark.createDataFrame(rows, "item bigint")
+    sk = cm_build(df, "item", depth=4, width=16)  # narrow -> collisions
+    probes = spark.createDataFrame([(0,), (5,), (999,), (12345,)], "item bigint")
+    est = {r.item: r.est for r in cm_point_estimates(sk, probes, "item", width=16).collect()}
+    exact = {r.item: r.n for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for item in (0, 5, 999):
+        assert est[item] >= exact[item], (item, est[item], exact[item])
+    assert est[12345] >= 0  # absent item: overcount-only, never negative
+
+    # shard merge == single build
+    s1 = cm_build(df.filter(F.col("item") % 2 == 0), "item", depth=4, width=16)
+    s2 = cm_build(df.filter(F.col("item") % 2 == 1), "item", depth=4, width=16)
+    merged = cm_merge(s1, s2)
+    est_m = {r.item: r.est for r in cm_point_estimates(merged, probes, "item", width=16).collect()}
+    assert est_m == est
+
+
+def test_cm_build_validates():
+    import pytest
+
+    from spectrify_spark.operators.sketches import cm_build
+
+    with pytest.raises(ValueError):
+        cm_build(None, "x", depth=0)

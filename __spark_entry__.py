@@ -3091,6 +3091,35 @@ def q_events_anomaly(spark, sf):
 # ------------------------------------------------------- sketch algebra
 
 
+def q_graph_triangles(spark, sf):
+    """Triangle count (graph.triangle_count) over the part
+    co-occurrence graph — parts are adjacent when some order contains
+    both.  Triangle density is a standard graph-curation signal
+    (community structure vs spam sprawl) and the operator is the
+    classic scale-sensitive enumeration: canonical a<b edges, a wedge
+    equi-join on the middle vertex, a closing-edge equi-join — cost
+    O(sum deg^2), all shuffle-joinable, AQE-splittable (no inequality
+    joins; the orientation is a filter over equi-joins).  The oracle
+    replays the same oriented enumeration as a SQL triple join.
+    Output: (n_edges, n_triangles)."""
+    from spectrify_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    n_edges = edges.distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    tri = triangle_count(edges)
+    return F.broadcast(n_edges).crossJoin(F.broadcast(tri))
+
+
 def q_sketch_cm(spark, sf):
     """Count-min sketch (sketches.cm_build/cm_merge/cm_point_estimates):
     the frequency-estimation member of the mergeable-sketch family
@@ -3741,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- born r9: past the window (new keys never displace overdue)
         "q_multimodal_real": q_multimodal_real,
         "q_sketch_cm": q_sketch_cm,
+        "q_graph_triangles": q_graph_triangles,
     }
 
 
@@ -4096,6 +4126,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS BIGINT) AS exact,
                    e.est >= c.n AS over_ok
             FROM est e JOIN counts c ON c.item = e.item
+        """,
+        # oriented triangle enumeration replayed as a SQL triple join
+        "q_graph_triangles": """
+            WITH pairs AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM pairs e1
+                    JOIN pairs e2 ON e2.a = e1.b
+                    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+                     AS n_triangles
         """,
         # the streamed CSV->parquet convert must reproduce the source
         # rows exactly — its oracle is the source projection itself

@@ -149,3 +149,22 @@ def test_pagerank_weighted_reduces_to_uniform_and_respects_weights(spark):
     ranks_dup = {r.id: r.rank for r in pagerank(dup, iters=3, weight="w").collect()}
     for n in ranks:
         assert ranks_dup[n] == pytest.approx(ranks[n], abs=1e-12)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing;
+    duplicate and reversed edges must not double-count."""
+    from spectrify_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9)] + [(b, a) for a, b in k4] + k4  # dupes + reversed
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    from spectrify_spark.operators.graph import triangle_count
+
+    # bipartite (star) graph: no triangles
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)], "src bigint, dst bigint")
+    assert triangle_count(df).collect()[0].n_triangles == 0

@@ -3559,8 +3559,15 @@ def q_dedup_incremental(spark, sf):
     # index dir left for the OS to reap: the returned frame lazily
     # reads it (same convention as q_stream_cdc's snapshot dirs)
     work = tempfile.mkdtemp(prefix="q_dedup_incremental_")
+    # n_buckets scales with corpus size: the gate corpus is 400 docs,
+    # so 4 buckets -> 32 partition dirs (8 bands x 4); the library
+    # default of 64 suits real corpora where per-dir FS overhead is
+    # noise (512 dirs measured ~7-10s of pure file/committer cost on
+    # this 3,200-row index — the partition grid must never outnumber
+    # the data)
     dedup.write_band_index(
-        corpus, f"{work}/band_index", num_hashes=32, bands=8, shingle_k=3
+        corpus, f"{work}/band_index", num_hashes=32, bands=8, shingle_k=3,
+        n_buckets=4,
     )
     pairs = dedup.near_dup_pairs_indexed(
         spark,
@@ -3570,6 +3577,7 @@ def q_dedup_incremental(spark, sf):
         bands=8,
         shingle_k=3,
         threshold=0.8,
+        n_buckets=4,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 

@@ -167,6 +167,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     co.add_argument("--bits", type=int, default=16)
 
+    ib = sub.add_parser(
+        "index-bands",
+        help="materialize the MinHash LSH band index of a corpus "
+        "(parquet partitioned by (band, pbucket)) for partition-pruned "
+        "incremental near-dup probes",
+    )
+    ib.add_argument("source", help="parquet with (doc_id, text) columns")
+    ib.add_argument("dest", help="index output dir")
+    ib.add_argument("--num-hashes", type=int, default=32)
+    ib.add_argument("--bands", type=int, default=8)
+    ib.add_argument("--shingle-k", type=int, default=3)
+    ib.add_argument("--id-col", default="doc_id")
+    ib.add_argument("--text-col", default="text")
+
+    nd = sub.add_parser(
+        "near-dups",
+        help="probe a delta batch against a materialized band index: "
+        "near-dup pairs introduced by the delta, corpus never re-read",
+    )
+    nd.add_argument("index", help="dir written by index-bands")
+    nd.add_argument("delta", help="parquet with (doc_id, text) columns")
+    nd.add_argument("--threshold", type=float, default=0.8)
+    nd.add_argument("--num-hashes", type=int, default=32)
+    nd.add_argument("--bands", type=int, default=8)
+    nd.add_argument("--shingle-k", type=int, default=3)
+    nd.add_argument("--id-col", default="doc_id")
+    nd.add_argument("--text-col", default="text")
+    nd.add_argument("--limit", type=int, default=100)
+
     se = sub.add_parser(
         "search", help="BM25 keyword retrieval over a documents parquet"
     )
@@ -335,6 +364,37 @@ def main(argv: list[str] | None = None) -> int:
         )
         for row in hits.collect():
             print(f"{row[args.id_col]}\t{row['score']}")
+    elif args.cmd == "index-bands":
+        from spectrify_spark.operators.dedup import write_band_index
+        from spectrify_spark.sources.parquet import read_table
+
+        write_band_index(
+            read_table(spark, args.source),
+            args.dest,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            shingle_k=args.shingle_k,
+        )
+        print(args.dest)
+    elif args.cmd == "near-dups":
+        from spectrify_spark.operators.dedup import near_dup_pairs_indexed
+        from spectrify_spark.sources.parquet import read_table
+
+        pairs = near_dup_pairs_indexed(
+            spark,
+            args.index,
+            read_table(spark, args.delta),
+            id_col=args.id_col,
+            text_col=args.text_col,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+            shingle_k=args.shingle_k,
+            threshold=args.threshold,
+        )
+        for row in pairs.orderBy("id_a", "id_b").limit(args.limit).collect():
+            print(f"{row.id_a}\t{row.id_b}\t{row.jaccard:.4f}")
     return 0
 
 

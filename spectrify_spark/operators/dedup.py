@@ -693,6 +693,12 @@ def write_band_index(
     (
         banded.join(sh, "id")
         .withColumn("pbucket", F.pmod(F.col("bucket"), F.lit(n_buckets)))
+        # shuffle onto the partition key before the partitioned write:
+        # without this, EVERY write task holds rows of up to
+        # bands*n_buckets partitions and opens that many files — up to
+        # tasks x 512 tiny files (measured 9.8s vs 1.6s at sf0.1); with
+        # it, each partition dir gets one file per owning task
+        .repartition(F.col("band"), F.col("pbucket"))
         .write.mode("overwrite")
         .partitionBy("band", "pbucket")
         .parquet(path)

@@ -220,3 +220,39 @@ def test_indexed_near_dup_matches_in_memory_and_prunes(spark, sf_dir, tmp_path):
     )
     assert pairset(out) == in_mem
     spark.catalog.clearCache()
+
+
+def test_cli_index_bands_and_near_dups(spark, sf_dir, tmp_path, capsys):
+    """CLI drive of the materialized-index dedup pair: index-bands
+    writes the partitioned index, near-dups probes a delta and prints
+    (id_a, id_b, jaccard) lines matching the library path."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark import cli
+    from spectrify_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
+    corpus_p = str(tmp_path / "corpus")
+    delta_p = str(tmp_path / "delta")
+    d.filter(F.col("doc_id") < 400).write.parquet(corpus_p)
+    d.filter(F.col("doc_id") >= 400).write.parquet(delta_p)
+    idx_p = str(tmp_path / "band_idx")
+
+    assert cli.main(["index-bands", corpus_p, idx_p]) == 0
+    capsys.readouterr()
+    assert cli.main(["near-dups", idx_p, delta_p, "--threshold", "0.8"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    from spectrify_spark.operators.dedup import near_dup_pairs_incremental
+
+    expected = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_incremental(
+            d.filter(F.col("doc_id") < 400),
+            d.filter(F.col("doc_id") >= 400),
+            threshold=0.8,
+            persist=False,
+        ).collect()
+    }
+    got = {(int(l.split("\t")[0]), int(l.split("\t")[1])) for l in out}
+    assert got == expected and expected
+    spark.catalog.clearCache()

@@ -2465,6 +2465,40 @@ def q_multimodal_real(spark, sf):
     )
 
 
+def q_multimodal_audio(spark, sf):
+    """REAL audio decode earning an oracle-backed driver row: each
+    document's first 64 chars (space-padded, pure-ASCII corpus) become
+    the PCM payload of an actual 8-bit mono RIFF/WAV clip (a constant
+    44-byte header + bytes), parsed by the stdlib RIFF chunk walk in
+    the Arrow-batched mapInPandas worker (multimodal/codecs.py::
+    decode_wav — the same strict-subset codec family as the PNG/PGM
+    path).  Because 8-bit PCM decodes as byte-128, DuckDB recomputes
+    every feature from the padded text: RMS = sqrt(sum((c-128)^2)/64)
+    (exact integer sum, one float divide+sqrt — bit-identical IEEE on
+    both engines) and the strict zero-crossing count
+    (s[i]*s[i+1] < 0, pure integers)."""
+    from spectrify_spark.multimodal.binary_cols import audio_features
+
+    hdr = bytearray(
+        b"RIFFd\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+        b"\x80>\x00\x00\x80>\x00\x00\x01\x00\x08\x00data@\x00\x00\x00"
+    )
+    d = _t(spark, sf, "documents")
+    padded = F.rpad(F.substring(F.col("text"), 1, 64), 64, " ")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(hdr), F.encode(padded, "UTF-8")).alias("payload"),
+    )
+    out = audio_features(media)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
 def q_multimodal_decode(spark, sf):
     """The multimodal DECODE path earning an oracle-backed driver row:
     text payloads (the corpus is pure ASCII, so bytes == chars) flow
@@ -3779,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_real": q_multimodal_real,
         "q_sketch_cm": q_sketch_cm,
         "q_graph_triangles": q_graph_triangles,
+        "q_multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -4103,6 +4138,24 @@ def oracle_sql() -> dict[str, str]:
                         AS FLOAT) AS DOUBLE), 3)
                       AS DECIMAL(20,3)) AS VARCHAR)
                       FOR j IN [0, 1, 2, 3]], ',') AS features
+            FROM codes
+        """,
+        # real-WAV twin: 8-bit PCM decodes as byte-128, so features
+        # recompute from the padded text's ascii codes
+        "q_multimodal_audio": """
+            WITH codes AS (
+              SELECT doc_id AS media_id,
+                     [ascii(t[i:i]) - 128 FOR i IN range(1, 65)] AS s
+              FROM (SELECT doc_id, rpad(text[1:64], 64, ' ') AS t
+                    FROM documents))
+            SELECT media_id,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   CAST(64 AS INTEGER) AS n_samples,
+                   ROUND(sqrt(list_sum([x * x FOR x IN s]) / 64.0), 4)
+                     AS rms,
+                   CAST(len(list_filter(range(1, 64),
+                        i -> s[i] * s[i + 1] < 0)) AS BIGINT)
+                     AS zero_crossings
             FROM codes
         """,
         # full-value CM oracle: md5 buckets are engine-portable, so

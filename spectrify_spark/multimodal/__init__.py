@@ -1,9 +1,11 @@
 from spectrify_spark.multimodal.binary_cols import (  # noqa: F401
     MEDIA_SCHEMA,
+    audio_features,
     decode_images,
     extract_features,
     fake_decode_batch,
     media_metadata,
+    real_decode_batch,
     resize_images,
     sample_frames,
 )

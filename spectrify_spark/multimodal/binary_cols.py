@@ -228,3 +228,60 @@ def sample_frames(
             ).alias("frame_ts_ms"),
         )
     )
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over WAV payloads: REAL stdlib RIFF/PCM
+    decode (:func:`codecs.decode_wav`) in the Arrow-batched mapInPandas
+    worker, then per-clip features computed on the decoded samples —
+    sample rate, frame count, RMS amplitude (exact integer
+    sum-of-squares, one float divide+sqrt), strict zero-crossing count
+    (``s[i] * s[i+1] < 0``).  Multi-channel clips are averaged to mono
+    BEFORE features (integer floor-div mixdown, deterministic).  NULL
+    payloads pass through as NULL; undecodable bytes raise (strict —
+    quarantine upstream for partial tolerance).  The librosa/ffmpeg
+    slot is :func:`codecs.decode_wav` — swap it, keep the contract."""
+    from spectrify_spark.multimodal.codecs import decode_wav
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rates, counts, rmss, zcs = [], [], [], []
+            for buf in pdf["payload"]:
+                if buf is None:
+                    rates.append(None)
+                    counts.append(None)
+                    rmss.append(None)
+                    zcs.append(None)
+                    continue
+                rate, _ch, _bits, samples = decode_wav(bytes(buf))
+                mono = samples.sum(axis=1) // samples.shape[1]
+                n = len(mono)
+                rates.append(rate)
+                counts.append(n)
+                s2 = int((mono.astype(np.int64) ** 2).sum())
+                rmss.append(float(np.sqrt(s2 / n)) if n else 0.0)
+                zcs.append(int(((mono[:-1] * mono[1:]) < 0).sum()) if n > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "rms": rmss,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(feats, _AUDIO_SCHEMA)

@@ -214,3 +214,76 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     return pixels[ys][:, xs]
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, int, np.ndarray]:
+    """RIFF WAV (PCM, 8/16-bit) -> ``(sample_rate, n_channels,
+    bits_per_sample, samples[n, channels] int32)``.
+
+    Stdlib-only RIFF chunk walk: validates the header, reads ``fmt ``
+    (audio format must be 1 = linear PCM), concatenates ``data``
+    chunks.  8-bit PCM is unsigned (offset 128 per the spec), 16-bit
+    is signed little-endian; both normalize into int32 samples so
+    downstream features are format-independent.  Raises ValueError on
+    anything outside the subset (compressed, float, 24-bit) — fail
+    loud, never garbage audio.
+    """
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = bytearray()
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format code {audio_fmt} (need PCM=1)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported WAV bit depth {bits} (need 8/16)")
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            data.extend(body)
+    if fmt is None:
+        raise ValueError("WAV missing fmt chunk")
+    rate, channels, bits = fmt
+    if bits == 8:
+        samples = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int32) - 128
+    else:
+        n = len(data) // 2 * 2
+        samples = np.frombuffer(bytes(data[:n]), dtype="<i2").astype(np.int32)
+    n_frames = len(samples) // channels
+    return rate, channels, bits, samples[: n_frames * channels].reshape(
+        n_frames, channels
+    )
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """``samples[n, channels]`` int -> RIFF WAV PCM bytes (inverse of
+    :func:`decode_wav`, for round-trip tests and fixtures)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if bits == 8:
+        payload = (samples.astype(np.int32) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        payload = samples.astype("<i2").tobytes()
+    else:
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -214,3 +214,45 @@ def test_resize_images_real_codec_spark(spark):
     r = resize_images(df, out_width=4, out_height=4, codec="real").collect()[0]
     assert (r.out_width, r.out_height) == (4, 4)
     assert bytes(r.thumb) == resize_nearest(img, 4, 4).tobytes()
+
+
+def test_wav_roundtrip_and_rejects():
+    import numpy as np
+
+    from spectrify_spark.multimodal.codecs import decode_wav, encode_wav
+
+    rng = np.random.RandomState(2)
+    for bits in (8, 16):
+        for ch in (1, 2):
+            lo, hi = (-120, 120) if bits == 8 else (-30000, 30000)
+            s = rng.randint(lo, hi, (441, ch)).astype(np.int32)
+            r, c, b, out = decode_wav(encode_wav(s, 22050, bits))
+            assert (r, c, b) == (22050, ch, bits)
+            assert np.array_equal(out, s)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all...")
+
+
+def test_audio_features_spark(spark):
+    """audio_features end-to-end: a synthesized square wave has exact,
+    hand-computable RMS and zero-crossing count."""
+    import numpy as np
+
+    from spectrify_spark.multimodal import MEDIA_SCHEMA, audio_features
+    from spectrify_spark.multimodal.codecs import encode_wav
+
+    # 100-sample square wave +/-1000, period 4 -> 50 strict crossings... compute
+    sq = np.tile(np.array([1000, 1000, -1000, -1000], np.int32), 25)
+    wav = encode_wav(sq[:, None], 8000, 16)
+    df = spark.createDataFrame(
+        [(1, "audio", "audio/wav", bytearray(wav), None, None, 12500),
+         (2, "audio", "audio/wav", None, None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in audio_features(df).collect()}
+    r1 = rows[1]
+    assert (r1.sample_rate, r1.n_samples) == (8000, 100)
+    assert r1.rms == pytest.approx(1000.0)
+    expected_zc = int(((sq[:-1] * sq[1:]) < 0).sum())
+    assert r1.zero_crossings == expected_zc
+    assert rows[2].rms is None and rows[2].n_samples is None

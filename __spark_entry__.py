@@ -2465,6 +2465,39 @@ def q_multimodal_real(spark, sf):
     )
 
 
+def q_multimodal_video(spark, sf):
+    """REAL video decode earning an oracle-backed driver row: each
+    document's first 64 chars become FOUR 4x4 mono frames of an actual
+    YUV4MPEG2 stream (the ffmpeg/mplayer raw interchange container —
+    ASCII stream header + FRAME markers + planar bytes), parsed by the
+    stdlib Y4M chunk walk in the mapInPandas worker
+    (multimodal/codecs.py::decode_y4m) with every 2nd frame sampled —
+    the decode-and-measure frame-sampling stage of a video curation
+    pipeline (scene filtering / thumbnail selection).  Mono luma ==
+    the text bytes, so DuckDB recomputes each sampled frame's mean
+    luma exactly (integer sum / 16.0)."""
+    from spectrify_spark.multimodal.binary_cols import video_frame_features
+
+    d = _t(spark, sf, "documents")
+    padded = F.rpad(F.substring(F.col("text"), 1, 64), 64, " ")
+    parts = [F.lit("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n")]
+    for fidx in range(4):
+        parts.append(F.lit("FRAME\n"))
+        parts.append(F.substring(padded, fidx * 16 + 1, 16))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(*parts), "UTF-8").alias("payload"),
+    )
+    out = video_frame_features(media, every_n=2)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        "width",
+        "height",
+    )
+
+
 def q_multimodal_audio(spark, sf):
     """REAL audio decode earning an oracle-backed driver row: each
     document's first 64 chars (space-padded, pure-ASCII corpus) become
@@ -3814,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_cm": q_sketch_cm,
         "q_graph_triangles": q_graph_triangles,
         "q_multimodal_audio": q_multimodal_audio,
+        "q_multimodal_video": q_multimodal_video,
     }
 
 
@@ -4157,6 +4191,23 @@ def oracle_sql() -> dict[str, str]:
                         i -> s[i] * s[i + 1] < 0)) AS BIGINT)
                      AS zero_crossings
             FROM codes
+        """,
+        # real-Y4M twin: mono luma == the padded text bytes, so each
+        # sampled frame's mean recomputes from ascii codes
+        "q_multimodal_video": """
+            WITH codes AS (
+              SELECT doc_id AS media_id,
+                     [ascii(t[i:i]) FOR i IN range(1, 65)] AS cs
+              FROM (SELECT doc_id, rpad(text[1:64], 64, ' ') AS t
+                    FROM documents)),
+            f AS (SELECT unnest([0, 2]) AS frame_idx)
+            SELECT media_id,
+                   CAST(frame_idx AS INTEGER) AS frame_idx,
+                   ROUND(list_sum(cs[frame_idx * 16 + 1 : frame_idx * 16 + 16])
+                         / 16.0, 4) AS mean_luma,
+                   CAST(4 AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height
+            FROM codes, f
         """,
         # full-value CM oracle: md5 buckets are engine-portable, so
         # every counter and estimate is recomputed exactly

@@ -8,4 +8,5 @@ from spectrify_spark.multimodal.binary_cols import (  # noqa: F401
     real_decode_batch,
     resize_images,
     sample_frames,
+    video_frame_features,
 )

@@ -285,3 +285,56 @@ def audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(feats, _AUDIO_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def video_frame_features(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-sampled-frame features over Y4M video payloads: REAL stdlib
+    YUV4MPEG2 decode (:func:`codecs.decode_y4m`) in the mapInPandas
+    worker, emitting one row per kept frame (``frame_idx % every_n ==
+    0``) with its mean luma (first plane; exact integer sum, one float
+    divide).  This is :func:`sample_frames`'s metadata-only sampling
+    upgraded to a decode-and-measure stage — the scene-filter /
+    thumbnail-selection primitive of a video curation pipeline.  NULL
+    payloads yield no rows; undecodable bytes raise (strict)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    from spectrify_spark.multimodal.codecs import decode_y4m
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, lumas, ws, hs = [], [], [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    continue
+                w, h, _cs, frames = decode_y4m(bytes(buf))
+                for i in range(0, len(frames), every_n):
+                    luma = frames[i][:, :, 0].astype(np.int64)
+                    ids.append(mid)
+                    idxs.append(i)
+                    lumas.append(float(int(luma.sum()) / luma.size))
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "mean_luma": lumas,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(feats, _FRAMES_SCHEMA)

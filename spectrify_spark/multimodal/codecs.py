@@ -287,3 +287,70 @@ def encode_wav(
         + b"data" + struct.pack("<I", len(payload)) + payload
     )
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_y4m(buf: bytes) -> tuple[int, int, str, np.ndarray]:
+    """YUV4MPEG2 (Y4M) -> ``(width, height, colorspace,
+    frames[n, h, w, c] uint8)`` — the real VIDEO slot of the codec
+    family.  Y4M is the standard uncompressed interchange container
+    (ffmpeg/mplayer): one ASCII stream header, then per-frame
+    ``FRAME\\n`` markers with raw planar YUV.
+
+    Supported colorspaces: ``Cmono`` (1 plane) and ``C444``
+    (3 full-res planes, returned interleaved as the last axis).
+    Subsampled 420/422 raise ValueError — fail loud, never garbage
+    frames (the same strict-subset contract as decode_png/decode_wav).
+    """
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    cspace = "420"  # Y4M default when no C tag
+    for tok in buf[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("C"):
+            cspace = t[1:]
+    if width is None or height is None:
+        raise ValueError("Y4M missing W/H header tags")
+    if cspace == "mono":
+        channels = 1
+    elif cspace == "444":
+        channels = 3
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cspace} (need mono/444)")
+    frame_bytes = width * height * channels
+    pos, frames = nl + 1, []
+    while pos < len(buf):
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0 or buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M corrupt FRAME marker")
+        pos = fnl + 1
+        raw = np.frombuffer(buf, dtype=np.uint8, count=frame_bytes, offset=pos)
+        if len(raw) < frame_bytes:
+            raise ValueError("Y4M truncated frame")
+        # planar -> interleaved (h, w, c)
+        frames.append(
+            raw.reshape(channels, height, width).transpose(1, 2, 0).copy()
+        )
+        pos += frame_bytes
+    return width, height, cspace, np.stack(frames) if frames else np.zeros(
+        (0, height, width, channels), np.uint8
+    )
+
+
+def encode_y4m(frames: np.ndarray, cspace: str | None = None) -> bytes:
+    """``frames[n, h, w, c] uint8`` -> Y4M bytes (c=1 -> Cmono,
+    c=3 -> C444); inverse of :func:`decode_y4m` for tests/fixtures."""
+    if frames.ndim == 3:
+        frames = frames[:, :, :, None]
+    n, h, w, c = frames.shape
+    cspace = cspace or ("mono" if c == 1 else "444")
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cspace}\n".encode())
+    for i in range(n):
+        out += b"FRAME\n"
+        out += frames[i].transpose(2, 0, 1).astype(np.uint8).tobytes()
+    return bytes(out)

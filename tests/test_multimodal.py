@@ -256,3 +256,43 @@ def test_audio_features_spark(spark):
     expected_zc = int(((sq[:-1] * sq[1:]) < 0).sum())
     assert r1.zero_crossings == expected_zc
     assert rows[2].rms is None and rows[2].n_samples is None
+
+
+def test_y4m_roundtrip_and_rejects():
+    import numpy as np
+
+    from spectrify_spark.multimodal.codecs import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(4)
+    for c in (1, 3):
+        f = rng.randint(0, 256, (5, 4, 6, c), np.uint8)
+        w, h, cs, out = decode_y4m(encode_y4m(f))
+        assert (w, h) == (6, 4) and np.array_equal(out, f)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"not video")
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_video_frame_features_spark(spark):
+    """Every-2nd-frame sampling with known per-frame luma."""
+    import numpy as np
+
+    from spectrify_spark.multimodal import MEDIA_SCHEMA, video_frame_features
+    from spectrify_spark.multimodal.codecs import encode_y4m
+
+    frames = np.stack(
+        [np.full((2, 3, 1), v, np.uint8) for v in (10, 20, 30, 40, 50)]
+    )
+    df = spark.createDataFrame(
+        [(7, "video", "video/y4m", bytearray(encode_y4m(frames)), 3, 2, 200),
+         (8, "video", "video/y4m", None, None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        video_frame_features(df, every_n=2).collect(), key=lambda r: r.frame_idx
+    )
+    assert [(r.media_id, r.frame_idx, r.mean_luma) for r in rows] == [
+        (7, 0, 10.0), (7, 2, 30.0), (7, 4, 50.0)
+    ]
+    assert rows[0].width == 3 and rows[0].height == 2

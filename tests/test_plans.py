@@ -101,6 +101,7 @@ GOLDEN = {
     # real-codec decode is pure mapInPandas over a pruned 2-col scan
     "q_multimodal_real": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     "q_multimodal_audio": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    "q_multimodal_video": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     # triangles: co-occurrence self-join + wedge + closing equi-joins;
     # the BNLJ is the designed 1-row (n_edges x n_triangles) broadcast
     # 8 on the pre-exec plan: the persisted canonical-edge subtree

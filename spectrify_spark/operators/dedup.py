@@ -747,7 +747,16 @@ def near_dup_pairs_indexed(
         (r["band"], r["pbucket"])
         for r in band_d.select("band", "pbucket").distinct().collect()
     ]
-    idx = spark.read.parquet(index_path)
+    try:
+        idx = spark.read.parquet(index_path)
+    except Exception:
+        # an EMPTY corpus writes a file-less partitioned dir (only
+        # _SUCCESS), which schema inference rejects — the first
+        # increment against a brand-new corpus must still work, with
+        # delta-internal pairs as the only candidates
+        idx = spark.createDataFrame(
+            [], "id bigint, sh array<bigint>, band int, bucket bigint, pbucket bigint"
+        )
     if cells:
         idx = idx.filter(
             F.col("band").isin(sorted({b for b, _ in cells}))

@@ -192,3 +192,65 @@ def test_scd2_lookup_on_empty_sides(spark):
     empty_facts = facts.filter("1=0")
     out2 = scd2_lookup(empty_facts, hist, fact_key="k", fact_ts="ts", attrs=["p"])
     assert out2.count() == 0 and "p" in out2.columns
+
+
+def test_band_index_probe_empty_sides(spark, tmp_path):
+    """Empty corpus index probed by a real delta yields only
+    delta-internal pairs; empty delta against a real index yields
+    nothing — no crashes, correct schemas."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.dedup import (
+        near_dup_pairs_indexed,
+        write_band_index,
+    )
+
+    schema = "doc_id bigint, text string"
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "a totally different text here")],
+        schema,
+    )
+    empty = spark.createDataFrame([], schema)
+    delta = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"), (11, "the quick brown fox jumped")],
+        schema,
+    )
+    p_empty = str(tmp_path / "idx_empty")
+    write_band_index(empty, p_empty, n_buckets=4)
+    out = near_dup_pairs_indexed(spark, p_empty, delta, threshold=0.2, n_buckets=4)
+    rows = out.collect()
+    assert all(r.id_a >= 10 and r.id_b >= 10 for r in rows)  # delta-internal only
+    p_real = str(tmp_path / "idx_real")
+    write_band_index(corpus, p_real, n_buckets=4)
+    out2 = near_dup_pairs_indexed(
+        spark, p_real, empty, threshold=0.2, n_buckets=4
+    )
+    assert out2.count() == 0 and out2.columns == ["id_a", "id_b", "jaccard"]
+    spark.catalog.clearCache()
+
+
+def test_cm_and_triangles_empty(spark):
+    from spectrify_spark.operators.graph import triangle_count
+    from spectrify_spark.operators.sketches import cm_build, cm_point_estimates
+
+    empty_items = spark.createDataFrame([], "item bigint")
+    sk = cm_build(empty_items, "item", depth=2, width=8)
+    assert sk.count() == 0
+    probes = spark.createDataFrame([(1,)], "item bigint")
+    est = cm_point_estimates(sk, probes, "item", width=8).collect()
+    # empty sketch -> estimate 0 for any probe (never negative/missing)
+    assert est == [] or all(r.est == 0 for r in est)
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert triangle_count(edges).collect()[0].n_triangles == 0
+
+
+def test_media_features_empty_frame(spark):
+    from spectrify_spark.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        video_frame_features,
+    )
+
+    empty = spark.createDataFrame([], MEDIA_SCHEMA)
+    assert audio_features(empty).count() == 0
+    assert video_frame_features(empty).count() == 0

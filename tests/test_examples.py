@@ -38,3 +38,9 @@ def test_scale_toolkit_example(spark, sf_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "z-ordered" in out
     assert "top-5 nodes by rank" in out
+
+
+def test_media_and_index_example(spark, sf_dir, tmp_path, capsys):
+    _run("examples/media_and_index.py", [sf_dir, str(tmp_path / "media")])
+    out = capsys.readouterr().out
+    assert "media_and_index done" in out

@@ -15,8 +15,11 @@ Replication semantics:
   K, which is the worst realistic load for the dedup family;
 - dimension tables copy verbatim so foreign keys keep resolving.
 
-Usage: python tools/make_sf.py SRC_DIR DST_DIR K
+Usage: python tools/make_sf.py SRC_DIR DST_DIR K [--edges]
 e.g.:  python tools/make_sf.py /root/testdata/sf0.1 /tmp/sf1 10
+(--edges additionally writes a K-replica supplier<->part edge table
+with BOTH endpoints offset — the growing-graph rehearsal input; see
+make_edges)
 """
 
 from __future__ import annotations
@@ -90,14 +93,34 @@ def make_sf(spark, src: str, dst: str, k: int) -> None:
     ).parquet(f"{dst}/embeddings.parquet")
 
 
+def make_edges(spark, src: str, dst: str, k: int) -> None:
+    """Write ``edges.parquet``: the supplier<->part bipartite edge
+    table replicated K times with BOTH endpoints offset — K disjoint
+    isomorphic components, so edges AND nodes grow Kx with degree
+    structure preserved.  This is the graph-rehearsal input the plain
+    replica cannot provide (offsetting order keys leaves the DISTINCT
+    supplier<->part edge set invariant — r8 verdict caveat, closed by
+    tools/graph_rehearsal.py).  Foreign keys in this table are
+    intentionally NOT resolvable against the copied dims — it exists
+    for iteration-cost rehearsals (pagerank/hits/triangles), not for
+    joins."""
+    from tools.graph_rehearsal import build_edges
+
+    build_edges(spark, src, k, f"{dst}/edges.parquet")
+
+
 def main() -> None:
-    src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    args = [a for a in sys.argv[1:] if a != "--edges"]
+    with_edges = "--edges" in sys.argv[1:]
+    src, dst, k = args[0], args[1], int(args[2])
     sys.path.insert(0, "/root/repo")
     from spectrify_spark.session import get_spark
 
     spark = get_spark("make-sf")
     make_sf(spark, src, dst, k)
-    print(f"wrote {dst} = {src} x{k}")
+    if with_edges:
+        make_edges(spark, src, dst, k)
+    print(f"wrote {dst} = {src} x{k}" + (" (+edges.parquet)" if with_edges else ""))
 
 
 if __name__ == "__main__":

@@ -2465,6 +2465,57 @@ def q_multimodal_real(spark, sf):
     )
 
 
+def q_stream_media(spark, sf):
+    """Streaming MULTIMODAL decode — the seventh streaming/batch twin:
+    media rows (PGM payloads built from document text, same encoding
+    as q_multimodal_real) land as parquet files, a file-source stream
+    reads them, and the REAL stdlib codec decodes inside the stream's
+    Arrow-batched mapInPandas stage (stateless — no watermark, no
+    state store: the decode pipeline is pure per-batch, the shape a
+    media-ingest pipeline has at 100 TB where files arrive
+    continuously and decode must keep up incrementally).  Drained
+    output must hash-match the BATCH q_multimodal_real oracle exactly
+    — streaming and batch decode are the same code path under
+    identical semantics."""
+    import tempfile
+    import uuid
+
+    from spectrify_spark.multimodal.binary_cols import decode_images
+
+    name = f"q_stream_media_{uuid.uuid4().hex[:8]}"
+    d = _t(spark, sf, "documents")
+    padded = F.rpad(F.substring(F.col("text"), 1, 64), 64, " ")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit("P5\n8 8\n255\n"), padded), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="q_stream_media_")
+    media.write.mode("overwrite").parquet(f"{work}/media")
+    src_stream = (
+        spark.readStream.schema("media_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{work}/media")
+    )
+    decoded = decode_images(src_stream, codec="real", batch_features=4)
+    out = _drain_scoped(spark, decoded, name, "append")
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double"), 3)
+                .cast("decimal(20,3)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features"),
+    )
+
+
 def q_multimodal_video(spark, sf):
     """REAL video decode earning an oracle-backed driver row: each
     document's first 64 chars become FOUR 4x4 mono frames of an actual
@@ -3848,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_triangles": q_graph_triangles,
         "q_multimodal_audio": q_multimodal_audio,
         "q_multimodal_video": q_multimodal_video,
+        "q_stream_media": q_stream_media,
     }
 
 
@@ -4158,6 +4210,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # real-codec twin: decoded PGM pixels == the padded text bytes
         "q_multimodal_real": """
+            WITH codes AS (
+              SELECT doc_id AS media_id,
+                     [ascii(t[i:i]) FOR i IN range(1, 65)] AS cs
+              FROM (SELECT doc_id, rpad(text[1:64], 64, ' ') AS t
+                    FROM documents))
+            SELECT media_id,
+                   CAST(64 AS INTEGER) AS n_bytes,
+                   CAST(list_sum(cs) * 2654435761 AS BIGINT) AS content_hash,
+                   array_to_string(
+                     [CAST(CAST(ROUND(CAST(CAST(
+                        list_aggregate(cs[j * 16 + 1 : j * 16 + 16], 'avg')
+                        AS FLOAT) AS DOUBLE), 3)
+                      AS DECIMAL(20,3)) AS VARCHAR)
+                      FOR j IN [0, 1, 2, 3]], ',') AS features
+            FROM codes
+        """,
+        # streaming twin of the real-codec decode: byte-identical to
+        # the batch path, so it shares the PGM-pixel oracle
+        "q_stream_media": """
             WITH codes AS (
               SELECT doc_id AS media_id,
                      [ascii(t[i:i]) FOR i IN range(1, 65)] AS cs

@@ -102,6 +102,9 @@ GOLDEN = {
     "q_multimodal_real": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     "q_multimodal_audio": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     "q_multimodal_video": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # drained memory-sink read (real streaming plan gated in
+    # tests/test_streaming_plans.py)
+    "q_stream_media": dict(max_exchanges=0, ban_bnlj=True),
     # triangles: co-occurrence self-join + wedge + closing equi-joins;
     # the BNLJ is the designed 1-row (n_edges x n_triangles) broadcast
     # 8 on the pre-exec plan: the persisted canonical-edge subtree

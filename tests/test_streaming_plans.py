@@ -57,6 +57,13 @@ GOLDEN = {
     # windowed HLL sketch agg (r8): same stateful shape as
     # q_stream_window — sketch state per (window, type) partition
     "q_stream_sketch": dict(node="StateStoreSave", wm_tag=True, stores=8),
+    # streaming multimodal decode (r9): STATELESS by design — the
+    # decode pipeline is pure per-batch mapInPandas; the scale property
+    # pinned here is the ABSENCE of state stores (no watermark, no
+    # eviction problem) plus the Arrow-batched decode node itself
+    "q_stream_media": dict(
+        node="MapInPandas", wm_tag=False, stores=None, stateless=True
+    ),
 }
 
 _WM_TAG = re.compile(r"-T\d+ms")
@@ -88,6 +95,12 @@ def test_streaming_plan_shape(audits, name):
         )
 
     ops = progress.get("stateOperators", [])
+    if golden.get("stateless"):
+        assert not ops, (
+            f"{name}: designed stateless but reports state operators — "
+            f"a stateful node crept into the decode stream"
+        )
+        return
     assert ops, f"{name}: no stateOperators reported in lastProgress"
     for op in ops:
         assert op["numShufflePartitions"] == 8, (

@@ -97,6 +97,7 @@ STREAMING_KEYS = (
     "q_stream_stateful",
     "q_stream_join",
     "q_stream_sketch",
+    "q_stream_media",
 )
 
 
@@ -108,7 +109,7 @@ def audit_streaming(spark, sf_dir: str) -> None:
     node_re = re.compile(
         r"\b(StateStoreSave|SessionWindowStateStoreSave"
         r"|StreamingDeduplicate\w*|FlatMapGroupsInPandasWithState"
-        r"|TransformWithState\w*|StreamingSymmetricHashJoin)\b"
+        r"|TransformWithState\w*|StreamingSymmetricHashJoin|MapInPandas)\b"
     )
     for name in STREAMING_KEYS:
         try:

@@ -3733,6 +3733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the recorded vanilla sf0.01 sweep keep every key continuously
     verified in between, so driver-row staleness never means
     unverified.
+
+    Keys born in r9 (q_multimodal_real, q_sketch_cm,
+    q_graph_triangles, q_multimodal_audio, q_multimodal_video,
+    q_stream_media) are placed PAST the window per policy — each was
+    verified at birth on a vanilla sf0.01 session — and owe their
+    first driver rows in r10, whose window should therefore open with
+    {6 carried r6 keys} + {these 6} + {oldest r7 greens}.
     """
     return {
         # -- r9 window, slots 1-14: r8-born keys, first driver rows

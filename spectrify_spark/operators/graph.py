@@ -223,15 +223,44 @@ def triangle_count(
         .distinct()
     )
     e.persist()
-    # wedges a-b-c with a < b < c: join on the middle vertex b
-    e1, e2 = e.alias("e1"), e.alias("e2")
-    wedges = e1.join(
-        e2, (F.col("e1.b") == F.col("e2.a"))
-    ).select(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
-    closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
-    tri = wedges.join(
-        closing,
-        (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")),
-        "inner",
+    # DEGREE orientation (node-iterator++): re-orient each edge from
+    # its lower-(degree, id) endpoint toward the higher, then build
+    # wedges at the LOW vertex.  Wedge count becomes
+    # sum_u C(outdeg+(u), 2) with outdeg+ bounded by O(sqrt(m)) —
+    # the O(m^1.5) bound that survives celebrity vertices, where the
+    # plain id-orientation degrades toward sum deg(hot)^2.  Each
+    # triangle is counted exactly once, at its minimum-(degree, id)
+    # corner.
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__deg"))
     )
+    da = deg.select(F.col("id").alias("a"), F.col("__deg").alias("__dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("__deg").alias("__degb"))
+    a_first = (F.col("__dega") < F.col("__degb")) | (
+        (F.col("__dega") == F.col("__degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    oriented.persist()
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    # two out-edges of u give candidate pair (v1, v2); the closing edge
+    # is looked up in CANONICAL (least, greatest) form
+    wedges = (
+        w1.join(w2, (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v")))
+        .select(
+            F.least(F.col("w1.v"), F.col("w2.v")).alias("ca"),
+            F.greatest(F.col("w1.v"), F.col("w2.v")).alias("cb"),
+        )
+    )
+    closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedges.join(closing, ["ca", "cb"], "inner")
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

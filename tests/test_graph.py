@@ -168,3 +168,28 @@ def test_triangle_count_triangle_free(spark):
     # bipartite (star) graph: no triangles
     df = spark.createDataFrame([(0, i) for i in range(1, 6)], "src bigint, dst bigint")
     assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_celebrity_hub(spark):
+    """Mid-id celebrity vertex: the shape where id-ordered wedge
+    enumeration blows up quadratically (PERF_NOTES r9); degree
+    orientation must return the exact count (hub-ring graph: one
+    triangle per ring edge whose BOTH endpoints touch the hub)."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.graph import triangle_count
+
+    hub = 500
+    edges = (
+        spark.range(1, 1001)
+        .filter(F.col("id") != hub)
+        .select(F.col("id").alias("src"), F.lit(hub).cast("long").alias("dst"))
+        .unionByName(
+            spark.range(1, 1000).select(
+                F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+            )
+        )
+    )
+    # ring edges: (i, i+1) for i in 1..999; both endpoints hub-adjacent
+    # except the two edges touching the hub itself -> 999 - 2 = 997
+    assert triangle_count(edges).collect()[0].n_triangles == 997

@@ -107,10 +107,13 @@ GOLDEN = {
     "q_stream_media": dict(max_exchanges=0, ban_bnlj=True),
     # triangles: co-occurrence self-join + wedge + closing equi-joins;
     # the BNLJ is the designed 1-row (n_edges x n_triangles) broadcast
-    # 8 on the pre-exec plan: the persisted canonical-edge subtree
-    # prints once per consumer before materialization; executed plan
-    # audits read 4 (PLANS.md)
-    "q_graph_triangles": dict(max_exchanges=8, joins=["BroadcastHashJoin"], pushed=True),
+    # 12 on the pre-exec plan: the persisted canonical-edge and
+    # degree-oriented subtrees print once per consumer before
+    # materialization; executed audits read ~6 (PLANS.md).  Degree
+    # orientation costs one extra agg + two joins at build time and
+    # buys the O(m^1.5) wedge bound (11.6x on a celebrity-hub graph,
+    # PERF_NOTES r9)
+    "q_graph_triangles": dict(max_exchanges=12, joins=["BroadcastHashJoin"], pushed=True),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the

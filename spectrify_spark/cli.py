@@ -178,6 +178,13 @@ def main(argv: list[str] | None = None) -> int:
     ib.add_argument("--num-hashes", type=int, default=32)
     ib.add_argument("--bands", type=int, default=8)
     ib.add_argument("--shingle-k", type=int, default=3)
+    ib.add_argument("--n-buckets", type=int, default=64)
+    ib.add_argument(
+        "--append",
+        action="store_true",
+        help="add SOURCE's banded rows into an existing index (params "
+        "validated against the index's build sidecar)",
+    )
     ib.add_argument("--id-col", default="doc_id")
     ib.add_argument("--text-col", default="text")
 
@@ -189,9 +196,13 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("index", help="dir written by index-bands")
     nd.add_argument("delta", help="parquet with (doc_id, text) columns")
     nd.add_argument("--threshold", type=float, default=0.8)
-    nd.add_argument("--num-hashes", type=int, default=32)
-    nd.add_argument("--bands", type=int, default=8)
-    nd.add_argument("--shingle-k", type=int, default=3)
+    # LSH params default to None = "read from the index's build
+    # sidecar"; pass explicitly only to probe a legacy (pre-sidecar)
+    # index built with non-default flags
+    nd.add_argument("--num-hashes", type=int, default=None)
+    nd.add_argument("--bands", type=int, default=None)
+    nd.add_argument("--shingle-k", type=int, default=None)
+    nd.add_argument("--n-buckets", type=int, default=None)
     nd.add_argument("--id-col", default="doc_id")
     nd.add_argument("--text-col", default="text")
     nd.add_argument("--limit", type=int, default=100)
@@ -376,6 +387,8 @@ def main(argv: list[str] | None = None) -> int:
             num_hashes=args.num_hashes,
             bands=args.bands,
             shingle_k=args.shingle_k,
+            n_buckets=args.n_buckets,
+            mode="append" if args.append else "overwrite",
         )
         print(args.dest)
     elif args.cmd == "near-dups":
@@ -391,6 +404,7 @@ def main(argv: list[str] | None = None) -> int:
             num_hashes=args.num_hashes,
             bands=args.bands,
             shingle_k=args.shingle_k,
+            n_buckets=args.n_buckets,
             threshold=args.threshold,
         )
         for row in pairs.orderBy("id_a", "id_b").limit(args.limit).collect():

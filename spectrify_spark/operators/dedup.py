@@ -654,6 +654,54 @@ def near_dup_pairs_incremental(
     return out
 
 
+#: Build-parameter sidecar written next to a band index.  Leading
+#: underscore keeps it invisible to Spark's parquet reader (same
+#: convention as _SUCCESS / _metadata).
+_PARAMS_FILE = "_spectrify_index_params.json"
+
+
+def _index_fs(spark, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` — scheme-agnostic, so
+    sidecar read/write works wherever Spark can reach (local, HDFS,
+    S3A)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def write_index_params(spark, path: str, params: dict) -> None:
+    """Persist LSH build parameters as a JSON sidecar inside the index
+    dir, so later probes can default/validate against what the index
+    was ACTUALLY built with instead of trusting the caller to repeat
+    the same flags (a mismatched ``n_buckets`` silently prunes the
+    wrong partitions)."""
+    import json
+
+    fs, _, jvm = _index_fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, _PARAMS_FILE), True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_index_params(spark, path: str) -> dict | None:
+    """Load the build-parameter sidecar, or ``None`` for a pre-sidecar
+    (legacy) index dir."""
+    import json
+
+    fs, _, jvm = _index_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path, _PARAMS_FILE)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
 def write_band_index(
     corpus: DataFrame,
     path: str,
@@ -663,6 +711,7 @@ def write_band_index(
     bands: int = 8,
     shingle_k: int = 3,
     n_buckets: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the corpus's LSH band index as parquet partitioned
     by ``(band, pbucket)`` — the repeated-increment dedup shape at
@@ -685,7 +734,33 @@ def write_band_index(
     band (``bands``x storage, on int64 arrays ~the size of the
     original text); the buy is that an increment's entire read
     footprint is pruned-partitions-only.
+
+    ``mode="append"`` adds a delta's banded rows into the SAME
+    partition grid — the daily-increment maintenance path: probe the
+    delta with :func:`near_dup_pairs_indexed`, then append it here, so
+    the corpus is never re-shingled.  Appends validate the LSH
+    parameters against the sidecar written at build time (a mismatched
+    ``n_buckets`` would scatter rows into the wrong partitions) and
+    each append adds one file per touched (band, pbucket) cell —
+    periodically fold them with :func:`compact_band_index`.
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_band_index: mode must be overwrite|append, got {mode!r}")
+    spark = corpus.sparkSession
+    params = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "n_buckets": n_buckets,
+    }
+    if mode == "append":
+        existing = read_index_params(spark, path)
+        if existing is not None and existing != params:
+            raise ValueError(
+                f"write_band_index: append params {params} do not match the "
+                f"index's build params {existing}; an appended row banded "
+                "with different LSH parameters is unfindable by probes"
+            )
     sh = shingle_sets(corpus, id_col, text_col, shingle_k)
     banded = _band_explode(
         minhash_signatures_from_shingles(sh, num_hashes), num_hashes, bands
@@ -699,10 +774,50 @@ def write_band_index(
         # tasks x 512 tiny files (measured 9.8s vs 1.6s at sf0.1); with
         # it, each partition dir gets one file per owning task
         .repartition(F.col("band"), F.col("pbucket"))
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("band", "pbucket")
         .parquet(path)
     )
+    # after the write: an overwrite wipes the dir first, which would
+    # delete a sidecar written up front
+    write_index_params(spark, path, params)
+
+
+def compact_band_index(
+    spark,
+    src: str,
+    dst: str,
+) -> None:
+    """Fold an appended-to band index into one file per (band, pbucket)
+    partition — the OPTIMIZE step of the incremental-dedup loop.
+
+    Every ``mode="append"`` leaves one file per touched cell, so after
+    k daily increments a probe of cell C reads k small files; this
+    single pass (hash-repartition on the partition key -> one task ->
+    one file per cell) restores the one-file-per-cell layout of a
+    fresh build.  Same src/dst guard as
+    :func:`spectrify_spark.operators.layout.compact_parquet` — rewrite
+    to a sibling and swap.
+    """
+    import os
+
+    src_abs = os.path.realpath(src)
+    dst_abs = os.path.realpath(dst)
+    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+        raise ValueError(
+            f"compact_band_index: dst {dst!r} equals or is nested under src "
+            f"{src!r}; mode('overwrite') would destroy the index mid-read"
+        )
+    params = read_index_params(spark, src)
+    (
+        spark.read.parquet(src)
+        .repartition(F.col("band"), F.col("pbucket"))
+        .write.mode("overwrite")
+        .partitionBy("band", "pbucket")
+        .parquet(dst)
+    )
+    if params is not None:
+        write_index_params(spark, dst, params)
 
 
 def near_dup_pairs_indexed(
@@ -711,11 +826,11 @@ def near_dup_pairs_indexed(
     delta: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 3,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    shingle_k: int | None = None,
     threshold: float = 0.8,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs introduced by ``delta`` against a corpus whose
     band index was materialized by :func:`write_band_index` — output
@@ -735,8 +850,41 @@ def near_dup_pairs_indexed(
     distinct-deduped, and only then are shingle sets attached — the
     corpus side's from the SAME pruned index subset (cached, read
     once), the delta side's from the in-memory shingle table.
-    LSH params must match the ones the index was built with.
+
+    LSH params default from the ``_spectrify_index_params.json``
+    sidecar :func:`write_band_index` leaves in the index dir; a param
+    passed explicitly that CONTRADICTS the sidecar raises (probing
+    with e.g. a different ``n_buckets`` prunes the wrong partitions
+    and silently drops true pairs).  A missing/unreadable index dir
+    raises too — only the genuinely-empty-corpus case (dir exists,
+    zero data files) degrades to delta-internal pairs.
     """
+    from pyspark.errors import AnalysisException
+
+    built_with = read_index_params(spark, index_path)
+    defaults = {"num_hashes": 32, "bands": 8, "shingle_k": 3, "n_buckets": 64}
+    given = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "n_buckets": n_buckets,
+    }
+    resolved = {}
+    for k, v in given.items():
+        if v is None:
+            resolved[k] = (built_with or defaults)[k]
+        else:
+            if built_with is not None and built_with[k] != v:
+                raise ValueError(
+                    f"near_dup_pairs_indexed: {k}={v} contradicts the index's "
+                    f"build params {built_with} (sidecar in {index_path}); a "
+                    "mismatched probe prunes the wrong partitions and "
+                    "silently drops true near-dup pairs"
+                )
+            resolved[k] = v
+    num_hashes, bands = resolved["num_hashes"], resolved["bands"]
+    shingle_k, n_buckets = resolved["shingle_k"], resolved["n_buckets"]
+
     sh_d = shingle_sets(delta, id_col, text_col, shingle_k)
     sh_d = sh_d.persist()
     band_d = _band_explode(
@@ -747,13 +895,23 @@ def near_dup_pairs_indexed(
         (r["band"], r["pbucket"])
         for r in band_d.select("band", "pbucket").distinct().collect()
     ]
+    fs, hpath, _ = _index_fs(spark, index_path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"near_dup_pairs_indexed: index dir {index_path!r} does not "
+            "exist — build it with write_band_index first (a silent "
+            "empty-index fallback here would return delta-internal pairs "
+            "only, i.e. wrong results for a typo'd path)"
+        )
     try:
         idx = spark.read.parquet(index_path)
-    except Exception:
+    except AnalysisException:
         # an EMPTY corpus writes a file-less partitioned dir (only
-        # _SUCCESS), which schema inference rejects — the first
-        # increment against a brand-new corpus must still work, with
-        # delta-internal pairs as the only candidates
+        # _SUCCESS + params sidecar), which schema inference rejects —
+        # the first increment against a brand-new corpus must still
+        # work, with delta-internal pairs as the only candidates.
+        # Existence was checked above, so ONLY that case lands here;
+        # permission errors / corrupt files re-raise.
         idx = spark.createDataFrame(
             [], "id bigint, sh array<bigint>, band int, bucket bigint, pbucket bigint"
         )

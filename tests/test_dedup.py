@@ -256,3 +256,112 @@ def test_cli_index_bands_and_near_dups(spark, sf_dir, tmp_path, capsys):
     got = {(int(l.split("\t")[0]), int(l.split("\t")[1])) for l in out}
     assert got == expected and expected
     spark.catalog.clearCache()
+
+
+def test_band_index_append_equals_from_scratch(spark, sf_dir, tmp_path):
+    """Two successive deltas probed + appended leave the index
+    identical (row-for-row) to a from-scratch build over the full
+    corpus — the daily-increment maintenance contract: the corpus is
+    shingled exactly once, ever."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.dedup import (
+        compact_band_index,
+        near_dup_pairs_incremental,
+        near_dup_pairs_indexed,
+        write_band_index,
+    )
+    from spectrify_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
+    base = d.filter(F.col("doc_id") < 300)
+    d1 = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    d2 = d.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "idx")
+    write_band_index(base, path)
+
+    def pairset(df):
+        return {(r.id_a, r.id_b, round(r.jaccard, 6)) for r in df.collect()}
+
+    # probe-then-append, twice
+    p1 = pairset(near_dup_pairs_indexed(spark, path, d1, threshold=0.2))
+    write_band_index(d1, path, mode="append")
+    spark.catalog.clearCache()
+    p2 = pairset(near_dup_pairs_indexed(spark, path, d2, threshold=0.2))
+    spark.catalog.clearCache()
+    # probes match the in-memory incremental oracle at each step
+    assert p1 == pairset(
+        near_dup_pairs_incremental(base, d1, threshold=0.2, persist=False)
+    )
+    assert p2 == pairset(
+        near_dup_pairs_incremental(
+            base.unionByName(d1), d2, threshold=0.2, persist=False
+        )
+    )
+    write_band_index(d2, path, mode="append")
+
+    # appended index == from-scratch index over the full corpus
+    scratch = str(tmp_path / "scratch")
+    write_band_index(d, scratch)
+
+    def rowset(p):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(p)
+            .select("id", "band", "bucket", "pbucket", F.to_json("sh"))
+            .collect()
+        }
+
+    assert rowset(path) == rowset(scratch)
+
+    # compaction: content identical, one file per (band, pbucket) cell
+    compacted = str(tmp_path / "compacted")
+    compact_band_index(spark, path, compacted)
+    assert rowset(compacted) == rowset(scratch)
+    import glob
+
+    cells = glob.glob(f"{compacted}/band=*/pbucket=*")
+    assert cells and all(
+        len(glob.glob(f"{c}/*.parquet")) == 1 for c in cells
+    )
+
+
+def test_band_index_sidecar_guards(spark, sf_dir, tmp_path):
+    """The build-params sidecar: probes default from it, contradicting
+    params raise, append with mismatched params raises, and a typo'd
+    index path raises instead of silently returning delta-only pairs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.dedup import (
+        near_dup_pairs_indexed,
+        read_index_params,
+        write_band_index,
+    )
+    from spectrify_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "idx4")
+    write_band_index(corpus, path, n_buckets=4)
+    assert read_index_params(spark, path) == {
+        "num_hashes": 32,
+        "bands": 8,
+        "shingle_k": 3,
+        "n_buckets": 4,
+    }
+    # no params passed -> sidecar supplies n_buckets=4; matching
+    # explicit params also fine
+    a = near_dup_pairs_indexed(spark, path, delta, threshold=0.2)
+    b = near_dup_pairs_indexed(
+        spark, path, delta, threshold=0.2, n_buckets=4
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    spark.catalog.clearCache()
+    with pytest.raises(ValueError, match="n_buckets"):
+        near_dup_pairs_indexed(spark, path, delta, n_buckets=64)
+    with pytest.raises(ValueError, match="build params"):
+        write_band_index(delta, path, n_buckets=64, mode="append")
+    with pytest.raises(FileNotFoundError):
+        near_dup_pairs_indexed(spark, str(tmp_path / "no_such_idx"), delta)

@@ -8,7 +8,8 @@ formats instead of raising NotImplementedError (VERDICT r8 item 4).
 Supported:
 
 - **PNG**: non-interlaced, 8-bit depth, color types 0 (gray),
-  2 (RGB), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  2 (RGB), 3 (palette, expanded to RGB; tRNS alpha rejected),
+  4 (gray+alpha), 6 (RGBA); all five scanline filters
   (None/Sub/Up/Average/Paeth).  The encoder can apply any single
   filter type, which gives the round-trip test coverage of every
   unfilter branch against its exact inverse.
@@ -47,13 +48,26 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     """PNG bytes -> ``(width, height, channels, pixels[h, w, c] uint8)``.
 
-    Raises ValueError on anything outside the supported subset
-    (interlaced, 16-bit, palette) — fail loud, never garbage pixels.
+    Supported subset: non-interlaced, 8-bit samples, color types
+    0 (gray), 2 (RGB), 3 (palette -> expanded to RGB), 4 (gray+alpha),
+    6 (RGBA).  Raises ValueError naming the unsupported feature on
+    anything else (interlaced, 16-bit, palette-with-tRNS) — fail loud,
+    never garbage pixels.
+
+    Practical size ceiling: None/Sub/Up rows are fully vectorized (Sub
+    is a per-channel-lane ``cumsum % 256``), but Average/Paeth rows
+    unavoidably recurse on the just-decoded left pixel, so they run a
+    per-PIXEL Python loop (vectorized across channels).  Fine for the
+    thumbnail-scale fixtures this slot is exercised with; for
+    megapixel photo corpora swap in PIL where available — the
+    ``(w, h, c, pixels)`` contract is identical and
+    :mod:`binary_cols` takes the codec as a parameter.
     """
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width = 8, None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(buf):
         (length,) = struct.unpack(">I", buf[pos : pos + 4])
         ctype = buf[pos + 4 : pos + 8]
@@ -65,17 +79,28 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             )
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth} (need 8)")
-            if color not in _PNG_CHANNELS:
+            if color not in _PNG_CHANNELS and color != 3:
                 raise ValueError(f"unsupported PNG color type {color}")
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
-            channels = _PNG_CHANNELS[color]
+            # palette images carry ONE index sample per pixel in the
+            # filtered stream; expansion to RGB happens after unfilter
+            channels = 1 if color == 3 else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("bad PLTE length")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            if color == 3:
+                raise ValueError("palette PNG with tRNS alpha not supported")
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (1 + stride):
@@ -90,24 +115,46 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         ).copy()
         if f == 0:
             pass
-        elif f == 1:  # Sub: left neighbor — sequential within the row
-            for i in range(bpp, stride):
-                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif f == 1:  # Sub: out[i] = in[i] + out[i-bpp] is a prefix sum
+            # per channel lane -> one vectorized cumsum mod 256
+            line = (
+                line.reshape(width, bpp).cumsum(axis=0, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up: fully vectorized
             line = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = int(line[i - bpp]) if i >= bpp else 0
-                line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                left = int(line[i - bpp]) if i >= bpp else 0
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                line[i] = (int(line[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        elif f == 3:  # Average: left-recurrence -> per-pixel loop,
+            # vectorized across the bpp channel lane
+            lane = line.reshape(width, bpp).astype(np.int16)
+            plane = prev.reshape(width, bpp).astype(np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            for x in range(width):
+                lane[x] = (lane[x] + (left + plane[x]) // 2) & 0xFF
+                left = lane[x]
+            line = lane.astype(np.uint8).reshape(stride)
+        elif f == 4:  # Paeth: same left-recurrence shape as Average
+            lane = line.reshape(width, bpp).astype(np.int16)
+            plane = prev.reshape(width, bpp).astype(np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            for x in range(width):
+                up = plane[x]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                lane[x] = (lane[x] + pred) & 0xFF
+                left, ul = lane[x], up
+            line = lane.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = line
         prev = out[y]
+    if color == 3:
+        idx = out.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PLTE index out of range")
+        return width, height, 3, palette[idx]
     return width, height, channels, out.reshape(height, width, channels)
 
 
@@ -154,6 +201,34 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """``indices[h, w] uint8`` + ``palette[n, 3] uint8`` -> color-type-3
+    PNG bytes (filter 0 rows) — the round-trip fixture generator for
+    :func:`decode_png`'s palette-expansion path."""
+    h, w = indices.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(indices[y].astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )

@@ -195,6 +195,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    persist: bool = True,
 ) -> DataFrame:
     """Global triangle count of an undirected graph.
 
@@ -213,6 +214,15 @@ def triangle_count(
     nodes (celebrity vertices) dominate wedge generation; AQE skew
     splitting applies since both stages are plain shuffled equi-joins.
     Output: 1 row, ``n_triangles`` bigint.
+
+    With ``persist=True`` (default) the canonical edge set and the
+    oriented edge set are cached — each is consumed by two downstream
+    stages, so without caching the input is scanned and deduped twice.
+    The handles are internal, so CLEANUP IS CALLER-OWNED (same
+    convention as ``dedup.near_dup_pairs_incremental``): call
+    ``spark.catalog.clearCache()`` after collecting, or pass
+    ``persist=False`` for one-shot use in a long-lived session and
+    accept the recompute.
     """
     e = (
         edges.select(
@@ -222,7 +232,8 @@ def triangle_count(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    e.persist()
+    if persist:
+        e.persist()
     # DEGREE orientation (node-iterator++): re-orient each edge from
     # its lower-(degree, id) endpoint toward the higher, then build
     # wedges at the LOW vertex.  Wedge count becomes
@@ -250,7 +261,8 @@ def triangle_count(
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
     )
-    oriented.persist()
+    if persist:
+        oriented.persist()
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     # two out-edges of u give candidate pair (v1, v2); the closing edge
     # is looked up in CANONICAL (least, greatest) form

@@ -288,23 +288,33 @@ def cm_point_estimates(
     probes: DataFrame,
     item_col: str,
     width: int = 64,
+    depth: int = 4,
 ) -> DataFrame:
     """Point-frequency estimates for ``probes[item_col]``:
     ``est = min over d of counter[d][h_d(item)]`` — the classic CM
     guarantee ``exact <= est <= exact + eps*N`` (overcounts only, never
-    under).  A missing counter row reads as 0 (sparse sketch storage).
+    under).  A missing counter row reads as 0 (sparse sketch storage),
+    so an empty sketch yields ``est = 0`` for every probe, never a
+    vanished row.
 
-    The probe side is tiny by construction, so the join broadcasts the
-    PROBES' (item, d, bucket) rows against the sketch — no shuffle of
-    the sketch.  Output: (item, est).
+    ``depth`` and ``width`` must match the build (they parameterize the
+    hash family, so that was always true); taking depth explicitly —
+    instead of collecting ``distinct(d)`` off the sketch — keeps the
+    probe driver-side-collect-free and well-defined on empty sketches.
+
+    The sketch is bounded by construction (<= depth*width counter
+    rows), so it broadcasts; probes may be arbitrarily many and stay
+    the streamed side of a left join — no shuffle of either input.
+    Output: (item, est).
     """
     from spectrify_spark.functions.text import hash_bucket
 
-    depth_vals = [r["d"] for r in sketch.select("d").distinct().collect()]
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
     pr = probes.select(F.col(item_col).alias("__item")).distinct()
     pd_rows = pr.select(
         "__item",
-        F.explode(F.array(*[F.lit(d) for d in sorted(depth_vals)])).alias("d"),
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d"),
     )
     bucket = hash_bucket(
         F.concat_ws(":", F.col("__item").cast("string"), F.col("d").cast("string")),
@@ -312,7 +322,7 @@ def cm_point_estimates(
     )
     keyed = pd_rows.select("__item", "d", bucket.alias("bucket"))
     return (
-        sketch.join(F.broadcast(keyed), ["d", "bucket"], "right")
+        keyed.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy("__item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
         .select(F.col("__item").alias(item_col), "est")

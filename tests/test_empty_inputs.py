@@ -237,9 +237,9 @@ def test_cm_and_triangles_empty(spark):
     sk = cm_build(empty_items, "item", depth=2, width=8)
     assert sk.count() == 0
     probes = spark.createDataFrame([(1,)], "item bigint")
-    est = cm_point_estimates(sk, probes, "item", width=8).collect()
-    # empty sketch -> estimate 0 for any probe (never negative/missing)
-    assert est == [] or all(r.est == 0 for r in est)
+    est = cm_point_estimates(sk, probes, "item", width=8, depth=2).collect()
+    # empty sketch -> estimate 0 for every probe (never a vanished row)
+    assert [(r.item, r.est) for r in est] == [(1, 0)]
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     assert triangle_count(edges).collect()[0].n_triangles == 0
 

@@ -76,8 +76,9 @@ def knn_join_topk(
 def choose_centroids(
     df: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid seed: the n lowest-id vectors of a seeded
-    sample.  Driver-side list of size n_centroids (tiny)."""
+    """Deterministic centroid seed: the n vectors whose ids hash
+    lowest under xxhash64 — a fixed pseudo-random sample with no RNG
+    state.  Driver-side list of size n_centroids (tiny)."""
     rows = (
         df.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -85,6 +86,41 @@ def choose_centroids(
         .collect()
     )
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def _cnorm(vec: list[float]) -> float:
+    import math
+
+    return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+
+
+def _centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """The centroid set as a ONE-ROW parameter table — columns
+    ``__cmat`` (array<array<double>>), ``__cnorms``, ``__cids`` — to
+    be broadcast-cross-joined onto the vector table.
+
+    This is the de-literalization the r9 verdict asked for: the
+    previous shape inlined every centroid as its own
+    ``F.array(*[F.lit(x) ...])`` subtree (and ``F.lit`` on a Python
+    list only hides the same per-element expansion), so a
+    production-sized IVF (>= 1k centroids x >= 256 dims) put hundreds
+    of thousands of expression nodes into every assignment plan and
+    Catalyst analysis time grew linearly in n_centroids x dim.  As a
+    broadcast ROW the matrix is data, not expression tree: the plan
+    carries three attribute references regardless of size, the
+    broadcast ships once per executor, and planning time is flat in
+    both parameters (tools/ivf_plan_rehearsal.py; PERF_NOTES r10)."""
+    if not centroids:
+        raise ValueError("need at least one centroid")
+    row = (
+        [[float(x) for x in vec] for _, vec in centroids],
+        [_cnorm(vec) for _, vec in centroids],
+        [int(cid) for cid, _ in centroids],
+    )
+    return spark.createDataFrame(
+        [row],
+        "__cmat array<array<double>>, __cnorms array<double>, __cids array<int>",
+    )
 
 
 def assign_partitions(
@@ -97,33 +133,50 @@ def assign_partitions(
     column.  At scale: write this table partitioned by ``ivf_cell`` so
     probes become partition-pruned scans.
 
-    Implementation notes: scores go into ONE array expression and the
-    argmax is array_position(array_max) — a when-chain that tracks
-    best-so-far duplicates every earlier score subtree at each level
-    (quadratic expression growth; with 64-dim literal centroids that
-    alone dominated plan analysis time).  The score is ``dot(v, c) /
-    ||c||`` with the centroid norms precomputed driver-side, NOT the
-    full cosine: argmax is invariant to the positive common factor
-    1/||v||, and the full form recomputes the O(d) ``norm(v)``
-    aggregate once per centroid per row (and the centroid-literal norm
-    per row) — measured ~2x on the Lloyd's/IVF assignment pass."""
-    import math
-
-    def _cnorm(vec: list[float]) -> float:
-        return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
-
-    scores = F.array(
-        *[
-            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec]))
-            / F.lit(_cnorm(vec))
-            for _, vec in centroids
-        ]
+    Implementation notes: the centroid set enters the plan as three
+    Literal nodes (:func:`_centroid_lits`), and the argmax is a
+    row-local ``aggregate`` fold over centroid indices keeping the
+    best (score, index) seen — strict ``>`` keeps the FIRST index on
+    exact score ties, matching the previous array_position-of-max
+    rule bit-for-bit (pinned by the unchanged q_sim_ivf /
+    q_cluster_kmeans oracle hashes).  No join, no shuffle, no Python:
+    the fold runs JVM-side per row.  Each score is bound once as a
+    lambda variable (the ``transform``-of-singleton trick, cf.
+    ``vectors.normalize``) so the O(d) dot product is not evaluated
+    twice per centroid.  The score is ``dot(v, c) / ||c||`` with
+    centroid norms precomputed driver-side, NOT the full cosine:
+    argmax is invariant to the positive common factor ``1/||v||``,
+    and the full form recomputes the O(d) ``norm(v)`` aggregate once
+    per centroid per row — measured ~2x on the Lloyd's/IVF
+    assignment pass."""
+    cent = _centroid_frame(df.sparkSession, centroids)
+    cmat, cnorms, cids = F.col("__cmat"), F.col("__cnorms"), F.col("__cids")
+    best = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(0).alias("i")
+        ),
+        lambda acc, i: F.element_at(
+            F.transform(
+                F.array(
+                    dot(F.col(vec_col), F.element_at(cmat, i))
+                    / F.element_at(cnorms, i)
+                ),
+                lambda s: F.when(
+                    s > acc["s"], F.struct(s.alias("s"), i.alias("i"))
+                ).otherwise(acc),
+            ),
+            1,
+        ),
     )
-    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
-    cell = F.element_at(
-        cids, F.array_position(scores, F.array_max(scores)).cast("int")
+    # i stays 0 only when every score is NULL (null/empty vector) —
+    # surface NULL, the same result the array_position form produced
+    cell = F.when(best["i"] > 0, F.element_at(cids, best["i"]))
+    return (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn(out_col, cell)
+        .drop("__cmat", "__cnorms", "__cids")
     )
-    return df.withColumn(out_col, cell)
 
 
 def ivf_topk(
@@ -228,35 +281,33 @@ def ivf_knn_join(
     pair with ``write_ivf_index``: the cell equi-join becomes a
     partition-pruned scan of nprobe/C of the data.
     """
-    import math
-
-    def _cnorm(vec: list[float]) -> float:
-        return math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
-
     from pyspark.sql import Window
 
     # NEGATED score + list-position tiebreak in the sort key: ascending
     # array_sort on (-s, i) puts the best cell first AND breaks exact
     # score ties toward the FIRST-LISTED centroid — exactly matching
-    # assign_partitions' array_position-of-max rule, so a corpus
-    # vector's own cell is never skipped when nprobe covers the tied
-    # cells (the old reverse(array_sort) on (s, c) broke ties toward
-    # the higher cell id and could).
-    pairs = F.array(
-        *[
-            F.struct(
-                (
-                    -dot(F.col(query_vec), F.array(*[F.lit(float(x)) for x in vec]))
-                    / F.lit(_cnorm(vec))
-                ).alias("neg_s"),
-                F.lit(int(i)).alias("i"),
-                F.lit(int(cid)).alias("c"),
-            )
-            for i, (cid, vec) in enumerate(centroids)
-        ]
+    # assign_partitions' argmax-fold rule, so a corpus vector's own
+    # cell is never skipped when nprobe covers the tied cells (the old
+    # reverse(array_sort) on (s, c) broke ties toward the higher cell
+    # id and could).  Centroids enter as the one-row broadcast
+    # parameter table (_centroid_frame) and the struct array is built
+    # by a row-local transform over indices — plan size flat in
+    # n_centroids x dim.
+    cent = _centroid_frame(queries.sparkSession, centroids)
+    cmat, cnorms, cids = F.col("__cmat"), F.col("__cnorms"), F.col("__cids")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            (
+                -dot(F.col(query_vec), F.element_at(cmat, i))
+                / F.element_at(cnorms, i)
+            ).alias("neg_s"),
+            (i - F.lit(1)).alias("i"),
+            F.element_at(cids, i).alias("c"),
+        ),
     )
     top_cells = F.slice(F.array_sort(pairs), 1, nprobe)
-    probe = queries.select(
+    probe = queries.crossJoin(F.broadcast(cent)).select(
         query_id,
         query_vec,
         F.explode(F.transform(top_cells, lambda x: x["c"])).alias("__cell"),

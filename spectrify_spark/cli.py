@@ -29,6 +29,22 @@ def _load_schema(schema_json: str):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spectrify-spark")
+    p.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="extra Spark conf (repeatable), e.g. "
+        "--conf spark.hadoop.fs.s3a.access.key=... — the generic "
+        "passthrough for credentials/region the reference injected "
+        "into its UNLOAD SQL (reference spectrify/export.py:36-53)",
+    )
+    p.add_argument(
+        "--s3a-from-env",
+        action="store_true",
+        help="map the standard AWS_* environment variables to "
+        "fs.s3a.* conf (env half of reference utils/redshift.py:4-27)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("transform", help="source parquet -> parquet + external table")
@@ -51,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     ct.add_argument("table")
     ct.add_argument("location")
     ct.add_argument("--dry-run", action="store_true")
+    ct.add_argument(
+        "--yes",
+        action="store_true",
+        help="skip the interactive confirm prompt (the reference CLI "
+        "prompts before running CREATE TABLE, reference create.py:72-73)",
+    )
 
     ap = sub.add_parser("add-part", help="ALTER TABLE ADD PARTITION")
     ap.add_argument("table")
@@ -217,7 +239,34 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--text-col", default="text")
 
     args = p.parse_args(argv)
-    spark = get_spark("spectrify-cli")
+    extra_conf: dict[str, str] = {}
+    for kv in args.conf:
+        if "=" not in kv:
+            p.error(f"--conf expects KEY=VALUE, got {kv!r}")
+        k, v = kv.split("=", 1)
+        extra_conf[k] = v
+    if args.s3a_from_env:
+        from spectrify_spark.sources.credentials import (
+            as_spark_conf,
+            s3a_conf_from_env,
+        )
+
+        extra_conf = {**as_spark_conf(s3a_conf_from_env()), **extra_conf}
+    spark = get_spark("spectrify-cli", extra_conf=extra_conf or None)
+    if extra_conf:
+        # getOrCreate may return an ALREADY-RUNNING session whose
+        # builder conf is ignored — apply hadoop keys to the live JVM
+        # conf too so credentials always take effect
+        from spectrify_spark.sources.credentials import apply_to_session
+
+        apply_to_session(
+            spark,
+            {
+                k[len("spark.hadoop.") :]: v
+                for k, v in extra_conf.items()
+                if k.startswith("spark.hadoop.")
+            },
+        )
 
     if args.cmd == "transform":
         df = spark.read.parquet(args.source)
@@ -236,7 +285,20 @@ def main(argv: list[str] | None = None) -> int:
         ddl = DDL.parquet_table_ddl(args.table, df.schema, args.location)
         print(ddl)
         if not args.dry_run:
-            DDL.create(spark, ddl)
+            # interactive confirm unless --yes, mirroring the
+            # reference CLI's prompt (reference create.py:72-73);
+            # refusal exits 1 without running the DDL
+            confirm = None
+            if not args.yes:
+                def confirm(_ddl: str) -> bool:
+                    reply = input("Execute this DDL? [y/N] ")
+                    return reply.strip().lower() in ("y", "yes")
+
+            try:
+                DDL.create(spark, ddl, confirm=confirm)
+            except RuntimeError as ex:
+                print(str(ex), file=sys.stderr)
+                return 1
     elif args.cmd == "add-part":
         k, v = args.spec.split("=", 1)
         ddl = DDL.add_partition_ddl(args.table, {k: v}, args.location)

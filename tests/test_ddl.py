@@ -99,3 +99,34 @@ def test_create_confirm_rejection(spark):
 
     with pytest.raises(RuntimeError, match="not confirmed"):
         create(spark, "SELECT 1", confirm=lambda _ddl: False)
+
+
+def test_cli_create_table_confirm_paths(spark, tmp_path, monkeypatch, capsys):
+    """CLI confirm wiring (reference create.py:72-73): without --yes a
+    'n' reply refuses (exit 1, no table); a 'y' reply and --yes both
+    create the table."""
+    from spectrify_spark import cli
+
+    loc = str(tmp_path / "pq")
+    spark.range(3).withColumnRenamed("id", "k").write.parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS cli_confirm_t")
+    try:
+        monkeypatch.setattr("builtins.input", lambda *_: "n")
+        assert cli.main(["create-table", "cli_confirm_t", loc]) == 1
+        assert not spark.catalog.tableExists("cli_confirm_t")
+        capsys.readouterr()
+
+        monkeypatch.setattr("builtins.input", lambda *_: "y")
+        assert cli.main(["create-table", "cli_confirm_t", loc]) == 0
+        assert spark.catalog.tableExists("cli_confirm_t")
+        spark.sql("DROP TABLE cli_confirm_t")
+
+        # --yes: no prompt at all (input would raise if called)
+        def boom(*_):
+            raise AssertionError("input() called despite --yes")
+
+        monkeypatch.setattr("builtins.input", boom)
+        assert cli.main(["create-table", "cli_confirm_t", loc, "--yes"]) == 0
+        assert spark.catalog.tableExists("cli_confirm_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_confirm_t")

@@ -335,3 +335,63 @@ def test_cli_compact_with_zorder(spark, tmp_path, capsys):
     assert len(glob.glob(f"{dest}/part-*.parquet")) < 32
     out = spark.read.parquet(dest)
     assert out.count() == 5000 and "z" in out.columns
+
+
+def test_s3a_credentials_conf_mapping(spark):
+    """Credential plumbing (reference export.py:36-53 get_credentials,
+    utils/redshift.py:4-27 env resolution): env vars map to public
+    fs.s3a.* keys, a session token switches the provider, and
+    apply_to_session lands them on the live JVM hadoop conf."""
+    from spectrify_spark.sources.credentials import (
+        apply_to_session,
+        as_spark_conf,
+        s3a_conf,
+        s3a_conf_from_env,
+    )
+
+    env = {
+        "AWS_ACCESS_KEY_ID": "AKIATEST",
+        "AWS_SECRET_ACCESS_KEY": "sekrit",
+        "AWS_SESSION_TOKEN": "tok",
+        "AWS_DEFAULT_REGION": "us-east-1",
+    }
+    conf = s3a_conf_from_env(env)
+    assert conf["fs.s3a.access.key"] == "AKIATEST"
+    assert conf["fs.s3a.secret.key"] == "sekrit"
+    assert conf["fs.s3a.session.token"] == "tok"
+    assert conf["fs.s3a.endpoint.region"] == "us-east-1"
+    assert conf["fs.s3a.aws.credentials.provider"].endswith(
+        "TemporaryAWSCredentialsProvider"
+    )
+    # no token -> default provider chain (key absent)
+    assert "fs.s3a.aws.credentials.provider" not in s3a_conf(
+        access_key="a", secret_key="b"
+    )
+    assert as_spark_conf({"fs.s3a.access.key": "x"}) == {
+        "spark.hadoop.fs.s3a.access.key": "x"
+    }
+    apply_to_session(spark, {"fs.s3a.test.marker": "present"})
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert jconf.get("fs.s3a.test.marker") == "present"
+
+
+def test_cli_conf_passthrough(spark, tmp_path, capsys):
+    """--conf KEY=VALUE reaches the live session (hadoop keys land on
+    the JVM conf even when getOrCreate returns the running session)."""
+    from spectrify_spark import cli
+
+    src = str(tmp_path / "n.parquet")
+    spark.range(2).write.parquet(src)
+    rc = cli.main(
+        [
+            "--conf",
+            "spark.hadoop.fs.s3a.endpoint.region=eu-west-1",
+            "export",
+            src,
+            str(tmp_path / "csv"),
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert jconf.get("fs.s3a.endpoint.region") == "eu-west-1"

@@ -3605,6 +3605,31 @@ def q_graph_pagerank_weighted(spark, sf):
     )
 
 
+def q_graph_pagerank_dangling(spark, sf):
+    """PageRank with DANGLING-MASS REDISTRIBUTION
+    (operators/graph.py::pagerank redistribute_dangling=True) over the
+    DIRECTED supplier->part purchase graph — parts have no out-edges,
+    so every part is dangling and its rank is spread uniformly each
+    round: update = (1-d) + d*(sum_in + dangling_mass/n_nodes), the
+    conventional web-crawl authority formulation (VERDICT r9 item 6).
+    Costs one extra global aggregate per iteration (the dangling rank
+    sum, cross-joined back as a 1-row broadcast — never collected
+    per round).  The oracle unrolls the 3 iterations with the same
+    dangling term.  Top-20 by ROUNDED rank with id tiebreak."""
+    from spectrify_spark.operators.graph import pagerank
+
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_partkey")
+    sup = F.col("l_suppkey").cast("long") * F.lit(2)
+    prt = F.col("l_partkey").cast("long") * F.lit(2) + F.lit(1)
+    edges = li.select(sup.alias("src"), prt.alias("dst"))
+    ranks = pagerank(edges, iters=3, damping=0.85, redistribute_dangling=True)
+    return (
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
+
+
 def q_split_temporal(spark, sf):
     """Leakage-free temporal split with a 1-day embargo
     (sampling.split_temporal): train strictly before the cutoff, test
@@ -3906,6 +3931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
+        # -- born r10: past the window (new keys never displace
+        #    overdue); owes its first driver row in a later rotation
+        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
     }
 
 
@@ -6126,6 +6154,66 @@ def oracle_sql() -> dict[str, str]:
                      SELECT ce.dst AS id, SUM(r2.rank * ce.w) AS v
                      FROM ce JOIN r2 ON r2.id = ce.src
                      GROUP BY ce.dst) s USING (id))
+            SELECT id, ROUND(rank, 6) AS rank FROM r3
+            ORDER BY ROUND(rank, 6) DESC, id
+            LIMIT 20
+        """,
+        # dangling-mass redistribution over the DIRECTED supplier->part
+        # graph: parts have no out-edges, so each round adds
+        # d * (sum over dangling ranks) / n_nodes uniformly — the same
+        # unrolled-CTE structure with one extra scalar per round
+        "q_graph_pagerank_dangling": """
+            WITH edges AS (
+              SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
+                              CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+              FROM lineitem),
+            nodes AS (SELECT DISTINCT src AS id FROM edges
+                      UNION SELECT DISTINCT dst AS id FROM edges),
+            ce AS (
+              SELECT e.src, e.dst, CAST(1 AS DOUBLE) / d.outdeg AS w
+              FROM edges e JOIN (
+                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+              ) d ON d.src = e.src),
+            dang AS (SELECT id FROM nodes
+                     WHERE id NOT IN (SELECT DISTINCT src FROM edges)),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT id, CAST(1 AS DOUBLE) AS rank FROM nodes),
+            r1 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * (COALESCE(s.v, 0) + dm.m / nn.n)
+                            AS rank
+                   FROM nodes n
+                   LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r0.rank * ce.w) AS v
+                     FROM ce JOIN r0 ON r0.id = ce.src
+                     GROUP BY ce.dst) s USING (id)
+                   CROSS JOIN (SELECT COALESCE(SUM(r0.rank), 0) AS m
+                               FROM r0 JOIN dang USING (id)) dm
+                   CROSS JOIN nn),
+            r2 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * (COALESCE(s.v, 0) + dm.m / nn.n)
+                            AS rank
+                   FROM nodes n
+                   LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r1.rank * ce.w) AS v
+                     FROM ce JOIN r1 ON r1.id = ce.src
+                     GROUP BY ce.dst) s USING (id)
+                   CROSS JOIN (SELECT COALESCE(SUM(r1.rank), 0) AS m
+                               FROM r1 JOIN dang USING (id)) dm
+                   CROSS JOIN nn),
+            r3 AS (SELECT n.id,
+                          (CAST(1 AS DOUBLE) - 0.85)
+                            + 0.85 * (COALESCE(s.v, 0) + dm.m / nn.n)
+                            AS rank
+                   FROM nodes n
+                   LEFT JOIN (
+                     SELECT ce.dst AS id, SUM(r2.rank * ce.w) AS v
+                     FROM ce JOIN r2 ON r2.id = ce.src
+                     GROUP BY ce.dst) s USING (id)
+                   CROSS JOIN (SELECT COALESCE(SUM(r2.rank), 0) AS m
+                               FROM r2 JOIN dang USING (id)) dm
+                   CROSS JOIN nn)
             SELECT id, ROUND(rank, 6) AS rank FROM r3
             ORDER BY ROUND(rank, 6) DESC, id
             LIMIT 20

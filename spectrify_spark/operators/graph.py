@@ -36,18 +36,27 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge table.
 
     Uses the unnormalized convention (init rank 1.0, update
     ``(1 - d) + d * sum(in-contributions)``) so ranks are O(1)
     regardless of graph size — mean rank ~1 — which keeps rounded
-    outputs comparable across scale factors.  Dangling-node mass is
-    NOT redistributed (the classic simplified formulation): a node
-    with no out-edges contributes nothing, a node with no in-edges
-    settles at ``1 - d``.  Fixed ``iters`` (not convergence-tested)
-    keeps the computation a deterministic, oracle-checkable function
-    of the input.
+    outputs comparable across scale factors.  By default dangling-node
+    mass is NOT redistributed (the classic simplified formulation): a
+    node with no out-edges contributes nothing, a node with no
+    in-edges settles at ``1 - d``.  With
+    ``redistribute_dangling=True`` each round spreads the summed rank
+    of out-edge-less nodes uniformly — update becomes
+    ``(1 - d) + d * (sum_in + dangling_mass / n_nodes)`` — the
+    conventional web-crawl authority formulation (mass is conserved up
+    to the damping leak).  Cost: ONE extra global aggregate per
+    iteration (the dangling-rank sum, a 1-row DataFrame cross-joined
+    back in as a broadcast — never collected per-round to the driver)
+    plus a one-time node count.  Fixed ``iters`` (not
+    convergence-tested) keeps the computation a deterministic,
+    oracle-checkable function of the input.
 
     Scale shape per iteration: ranks ⋈ edges on ``src`` (both sides
     hash-partitioned on the join key; edges persisted so the big side
@@ -98,6 +107,20 @@ def pagerank(
     )
     contrib_edges.persist()
 
+    dangling = None
+    n_nodes = None
+    if redistribute_dangling:
+        # nodes with zero out-edges; their per-round rank sum is the
+        # redistributed mass.  One-time count (driver-side scalar) —
+        # the per-round sum stays a 1-row DataFrame.
+        dangling = _truncate_lineage(
+            nodes.join(
+                e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+            )
+        )
+        dangling.persist()
+        n_nodes = nodes.count()
+
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
     for _ in range(iters):
         sums = (
@@ -108,18 +131,40 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = _truncate_lineage(
-            nodes.join(sums, "id", "left").select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
+        base = nodes.join(sums, "id", "left")
+        if redistribute_dangling:
+            dm = (
+                ranks.join(dangling, "id", "leftsemi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
-        )
+            ranks = _truncate_lineage(
+                base.crossJoin(F.broadcast(dm)).select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__in"), F.lit(0.0))
+                            + F.col("__dm") / F.lit(float(n_nodes))
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = _truncate_lineage(
+                base.select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
     e.unpersist()
     nodes.unpersist()
     contrib_edges.unpersist()
+    if dangling is not None:
+        dangling.unpersist()
     return ranks
 
 

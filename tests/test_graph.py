@@ -193,3 +193,40 @@ def test_triangle_count_celebrity_hub(spark):
     # ring edges: (i, i+1) for i in 1..999; both endpoints hub-adjacent
     # except the two edges touching the hub itself -> 999 - 2 = 997
     assert triangle_count(edges).collect()[0].n_triangles == 997
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """redistribute_dangling=True matches a hand-iterated reference on
+    a small graph with a dangling node, and conserves total mass at
+    N * (1-d) + d * N = N (no damping leak when mass is recycled)."""
+    from spectrify_spark.operators.graph import pagerank
+
+    # 1 -> 2, 1 -> 3, 2 -> 3 ; 3 is dangling
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src bigint, dst bigint"
+    )
+    d, n = 0.85, 3.0
+    r = {1: 1.0, 2: 1.0, 3: 1.0}
+    for _ in range(3):
+        dm = r[3]
+        r = {
+            1: (1 - d) + d * (dm / n),
+            2: (1 - d) + d * (r[1] / 2 + dm / n),
+            3: (1 - d) + d * (r[1] / 2 + r[2] + dm / n),
+        }
+    got = {
+        row.id: row.rank
+        for row in pagerank(
+            edges, iters=3, damping=0.85, redistribute_dangling=True
+        ).collect()
+    }
+    assert got.keys() == r.keys()
+    for k in r:
+        assert abs(got[k] - r[k]) < 1e-12
+    assert abs(sum(got.values()) - n) < 1e-9
+    # default (no redistribution) loses the dangling mass: sum < N
+    got0 = {
+        row.id: row.rank
+        for row in pagerank(edges, iters=3, damping=0.85).collect()
+    }
+    assert sum(got0.values()) < n - 0.1

@@ -3630,6 +3630,54 @@ def q_graph_pagerank_dangling(spark, sf):
     )
 
 
+#: Product-quantization fixture: data-independent seeded codebooks
+#: (M=4 subspaces x K=16 codes x dsub=16 over the dim-64 embeddings)
+#: and a seeded query vector — shared verbatim by the Spark operator
+#: and the DuckDB oracle, the deterministic_planes pattern.
+_PQ = {"m": 4, "k": 16, "dsub": 16}
+
+
+def _pq_books():
+    from spectrify_spark.operators.quantization import deterministic_codebooks
+
+    return deterministic_codebooks(_PQ["m"], _PQ["k"], _PQ["dsub"])
+
+
+def _pq_query():
+    from spectrify_spark.operators.quantization import deterministic_codebooks
+
+    return deterministic_codebooks(1, 1, _PQ["m"] * _PQ["dsub"], seed=99)[0][0]
+
+
+def q_embed_pq(spark, sf):
+    """Product quantization over the embeddings table
+    (operators/quantization.py): every dim-64 float vector compresses
+    to 4 uint8 codes (64x), each subvector snapped to its nearest of
+    16 per-subspace codebook entries, then EVERY row is ADC-scored
+    against a fixed query — distance is 4 lookup-table reads, the
+    float vectors never touched after encode.  This is the 100 TB
+    memory lever for similarity search (Jegou et al., TPAMI 2011).
+    Plan shape: codebooks and LUT ride one-row broadcast parameter
+    tables (the r10 de-literalization pattern), encode + score are
+    row-local folds — zero shuffle, zero UDF, plan size flat in
+    M x K x dim.  The oracle unrolls the same codebook literals with
+    left-to-right sums, so codes AND distances match bit-for-bit
+    (codes as 4 int columns; adc_dist rounded to 6)."""
+    from spectrify_spark.operators import quantization as Q
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    enc = Q.pq_encode(e, _pq_books())
+    scored = Q.pq_adc_scores(enc, _pq_books(), _pq_query())
+    return scored.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("pq_code"), m + 1).alias(f"code_{m}")
+            for m in range(_PQ["m"])
+        ],
+        "adc_dist",
+    ).orderBy("vec_id")
+
+
 def q_split_temporal(spark, sf):
     """Leakage-free temporal split with a 1-day embargo
     (sampling.split_temporal): train strictly before the cutoff, test
@@ -3932,8 +3980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
         # -- born r10: past the window (new keys never displace
-        #    overdue); owes its first driver row in a later rotation
+        #    overdue); owe their first driver rows in a later rotation
         "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
+        "q_embed_pq": q_embed_pq,
     }
 
 
@@ -4065,6 +4114,46 @@ _Z_TERMS = " | ".join(
     f"(((zx >> {b}) & 1) << {2 * b}) | (((zy >> {b}) & 1) << {2 * b + 1})"
     for b in range(16)
 )
+
+
+def _sql_pq() -> str:
+    """DuckDB replica of the full PQ pipeline: the SAME seeded
+    codebooks and query as q_embed_pq embedded as SQL literals
+    (repr() round-trips the exact IEEE double), per-subspace
+    squared-L2 distances unrolled with left-to-right sums (matching
+    the Spark fold's association order bit-for-bit), argmin via
+    list_position(list_min) — the same first-index tie rule as the
+    strict-< fold — and ADC distance as literal-LUT lookups."""
+    from spectrify_spark.operators.quantization import adc_lookup_table
+
+    books, qv = _pq_books(), _pq_query()
+    m, dsub = _PQ["m"], _PQ["dsub"]
+    dlists = []
+    for mi in range(m):
+        ds = []
+        for code in books[mi]:
+            terms = " + ".join(
+                f"(embedding[{mi * dsub + j + 1}] - ({c!r}))"
+                f" * (embedding[{mi * dsub + j + 1}] - ({c!r}))"
+                for j, c in enumerate(code)
+            )
+            ds.append(f"({terms})")
+        dlists.append("[" + ", ".join(ds) + "]")
+    lut = adc_lookup_table(books, qv)
+    lut_lists = ["[" + ", ".join(repr(x) for x in row) + "]" for row in lut]
+    d_cols = ", ".join(f"{dl} AS d{mi}" for mi, dl in enumerate(dlists))
+    code_cols = ", ".join(
+        f"list_position(d{mi}, list_min(d{mi})) - 1 AS code_{mi}"
+        for mi in range(m)
+    )
+    adc = " + ".join(f"({lut_lists[mi]})[code_{mi} + 1]" for mi in range(m))
+    return f"""
+        WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
+        codes AS (SELECT vec_id, {code_cols} FROM enc)
+        SELECT vec_id, code_0, code_1, code_2, code_3,
+               ROUND({adc}, 6) AS adc_dist
+        FROM codes ORDER BY vec_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4987,6 +5076,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hd3_pigeonhole_ok
         """,
         "q_dedup_embed": _sql_dedup_embed(),
+        "q_embed_pq": _sql_pq(),
         "q_sim_ivf": """
             SELECT CAST(10 AS BIGINT) AS k,
                    vec_id AS brute_top1_id,

@@ -661,12 +661,11 @@ _PARAMS_FILE = "_spectrify_index_params.json"
 
 
 def _index_fs(spark, path: str):
-    """(Hadoop FileSystem, Path) for ``path`` — scheme-agnostic, so
-    sidecar read/write works wherever Spark can reach (local, HDFS,
-    S3A)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+    """(Hadoop FileSystem, Path, jvm) for ``path`` — scheme-agnostic
+    (shared impl in :mod:`spectrify_spark.operators._sidecar`)."""
+    from spectrify_spark.operators._sidecar import index_fs
+
+    return index_fs(spark, path)
 
 
 def write_index_params(spark, path: str, params: dict) -> None:
@@ -675,31 +674,17 @@ def write_index_params(spark, path: str, params: dict) -> None:
     was ACTUALLY built with instead of trusting the caller to repeat
     the same flags (a mismatched ``n_buckets`` silently prunes the
     wrong partitions)."""
-    import json
+    from spectrify_spark.operators._sidecar import write_json_sidecar
 
-    fs, _, jvm = _index_fs(spark, path)
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(path, _PARAMS_FILE), True)
-    try:
-        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
-    finally:
-        out.close()
+    write_json_sidecar(spark, path, _PARAMS_FILE, params)
 
 
 def read_index_params(spark, path: str) -> dict | None:
     """Load the build-parameter sidecar, or ``None`` for a pre-sidecar
     (legacy) index dir."""
-    import json
+    from spectrify_spark.operators._sidecar import read_json_sidecar
 
-    fs, _, jvm = _index_fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(path, _PARAMS_FILE)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        data = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    return json.loads(data.decode())
+    return read_json_sidecar(spark, path, _PARAMS_FILE)
 
 
 def write_band_index(

@@ -1,0 +1,314 @@
+"""Product quantization (PQ) for embedding columns.
+
+The 100 TB memory lever for similarity search: a ``dim`` float32
+vector (256 B at dim=64) compresses to ``m_subspaces`` uint8 codes
+(4 B at M=4) — 64x — by splitting the vector into M contiguous
+subvectors and snapping each to its nearest entry in a per-subspace
+codebook of K centroids (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011).  Queries then score compressed
+codes with ASYMMETRIC DISTANCE COMPUTATION (ADC): a driver-side
+M x K lookup table of (query-subvector -> centroid) distances turns
+each candidate's distance into M table lookups — no decompression,
+no float vector ever read.
+
+Spark shapes (no Python in any per-row path):
+
+- codebooks and ADC lookup tables ride the one-row broadcast
+  parameter-table pattern (cf. ``similarity._centroid_frame``): plan
+  size flat in M x K x dim;
+- encoding is a row-local ``transform`` over subspaces with an
+  argmin fold over codes — zero shuffle, zero UDF;
+- ADC scoring is a row-local fold summing M lookups, then a global
+  top-k (TakeOrderedAndProject).
+
+``deterministic_codebooks`` (seeded, data-independent) pairs with the
+DuckDB oracle exactly like ``dedup.deterministic_planes``;
+``pq_train`` fits real codebooks with per-subspace Lloyd's
+iterations for production use.  The reference has no quantization
+surface (its engine delegates all query execution to
+Redshift/Spectrum); this extends the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def deterministic_codebooks(
+    m_subspaces: int,
+    n_codes: int,
+    dsub: int,
+    seed: int = 7,
+    scale: float = 0.125,
+) -> list[list[list[float]]]:
+    """Seeded pseudo-random codebooks ``[m][k][dsub]`` (pure python,
+    reproducible; ``scale`` matched to the embedding component std so
+    codes cover the data range)."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, scale) for _ in range(dsub)] for _ in range(n_codes)]
+        for _ in range(m_subspaces)
+    ]
+
+
+def _codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """One-row broadcast parameter table: ``__cb[m][k][j]`` double."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("need at least one subspace with one code")
+    row = ([[ [float(x) for x in code] for code in sub] for sub in codebooks],)
+    return spark.createDataFrame([row], "__cb array<array<array<double>>>")
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance of two array columns, summed left-to-right
+    (the fold order the DuckDB oracle unrolls literally)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``out_col``: array<int> of length M — per-subspace argmin
+    squared-L2 code (first index wins exact ties, same rule as
+    ``similarity.assign_partitions``).  Row-local; the codebooks enter
+    as one broadcast row, so plan size is flat in M x K x dsub."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("need at least one subspace with one code")
+    m, k = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = F.col("__cb")
+    cent = _codebook_frame(df.sparkSession, codebooks)
+
+    def sub_code(mi):
+        # mi is 1-based subspace index (Column); slice is 1-based
+        sub = F.slice(F.col(vec_col), (mi - 1) * dsub + 1, dsub)
+        best = F.aggregate(
+            F.sequence(F.lit(1), F.lit(k)),
+            F.struct(F.lit(float("inf")).alias("d"), F.lit(0).alias("i")),
+            lambda acc, ki: F.element_at(
+                F.transform(
+                    F.array(_sq_l2(sub, F.element_at(F.element_at(cb, mi), ki))),
+                    lambda d: F.when(
+                        d < acc["d"], F.struct(d.alias("d"), ki.alias("i"))
+                    ).otherwise(acc),
+                ),
+                1,
+            ),
+        )
+        return best["i"] - F.lit(1)  # 0-based code
+
+    codes = F.transform(F.sequence(F.lit(1), F.lit(m)), sub_code)
+    return (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn(out_col, codes)
+        .drop("__cb")
+    )
+
+
+def adc_lookup_table(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """Driver-side M x K table of squared-L2 distances from each query
+    subvector to each codebook entry — O(M*K*dsub) floats, computed
+    once per query (left-to-right sums, oracle-identical)."""
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    lut = []
+    for mi in range(m):
+        q_sub = [float(x) for x in query_vec[mi * dsub : (mi + 1) * dsub]]
+        row = []
+        for code in codebooks[mi]:
+            acc = 0.0
+            for qx, cx in zip(q_sub, code):
+                acc = acc + (qx - float(cx)) * (qx - float(cx))
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_scores(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ADC distance of EVERY encoded row to ``query_vec``:
+    distance = sum over subspaces of ``lut[m][code[m]]`` — M array
+    lookups per row against the broadcast LUT.  The compressed table
+    is the ONLY thing scanned.  Output: (id, code_col, adc_dist)."""
+    m = len(codebooks)
+    lut_rows = adc_lookup_table(codebooks, query_vec)
+    spark = encoded.sparkSession
+    lut = spark.createDataFrame([(lut_rows,)], "__lut array<array<double>>")
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), mi),
+            F.element_at(F.col(code_col), mi) + F.lit(1),
+        ),
+    )
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return encoded.crossJoin(F.broadcast(lut)).select(
+        F.col(id_col), F.col(code_col), dist.alias("adc_dist")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate nearest neighbours of ``query_vec`` by ADC
+    (:func:`pq_adc_scores`) with a global ascending top-k — a
+    TakeOrderedAndProject, never a full sort (ties broken by id)."""
+    return (
+        pq_adc_scores(
+            encoded,
+            codebooks,
+            query_vec,
+            id_col=id_col,
+            code_col=code_col,
+            round_digits=round_digits,
+        )
+        .select(id_col, "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m_subspaces: int,
+    n_codes: int,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Fit per-subspace codebooks with Lloyd's iterations — the
+    production path (deterministic: seeded from the data via the same
+    xxhash64 sample rule as ``similarity.choose_centroids``).
+
+    Distributed shape per iteration: ONE pass assigns every
+    subvector of every row (pq_encode), ONE groupBy((m, code), pos)
+    recomputes means — cost independent of M because subspaces ride
+    the same rows.  Only the M x K x dsub codebook (the model) visits
+    the driver between iterations."""
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if probe is None:
+            raise ValueError("pq_train: empty input")
+        dim = probe["n"]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    # seed: K hash-sampled vectors, split into their M subvectors
+    seeds = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"pq_train: need >= {n_codes} vectors to seed, got {len(seeds)}"
+        )
+    books = [
+        [
+            [float(x) for x in r[vec_col][mi * dsub : (mi + 1) * dsub]]
+            for r in seeds
+        ]
+        for mi in range(m_subspaces)
+    ]
+    for _ in range(iters):
+        enc = pq_encode(df, books, vec_col=vec_col, out_col="__code")
+        means = (
+            enc.select(
+                F.posexplode("__code").alias("__m", "__k"),
+                F.col(vec_col).alias("__v"),
+            )
+            .select(
+                "__m",
+                "__k",
+                F.posexplode(
+                    F.slice(F.col("__v"), F.col("__m") * dsub + 1, dsub)
+                ).alias("__j", "__x"),
+            )
+            .groupBy("__m", "__k", "__j")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__mean"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["__m"], r["__k"]), {})[r["__j"]] = r["__mean"]
+        books = [
+            [
+                [
+                    got.get((mi, ki), {}).get(j, books[mi][ki][j])
+                    for j in range(dsub)
+                ]
+                for ki in range(n_codes)
+            ]
+            for mi in range(m_subspaces)
+        ]
+    return books
+
+
+def reconstruction_mse(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of PQ-encoding ``df`` — the
+    codebook quality metric (lower = tighter quantization)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(df, codebooks, vec_col=vec_col, out_col="__code")
+    cb = F.col("__cb")
+    err = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + _sq_l2(
+            F.slice(F.col(vec_col), (mi - 1) * dsub + 1, dsub),
+            F.element_at(
+                F.element_at(cb, mi), F.element_at(F.col("__code"), mi) + F.lit(1)
+            ),
+        ),
+    )
+    row = (
+        enc.crossJoin(F.broadcast(_codebook_frame(df.sparkSession, codebooks)))
+        .agg(F.avg(err).alias("mse"))
+        .first()
+    )
+    return float(row["mse"])
+
+
+__all__ = [
+    "deterministic_codebooks",
+    "pq_encode",
+    "adc_lookup_table",
+    "pq_adc_topk",
+    "pq_train",
+    "reconstruction_mse",
+]

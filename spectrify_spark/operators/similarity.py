@@ -343,20 +343,121 @@ def cluster_sizes(
     )
 
 
+#: sidecar recording the centroids (and cell column) an IVF index was
+#: built with — underscore prefix keeps it invisible to parquet scans
+_IVF_SIDECAR = "_spectrify_ivf_centroids.json"
+
+
 def write_ivf_index(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     path: str,
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the IVF index as parquet partitioned by cell.
 
     This is the 100 TB read path: a probe with ``nprobe`` cells becomes
     a partition-pruned scan touching nprobe/C of the data — the filter
-    on the partition column never reads the other cells' files."""
+    on the partition column never reads the other cells' files.
+
+    The centroids are persisted as a JSON sidecar, making the index
+    self-contained: probes and appends load them back with
+    :func:`read_ivf_centroids` instead of trusting the caller to keep
+    the exact driver-side list around (centroids that drift from the
+    build silently probe the wrong cells).  ``mode="append"`` assigns
+    a delta WITH THE INDEX'S OWN stored centroids required to match
+    (raises otherwise) and adds its rows into the same partition grid
+    — the daily-increment path; fold per-append files periodically
+    with :func:`compact_ivf_index`."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_ivf_index: mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
+    payload = {
+        "cell_col": cell_col,
+        "centroids": [[int(cid), [float(x) for x in vec]] for cid, vec in centroids],
+    }
+    if mode == "append":
+        stored = _read_ivf_sidecar(spark, path)
+        if stored is not None and stored != payload:
+            raise ValueError(
+                "write_ivf_index: append centroids/cell_col differ from the "
+                "index's stored build (sidecar in "
+                f"{path}); rows assigned under different centroids land in "
+                "the wrong cells and probes miss them — use "
+                "append_ivf_index() to assign with the stored centroids"
+            )
     assigned = assign_partitions(df, centroids, vec_col, cell_col)
-    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(path)
+    assigned.write.mode(mode).partitionBy(cell_col).parquet(path)
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+
+    write_json_sidecar(spark, path, _IVF_SIDECAR, payload)
+
+
+def _read_ivf_sidecar(spark, path: str):
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    return read_json_sidecar(spark, path, _IVF_SIDECAR)
+
+
+def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]] | None:
+    """Centroids an IVF index was built with (from the sidecar), as the
+    same ``[(cid, vec), ...]`` shape every probe function takes;
+    ``None`` for a pre-sidecar (legacy) index."""
+    payload = _read_ivf_sidecar(spark, path)
+    if payload is None:
+        return None
+    return [(int(cid), [float(x) for x in vec]) for cid, vec in payload["centroids"]]
+
+
+def append_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector delta into an existing IVF index, assigning with
+    the index's OWN stored centroids — the increment path that cannot
+    drift from the build."""
+    spark = df.sparkSession
+    payload = _read_ivf_sidecar(spark, path)
+    if payload is None:
+        raise FileNotFoundError(
+            f"append_ivf_index: no centroid sidecar in {path!r} — build the "
+            "index with write_ivf_index first"
+        )
+    centroids = [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]]
+    write_ivf_index(
+        df, centroids, path, vec_col=vec_col, cell_col=payload["cell_col"], mode="append"
+    )
+
+
+def compact_ivf_index(spark, src: str, dst: str) -> None:
+    """Fold an appended-to IVF index into one file per cell partition
+    (same maintenance contract as ``dedup.compact_band_index``);
+    rewrite to a sibling and swap."""
+    import os
+
+    src_abs = os.path.realpath(src)
+    dst_abs = os.path.realpath(dst)
+    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+        raise ValueError(
+            f"compact_ivf_index: dst {dst!r} equals or is nested under src "
+            f"{src!r}; mode('overwrite') would destroy the index mid-read"
+        )
+    payload = _read_ivf_sidecar(spark, src)
+    cell_col = (payload or {}).get("cell_col", "ivf_cell")
+    (
+        spark.read.parquet(src)
+        .repartition(F.col(cell_col))
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(dst)
+    )
+    if payload is not None:
+        from spectrify_spark.operators._sidecar import write_json_sidecar
+
+        write_json_sidecar(spark, dst, _IVF_SIDECAR, payload)
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:
@@ -374,6 +475,9 @@ __all__ = [
     "ivf_knn_join",
     "kmeans_refine",
     "write_ivf_index",
+    "append_ivf_index",
+    "compact_ivf_index",
+    "read_ivf_centroids",
     "read_ivf_index",
     "dot",
     "norm",

@@ -1,0 +1,87 @@
+"""Product quantization: encode/ADC correctness, codebook training,
+and the zero-shuffle plan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spectrify_spark.operators import quantization as Q
+
+
+def _vecs(spark):
+    from spectrify_spark.sources.parquet import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """Spark's per-subspace argmin fold == NumPy brute-force argmin
+    (first index on ties) for every row."""
+    import numpy as np
+
+    e = _vecs(spark)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    got = {
+        r.vec_id: list(r.pq_code)
+        for r in Q.pq_encode(e, books).select("vec_id", "pq_code").collect()
+    }
+    cb = np.array(books)  # (4, 16, 16)
+    for r in e.collect():
+        v = np.array(r.embedding, dtype=np.float64).reshape(4, 16)
+        want = [
+            int(np.argmin(((cb[m] - v[m]) ** 2).sum(axis=1))) for m in range(4)
+        ]
+        assert got[r.vec_id] == want
+
+
+def test_pq_adc_topk_ranks_query_first_and_bounds_error(spark):
+    """A corpus vector queried against its own corpus ranks itself
+    first under ADC, and ADC distance >= its own quantization cell
+    distance (ADC uses the code, not the raw vector)."""
+    e = _vecs(spark)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    enc = Q.pq_encode(e, books)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
+    top = Q.pq_adc_topk(enc, books, qv, k=5).collect()
+    assert top[0].vec_id == 7
+    assert all(
+        top[i].adc_dist <= top[i + 1].adc_dist for i in range(len(top) - 1)
+    )
+
+
+def test_pq_train_reduces_reconstruction_mse(spark):
+    """Lloyd's-refined codebooks quantize tighter than the seeded
+    deterministic ones on the same data."""
+    e = _vecs(spark)
+    det = Q.deterministic_codebooks(4, 16, 16)
+    trained = Q.pq_train(e, 4, 16, iters=2)
+    assert Q.reconstruction_mse(e, trained) < Q.reconstruction_mse(e, det)
+
+
+def test_pq_encode_plan_has_no_shuffle(spark):
+    """Encode + ADC scoring is map-side only: the two one-row
+    parameter tables arrive as BroadcastExchange, and NO shuffle
+    (Exchange hashpartitioning / rangepartitioning) appears — the
+    corpus is scanned once, in place."""
+    e = _vecs(spark)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    out = Q.pq_adc_scores(Q.pq_encode(e, books), books, [0.0] * 64)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pq_validation_errors(spark):
+    e = _vecs(spark)
+    with pytest.raises(ValueError, match="at least one"):
+        Q.pq_encode(e, [])
+    with pytest.raises(ValueError, match="divisible"):
+        Q.pq_train(e, m_subspaces=5, n_codes=4, iters=1)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        Q.pq_train(empty, 4, 4, iters=1)

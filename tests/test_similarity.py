@@ -120,3 +120,54 @@ def test_ivf_partial_probe_is_subset_scan(spark):
     assigned = SIM.assign_partitions(df, cents)
     out = SIM.ivf_topk(assigned, cents, [1.0, 0.0, 0.0], k=5, nprobe=1)
     assert 0 < out.count() <= 5
+
+
+def test_ivf_index_append_and_sidecar(spark, sf_dir, tmp_path):
+    """IVF index maintenance mirrors the band index: centroids persist
+    in a sidecar, appends assign with the stored centroids and leave
+    the index row-identical to a from-scratch build, compaction folds
+    to one file per cell, and mismatched append centroids raise."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") < 300)
+    delta = e.filter(F.col("vec_id") >= 300)
+    cents = SIM.choose_centroids(base, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(base, cents, path)
+    assert SIM.read_ivf_centroids(spark, path) == [
+        (c, [float(x) for x in v]) for c, v in cents
+    ]
+
+    SIM.append_ivf_index(delta, path)
+    scratch = str(tmp_path / "scratch")
+    SIM.write_ivf_index(e, cents, scratch)
+
+    def rowset(p):
+        return {
+            (r.vec_id, r.ivf_cell)
+            for r in spark.read.parquet(p).select("vec_id", "ivf_cell").collect()
+        }
+
+    assert rowset(path) == rowset(scratch)
+
+    compacted = str(tmp_path / "compacted")
+    SIM.compact_ivf_index(spark, path, compacted)
+    assert rowset(compacted) == rowset(scratch)
+    cells = glob.glob(f"{compacted}/ivf_cell=*")
+    assert cells and all(len(glob.glob(f"{c}/*.parquet")) == 1 for c in cells)
+    assert SIM.read_ivf_centroids(spark, compacted) == SIM.read_ivf_centroids(
+        spark, path
+    )
+
+    other = SIM.choose_centroids(base, n_centroids=3)
+    with pytest.raises(ValueError, match="stored build"):
+        SIM.write_ivf_index(delta, other, path, mode="append")
+    with pytest.raises(FileNotFoundError):
+        SIM.append_ivf_index(delta, str(tmp_path / "nope"))

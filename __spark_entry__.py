@@ -3678,6 +3678,54 @@ def q_embed_pq(spark, sf):
     ).orderBy("vec_id")
 
 
+def q_sim_ivfpq(spark, sf):
+    """IVF-PQ materialized-index ANN (quantization.write_ivfpq_index /
+    ivfpq_topk) — the FAISS architecture as a parquet layout: vectors
+    coarse-assigned to kmeans cells, PQ-encoded to 4 codes (64x), only
+    (id, code) written, partitioned by cell; probes scan nprobe/C of
+    the partitions (PartitionFilters, pinned by
+    tests/test_quantization.py) and ADC-score codes, never floats.
+
+    Oracle strategy: with nprobe = C (all cells probed) the IVF
+    partitioning drops out and the result is EXACTLY the global PQ
+    ADC top-10, which DuckDB recomputes from the same codebook/query
+    literals (the q_embed_pq machinery) — so the whole materialized
+    path (write -> sidecar -> partitioned scan -> ADC) is full-value
+    hash-checked.  The nprobe=2 pruned probe's invariants ride along
+    as measured booleans: it returns <= k rows and its best distance
+    can only be >= the full probe's (pruning loses candidates, never
+    invents them)."""
+    import tempfile
+
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    work = tempfile.mkdtemp(prefix="q_sim_ivfpq_")
+    Q.write_ivfpq_index(e, cents, _pq_books(), f"{work}/idx")
+    qv = _pq_query()
+    full = Q.ivfpq_topk(spark, f"{work}/idx", qv, k=10, nprobe=8)
+    pruned = Q.ivfpq_topk(spark, f"{work}/idx", qv, k=10, nprobe=2)
+    fmin = full.agg(F.min("adc_dist").alias("__fmin"))
+    pstats = pruned.agg(
+        F.min("adc_dist").alias("__pmin"), F.count(F.lit(1)).alias("__pn")
+    )
+    return (
+        full.crossJoin(F.broadcast(fmin))
+        .crossJoin(F.broadcast(pstats))
+        .select(
+            "vec_id",
+            "adc_dist",
+            (F.coalesce(F.col("__pmin") >= F.col("__fmin"), F.lit(True))).alias(
+                "pruned_no_better"
+            ),
+            (F.col("__pn") <= 10).alias("pruned_le_k"),
+        )
+        .orderBy("adc_dist", "vec_id")
+    )
+
+
 def q_split_temporal(spark, sf):
     """Leakage-free temporal split with a 1-day embargo
     (sampling.split_temporal): train strictly before the cutoff, test
@@ -3983,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    overdue); owe their first driver rows in a later rotation
         "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
         "q_embed_pq": q_embed_pq,
+        "q_sim_ivfpq": q_sim_ivfpq,
     }
 
 
@@ -4153,6 +4202,45 @@ def _sql_pq() -> str:
         SELECT vec_id, code_0, code_1, code_2, code_3,
                ROUND({adc}, 6) AS adc_dist
         FROM codes ORDER BY vec_id
+    """
+
+
+def _sql_ivfpq() -> str:
+    """DuckDB replica of q_sim_ivfpq's full (nprobe=C) probe: the
+    global PQ ADC top-10 from the same codebook/query literals as
+    :func:`_sql_pq` (the IVF partitioning drops out when every cell is
+    probed); the pruned-probe invariants are literal TRUE booleans the
+    Spark side measures."""
+    from spectrify_spark.operators.quantization import adc_lookup_table
+
+    books, qv = _pq_books(), _pq_query()
+    m, dsub = _PQ["m"], _PQ["dsub"]
+    dlists = []
+    for mi in range(m):
+        ds = []
+        for code in books[mi]:
+            terms = " + ".join(
+                f"(embedding[{mi * dsub + j + 1}] - ({c!r}))"
+                f" * (embedding[{mi * dsub + j + 1}] - ({c!r}))"
+                for j, c in enumerate(code)
+            )
+            ds.append(f"({terms})")
+        dlists.append("[" + ", ".join(ds) + "]")
+    lut = adc_lookup_table(books, qv)
+    lut_lists = ["[" + ", ".join(repr(x) for x in row) + "]" for row in lut]
+    d_cols = ", ".join(f"{dl} AS d{mi}" for mi, dl in enumerate(dlists))
+    code_cols = ", ".join(
+        f"list_position(d{mi}, list_min(d{mi})) - 1 AS code_{mi}"
+        for mi in range(m)
+    )
+    adc = " + ".join(f"({lut_lists[mi]})[code_{mi} + 1]" for mi in range(m))
+    return f"""
+        WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
+        codes AS (SELECT vec_id, {code_cols} FROM enc)
+        SELECT vec_id, ROUND({adc}, 6) AS adc_dist,
+               TRUE AS pruned_no_better, TRUE AS pruned_le_k
+        FROM codes ORDER BY ROUND({adc}, 6), vec_id
+        LIMIT 10
     """
 
 
@@ -5077,6 +5165,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_embed": _sql_dedup_embed(),
         "q_embed_pq": _sql_pq(),
+        "q_sim_ivfpq": _sql_ivfpq(),
         "q_sim_ivf": """
             SELECT CAST(10 AS BIGINT) AS k,
                    vec_id AS brute_top1_id,

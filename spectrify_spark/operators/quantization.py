@@ -304,11 +304,115 @@ def reconstruction_mse(
     return float(row["mse"])
 
 
+#: sidecar recording the coarse centroids + PQ codebooks of an IVF-PQ
+#: index — underscore prefix keeps it invisible to parquet scans
+_IVFPQ_SIDECAR = "_spectrify_ivfpq_model.json"
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize an IVF-PQ index: coarse-quantize every vector to its
+    nearest centroid cell (``similarity.assign_partitions``), PQ-encode
+    it, and write ONLY ``(id, pq_code)`` partitioned by cell — the
+    FAISS IVF-PQ architecture as a parquet layout.
+
+    This is the full 100 TB ANN story: a query probes ``nprobe`` of C
+    cell partitions (partition-pruned scan — nprobe/C of the files)
+    and ADC-scores 4-byte codes instead of 256-byte vectors, so the
+    scanned bytes drop by BOTH factors (~C/nprobe x ~64x).  The model
+    (centroids + codebooks) persists in a JSON sidecar, making probes
+    self-contained."""
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+    from spectrify_spark.operators.similarity import assign_partitions
+
+    assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
+    enc = pq_encode(assigned, codebooks, vec_col=vec_col, out_col="pq_code")
+    (
+        enc.select(id_col, cell_col, "pq_code")
+        .repartition(F.col(cell_col))
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+    write_json_sidecar(
+        df.sparkSession,
+        path,
+        _IVFPQ_SIDECAR,
+        {
+            "cell_col": cell_col,
+            "id_col": id_col,
+            "centroids": [
+                [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+            ],
+            "codebooks": [
+                [[float(x) for x in code] for code in sub] for sub in codebooks
+            ],
+        },
+    )
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a materialized IVF-PQ index: pick the
+    ``nprobe`` cells whose centroids score highest for the query
+    (driver-side over the sidecar model — C rows, tiny), scan ONLY
+    those cell partitions (``isin`` on the partition column prunes at
+    planning time), ADC-score the codes, ascending top-k.
+
+    Output: (id, adc_dist) — smaller distance = closer.  Recall is
+    bounded by nprobe (cells not probed are never seen) and by PQ
+    quantization error; both knobs trade accuracy for scan cost."""
+    import math
+
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    payload = read_json_sidecar(spark, path, _IVFPQ_SIDECAR)
+    if payload is None:
+        raise FileNotFoundError(
+            f"ivfpq_topk: no model sidecar in {path!r} — build with "
+            "write_ivfpq_index first"
+        )
+    centroids = payload["centroids"]
+    codebooks = payload["codebooks"]
+    cell_col, id_col = payload["cell_col"], payload["id_col"]
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+
+    def cos(vec):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, vec))
+        n = math.sqrt(sum(float(b) * float(b) for b in vec)) or 1.0
+        return d / (qn * n)
+
+    probe_cells = [
+        int(cid)
+        for cid, _ in sorted(centroids, key=lambda cv: -cos(cv[1]))[:nprobe]
+    ]
+    enc = spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
+    return pq_adc_topk(
+        enc, codebooks, query_vec, k=k, id_col=id_col, code_col="pq_code"
+    )
+
+
 __all__ = [
     "deterministic_codebooks",
     "pq_encode",
     "adc_lookup_table",
+    "pq_adc_scores",
     "pq_adc_topk",
     "pq_train",
     "reconstruction_mse",
+    "write_ivfpq_index",
+    "ivfpq_topk",
 ]

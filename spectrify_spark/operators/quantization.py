@@ -197,6 +197,72 @@ def pq_adc_topk(
     )
 
 
+def pq_adc_knn_join(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ADC top-k for MANY query vectors at once — the batched twin of
+    :func:`pq_adc_topk` (cf. ``similarity.knn_join_topk``).
+
+    The per-query lookup tables are computed JVM-side from the
+    broadcast codebook row (squared-L2 fold per (subspace, code)), so
+    the query table can be arbitrarily large without any driver-side
+    LUT loop; the corpus of codes never shuffles — only the per-query
+    top-k window runs over (corpus x queries) scored rows."""
+    from pyspark.sql import Window
+
+    if not codebooks or not codebooks[0]:
+        raise ValueError("need at least one subspace with one code")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cent = _codebook_frame(encoded.sparkSession, codebooks)
+    cb = F.col("__cb")
+    # lut[m][k] materialized per query row once, then reused across the
+    # corpus join — distance per candidate is M element_at lookups
+    lut = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda mi: F.transform(
+            F.element_at(cb, mi),
+            lambda code: _sq_l2(
+                F.slice(F.col(query_vec), (mi - 1) * dsub + 1, dsub), code
+            ),
+        ),
+    )
+    q = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(query_id, lut.alias("__lut"))
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), mi),
+            F.element_at(F.col(code_col), mi) + F.lit(1),
+        ),
+    )
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        F.col(query_id), F.col(id_col), dist.alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def pq_train(
     df: DataFrame,
     m_subspaces: int,
@@ -411,6 +477,7 @@ __all__ = [
     "adc_lookup_table",
     "pq_adc_scores",
     "pq_adc_topk",
+    "pq_adc_knn_join",
     "pq_train",
     "reconstruction_mse",
     "write_ivfpq_index",

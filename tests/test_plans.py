@@ -82,6 +82,19 @@ GOLDEN = {
     # (per-half-step lineage truncation) -> two TakeOrdered legs
     "q_graph_hits": dict(max_exchanges=1),
     "q_graph_pagerank_weighted": dict(max_exchanges=1, ban_bnlj=True),
+    # dangling-mass variant: same checkpointed-ranks read as pagerank
+    "q_graph_pagerank_dangling": dict(max_exchanges=1, ban_bnlj=True),
+    # PQ encode + ADC: the BNLJ is the designed one-row codebook/LUT
+    # broadcast (the r10 de-literalization); the single Exchange is
+    # the ordered full output, and the scan must stay 2 columns
+    "q_embed_pq": dict(
+        max_exchanges=1, joins=["BroadcastNestedLoopJoin"], max_scan_cols=2
+    ),
+    # IVF-PQ probe: code-only partitioned scans + broadcast model rows;
+    # zero shuffle end-to-end (top-k is TakeOrderedAndProject)
+    "q_sim_ivfpq": dict(
+        max_exchanges=0, joins=["BroadcastNestedLoopJoin"], max_scan_cols=2
+    ),
     # temporal split: the OR of timestamp-literal predicates MUST reach
     # the scan (that is the partition-pruning story at scale)
     "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),

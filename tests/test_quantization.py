@@ -152,3 +152,26 @@ def test_ivfpq_index_prunes_and_recalls(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         Q.ivfpq_topk(spark, str(tmp_path / "nope"), qv)
+
+
+def test_pq_adc_knn_join_matches_single_query_path(spark):
+    """The batched ADC join returns, for each query, exactly what
+    pq_adc_topk returns for that query alone (JVM-computed LUTs ==
+    driver-computed LUTs bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    e = _vecs(spark)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    enc = Q.pq_encode(e, books)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batched = {
+        (r.q_id, r.vec_id): r.adc_dist
+        for r in Q.pq_adc_knn_join(enc, books, qs, k=5).collect()
+    }
+    single = {}
+    for q in qs.collect():
+        for r in Q.pq_adc_topk(enc, books, [float(x) for x in q.q_vec], k=5).collect():
+            single[(q.q_id, r.vec_id)] = r.adc_dist
+    assert batched == single and len(batched) == 15

@@ -229,6 +229,33 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--text-col", default="text")
     nd.add_argument("--limit", type=int, default=100)
 
+    iv = sub.add_parser(
+        "index-ivfpq",
+        help="materialize an IVF-PQ ANN index over an embeddings "
+        "parquet: cell-partitioned 4-byte PQ codes + model sidecar",
+    )
+    iv.add_argument("source", help="parquet with (id, vector) columns")
+    iv.add_argument("dest", help="index output dir")
+    iv.add_argument("--n-centroids", type=int, default=8)
+    iv.add_argument("--m-subspaces", type=int, default=4)
+    iv.add_argument("--n-codes", type=int, default=16)
+    iv.add_argument("--train-iters", type=int, default=1)
+    iv.add_argument("--id-col", default="vec_id")
+    iv.add_argument("--vec-col", default="embedding")
+
+    an = sub.add_parser(
+        "ann",
+        help="approximate nearest neighbours from an IVF-PQ index "
+        "(query vector looked up by id in SOURCE)",
+    )
+    an.add_argument("index", help="dir written by index-ivfpq")
+    an.add_argument("source", help="parquet holding the query vector")
+    an.add_argument("--query-id", type=int, required=True)
+    an.add_argument("-k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+
     se = sub.add_parser(
         "search", help="BM25 keyword retrieval over a documents parquet"
     )
@@ -453,6 +480,62 @@ def main(argv: list[str] | None = None) -> int:
             mode="append" if args.append else "overwrite",
         )
         print(args.dest)
+    elif args.cmd == "index-ivfpq":
+        from spectrify_spark.operators import quantization as Q
+        from spectrify_spark.operators import similarity as SIM
+        from spectrify_spark.sources.parquet import read_table
+
+        src = read_table(spark, args.source)
+        cents = SIM.kmeans_refine(
+            src.withColumnRenamed(args.vec_col, "embedding")
+            .withColumnRenamed(args.id_col, "vec_id"),
+            SIM.choose_centroids(
+                src.withColumnRenamed(args.vec_col, "embedding")
+                .withColumnRenamed(args.id_col, "vec_id"),
+                n_centroids=args.n_centroids,
+            ),
+            iters=args.train_iters,
+        )
+        books = Q.pq_train(
+            src,
+            args.m_subspaces,
+            args.n_codes,
+            iters=args.train_iters,
+            vec_col=args.vec_col,
+        )
+        Q.write_ivfpq_index(
+            src,
+            cents,
+            books,
+            args.dest,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        print(args.dest)
+    elif args.cmd == "ann":
+        from pyspark.sql import functions as F
+
+        from spectrify_spark.operators import quantization as Q
+        from spectrify_spark.sources.parquet import read_table
+
+        row = (
+            read_table(spark, args.source)
+            .filter(F.col(args.id_col) == args.query_id)
+            .select(args.vec_col)
+            .first()
+        )
+        if row is None:
+            print(f"no row with {args.id_col}={args.query_id}", file=sys.stderr)
+            return 1
+        hits = Q.ivfpq_topk(
+            spark,
+            args.index,
+            [float(x) for x in row[args.vec_col]],
+            k=args.k,
+            nprobe=args.nprobe,
+        )
+        for r in hits.collect():
+            print(f"{r[0]}\t{r.adc_dist:.6f}")
     elif args.cmd == "near-dups":
         from spectrify_spark.operators.dedup import near_dup_pairs_indexed
         from spectrify_spark.sources.parquet import read_table

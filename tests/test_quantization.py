@@ -175,3 +175,27 @@ def test_pq_adc_knn_join_matches_single_query_path(spark):
         for r in Q.pq_adc_topk(enc, books, [float(x) for x in q.q_vec], k=5).collect():
             single[(q.q_id, r.vec_id)] = r.adc_dist
     assert batched == single and len(batched) == 15
+
+
+def test_cli_index_ivfpq_and_ann(spark, tmp_path, capsys):
+    """CLI drive of the ANN pair: index-ivfpq trains+writes the
+    partitioned code index, ann probes it by a source row's id and
+    prints (id, adc_dist) lines; with all cells probed the query ranks
+    itself first."""
+    from spectrify_spark import cli
+
+    idx = str(tmp_path / "ivfpq_idx")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    assert cli.main(["index-ivfpq", src, idx, "--n-centroids", "4"]) == 0
+    capsys.readouterr()
+    assert (
+        cli.main(["ann", idx, src, "--query-id", "7", "--nprobe", "4"]) == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 10
+    first_id, first_dist = out[0].split("\t")
+    assert int(first_id) == 7 and float(first_dist) >= 0.0
+    # missing query id -> exit 1
+    assert (
+        cli.main(["ann", idx, src, "--query-id", "999999"]) == 1
+    )

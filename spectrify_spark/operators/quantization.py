@@ -424,6 +424,39 @@ def write_ivfpq_index(
     )
 
 
+def append_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector delta into an existing IVF-PQ index, assigning
+    cells and encoding codes with the index's OWN stored model — the
+    increment path that cannot drift from the build (same contract as
+    ``similarity.append_ivf_index`` / the banded-dedup append)."""
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+    from spectrify_spark.operators.similarity import assign_partitions
+
+    spark = df.sparkSession
+    payload = read_json_sidecar(spark, path, _IVFPQ_SIDECAR)
+    if payload is None:
+        raise FileNotFoundError(
+            f"append_ivfpq_index: no model sidecar in {path!r} — build with "
+            "write_ivfpq_index first"
+        )
+    centroids = [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]]
+    codebooks = payload["codebooks"]
+    cell_col, id_col = payload["cell_col"], payload["id_col"]
+    assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
+    enc = pq_encode(assigned, codebooks, vec_col=vec_col, out_col="pq_code")
+    (
+        enc.select(id_col, cell_col, "pq_code")
+        .repartition(F.col(cell_col))
+        .write.mode("append")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+
+
 def ivfpq_topk(
     spark,
     path: str,
@@ -481,5 +514,6 @@ __all__ = [
     "pq_train",
     "reconstruction_mse",
     "write_ivfpq_index",
+    "append_ivfpq_index",
     "ivfpq_topk",
 ]

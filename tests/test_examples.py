@@ -44,3 +44,7 @@ def test_media_and_index_example(spark, sf_dir, tmp_path, capsys):
     _run("examples/media_and_index.py", [sf_dir, str(tmp_path / "media")])
     out = capsys.readouterr().out
     assert "media_and_index done" in out
+
+
+def test_incremental_indexes_example(sf_dir, tmp_path):
+    _run("examples/incremental_indexes.py", [sf_dir, str(tmp_path / "idx")])

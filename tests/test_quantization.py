@@ -199,3 +199,35 @@ def test_cli_index_ivfpq_and_ann(spark, tmp_path, capsys):
     assert (
         cli.main(["ann", idx, src, "--query-id", "999999"]) == 1
     )
+
+
+def test_append_ivfpq_index_matches_from_scratch(spark, tmp_path):
+    """append_ivfpq_index assigns+encodes the delta with the stored
+    model: two increments leave the index row-identical to a
+    from-scratch build over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _vecs(spark)
+    base = e.filter(F.col("vec_id") < 300)
+    d1 = e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    d2 = e.filter(F.col("vec_id") >= 400)
+    cents = SIM.kmeans_refine(base, SIM.choose_centroids(base, 4), iters=1)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    path = str(tmp_path / "idx")
+    Q.write_ivfpq_index(base, cents, books, path)
+    Q.append_ivfpq_index(d1, path)
+    Q.append_ivfpq_index(d2, path)
+    scratch = str(tmp_path / "scratch")
+    Q.write_ivfpq_index(e, cents, books, scratch)
+
+    def rowset(p):
+        return {
+            (r.vec_id, r.ivf_cell, tuple(r.pq_code))
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert rowset(path) == rowset(scratch)
+    with pytest.raises(FileNotFoundError):
+        Q.append_ivfpq_index(d1, str(tmp_path / "nope"))

@@ -3238,6 +3238,48 @@ def q_graph_triangles(spark, sf):
     return F.broadcast(n_edges).crossJoin(F.broadcast(tri))
 
 
+def q_graph_components(spark, sf):
+    """Connected components (graph.connected_components — alternating
+    large-star/small-star contraction, O(log n) rounds on ANY topology)
+    over the thresholded part co-occurrence graph: parts are adjacent
+    when they appear together in >= 2 distinct orders (the standard
+    noise floor that fragments a co-occurrence graph into real product
+    communities).  This is the generic-graph sibling of the
+    propagation kernel inside q_dedup_clusters: propagation is
+    O(component diameter) rounds — right for shallow LSH clusters,
+    unusable on link graphs with million-hop chains, where star
+    contraction converges in ~log2(n) rounds (tools/cc_rehearsal.py:
+    a diameter-4096 chain labels correctly in <= 25 star rounds while
+    propagation's same budget leaves it wrong).  Edge build is one
+    self-equi-join + one count agg; every contraction round is one
+    groupBy + one equi-join on the node id — the same shuffle key each
+    round.  Output: one row per component (label = min part key) with
+    its node count."""
+    from spectrify_spark.operators.graph import connected_components
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy(F.col("component").cast("bigint").alias("component"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("component")
+    )
+
+
 def q_sketch_cm(spark, sf):
     """Count-min sketch (sketches.cm_build/cm_merge/cm_point_estimates):
     the frequency-estimation member of the mergeable-sketch family
@@ -4032,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
         "q_embed_pq": q_embed_pq,
         "q_sim_ivfpq": q_sim_ivfpq,
+        "q_graph_components": q_graph_components,
     }
 
 
@@ -5135,6 +5178,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
             FROM ({_SQL_BRUTE_JACCARD})
             WHERE jaccard >= 0.5 AND id_a < 300 AND id_b < 300
+        """,
+        "q_graph_components": """
+            WITH RECURSIVE cooc AS (
+              SELECT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            edges AS (
+              SELECT a AS src, b AS dst FROM cooc
+              UNION SELECT b, a FROM cooc),
+            reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst),
+            labels AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id)
+            SELECT CAST(component AS BIGINT) AS component,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM labels GROUP BY 1 ORDER BY 1
         """,
         "q_dedup_clusters": f"""
             WITH RECURSIVE pairs AS (

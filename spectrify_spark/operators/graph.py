@@ -321,3 +321,111 @@ def triangle_count(
     closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
     tri = wedges.join(closing, ["ca", "cb"], "inner")
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the generic, topology-independent variant of
+    ``dedup.connected_components``.
+
+    Why a second algorithm: min-label propagation converges in
+    O(component diameter) rounds, which is the right trade for the
+    shallow clusters LSH emits, but a 100 TB web/link graph has weak
+    components containing million-hop chains — propagation would need
+    a million rounds.  Star contraction rewires edges instead of
+    spreading labels and converges in O(log n) rounds on ANY topology
+    (tools/cc_rehearsal.py measures a diameter-4096 chain: star
+    finishes where propagation's round budget is the diameter itself).
+
+    Per round, each star step is ONE groupBy + ONE equi-join keyed by
+    node id — the same shuffle key every round, so a cluster run reuses
+    the edge partitioning — and the state (the rewritten edge table) is
+    lineage-truncated so the per-round plan stays constant-size.
+    Convergence is detected by a one-pass (count, sum-of-hashes)
+    signature of the edge set instead of an exact equality anti-join:
+    the signature costs one aggregate over state already being
+    materialized, and a collision (probability ~2^-64 per round) could
+    only end the loop one round early on an almost-converged state.
+
+    - large-star: every node's HIGHER-id neighbors are re-pointed at
+      the minimum of its closed neighborhood;
+    - small-star: every node's LOWER-or-equal-id neighbors (and the
+      node itself) are re-pointed at that side's minimum.
+
+    Both steps preserve connectivity; the fixpoint is a union of star
+    graphs rooted at each component's minimum id.
+
+    Input: undirected edge table (duplicates and self-loops tolerated;
+    NULL endpoints dropped).  Output: ``(id, component)``, one row per
+    distinct node appearing in ``edges``, ``component`` = the minimum
+    node id in the component.  Node id type is preserved (any orderable
+    type works; ordering follows Spark's comparison for that type).
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropna()
+    # node set BEFORE the self-loop filter: a node whose only edge is a
+    # self-loop is isolated, not absent
+    nodes = _truncate_lineage(
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    e = _truncate_lineage(raw.filter(F.col("u") != F.col("v")).distinct())
+
+    def _signature(frame: DataFrame) -> tuple:
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes
+        # overflows under ANSI mode; decimal holds ~1e19 rows exactly
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(frame: DataFrame) -> DataFrame:
+        sym = frame.unionByName(
+            frame.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("__m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(frame: DataFrame) -> DataFrame:
+        o = frame.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        # every neighbor here is < u, so min over the closed
+        # neighborhood is just min(v)
+        j = o.join(o.groupBy("u").agg(F.min("v").alias("__m")), "u")
+        out = j.select(F.col("v").alias("u"), F.col("__m").alias("v")).unionByName(
+            j.select("u", F.col("__m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    sig = _signature(e)
+    for _ in range(max_iters):
+        e = _truncate_lineage(_small_star(_large_star(e)))
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint state is (node -> root) star edges; the defensive min
+    # costs one partial agg and guarantees one row per node even if the
+    # round budget ran out mid-contraction
+    star = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
+    return nodes.join(star, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

@@ -230,3 +230,88 @@ def test_pagerank_dangling_redistribution(spark):
         for row in pagerank(edges, iters=3, damping=0.85).collect()
     }
     assert sum(got0.values()) < n - 0.1
+
+
+# ---------------------------------------------------------------------------
+# connected_components (large-star / small-star contraction)
+
+
+def _py_components(edges):
+    """Union-find ground truth: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run_cc(spark, edges, **kw):
+    from spectrify_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r.id: r.component for r in connected_components(df, **kw).collect()}
+
+
+def test_cc_two_components_and_singleton_edge(spark):
+    out = _run_cc(spark, [(1, 2), (2, 3), (10, 11), (20, 20)])
+    # the self-loop node 20 still appears, labeled by itself
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cc_high_diameter_chain_converges_in_log_rounds(spark):
+    """A 256-hop chain: label propagation needs 256 rounds; star
+    contraction must finish inside the default 25-round budget (it
+    takes ~log n) and label every node with the chain head."""
+    edges = [(i, i + 1) for i in range(256)]
+    out = _run_cc(spark, edges)
+    assert set(out.values()) == {0}
+    assert len(out) == 257
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _py_components(edges)
+        assert _run_cc(spark, edges) == expected
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    out = _run_cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_cc_string_ids(spark):
+    out = _run_cc(spark, [("b", "a"), ("c", "b"), ("x", "y")])
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_agrees_with_propagation_kernel(spark):
+    """The two CC implementations (star contraction here, min-label
+    propagation in dedup.py) must agree on a graph shallow enough for
+    both."""
+    from spectrify_spark.operators.dedup import (
+        connected_components as prop_cc,
+    )
+
+    edges = [(1, 5), (5, 9), (2, 6), (6, 2), (9, 3)]
+    star = _run_cc(spark, edges)
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    prop = {r.id: r.cluster_id for r in prop_cc(pairs).collect()}
+    assert star == prop

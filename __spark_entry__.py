@@ -2146,6 +2146,47 @@ def q_stream_dedup(spark, sf):
     return _drain_scoped(spark, deduped, name, "append")
 
 
+def q_stream_enrich(spark, sf):
+    """Stream-static star-schema enrichment earning a driver row: the
+    event stream joined per microbatch against TWO static dims
+    (customer on user_id, then nation on the customer's nation key),
+    both broadcast (streaming/events.py::stream_static_enrich).  This
+    is the stateless third join shape next to the stream-stream
+    interval join and the CDC merge: no state store, no watermark —
+    the stream flows map-side through broadcast hash joins, so
+    enrichment throughput is decode-bound at any scale and the static
+    dims re-resolve each microbatch (SCD refresh without restart).
+    Drained availableNow to a memory sink; the enriched row set is
+    deterministic regardless of microbatch splits, and the oracle is
+    the identical batch star join."""
+    import uuid
+
+    from spectrify_spark.streaming import events as SE
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    name = f"q_stream_enrich_{uuid.uuid4().hex[:8]}"
+    src = SE.read_event_stream(spark, f"{sf}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey"), F.col("c_mktsegment")
+    )
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    enriched = SE.stream_static_enrich(
+        src, cust, src["user_id"] == cust["c_custkey"]
+    )
+    enriched = SE.stream_static_enrich(
+        enriched, nat, enriched["c_nationkey"] == nat["n_nationkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation"),
+    )
+    return _drain_scoped(spark, enriched, name, "append")
+
+
 def q_stream_cdc(spark, sf):
     """Streaming CDC apply earning a driver row: the q_merge_upsert
     changeset is written as a parquet change log, streamed with
@@ -4075,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_pq": q_embed_pq,
         "q_sim_ivfpq": q_sim_ivfpq,
         "q_graph_components": q_graph_components,
+        "q_stream_enrich": q_stream_enrich,
     }
 
 
@@ -5178,6 +5220,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
             FROM ({_SQL_BRUTE_JACCARD})
             WHERE jaccard >= 0.5 AND id_a < 300 AND id_b < 300
+        """,
+        "q_stream_enrich": """
+            SELECT e.event_id, e.user_id, e.event_type,
+                   c.c_mktsegment AS mktsegment, n.n_name AS nation
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         "q_graph_components": """
             WITH RECURSIVE cooc AS (

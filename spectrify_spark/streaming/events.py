@@ -234,6 +234,32 @@ def stream_convert_csv(
     return writer.start()
 
 
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: each microbatch of the stream is
+    joined against a STATIC dimension table (``on`` is a join Column
+    expression or key-name list), with a broadcast hint on the dim.
+
+    This is the third streaming-join shape next to the stream-stream
+    interval join (both sides moving, state-store-backed) and the CDC
+    foreachBatch merge (static side mutated): here the static side is
+    read-only per microbatch, so the join needs NO state store and no
+    watermark — the stream side flows map-side through a broadcast
+    hash join, the shape that survives any throughput.  The static
+    plan is re-resolved per microbatch, so a file-backed dim picks up
+    replaced data on the next batch (the slowly-changing-dimension
+    refresh pattern without restarts).  Only ``inner`` and
+    ``left_outer`` (stream side preserved) are supported by the
+    engine for stream-static joins; chain calls to enrich against a
+    star schema of several dims.
+    """
+    return stream_df.join(F.broadcast(dim), on, how)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821

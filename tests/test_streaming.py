@@ -258,3 +258,62 @@ def test_single_file_stream_ignores_prefix_siblings(spark, tmp_path):
     finally:
         q.stop()
     assert n == 100  # not 200: the .bak sibling is excluded
+
+
+def test_stream_static_enrich_equals_batch_and_is_stateless(spark, stream_dir):
+    """Stream-static broadcast enrichment: drained result equals the
+    batch join, and the query reports NO state operators (the whole
+    point of the shape — no state store, no watermark)."""
+    from pyspark.sql import functions as F
+    from spectrify_spark.sources.parquet import read_table
+
+    dim = spark.createDataFrame(
+        [(i, f"seg_{i % 3}") for i in range(15)], ["user_id", "segment"]
+    )
+    stream = SE.read_event_stream(spark, stream_dir).select(
+        "event_id", "user_id"
+    )
+    enriched = SE.stream_static_enrich(stream, dim, "user_id")
+    q = SE.run_to_memory_sink(enriched, "enrich_test", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_id, r.user_id, r.segment)
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        }
+        assert not q.lastProgress["stateOperators"], (
+            "stream-static join allocated state stores"
+        )
+    finally:
+        q.stop()
+    batch = read_table(spark, "/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id"
+    )
+    want = {
+        (r.event_id, r.user_id, r.segment)
+        for r in batch.join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "segment")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_static_enrich_left_outer_preserves_stream(spark, stream_dir):
+    """left_outer keeps unmatched stream rows with NULL dim columns."""
+    dim = spark.createDataFrame([(0, "zero")], ["user_id", "label"])
+    stream = SE.read_event_stream(spark, stream_dir).select(
+        "event_id", "user_id"
+    )
+    q = SE.run_to_memory_sink(
+        SE.stream_static_enrich(stream, dim, "user_id", how="left_outer"),
+        "enrich_lo_test",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM enrich_lo_test").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1000  # every stream row preserved
+    assert all(r.label is None for r in rows if r.user_id != 0)
+    assert all(r.label == "zero" for r in rows if r.user_id == 0)

@@ -64,6 +64,13 @@ GOLDEN = {
     "q_stream_media": dict(
         node="MapInPandas", wm_tag=False, stores=None, stateless=True
     ),
+    # stream-static star enrichment (r10): STATELESS by design — the
+    # static dims flow map-side as broadcast hash joins (no state
+    # store, no watermark); a regression to a shuffled sort-merge join
+    # (or a stateful stream-stream join) changes the pinned node
+    "q_stream_enrich": dict(
+        node="BroadcastHashJoin", wm_tag=False, stores=None, stateless=True
+    ),
 }
 
 _WM_TAG = re.compile(r"-T\d+ms")

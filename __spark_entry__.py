@@ -2120,6 +2120,29 @@ def q_dedup_lines(spark, sf):
     return out.withColumn("n_lines", F.col("n_lines").cast("bigint"))
 
 
+def q_dedup_spans(spark, sf):
+    """Cross-document duplicated-span coverage
+    (dedup.duplicate_span_stats): the window-granular approximation of
+    exact substring dedup (Lee et al. 2022) — a 5-token window shared
+    verbatim by >= 2 distinct docs marks a duplicated span, and each
+    doc is scored by the fraction of its token positions covered by
+    such spans.  Complements q_dedup_lines (repeated LINES, rewrite)
+    and q_dedup_near (whole-doc similarity): this is the
+    passage-level boilerplate signal that catches licence blocks and
+    spam templates straddling line boundaries.  Scale shape: one
+    window posexplode, ONE corpus-wide groupBy on the window string,
+    a window-keyed join back, a bounded x5 offsets explode on matched
+    windows only.  Fully value-hashed: the oracle recomputes every
+    window, the cross-doc occurrence counts, and the position-union
+    coverage in SQL."""
+    from spectrify_spark.operators.dedup import duplicate_span_stats
+
+    d = _t(spark, sf, "documents")
+    return duplicate_span_stats(
+        d, id_col="doc_id", text_col="text", window=5, min_docs=2
+    ).orderBy("doc_id")
+
+
 def q_stream_dedup(spark, sf):
     """Streaming exact dedup earning a driver row: at-least-once event
     ingestion deduplicated with ``dropDuplicatesWithinWatermark`` (state
@@ -4117,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_ivfpq": q_sim_ivfpq,
         "q_graph_components": q_graph_components,
         "q_stream_enrich": q_stream_enrich,
+        "q_dedup_spans": q_dedup_spans,
     }
 
 
@@ -5220,6 +5244,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
             FROM ({_SQL_BRUTE_JACCARD})
             WHERE jaccard >= 0.5 AND id_a < 300 AND id_b < 300
+        """,
+        "q_dedup_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            wins AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     array_to_string(t[i:i+4], ' ') AS w
+              FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS u(i)
+              WHERE len(t) >= 5
+              UNION ALL
+              SELECT doc_id, CAST(0 AS BIGINT), array_to_string(t, ' ')
+              FROM toks WHERE len(t) BETWEEN 1 AND 4),
+            shared AS (
+              SELECT w FROM wins GROUP BY w
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT wins.* FROM wins JOIN shared USING (w)),
+            perdoc AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+              FROM hits GROUP BY doc_id),
+            cov AS (
+              SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens
+              FROM (
+                SELECT h.doc_id, h.pos + o.off AS p
+                FROM hits h JOIN toks tk USING (doc_id),
+                     UNNEST(range(0, 5)) AS o(off)
+                WHERE h.pos + o.off < len(tk.t))
+              GROUP BY doc_id)
+            SELECT tk.doc_id,
+                   CAST(len(tk.t) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(p.n_shared_windows, 0) AS BIGINT)
+                     AS n_shared_windows,
+                   CAST(COALESCE(c.covered_tokens, 0) AS BIGINT)
+                     AS covered_tokens,
+                   ROUND(CASE WHEN len(tk.t) > 0
+                              THEN COALESCE(c.covered_tokens, 0) * 1.0 / len(tk.t)
+                              ELSE 0.0 END, 4) AS dup_frac
+            FROM toks tk
+            LEFT JOIN perdoc p USING (doc_id)
+            LEFT JOIN cov c USING (doc_id)
+            ORDER BY tk.doc_id
         """,
         "q_stream_enrich": """
             SELECT e.event_id, e.user_id, e.event_type,

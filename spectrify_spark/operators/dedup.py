@@ -942,3 +942,94 @@ def near_dup_pairs_indexed(
         .select("id_a", "id_b", "jaccard")
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage — the window-granular
+    approximation of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    k-token window is DUPLICATED when it occurs verbatim in >=
+    ``min_docs`` distinct documents, and each document is scored by
+    the fraction of its token positions covered by at least one
+    duplicated window.  ``dedup_lines`` catches repeated LINES; this
+    catches repeated passages regardless of line structure — the
+    boilerplate / licence-block / spam-template signal used to gate or
+    trim documents before training.
+
+    Scale shape: one posexplode of k-token windows (reusing
+    functions.text.shingles, which binds the token array once per
+    row), ONE groupBy on the window string for the cross-corpus
+    occurrence count (map-side partial agg before its single shuffle),
+    a window-keyed join back, then a bounded offsets explode (x k,
+    only on matched windows) + per-doc distinct-position count.  No
+    all-pairs stage; every shuffle keys on the window value or the doc
+    id.  Documents shorter than ``window`` tokens contribute their
+    full token string as one window (the shingles fallback), so exact
+    short-doc duplicates still register.
+
+    Output: (id_col, n_tokens, n_shared_windows, covered_tokens,
+    dup_frac), one row per input document; dup_frac is rounded to 4
+    places for engine-portable comparison.
+    """
+    toks_n = df.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("bigint").alias("n_tokens"),
+    )
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(F.col(text_col), window)).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    shared = (
+        wins.groupBy("w")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("w")
+    )
+    hits = wins.join(shared, "w")
+    per_doc = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_windows")
+    )
+    covered = (
+        hits.join(toks_n, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("pos").cast("bigint"),
+                    F.least(
+                        F.col("pos") + F.lit(window - 1), F.col("n_tokens") - 1
+                    ).cast("bigint"),
+                )
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("covered_tokens"))
+    )
+    return (
+        toks_n.join(per_doc, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("n_shared_windows", F.lit(0).cast("bigint")).alias(
+                "n_shared_windows"
+            ),
+            F.coalesce("covered_tokens", F.lit(0).cast("bigint")).alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

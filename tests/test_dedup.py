@@ -365,3 +365,64 @@ def test_band_index_sidecar_guards(spark, sf_dir, tmp_path):
         write_band_index(delta, path, n_buckets=64, mode="append")
     with pytest.raises(FileNotFoundError):
         near_dup_pairs_indexed(spark, str(tmp_path / "no_such_idx"), delta)
+
+
+def test_duplicate_span_stats_planted(spark):
+    """Hand-computed coverage on planted cross-doc spans: a 5-token
+    passage shared by two docs, a unique doc, twin short docs (shingle
+    fallback), and an empty doc."""
+    from spectrify_spark.operators.dedup import duplicate_span_stats
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "intro text here the quick brown fox jumps plus tail"),
+        (3, "completely unique content nothing shared at all"),
+        (4, "hello world"),
+        (5, "hello world"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.n_shared_windows, r.covered_tokens, r.dup_frac)
+        for r in duplicate_span_stats(df, window=5, min_docs=2).collect()
+    }
+    assert out[1] == (9, 1, 5, round(5 / 9, 4))  # case-folded match
+    assert out[2] == (10, 1, 5, 0.5)
+    assert out[3] == (7, 0, 0, 0.0)
+    assert out[4] == (2, 1, 2, 1.0)  # short-doc fallback window
+    assert out[5] == (2, 1, 2, 1.0)
+    assert out[6] == (0, 0, 0, 0.0)
+
+
+def test_duplicate_span_stats_within_doc_repeat_not_counted(spark):
+    """A window repeated INSIDE one doc is not cross-document
+    duplication (min_docs counts distinct docs)."""
+    from spectrify_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "x y z w v")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.n_shared_windows
+        for r in duplicate_span_stats(df, window=5, min_docs=2).collect()
+    }
+    assert out == {1: 0, 2: 0}
+
+
+def test_duplicate_span_stats_overlapping_coverage_union(spark):
+    """Overlapping shared windows cover the UNION of their positions,
+    not the sum."""
+    from spectrify_spark.operators.dedup import duplicate_span_stats
+
+    # docs share a 6-token run -> two overlapping 5-token windows
+    df = spark.createDataFrame(
+        [(1, "p q r s t u tail1 xx"), (2, "p q r s t u tail2 yy")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_shared_windows, r.covered_tokens)
+        for r in duplicate_span_stats(df, window=5, min_docs=2).collect()
+    }
+    # windows "p q r s t" and "q r s t u" both shared; union covers 6
+    assert out[1] == (2, 6)
+    assert out[2] == (2, 6)

@@ -950,6 +950,7 @@ def duplicate_span_stats(
     text_col: str = "text",
     window: int = 5,
     min_docs: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Cross-document duplicated-span coverage — the window-granular
     approximation of exact substring deduplication (Lee et al. 2022,
@@ -976,6 +977,17 @@ def duplicate_span_stats(
     Output: (id_col, n_tokens, n_shared_windows, covered_tokens,
     dup_frac), one row per input document; dup_frac is rounded to 4
     places for engine-portable comparison.
+
+    Multi-consumer frames: the MATCHED window set feeds both the
+    per-doc window count and the coverage union, so it is persisted by
+    default (``persist=False`` to opt out; blocks are released by the
+    ContextCleaner when the result's RDD references drop, or
+    eagerly via ``spark.catalog.clearCache()`` — caller-owned, the
+    dedup-module convention).  The raw exploded window frame is
+    deliberately NOT persisted: it is tokens-per-corpus sized, and
+    recomputing its explode from a 2-column pruned scan is cheaper at
+    100 TB than materializing it (matched windows are bounded by
+    duplicated content instead).
     """
     toks_n = df.select(
         F.col(id_col),
@@ -992,6 +1004,8 @@ def duplicate_span_stats(
         .select("w")
     )
     hits = wins.join(shared, "w")
+    if persist:
+        hits = hits.persist()
     per_doc = hits.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shared_windows")
     )

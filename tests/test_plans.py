@@ -128,6 +128,18 @@ GOLDEN = {
     # PERF_NOTES r9)
     "q_graph_triangles": dict(max_exchanges=12, joins=["BroadcastHashJoin"], pushed=True),
     "q_sim_topk": dict(max_exchanges=1, ban_bnlj=True),
+    # connected components (r10): the returned plan reads checkpointed
+    # star edges — per-round plans stay constant-size by construction;
+    # this gates the label rollup + node-spine join + ordered output
+    "q_graph_components": dict(max_exchanges=4, ban_bnlj=True),
+    # duplicated-span coverage (r10): window explode -> ONE corpus
+    # groupBy on the window string -> window-keyed join back -> bounded
+    # x5 offsets explode; ceilings cover the pre-AQE print of the
+    # persisted matched-window set under both its consumers
+    "q_dedup_spans": dict(max_exchanges=9, pushed=True, ban_bnlj=True, max_scan_cols=2),
+    # stream-static enrichment: drained memory-sink read (real
+    # streaming plan gated in tests/test_streaming_plans.py)
+    "q_stream_enrich": dict(max_exchanges=0, ban_bnlj=True),
     # event time: as-of keys pin the union+window single-shuffle shape
     # the operator docstring promises; interval join must stay the
     # bucketized equi-join (sessions side broadcast), never a range BNLJ

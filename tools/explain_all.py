@@ -98,6 +98,7 @@ STREAMING_KEYS = (
     "q_stream_join",
     "q_stream_sketch",
     "q_stream_media",
+    "q_stream_enrich",
 )
 
 
@@ -109,7 +110,8 @@ def audit_streaming(spark, sf_dir: str) -> None:
     node_re = re.compile(
         r"\b(StateStoreSave|SessionWindowStateStoreSave"
         r"|StreamingDeduplicate\w*|FlatMapGroupsInPandasWithState"
-        r"|TransformWithState\w*|StreamingSymmetricHashJoin|MapInPandas)\b"
+        r"|TransformWithState\w*|StreamingSymmetricHashJoin|MapInPandas"
+        r"|BroadcastHashJoin)\b"
     )
     for name in STREAMING_KEYS:
         try:

@@ -256,6 +256,17 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--id-col", default="vec_id")
     an.add_argument("--vec-col", default="embedding")
 
+    cc = sub.add_parser(
+        "components",
+        help="connected components over an edge parquet "
+        "(large-star/small-star contraction; writes (id, component))",
+    )
+    cc.add_argument("edges", help="parquet with source/dest id columns")
+    cc.add_argument("dest", help="output parquet dir")
+    cc.add_argument("--src-col", default="src")
+    cc.add_argument("--dst-col", default="dst")
+    cc.add_argument("--max-iters", type=int, default=25)
+
     se = sub.add_parser(
         "search", help="BM25 keyword retrieval over a documents parquet"
     )
@@ -454,6 +465,19 @@ def main(argv: list[str] | None = None) -> int:
             bits=args.bits,
         )
         print(f"{args.dest}: {n} file(s)")
+    elif args.cmd == "components":
+        from spectrify_spark.operators.graph import connected_components
+        from spectrify_spark.sources.parquet import read_table
+
+        comp = connected_components(
+            read_table(spark, args.edges),
+            src=args.src_col,
+            dst=args.dst_col,
+            max_iters=args.max_iters,
+        )
+        comp.write.mode("overwrite").parquet(args.dest)
+        n = comp.select("component").distinct().count()
+        print(f"{args.dest}: {n} component(s)")
     elif args.cmd == "search":
         from spectrify_spark.operators.retrieval import bm25_topk
         from spectrify_spark.sources.parquet import read_table

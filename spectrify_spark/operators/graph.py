@@ -367,7 +367,11 @@ def connected_components(
     node id in the component.  Node id type is preserved (any orderable
     type works; ordering follows Spark's comparison for that type).
     """
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropna()
+    # materialize the (possibly expensive) upstream edge build ONCE;
+    # the node spine and the working edge set both derive from it
+    raw = _truncate_lineage(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropna()
+    )
     # node set BEFORE the self-loop filter: a node whose only edge is a
     # self-loop is isolated, not absent
     nodes = _truncate_lineage(
@@ -415,9 +419,18 @@ def connected_components(
         )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
+    def _truncate_lazy(frame: DataFrame) -> DataFrame:
+        # LAZY checkpoint: the signature aggregate right after is the
+        # materializing action, so each round costs ONE job instead of
+        # two (eager checkpoint + separate signature collect)
+        sc = frame.sparkSession.sparkContext
+        if sc.getCheckpointDir():
+            return frame.checkpoint(eager=False)
+        return frame.localCheckpoint(eager=False)
+
     sig = _signature(e)
     for _ in range(max_iters):
-        e = _truncate_lineage(_small_star(_large_star(e)))
+        e = _truncate_lazy(_small_star(_large_star(e)))
         new_sig = _signature(e)
         if new_sig == sig:
             break

@@ -395,3 +395,21 @@ def test_cli_conf_passthrough(spark, tmp_path, capsys):
     capsys.readouterr()
     jconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert jconf.get("fs.s3a.endpoint.region") == "eu-west-1"
+
+
+def test_cli_components_writes_labels(spark, tmp_path, capsys):
+    from spectrify_spark import cli
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    src = str(tmp_path / "edges")
+    edges.write.parquet(src)
+    dest = str(tmp_path / "comp")
+    rc = cli.main(["components", src, dest])
+    assert rc == 0
+    assert "2 component(s)" in capsys.readouterr().out
+    got = {
+        (r.id, r.component) for r in spark.read.parquet(dest).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

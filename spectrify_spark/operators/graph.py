@@ -366,6 +366,9 @@ def connected_components(
     distinct node appearing in ``edges``, ``component`` = the minimum
     node id in the component.  Node id type is preserved (any orderable
     type works; ordering follows Spark's comparison for that type).
+    Raises ``ValueError`` if the round budget is exhausted before the
+    fixpoint — mid-contraction labels are partial unions, and failing
+    loud beats returning them silently.
     """
     # materialize the (possibly expensive) upstream edge build ONCE;
     # the node spine and the working edge set both derive from it
@@ -429,15 +432,25 @@ def connected_components(
         return frame.localCheckpoint(eager=False)
 
     sig = _signature(e)
+    converged = False
     for _ in range(max_iters):
         e = _truncate_lazy(_small_star(_large_star(e)))
         new_sig = _signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # labels mid-contraction are NOT component labels; failing loud
+        # beats silently returning partial unions (convergence is
+        # O(log n) rounds, so a blown budget means something is wrong)
+        raise ValueError(
+            f"connected_components did not converge within {max_iters} "
+            "rounds; raise max_iters (rounds grow ~log2 of the largest "
+            "component, so 25 covers any realistic graph)"
+        )
     # fixpoint state is (node -> root) star edges; the defensive min
-    # costs one partial agg and guarantees one row per node even if the
-    # round budget ran out mid-contraction
+    # costs one partial agg and keeps the contract one-row-per-node
     star = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
     return nodes.join(star, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")

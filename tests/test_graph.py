@@ -315,3 +315,12 @@ def test_cc_agrees_with_propagation_kernel(spark):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     prop = {r.id: r.cluster_id for r in prop_cc(pairs).collect()}
     assert star == prop
+
+
+def test_cc_raises_on_exhausted_round_budget(spark):
+    from spectrify_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(256)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(df, max_iters=2).collect()

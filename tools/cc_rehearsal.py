@@ -19,7 +19,15 @@ chain for any budget < D (it never converges; labels only crawl
 max_iters hops), star contraction is correct in ~log2(D) rounds.
 
 Usage: python tools/cc_rehearsal.py [D ...]   (default: 1024 4096)
-Prints one JSON line per (topology, algo).  Record in BENCH_NOTES.md.
+       python tools/cc_rehearsal.py --scale [SRC_DIR] [K ...]
+Prints one JSON line per case.  Record in BENCH_NOTES.md.
+
+``--scale`` reuses graph_rehearsal.build_edges (K disjoint isomorphic
+replicas of the supplier<->part graph, both endpoints offset): edges
+AND components grow Kx while per-component structure is constant, so
+the star contraction's ROUND COUNT must stay flat and wall time
+~linear — the property that says the algorithm's cost is data passes,
+not topology-dependent iteration blowup.
 """
 
 from __future__ import annotations
@@ -30,7 +38,44 @@ import sys
 import time
 
 
+def scale_mode(argv: list[str]) -> None:
+    """K-replica scaling: rounds flat, wall ~linear in edge count."""
+    sys.path.insert(0, "/root/repo")
+    import tempfile
+
+    from spectrify_spark.session import get_spark
+    from spectrify_spark.operators.graph import connected_components
+    from tools.graph_rehearsal import build_edges
+
+    src = argv[0] if argv else "/root/testdata/sf0.1"
+    ks = [int(a) for a in argv[1:]] or [1, 10]
+    spark = get_spark(app_name="cc-scale-rehearsal")
+    for k in ks:
+        out = tempfile.mkdtemp(prefix=f"cc_edges_x{k}_")
+        build_edges(spark, src, k, out)
+        edges = spark.read.parquet(out)
+        t0 = time.time()
+        comp = connected_components(edges)
+        n_nodes = comp.count()
+        n_comp = comp.select("component").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "n_edges": edges.count(),
+                    "n_nodes": n_nodes,
+                    "n_components": n_comp,
+                    "cc_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        spark.catalog.clearCache()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale":
+        scale_mode(sys.argv[2:])
+        return
     dias = [int(a) for a in sys.argv[1:]] or [1024, 4096]
     sys.path.insert(0, "/root/repo")
     from spectrify_spark.session import get_spark

@@ -3963,9 +3963,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_unpivot, q_join_multi, q_join_star, q_join_two_dims,
     q_topk_customers, q_asof_join, q_grouping_sets — they head the
     r11 window), then the 50 r8-greens, then the 50 r9-greens
-    (freshest).  r11 plan: those 8 + the 42 oldest r8-greens; after
-    r10 lands, no key's latest driver row is older than r8, keeping
-    the <=3-round freshness invariant (VERDICT r9 item 8).
+    (freshest).  r11 plan: the 6 never-verified r10-born keys
+    (q_graph_pagerank_dangling, q_embed_pq, q_sim_ivfpq,
+    q_graph_components, q_stream_enrich, q_dedup_spans first — rule
+    (2): never-verified outranks everything) + those 8 r7-greens +
+    the 36 oldest r8-greens; after r10 lands, no key's latest driver
+    row is older than r8, keeping the <=3-round freshness invariant
+    (VERDICT r9 item 8).
     """
     return {
         # -- r10 window, slots 1-6: r9-born keys, first driver rows

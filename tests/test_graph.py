@@ -324,3 +324,30 @@ def test_cc_raises_on_exhausted_round_budget(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(df, max_iters=2).collect()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cc_property_matches_union_find(spark, edges):
+    """Star contraction equals union-find ground truth on arbitrary
+    random multigraphs (self-loops, duplicates, reversed edges)."""
+    expected = _py_components([(a, b) for a, b in edges if a != b])
+    # self-loop-only nodes are isolated singletons in the output
+    for a, b in edges:
+        if a == b:
+            expected.setdefault(a, a)
+    assert _run_cc(spark, edges) == expected

@@ -59,7 +59,9 @@ def main(sf_dir: str, work: str) -> None:
     hits = Q.ivfpq_topk(spark, ann_idx, qv, k=5, nprobe=2)
     print("ANN probe (nprobe=2) for an APPENDED vector (450 finds itself):")
     hits.show()
-    spark.stop()
+    # no spark.stop(): get_spark() returns the process-wide shared
+    # session (tests/test_examples.py runs this in-process — stopping
+    # the context here killed every test after it in the suite)
 
 
 if __name__ == "__main__":

@@ -48,3 +48,20 @@ def test_media_and_index_example(spark, sf_dir, tmp_path, capsys):
 
 def test_incremental_indexes_example(sf_dir, tmp_path):
     _run("examples/incremental_indexes.py", [sf_dir, str(tmp_path / "idx")])
+
+
+def test_spans_and_components_example(spark, sf_dir, tmp_path, capsys):
+    _run("examples/spans_and_components.py", [sf_dir, str(tmp_path / "r10")])
+    out = capsys.readouterr().out
+    assert "duplicated-coverage gate" in out
+    assert "component size distribution" in out
+
+
+def test_examples_leave_shared_session_alive(spark):
+    """Examples run IN-PROCESS on the shared session (get_spark is a
+    getOrCreate): an example calling spark.stop() kills every test
+    collected after this file — exactly what incremental_indexes.py
+    did once.  Defined last in this module (pytest runs tests in
+    definition order), so it observes the session state after all
+    examples ran."""
+    assert spark.range(1).count() == 1

@@ -135,8 +135,11 @@ GOLDEN = {
     # duplicated-span coverage (r10): window explode -> ONE corpus
     # groupBy on the window string -> window-keyed join back -> bounded
     # x5 offsets explode; ceilings cover the pre-AQE print of the
-    # persisted matched-window set under both its consumers
-    "q_dedup_spans": dict(max_exchanges=9, pushed=True, ban_bnlj=True, max_scan_cols=2),
+    # persisted matched-window set under both its consumers.  No
+    # pushed= requirement: the operator persists its matched set, so
+    # when an earlier run in the same session cached it the scans
+    # (and their PushedFilters) print as InMemoryRelation reuse
+    "q_dedup_spans": dict(max_exchanges=9, ban_bnlj=True, max_scan_cols=2),
     # stream-static enrichment: drained memory-sink read (real
     # streaming plan gated in tests/test_streaming_plans.py)
     "q_stream_enrich": dict(max_exchanges=0, ban_bnlj=True),

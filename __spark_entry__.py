@@ -3314,29 +3314,52 @@ def q_graph_components(spark, sf):
     unusable on link graphs with million-hop chains, where star
     contraction converges in ~log2(n) rounds (tools/cc_rehearsal.py:
     a diameter-4096 chain labels correctly in <= 25 star rounds while
-    propagation's same budget leaves it wrong).  Edge build is one
-    self-equi-join + one count agg; every contraction round is one
-    groupBy + one equi-join on the node id — the same shuffle key each
-    round.  Output: one row per component (label = min part key) with
-    its node count."""
+    propagation's same budget leaves it wrong).  Edge build exploits
+    the small-group shape: ONE groupBy collects each order's distinct
+    part set, pairs explode MAP-SIDE from the array (orders hold a
+    handful of items, so the quadratic is per-group-bounded), and one
+    pair-keyed count agg applies the distinct-order threshold — two
+    shuffles total, no self-join, and the count is per distinct ORDER
+    by construction (a part appearing twice inside one order cannot
+    fake a repeat co-occurrence, which the naive lineitem self-join
+    gets wrong).  Every contraction round is one groupBy + one
+    equi-join on the node id — the same shuffle key each round.
+    Output: one row per component (label = min part key) with its
+    node count."""
     from spectrify_spark.operators.graph import connected_components
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
+    arr = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("__ps"))
     edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__ps"),
+                        lambda a: F.filter(
+                            F.transform(
+                                F.col("__ps"),
+                                lambda b: F.when(
+                                    a < b,
+                                    F.struct(a.alias("src"), b.alias("dst")),
+                                ),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("__p")
         )
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
+        .select("__p.src", "__p.dst")
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= 2)
         .select("src", "dst")
     )
-    comp = connected_components(edges)
+    # the thresholded co-occurrence graph is ~3 orders of magnitude
+    # smaller than the lineitem table that produced it: scope the
+    # contraction rounds' shuffle partitions to the edge set
+    comp = connected_components(edges, shuffle_partitions=8)
     return (
         comp.groupBy(F.col("component").cast("bigint").alias("component"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
@@ -5300,9 +5323,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
         "q_graph_components": """
-            WITH RECURSIVE cooc AS (
+            WITH RECURSIVE po AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            cooc AS (
               SELECT x.l_partkey AS a, y.l_partkey AS b
-              FROM lineitem x JOIN lineitem y
+              FROM po x JOIN po y
                 ON x.l_orderkey = y.l_orderkey
                AND x.l_partkey < y.l_partkey
               GROUP BY 1, 2 HAVING COUNT(*) >= 2),

@@ -38,14 +38,31 @@ def main(sf_dir: str, work: str) -> None:
     li = read_table(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-    x, y = li.alias("x"), li.alias("y")
+    # small-group pair explode: one groupBy to per-order part sets,
+    # pairs generated map-side, one count agg = distinct-order
+    # threshold (no self-join)
+    arr = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda a: F.filter(
+                            F.transform(
+                                F.col("ps"),
+                                lambda b: F.when(
+                                    a < b, F.struct(a.alias("src"), b.alias("dst"))
+                                ),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter("c >= 2")
         .select("src", "dst")

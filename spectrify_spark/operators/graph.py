@@ -328,6 +328,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -369,6 +370,16 @@ def connected_components(
     Raises ``ValueError`` if the round budget is exhausted before the
     fixpoint — mid-contraction labels are partial unions, and failing
     loud beats returning them silently.
+
+    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` for
+    the contraction rounds only (restored afterwards) — the same
+    pattern as the streaming drain helper: the working edge set is
+    usually orders of magnitude smaller than the corpus that produced
+    it, and every round pays per-partition task overhead across ~4
+    shuffles, so sizing partitions to the EDGE SET (not the session's
+    corpus-sized default) removes pure scheduling cost.  Size it to
+    edges/partition ~ a few hundred MB at cluster scale; leave None to
+    inherit the session setting.
     """
     # materialize the (possibly expensive) upstream edge build ONCE;
     # the node spine and the working edge set both derive from it
@@ -402,12 +413,14 @@ def connected_components(
             .agg(F.min("v").alias("__mn"))
             .select("u", F.least("u", "__mn").alias("__m"))
         )
+        # no .distinct() here: duplicates cannot change any min
+        # aggregate, and the small-star step that always follows ends
+        # with the round's canonical distinct — one less shuffle/round
         return (
             sym.filter(F.col("v") > F.col("u"))
             .join(m, "u")
             .select(F.col("v").alias("u"), F.col("__m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def _small_star(frame: DataFrame) -> DataFrame:
@@ -431,15 +444,23 @@ def connected_components(
             return frame.checkpoint(eager=False)
         return frame.localCheckpoint(eager=False)
 
-    sig = _signature(e)
-    converged = False
-    for _ in range(max_iters):
-        e = _truncate_lazy(_small_star(_large_star(e)))
-        new_sig = _signature(e)
-        if new_sig == sig:
-            converged = True
-            break
-        sig = new_sig
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        sig = _signature(e)
+        converged = False
+        for _ in range(max_iters):
+            e = _truncate_lazy(_small_star(_large_star(e)))
+            new_sig = _signature(e)
+            if new_sig == sig:
+                converged = True
+                break
+            sig = new_sig
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         # labels mid-contraction are NOT component labels; failing loud
         # beats silently returning partial unions (convergence is

@@ -3326,36 +3326,13 @@ def q_graph_components(spark, sf):
     equi-join on the node id — the same shuffle key each round.
     Output: one row per component (label = min part key) with its
     node count."""
-    from spectrify_spark.operators.graph import connected_components
+    from spectrify_spark.operators.graph import (
+        connected_components,
+        cooccurrence_edges,
+    )
 
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    arr = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("__ps"))
-    edges = (
-        arr.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("__ps"),
-                        lambda a: F.filter(
-                            F.transform(
-                                F.col("__ps"),
-                                lambda b: F.when(
-                                    a < b,
-                                    F.struct(a.alias("src"), b.alias("dst")),
-                                ),
-                            ),
-                            lambda s: s.isNotNull(),
-                        ),
-                    )
-                )
-            ).alias("__p")
-        )
-        .select("__p.src", "__p.dst")
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
-    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
     # the thresholded co-occurrence graph is ~3 orders of magnitude
     # smaller than the lineitem table that produced it: scope the
     # contraction rounds' shuffle partitions to the edge set
@@ -5275,7 +5252,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_spans": """
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     list_filter(string_split_regex(
+                         lower(trim(COALESCE(text, ''))), '\\s+'),
                                  x -> x <> '') AS t
               FROM documents),
             wins AS (

@@ -2,18 +2,20 @@
 corpus, topology-independent connected components, and stream-static
 broadcast enrichment.
 
-    python examples/spans_and_components.py /root/testdata/sf0.001 /tmp/r10_demo
+    python examples/spans_and_components.py /root/testdata/sf0.001
 """
 
 from __future__ import annotations
 
 import sys
-import tempfile
 
 from pyspark.sql import functions as F
 
 from spectrify_spark.operators.dedup import duplicate_span_stats
-from spectrify_spark.operators.graph import connected_components
+from spectrify_spark.operators.graph import (
+    connected_components,
+    cooccurrence_edges,
+)
 from spectrify_spark.session import get_spark
 from spectrify_spark.sources.parquet import read_table
 from spectrify_spark.streaming.events import (
@@ -23,7 +25,7 @@ from spectrify_spark.streaming.events import (
 )
 
 
-def main(sf_dir: str, work: str) -> None:
+def main(sf_dir: str) -> None:
     spark = get_spark("spans-components-example")
 
     # 1. Duplicated-span coverage: which docs are mostly boilerplate?
@@ -38,35 +40,7 @@ def main(sf_dir: str, work: str) -> None:
     li = read_table(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-    # small-group pair explode: one groupBy to per-order part sets,
-    # pairs generated map-side, one count agg = distinct-order
-    # threshold (no self-join)
-    arr = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    edges = (
-        arr.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ps"),
-                        lambda a: F.filter(
-                            F.transform(
-                                F.col("ps"),
-                                lambda b: F.when(
-                                    a < b, F.struct(a.alias("src"), b.alias("dst"))
-                                ),
-                            ),
-                            lambda s: s.isNotNull(),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter("c >= 2")
-        .select("src", "dst")
-    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
     comp = connected_components(edges)
     print("== component size distribution ==")
     comp.groupBy("component").count().groupBy("count").agg(
@@ -86,7 +60,10 @@ def main(sf_dir: str, work: str) -> None:
     )
     q = run_to_memory_sink(enriched, "enrich_demo", output_mode="append")
     q.processAllAvailable()
-    assert not q.lastProgress["stateOperators"], "stateless by design"
+    progress = q.lastProgress  # None when no microbatch ran
+    assert progress is not None and not progress["stateOperators"], (
+        "stateless by design"
+    )
     q.stop()
     print("== enriched events per segment ==")
     spark.sql(
@@ -96,5 +73,4 @@ def main(sf_dir: str, work: str) -> None:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    wd = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="r10_demo_")
-    main(sf, wd)
+    main(sf)

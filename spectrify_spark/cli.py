@@ -476,7 +476,14 @@ def main(argv: list[str] | None = None) -> int:
             max_iters=args.max_iters,
         )
         comp.write.mode("overwrite").parquet(args.dest)
-        n = comp.select("component").distinct().count()
+        # count from the WRITTEN parquet: avoids recomputing the label
+        # join and validates what actually landed on disk
+        n = (
+            spark.read.parquet(args.dest)
+            .select("component")
+            .distinct()
+            .count()
+        )
         print(f"{args.dest}: {n} component(s)")
     elif args.cmd == "search":
         from spectrify_spark.operators.retrieval import bm25_topk

@@ -980,22 +980,27 @@ def duplicate_span_stats(
 
     Multi-consumer frames: the MATCHED window set feeds both the
     per-doc window count and the coverage union, so it is persisted by
-    default (``persist=False`` to opt out; blocks are released by the
-    ContextCleaner when the result's RDD references drop, or
-    eagerly via ``spark.catalog.clearCache()`` — caller-owned, the
-    dedup-module convention).  The raw exploded window frame is
+    default.  The SQL CacheManager pins that cached relation until an
+    explicit unpersist — cleanup is CALLER-OWNED (the dedup-module
+    convention): ``spark.catalog.clearCache()`` after consuming the
+    result, or ``persist=False`` for repeated calls in a long-lived
+    session (each call re-reads the corpus twice instead of pinning a
+    new cache entry).  The raw exploded window frame is
     deliberately NOT persisted: it is tokens-per-corpus sized, and
     recomputing its explode from a 2-column pruned scan is cheaper at
     100 TB than materializing it (matched windows are bounded by
     duplicated content instead).
     """
+    # NULL text is an empty document, not a -1-token one (F.size on a
+    # NULL array returns -1 under the non-ANSI default)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks_n = df.select(
         F.col(id_col),
-        F.size(tokens(F.lower(F.col(text_col)))).cast("bigint").alias("n_tokens"),
+        F.size(tokens(F.lower(text))).cast("bigint").alias("n_tokens"),
     )
     wins = df.select(
         F.col(id_col),
-        F.posexplode(shingles(F.col(text_col), window)).alias("pos", "w"),
+        F.posexplode(shingles(text, window)).alias("pos", "w"),
     ).filter(F.col("w") != "")
     shared = (
         wins.groupBy("w")

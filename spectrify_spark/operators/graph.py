@@ -451,7 +451,11 @@ def connected_components(
     try:
         sig = _signature(e)
         converged = False
-        for _ in range(max_iters):
+        # max_iters + 1: signature-based detection needs one extra
+        # UNCHANGED round to observe the fixpoint, and that confirm
+        # round should not count against the productive budget (a
+        # graph converging exactly on round max_iters is converged)
+        for _ in range(max_iters + 1):
             e = _truncate_lazy(_small_star(_large_star(e)))
             new_sig = _signature(e)
             if new_sig == sig:
@@ -475,4 +479,61 @@ def connected_components(
     star = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
     return nodes.join(star, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Item co-occurrence edge table: items are adjacent when they
+    appear together in >= ``min_count`` DISTINCT groups (orders,
+    baskets, sessions, documents).
+
+    Exploits the small-group shape instead of a self-join: ONE groupBy
+    collects each group's distinct item set, ordered pairs (a < b)
+    explode MAP-SIDE from the array (the quadratic is bounded per
+    group — baskets hold a handful of items), and one pair-keyed count
+    agg applies the threshold — two shuffles total.  Because pairs are
+    generated from the per-group DISTINCT set, the count is per
+    distinct group by construction: an item listed twice inside one
+    group cannot fake a repeat co-occurrence, which the naive row-level
+    self-join gets wrong.  Groups with pathologically many items make
+    the per-row explode quadratic — pre-filter such groups (they are
+    usually bot sessions / spam baskets) before calling.
+
+    Output: ``(src, dst)`` with ``src < dst``, one row per qualifying
+    pair — the edge input shape of :func:`connected_components`,
+    :func:`triangle_count`, and :func:`pagerank`.
+    """
+    arr = df.groupBy(group_col).agg(
+        F.collect_set(item_col).alias("__items")
+    )
+    return (
+        arr.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("__items"),
+                        lambda a: F.filter(
+                            F.transform(
+                                F.col("__items"),
+                                lambda b: F.when(
+                                    a < b,
+                                    F.struct(a.alias("src"), b.alias("dst")),
+                                ),
+                            ),
+                            lambda s: s.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .select("__p.src", "__p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("src", "dst")
     )

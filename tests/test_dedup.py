@@ -426,3 +426,20 @@ def test_duplicate_span_stats_overlapping_coverage_union(spark):
     # windows "p q r s t" and "q r s t u" both shared; union covers 6
     assert out[1] == (2, 6)
     assert out[2] == (2, 6)
+
+
+def test_duplicate_span_stats_null_text_is_empty_doc(spark):
+    """NULL text must behave as an empty document (n_tokens 0), not a
+    -1-token one (F.size on a NULL array is -1 in non-ANSI mode)."""
+    from spectrify_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f"), (3, "a b c d e f")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_shared_windows, r.covered_tokens, r.dup_frac)
+        for r in duplicate_span_stats(df, window=5, min_docs=2).collect()
+    }
+    assert out[1] == (0, 0, 0, 0.0)
+    assert out[2] == (6, 2, 6, 1.0)

@@ -4278,14 +4278,16 @@ _Z_TERMS = " | ".join(
 )
 
 
-def _sql_pq() -> str:
-    """DuckDB replica of the full PQ pipeline: the SAME seeded
-    codebooks and query as q_embed_pq embedded as SQL literals
-    (repr() round-trips the exact IEEE double), per-subspace
-    squared-L2 distances unrolled with left-to-right sums (matching
-    the Spark fold's association order bit-for-bit), argmin via
+def _pq_sql_parts() -> tuple[str, str, str]:
+    """Shared literal-SQL fragments for the PQ oracles: per-subspace
+    squared-L2 distance lists unrolled with left-to-right sums
+    (matching the Spark fold's association order bit-for-bit, doubles
+    round-tripped exactly via repr()), argmin column exprs via
     list_position(list_min) — the same first-index tie rule as the
-    strict-< fold — and ADC distance as literal-LUT lookups."""
+    strict-< fold — and the ADC distance as literal-LUT lookups.
+    Returns (d_cols, code_cols, adc); q_embed_pq and q_sim_ivfpq
+    oracles differ only in their final SELECT, so the distance
+    unrolling and tie rule live in exactly one place."""
     from spectrify_spark.operators.quantization import adc_lookup_table
 
     books, qv = _pq_books(), _pq_query()
@@ -4309,6 +4311,14 @@ def _sql_pq() -> str:
         for mi in range(m)
     )
     adc = " + ".join(f"({lut_lists[mi]})[code_{mi} + 1]" for mi in range(m))
+    return d_cols, code_cols, adc
+
+
+def _sql_pq() -> str:
+    """DuckDB replica of the full PQ pipeline: the SAME seeded
+    codebooks and query as q_embed_pq embedded as SQL literals
+    (fragments from :func:`_pq_sql_parts`)."""
+    d_cols, code_cols, adc = _pq_sql_parts()
     return f"""
         WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
         codes AS (SELECT vec_id, {code_cols} FROM enc)
@@ -4321,32 +4331,11 @@ def _sql_pq() -> str:
 def _sql_ivfpq() -> str:
     """DuckDB replica of q_sim_ivfpq's full (nprobe=C) probe: the
     global PQ ADC top-10 from the same codebook/query literals as
-    :func:`_sql_pq` (the IVF partitioning drops out when every cell is
-    probed); the pruned-probe invariants are literal TRUE booleans the
-    Spark side measures."""
-    from spectrify_spark.operators.quantization import adc_lookup_table
-
-    books, qv = _pq_books(), _pq_query()
-    m, dsub = _PQ["m"], _PQ["dsub"]
-    dlists = []
-    for mi in range(m):
-        ds = []
-        for code in books[mi]:
-            terms = " + ".join(
-                f"(embedding[{mi * dsub + j + 1}] - ({c!r}))"
-                f" * (embedding[{mi * dsub + j + 1}] - ({c!r}))"
-                for j, c in enumerate(code)
-            )
-            ds.append(f"({terms})")
-        dlists.append("[" + ", ".join(ds) + "]")
-    lut = adc_lookup_table(books, qv)
-    lut_lists = ["[" + ", ".join(repr(x) for x in row) + "]" for row in lut]
-    d_cols = ", ".join(f"{dl} AS d{mi}" for mi, dl in enumerate(dlists))
-    code_cols = ", ".join(
-        f"list_position(d{mi}, list_min(d{mi})) - 1 AS code_{mi}"
-        for mi in range(m)
-    )
-    adc = " + ".join(f"({lut_lists[mi]})[code_{mi} + 1]" for mi in range(m))
+    :func:`_sql_pq` (fragments from :func:`_pq_sql_parts` — the IVF
+    partitioning drops out when every cell is probed); the
+    pruned-probe invariants are literal TRUE booleans the Spark side
+    measures."""
+    d_cols, code_cols, adc = _pq_sql_parts()
     return f"""
         WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
         codes AS (SELECT vec_id, {code_cols} FROM enc)

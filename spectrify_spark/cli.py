@@ -329,7 +329,13 @@ def main(argv: list[str] | None = None) -> int:
             confirm = None
             if not args.yes:
                 def confirm(_ddl: str) -> bool:
-                    reply = input("Execute this DDL? [y/N] ")
+                    try:
+                        reply = input("Execute this DDL? [y/N] ")
+                    except EOFError:
+                        # closed/redirected stdin (cron, CI): a prompt
+                        # that cannot be answered is a refusal, not a
+                        # traceback — pass --yes for non-interactive use
+                        return False
                     return reply.strip().lower() in ("y", "yes")
 
             try:
@@ -512,19 +518,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(args.dest)
     elif args.cmd == "index-ivfpq":
+        from pyspark.sql import functions as F
+
         from spectrify_spark.operators import quantization as Q
         from spectrify_spark.operators import similarity as SIM
         from spectrify_spark.sources.parquet import read_table
 
         src = read_table(spark, args.source)
+        # select (not rename) the two columns: a rename collides when
+        # the source already carries a vec_id/embedding column next to
+        # custom --id-col/--vec-col names
+        vecs = src.select(
+            F.col(args.id_col).alias("vec_id"),
+            F.col(args.vec_col).alias("embedding"),
+        )
         cents = SIM.kmeans_refine(
-            src.withColumnRenamed(args.vec_col, "embedding")
-            .withColumnRenamed(args.id_col, "vec_id"),
-            SIM.choose_centroids(
-                src.withColumnRenamed(args.vec_col, "embedding")
-                .withColumnRenamed(args.id_col, "vec_id"),
-                n_centroids=args.n_centroids,
-            ),
+            vecs,
+            SIM.choose_centroids(vecs, n_centroids=args.n_centroids),
             iters=args.train_iters,
         )
         books = Q.pq_train(

@@ -46,3 +46,32 @@ def read_json_sidecar(spark, path: str, filename: str):
     finally:
         stream.close()
     return json.loads(data.decode())
+
+
+def copy_sidecars(spark, src: str, dst: str) -> list[str]:
+    """Copy every ``_spectrify_*.json`` sidecar from ``src`` to ``dst``
+    (overwrite), returning the copied filenames.
+
+    Maintenance operations that rewrite an index directory (compaction,
+    relocation) must carry ALL model/parameter sidecars, not the one
+    their own index family knows about — an IVF-PQ index compacted by
+    a helper that only copies the IVF centroid sidecar loses its PQ
+    model and every later probe fails on the new directory.
+    """
+    import json
+
+    fs, spath, jvm = index_fs(spark, src)
+    copied = []
+    for status in fs.listStatus(spath):
+        name = status.getPath().getName()
+        if not (name.startswith("_spectrify_") and name.endswith(".json")):
+            continue
+        stream = fs.open(status.getPath())
+        try:
+            data = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        payload = json.loads(data.decode())
+        write_json_sidecar(spark, dst, name, payload)
+        copied.append(name)
+    return copied

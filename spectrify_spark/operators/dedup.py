@@ -740,7 +740,19 @@ def write_band_index(
     }
     if mode == "append":
         existing = read_index_params(spark, path)
-        if existing is not None and existing != params:
+        if existing is None:
+            # a legacy (pre-sidecar) index: appending would GUESS the
+            # partition grid and then stamp a sidecar asserting the
+            # caller's params were the build params — if the guess is
+            # wrong, every later probe prunes the wrong partitions and
+            # silently drops true pairs.  Refuse instead.
+            raise ValueError(
+                f"write_band_index: no params sidecar at {path!r} — cannot "
+                "verify the append matches the index's build parameters. "
+                "Rebuild with mode='overwrite', or (if the build params "
+                "are known) stamp them first with write_index_params."
+            )
+        if existing != params:
             raise ValueError(
                 f"write_band_index: append params {params} do not match the "
                 f"index's build params {existing}; an appended row banded "
@@ -793,7 +805,6 @@ def compact_band_index(
             f"compact_band_index: dst {dst!r} equals or is nested under src "
             f"{src!r}; mode('overwrite') would destroy the index mid-read"
         )
-    params = read_index_params(spark, src)
     (
         spark.read.parquet(src)
         .repartition(F.col("band"), F.col("pbucket"))
@@ -801,8 +812,11 @@ def compact_band_index(
         .partitionBy("band", "pbucket")
         .parquet(dst)
     )
-    if params is not None:
-        write_index_params(spark, dst, params)
+    # carry ALL sidecars generically (same contract as
+    # compact_ivf_index): a rewrite must never strip index metadata
+    from spectrify_spark.operators._sidecar import copy_sidecars
+
+    copy_sidecars(spark, src, dst)
 
 
 def near_dup_pairs_indexed(

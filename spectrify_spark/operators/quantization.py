@@ -84,11 +84,29 @@ def pq_encode(
     """Add ``out_col``: array<int> of length M — per-subspace argmin
     squared-L2 code (first index wins exact ties, same rule as
     ``similarity.assign_partitions``).  Row-local; the codebooks enter
-    as one broadcast row, so plan size is flat in M x K x dsub."""
+    as one broadcast row, so plan size is flat in M x K x dsub.
+
+    Every vector must have dimension exactly ``M * dsub`` — enforced
+    per row (a short vector would null-pad its last subspace and emit
+    a poisoned -1 code into any index it is written to; a long one
+    would silently drop its tail dimensions)."""
     if not codebooks or not codebooks[0]:
         raise ValueError("need at least one subspace with one code")
     m, k = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0])
+    expected_dim = m * dsub
+    # assert_true inside a filter: evaluated per row (cannot be pruned
+    # as an unused projection), raises with the offending size
+    df = df.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) == F.lit(expected_dim),
+            F.concat(
+                F.lit("pq_encode: vector dimension "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != m_subspaces*dsub = {expected_dim}"),
+            ),
+        ).isNull()
+    )
     cb = F.col("__cb")
     cent = _codebook_frame(df.sparkSession, codebooks)
 
@@ -212,10 +230,17 @@ def pq_adc_knn_join(
     :func:`pq_adc_topk` (cf. ``similarity.knn_join_topk``).
 
     The per-query lookup tables are computed JVM-side from the
-    broadcast codebook row (squared-L2 fold per (subspace, code)), so
-    the query table can be arbitrarily large without any driver-side
-    LUT loop; the corpus of codes never shuffles — only the per-query
-    top-k window runs over (corpus x queries) scored rows."""
+    broadcast codebook row (squared-L2 fold per (subspace, code)) —
+    no driver-side LUT loop; the corpus of codes never shuffles — only
+    the per-query top-k window runs over (corpus x queries) scored
+    rows.
+
+    Contract: the QUERY side (with its M x K LUT per row) is
+    broadcast, so it must fit the broadcast budget — batches up to the
+    low millions of queries x small LUTs, not an unbounded table (the
+    same small-side contract as ``similarity.knn_join_topk``).  For a
+    query set too large to broadcast, partition it into batches and
+    union the results."""
     from pyspark.sql import Window
 
     if not codebooks or not codebooks[0]:

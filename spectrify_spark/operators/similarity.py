@@ -380,7 +380,17 @@ def write_ivf_index(
     }
     if mode == "append":
         stored = _read_ivf_sidecar(spark, path)
-        if stored is not None and stored != payload:
+        if stored is None:
+            # legacy (pre-sidecar) index: appending would guess the
+            # cell assignment and then stamp a sidecar claiming the
+            # caller's centroids were the build's — probes would prune
+            # the wrong cells silently.  Refuse.
+            raise ValueError(
+                f"write_ivf_index: no centroid sidecar at {path!r} — cannot "
+                "verify the append matches the index's build centroids. "
+                "Rebuild with mode='overwrite'."
+            )
+        if stored != payload:
             raise ValueError(
                 "write_ivf_index: append centroids/cell_col differ from the "
                 "index's stored build (sidecar in "
@@ -433,9 +443,15 @@ def append_ivf_index(
 
 
 def compact_ivf_index(spark, src: str, dst: str) -> None:
-    """Fold an appended-to IVF index into one file per cell partition
-    (same maintenance contract as ``dedup.compact_band_index``);
-    rewrite to a sibling and swap."""
+    """Fold an appended-to IVF or IVF-PQ index into one file per cell
+    partition (same maintenance contract as
+    ``dedup.compact_band_index``); rewrite to a sibling and swap.
+
+    ALL ``_spectrify_*.json`` sidecars are carried to ``dst``
+    (``_sidecar.copy_sidecars``), so compacting an IVF-PQ index keeps
+    its PQ model, not just the centroid sidecar this module owns; the
+    cell column is resolved from whichever model sidecar is present.
+    """
     import os
 
     src_abs = os.path.realpath(src)
@@ -445,7 +461,14 @@ def compact_ivf_index(spark, src: str, dst: str) -> None:
             f"compact_ivf_index: dst {dst!r} equals or is nested under src "
             f"{src!r}; mode('overwrite') would destroy the index mid-read"
         )
-    payload = _read_ivf_sidecar(spark, src)
+    from spectrify_spark.operators._sidecar import (
+        copy_sidecars,
+        read_json_sidecar,
+    )
+
+    payload = _read_ivf_sidecar(spark, src) or read_json_sidecar(
+        spark, src, "_spectrify_ivfpq_model.json"
+    )
     cell_col = (payload or {}).get("cell_col", "ivf_cell")
     (
         spark.read.parquet(src)
@@ -454,10 +477,7 @@ def compact_ivf_index(spark, src: str, dst: str) -> None:
         .partitionBy(cell_col)
         .parquet(dst)
     )
-    if payload is not None:
-        from spectrify_spark.operators._sidecar import write_json_sidecar
-
-        write_json_sidecar(spark, dst, _IVF_SIDECAR, payload)
+    copy_sidecars(spark, src, dst)
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:

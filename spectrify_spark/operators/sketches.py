@@ -298,9 +298,13 @@ def cm_point_estimates(
     vanished row.
 
     ``depth`` and ``width`` must match the build (they parameterize the
-    hash family, so that was always true); taking depth explicitly —
-    instead of collecting ``distinct(d)`` off the sketch — keeps the
-    probe driver-side-collect-free and well-defined on empty sketches.
+    hash family).  Depth is taken explicitly so an EMPTY sketch still
+    yields est=0 rows, and validated against the sketch's actual row
+    depths when it is non-empty: a probe depth LARGER than the build's
+    would join phantom rows at cnt=0 and min them into a silent total
+    undercount — the one way to break the overcount-only guarantee.
+    The validation is one aggregate over the sketch, which is bounded
+    (<= depth*width rows) by construction.
 
     The sketch is bounded by construction (<= depth*width counter
     rows), so it broadcasts; probes may be arbitrarily many and stay
@@ -311,6 +315,13 @@ def cm_point_estimates(
 
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    actual_max_d = sketch.agg(F.max("d")).collect()[0][0]
+    if actual_max_d is not None and depth != actual_max_d + 1:
+        raise ValueError(
+            f"cm_point_estimates: probe depth {depth} does not match the "
+            f"sketch's build depth {actual_max_d + 1}; a larger probe depth "
+            "joins phantom cnt=0 rows and undercounts every item"
+        )
     pr = probes.select(F.col(item_col).alias("__item")).distinct()
     pd_rows = pr.select(
         "__item",

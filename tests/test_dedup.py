@@ -443,3 +443,28 @@ def test_duplicate_span_stats_null_text_is_empty_doc(spark):
     }
     assert out[1] == (0, 0, 0, 0.0)
     assert out[2] == (6, 2, 6, 1.0)
+
+
+def test_band_index_append_refuses_legacy_index(spark, tmp_path):
+    """Appending onto a pre-sidecar index must refuse: the append
+    would guess the partition grid and stamp a sidecar asserting the
+    guess, silently corrupting every later pruned probe."""
+    import pytest
+
+    from spectrify_spark.operators._sidecar import index_fs
+    from spectrify_spark.operators.dedup import write_band_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "legacy_idx")
+    write_band_index(docs, path)
+    # simulate a legacy index: delete the params sidecar
+    fs, _, jvm = index_fs(spark, path)
+    from spectrify_spark.operators.dedup import _PARAMS_FILE
+
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path, _PARAMS_FILE), False)
+    delta = spark.createDataFrame([(3, "iota kappa lambda mu")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="no params sidecar"):
+        write_band_index(delta, path, mode="append")

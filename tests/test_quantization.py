@@ -231,3 +231,42 @@ def test_append_ivfpq_index_matches_from_scratch(spark, tmp_path):
     assert rowset(path) == rowset(scratch)
     with pytest.raises(FileNotFoundError):
         Q.append_ivfpq_index(d1, str(tmp_path / "nope"))
+
+
+def test_pq_encode_rejects_wrong_dimension(spark):
+    """A vector whose dimension != m_subspaces*dsub must raise at
+    evaluation, not emit a poisoned -1 code or drop tail dims."""
+    import pytest
+
+    from spectrify_spark.operators import quantization as Q
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]  # M=2, dsub=2
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector dimension"):
+        Q.pq_encode(bad, books).collect()
+
+
+def test_compact_ivf_index_carries_ivfpq_model(spark, tmp_path):
+    """Compacting an IVF-PQ index must carry the PQ model sidecar —
+    a compaction that strips it bricks every later probe."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.sources.parquet import read_table
+
+    vecs = read_table(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = SIM.kmeans_refine(vecs, SIM.choose_centroids(vecs, 4), iters=1)
+    books = Q.pq_train(vecs, 4, 8, iters=1)
+    src = str(tmp_path / "ivfpq_src")
+    dst = str(tmp_path / "ivfpq_dst")
+    Q.write_ivfpq_index(vecs, cents, books, src)
+    SIM.compact_ivf_index(spark, src, dst)
+    qv = [float(x) for x in vecs.filter(F.col("vec_id") == 3).first().embedding]
+    hits_src = [r.vec_id for r in Q.ivfpq_topk(spark, src, qv, k=5, nprobe=4).collect()]
+    hits_dst = [r.vec_id for r in Q.ivfpq_topk(spark, dst, qv, k=5, nprobe=4).collect()]
+    assert hits_src == hits_dst and len(hits_dst) == 5

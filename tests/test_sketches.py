@@ -214,3 +214,21 @@ def test_cm_build_validates():
 
     with pytest.raises(ValueError):
         cm_build(None, "x", depth=0)
+
+
+def test_cm_point_estimates_rejects_mismatched_depth(spark):
+    """A probe depth larger than the build depth would min phantom
+    cnt=0 rows into a silent total undercount — must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.sketches import cm_build, cm_point_estimates
+
+    df = spark.range(100).select((F.col("id") % 10).alias("item"))
+    sk = cm_build(df, "item", depth=2, width=16)
+    probes = spark.range(3).select(F.col("id").alias("item"))
+    with pytest.raises(ValueError, match="does not match the"):
+        cm_point_estimates(sk, probes, "item", width=16, depth=4)
+    # matching depth still estimates
+    est = cm_point_estimates(sk, probes, "item", width=16, depth=2)
+    assert est.count() == 3

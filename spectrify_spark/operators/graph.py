@@ -371,6 +371,14 @@ def connected_components(
     fixpoint — mid-contraction labels are partial unions, and failing
     loud beats returning them silently.
 
+    Incremental maintenance: the returned labels ARE the compressed
+    state — contracting (previous star edges, i.e. ``id != component``
+    rows re-read as edges, UNION the delta edges) equals a full
+    recomputation over all raw edges (pinned by
+    ``tests/test_graph.py::test_cc_incremental_star_forest_plus_delta``),
+    so at 100 TB the raw edge set is scanned once ever; each increment
+    contracts a node-sized forest plus the delta.
+
     ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` for
     the contraction rounds only (restored afterwards) — the same
     pattern as the streaming drain helper: the working edge set is

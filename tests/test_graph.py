@@ -351,3 +351,33 @@ def test_cc_property_matches_union_find(spark, edges):
         if a == b:
             expected.setdefault(a, a)
     assert _run_cc(spark, edges) == expected
+
+
+def test_cc_incremental_star_forest_plus_delta(spark):
+    """Incremental maintenance: contracting (previous run's star edges
+    UNION the delta edges) equals a full recomputation over all raw
+    edges — the 100 TB pattern where the raw edge set is never
+    rescanned; the star forest (one edge per non-root node) stands in
+    for it."""
+    from spectrify_spark.operators.graph import connected_components
+
+    base = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    delta = [(3, 10), (30, 31)]  # merges {1,2,3} with {10,11}; new comp
+    full = _run_cc(spark, base + delta)
+
+    comp0 = connected_components(
+        spark.createDataFrame(base, ["src", "dst"])
+    )
+    star_edges = comp0.filter("id != component").select(
+        comp0.id.alias("src"), comp0.component.alias("dst")
+    )
+    merged = star_edges.unionByName(
+        spark.createDataFrame(delta, ["src", "dst"])
+    )
+    incr = {
+        r.id: r.component for r in connected_components(merged).collect()
+    }
+    # the star forest drops isolated singletons (they have no edge);
+    # full recompute keeps them — compare on the star-covered nodes
+    assert incr == {k: v for k, v in full.items() if k in incr}
+    assert incr[11] == 1 and incr[30] == 30  # merged + new component

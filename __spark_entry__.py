@@ -3944,90 +3944,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r10 (per the plan recorded at r9 close + VERDICT r9 item 1):
-    slots 1-6 = the six r9-born keys owing their first driver rows
-    (q_multimodal_real, q_sketch_cm, q_graph_triangles,
-    q_multimodal_audio, q_multimodal_video, q_stream_media); slots
-    7-12 = the six keys carried green-since-r6 (q_join_salted,
-    q_subquery_scalar, q_decontaminate, q_pack_sequences,
-    q_sample_weighted, q_stream_window); slots 13-50 = the 38 oldest
-    r7-green keys (q_text_bm25 ... q_json_extract in registry order).
-    58 keys were overdue for 50 slots, so rule (1) admits no
-    changed-code extras this round — the r10-touched r9-greens
-    (q_sim_ivf, q_cluster_kmeans, q_sim_ivf_recall,
-    q_dedup_incremental) stay past the window and rely on the
-    per-pytest sweep + at-change vanilla sf0.01 checks until their
-    rotation slot comes up.
+    Window r11 (per the plan recorded at r10 close + VERDICT r10 item
+    1): slots 1-6 = the six r10-born keys owing their first driver
+    rows (q_graph_pagerank_dangling, q_embed_pq, q_sim_ivfpq,
+    q_graph_components, q_stream_enrich, q_dedup_spans — rule (2):
+    never-verified outranks everything); slots 7-14 = the eight keys
+    carried green-since-r7 (q_array_slice, q_unpivot, q_join_multi,
+    q_join_star, q_join_two_dims, q_topk_customers, q_asof_join,
+    q_grouping_sets); slots 15-50 = the 36 oldest r8-green keys in
+    their r8 window order (q_winsorize_grouped ... q_asof_tolerance).
+    64 keys were overdue for 50 slots, so rule (1) admits no
+    changed-code extras this round; r11-touched keys past the window
+    rely on the per-pytest sweep + at-change vanilla sf0.01 checks
+    until their rotation slot comes up.
 
-    Past the window: the remaining 8 r7-green keys (q_array_slice,
-    q_unpivot, q_join_multi, q_join_star, q_join_two_dims,
-    q_topk_customers, q_asof_join, q_grouping_sets — they head the
-    r11 window), then the 50 r8-greens, then the 50 r9-greens
-    (freshest).  r11 plan: the 6 never-verified r10-born keys
-    (q_graph_pagerank_dangling, q_embed_pq, q_sim_ivfpq,
-    q_graph_components, q_stream_enrich, q_dedup_spans first — rule
-    (2): never-verified outranks everything) + those 8 r7-greens +
-    the 36 oldest r8-greens; after r10 lands, no key's latest driver
-    row is older than r8, keeping the <=3-round freshness invariant
-    (VERDICT r9 item 8).
+    Past the window: the remaining 14 r8-green keys (q_asof_forward
+    ... q_nullify_empty — they head the r12 window), then the 50
+    r9-greens, then the 50 r10-greens (freshest).  r12 plan: those 14
+    r8-greens + the 36 oldest r9-greens; after r11 lands, every key's
+    latest driver row is r8+ and the six r10-born keys are
+    first-verified, restoring "no never-verified key" for the first
+    time since r9 (VERDICT r10 item 1).
     """
     return {
-        # -- r10 window, slots 1-6: r9-born keys, first driver rows
-        "q_multimodal_real": q_multimodal_real,
-        "q_sketch_cm": q_sketch_cm,
-        "q_graph_triangles": q_graph_triangles,
-        "q_multimodal_audio": q_multimodal_audio,
-        "q_multimodal_video": q_multimodal_video,
-        "q_stream_media": q_stream_media,
-        # -- r10 window, slots 7-12: the 6 keys carried since r6 (4 rounds)
-        "q_join_salted": q_join_salted,
-        "q_subquery_scalar": q_subquery_scalar,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_sample_weighted": q_sample_weighted,
-        "q_stream_window": q_stream_window,
-        # -- r10 window, slots 13-50: the 38 oldest r7-green keys;
-        #    the remaining 8 r7 keys head the r11 window
-        "q_text_bm25": q_text_bm25,
-        "q_table_diff": q_table_diff,
-        "q_corpus_drift": q_corpus_drift,
-        "q_zscore_robust": q_zscore_robust,
-        "q_text_pii": q_text_pii,
-        "q_text_entropy": q_text_entropy,
-        "q_dedup_lines": q_dedup_lines,
-        "q_stream_dedup": q_stream_dedup,
-        "q_top_revenue_supplier": q_top_revenue_supplier,
-        "q_large_orders": q_large_orders,
-        "q_promo_ratio": q_promo_ratio,
-        "q_single_fault_supplier": q_single_fault_supplier,
-        "q_stream_join": q_stream_join,
-        "q_quantile_bins": q_quantile_bins,
-        "q_skew_report": q_skew_report,
-        "q_stream_cdc": q_stream_cdc,
-        "q_quality_checks": q_quality_checks,
-        "q_funnel": q_funnel,
-        "q_retention": q_retention,
-        "q_stream_stateful": q_stream_stateful,
-        "q_asof_nearest": q_asof_nearest,
-        "q_stream_convert": q_stream_convert,
-        "q_forecast_revenue": q_forecast_revenue,
-        "q_profit_by_nation": q_profit_by_nation,
-        "q_min_price_supplier": q_min_price_supplier,
-        "q_market_share": q_market_share,
-        "q_important_parts": q_important_parts,
-        "q_excess_suppliers": q_excess_suppliers,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_mixture_rebalance": q_mixture_rebalance,
-        "q_ewma": q_ewma,
-        "q_trend_fit": q_trend_fit,
-        "q_transition_matrix": q_transition_matrix,
-        "q_text_readability": q_text_readability,
-        "q_agg_hash": q_agg_hash,
-        "q_scan_project": q_scan_project,
-        "q_filter_daterange": q_filter_daterange,
-        "q_json_extract": q_json_extract,
-        # -- past the window: last 8 r7-green keys (r11 slots 1-8),
-        #    pytest-sweep-verified meanwhile
+        # -- r11 window, slots 1-6: r10-born keys, first driver rows
+        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
+        "q_embed_pq": q_embed_pq,
+        "q_sim_ivfpq": q_sim_ivfpq,
+        "q_graph_components": q_graph_components,
+        "q_stream_enrich": q_stream_enrich,
+        "q_dedup_spans": q_dedup_spans,
+        # -- r11 window, slots 7-14: the 8 keys green-since-r7 (4 rounds)
         "q_array_slice": q_array_slice,
         "q_unpivot": q_unpivot,
         "q_join_multi": q_join_multi,
@@ -4036,7 +3983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_customers": q_topk_customers,
         "q_asof_join": q_asof_join,
         "q_grouping_sets": q_grouping_sets,
-        # -- past the window: r8-green keys, then r9-green (freshest)
+        # -- r11 window, slots 15-50: the 36 oldest r8-green keys;
+        #    the remaining 14 r8 keys head the r12 window
         "q_winsorize_grouped": q_winsorize_grouped,
         "q_embed_standardize": q_embed_standardize,
         "q_multimodal_decode": q_multimodal_decode,
@@ -4073,6 +4021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
         "q_asof_tolerance": q_asof_tolerance,
+        # -- past the window: last 14 r8-green keys (r12 slots 1-14),
+        #    pytest-sweep-verified meanwhile
         "q_asof_forward": q_asof_forward,
         "q_stream_sessionize": q_stream_sessionize,
         "q_chunk_documents": q_chunk_documents,
@@ -4087,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch": q_quantile_sketch,
         "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
+        # -- past the window: r9-green keys, then r10-green (freshest)
         "q_graph_pagerank": q_graph_pagerank,
         "q_zorder_layout": q_zorder_layout,
         "q_events_anomaly": q_events_anomaly,
@@ -4137,14 +4088,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
-        # -- born r10: past the window (new keys never displace
-        #    overdue); owe their first driver rows in a later rotation
-        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
-        "q_embed_pq": q_embed_pq,
-        "q_sim_ivfpq": q_sim_ivfpq,
-        "q_graph_components": q_graph_components,
-        "q_stream_enrich": q_stream_enrich,
-        "q_dedup_spans": q_dedup_spans,
+        "q_multimodal_real": q_multimodal_real,
+        "q_sketch_cm": q_sketch_cm,
+        "q_graph_triangles": q_graph_triangles,
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_multimodal_video": q_multimodal_video,
+        "q_stream_media": q_stream_media,
+        "q_join_salted": q_join_salted,
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_sample_weighted": q_sample_weighted,
+        "q_stream_window": q_stream_window,
+        "q_text_bm25": q_text_bm25,
+        "q_table_diff": q_table_diff,
+        "q_corpus_drift": q_corpus_drift,
+        "q_zscore_robust": q_zscore_robust,
+        "q_text_pii": q_text_pii,
+        "q_text_entropy": q_text_entropy,
+        "q_dedup_lines": q_dedup_lines,
+        "q_stream_dedup": q_stream_dedup,
+        "q_top_revenue_supplier": q_top_revenue_supplier,
+        "q_large_orders": q_large_orders,
+        "q_promo_ratio": q_promo_ratio,
+        "q_single_fault_supplier": q_single_fault_supplier,
+        "q_stream_join": q_stream_join,
+        "q_quantile_bins": q_quantile_bins,
+        "q_skew_report": q_skew_report,
+        "q_stream_cdc": q_stream_cdc,
+        "q_quality_checks": q_quality_checks,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_stream_stateful": q_stream_stateful,
+        "q_asof_nearest": q_asof_nearest,
+        "q_stream_convert": q_stream_convert,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_profit_by_nation": q_profit_by_nation,
+        "q_min_price_supplier": q_min_price_supplier,
+        "q_market_share": q_market_share,
+        "q_important_parts": q_important_parts,
+        "q_excess_suppliers": q_excess_suppliers,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_mixture_rebalance": q_mixture_rebalance,
+        "q_ewma": q_ewma,
+        "q_trend_fit": q_trend_fit,
+        "q_transition_matrix": q_transition_matrix,
+        "q_text_readability": q_text_readability,
+        "q_agg_hash": q_agg_hash,
+        "q_scan_project": q_scan_project,
+        "q_filter_daterange": q_filter_daterange,
+        "q_json_extract": q_json_extract,
     }
 
 

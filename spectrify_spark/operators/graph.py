@@ -24,9 +24,16 @@ Design (same discipline as ``dedup.connected_components``):
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, functions as F
 
 from spectrify_spark.operators.dedup import _truncate_lineage
+
+#: observation names must be unique within a single query execution;
+#: a process-wide counter keeps two guarded edge builds composable
+#: into one plan
+_observe_counter = itertools.count()
 
 
 def pagerank(
@@ -453,7 +460,11 @@ def connected_components(
         return frame.localCheckpoint(eager=False)
 
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # session-global knob: concurrent queries on a SHARED session see
+    # the reduced value for the duration of the contraction loop (use a
+    # dedicated session, or leave None, if that matters); an unset key
+    # is restored by unsetting, not by pinning the default
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
@@ -472,7 +483,10 @@ def connected_components(
             sig = new_sig
     finally:
         if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_parts is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         # labels mid-contraction are NOT component labels; failing loud
         # beats silently returning partial unions (convergence is
@@ -495,6 +509,8 @@ def cooccurrence_edges(
     group_col: str,
     item_col: str,
     min_count: int = 2,
+    max_group_size: int | None = 10_000,
+    on_oversize: str = "raise",
 ) -> DataFrame:
     """Item co-occurrence edge table: items are adjacent when they
     appear together in >= ``min_count`` DISTINCT groups (orders,
@@ -508,17 +524,70 @@ def cooccurrence_edges(
     generated from the per-group DISTINCT set, the count is per
     distinct group by construction: an item listed twice inside one
     group cannot fake a repeat co-occurrence, which the naive row-level
-    self-join gets wrong.  Groups with pathologically many items make
-    the per-row explode quadratic — pre-filter such groups (they are
-    usually bot sessions / spam baskets) before calling.
+    self-join gets wrong.
+
+    The per-row pair explode is quadratic in the group's DISTINCT item
+    count, and it happens inside ONE row — a single pathological group
+    (bot session, spam basket: 100k items -> ~5e9 structs) OOMs one
+    task in a way AQE cannot split.  ``max_group_size`` guards this
+    100 TB failure shape BEFORE the explode:
+
+    - ``on_oversize="raise"`` (default): any group whose distinct item
+      set exceeds the cap fails the job with a clear error naming the
+      group — no silent result change, no extra job.
+    - ``on_oversize="drop"``: oversized groups are filtered out and
+      COUNTED via ``DataFrame.observe`` (metric
+      ``cooccurrence_oversized_groups``, reported on the same action —
+      no second pass over the shuffle), per the no-silent-caps rule.
+    - ``max_group_size=None`` disables the guard (caller pre-filtered).
 
     Output: ``(src, dst)`` with ``src < dst``, one row per qualifying
     pair — the edge input shape of :func:`connected_components`,
     :func:`triangle_count`, and :func:`pagerank`.
     """
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
     arr = df.groupBy(group_col).agg(
         F.collect_set(item_col).alias("__items")
     )
+    if max_group_size is not None:
+        oversized = F.size("__items") > F.lit(max_group_size)
+        if on_oversize == "raise":
+            # the filter on __guard forces per-row evaluation (an
+            # unreferenced column would be pruned and never raise)
+            arr = (
+                arr.withColumn(
+                    "__guard",
+                    F.when(
+                        oversized,
+                        F.raise_error(
+                            F.concat(
+                                F.lit("cooccurrence_edges: group "),
+                                F.col(group_col).cast("string"),
+                                F.lit(" has "),
+                                F.size("__items").cast("string"),
+                                F.lit(
+                                    " distinct items"
+                                    f" > max_group_size={max_group_size};"
+                                    " pre-filter bot/spam groups, raise the"
+                                    " cap, or pass on_oversize='drop'"
+                                ),
+                            )
+                        ),
+                    ),
+                )
+                .filter(F.col("__guard").isNull())
+                .drop("__guard")
+            )
+        else:
+            arr = arr.observe(
+                f"cooccurrence_oversized_{next(_observe_counter)}",
+                F.sum(oversized.cast("long")).alias(
+                    "cooccurrence_oversized_groups"
+                ),
+            ).filter(~oversized)
     return (
         arr.select(
             F.explode(

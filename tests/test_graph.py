@@ -381,3 +381,77 @@ def test_cc_incremental_star_forest_plus_delta(spark):
     # full recompute keeps them — compare on the star-covered nodes
     assert incr == {k: v for k, v in full.items() if k in incr}
     assert incr[11] == 1 and incr[30] == 30  # merged + new component
+
+
+# ----------------------------------------------------- cooccurrence guard
+
+
+def _cooc_df(spark, rows):
+    return spark.createDataFrame(rows, ["g", "item"])
+
+
+def test_cooccurrence_edges_known_pairs(spark):
+    from spectrify_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),
+        ("g2", 1), ("g2", 2),
+        ("g3", 1), ("g3", 2), ("g3", 2),  # in-group repeat: no effect
+    ]
+    out = cooccurrence_edges(
+        _cooc_df(spark, rows), "g", "item", min_count=2
+    ).collect()
+    assert {(r.src, r.dst) for r in out} == {(1, 2)}
+
+
+def test_cooccurrence_edges_raises_on_oversized_group(spark):
+    """A planted group over the cap fails LOUD before the quadratic
+    explode — the single-task-OOM shape at 100 TB (one bot basket's
+    pair blowup lives inside one row, which AQE cannot split)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from spectrify_spark.operators.graph import cooccurrence_edges
+
+    rows = [("bot", i) for i in range(50)] + [("ok", 1), ("ok", 2)]
+    guarded = cooccurrence_edges(
+        _cooc_df(spark, rows), "g", "item", max_group_size=10
+    )
+    with pytest.raises(SparkRuntimeException, match="max_group_size=10"):
+        guarded.collect()
+
+
+def test_cooccurrence_edges_drop_mode_filters_and_counts(spark):
+    from spectrify_spark.operators.graph import cooccurrence_edges
+
+    rows = (
+        [("bot", i) for i in range(50)]
+        + [("g1", 1), ("g1", 2), ("g2", 1), ("g2", 2)]
+    )
+    out = cooccurrence_edges(
+        _cooc_df(spark, rows),
+        "g",
+        "item",
+        min_count=2,
+        max_group_size=10,
+        on_oversize="drop",
+    )
+    assert {(r.src, r.dst) for r in out.collect()} == {(1, 2)}
+    # the no-silent-caps count rides the same action via observe
+    # (metric name cooccurrence_oversized_* -> value 1); surfacing it
+    # needs a QueryExecutionListener, so here we pin the semantics:
+    # guard ON drops the bot pairs, guard OFF keeps them
+    full = cooccurrence_edges(
+        _cooc_df(spark, rows), "g", "item", min_count=1, max_group_size=None
+    )
+    # bot items are range(50), so (1,2) is already among the C(50,2)
+    # bot pairs — the unguarded pair count is exactly C(50,2)
+    assert full.count() == 50 * 49 // 2
+
+
+def test_cooccurrence_edges_rejects_bad_mode(spark):
+    from spectrify_spark.operators.graph import cooccurrence_edges
+
+    with pytest.raises(ValueError, match="on_oversize"):
+        cooccurrence_edges(
+            _cooc_df(spark, [("g", 1)]), "g", "item", on_oversize="ignore"
+        )

@@ -800,10 +800,15 @@ def compact_band_index(
 
     src_abs = os.path.realpath(src)
     dst_abs = os.path.realpath(dst)
-    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+    if (
+        dst_abs == src_abs
+        or dst_abs.startswith(src_abs + os.sep)
+        or src_abs.startswith(dst_abs + os.sep)
+    ):
         raise ValueError(
-            f"compact_band_index: dst {dst!r} equals or is nested under src "
-            f"{src!r}; mode('overwrite') would destroy the index mid-read"
+            f"compact_band_index: src {src!r} and dst {dst!r} overlap "
+            "(equal or one nested under the other); mode('overwrite') "
+            "would destroy the source index mid-read"
         )
     (
         spark.read.parquet(src)

@@ -116,11 +116,16 @@ def compact_parquet(
 
     src_abs = os.path.realpath(src)
     dst_abs = os.path.realpath(dst)
-    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+    if (
+        dst_abs == src_abs
+        or dst_abs.startswith(src_abs + os.sep)
+        or src_abs.startswith(dst_abs + os.sep)
+    ):
         raise ValueError(
-            f"compact_parquet: dst {dst!r} equals or is nested under src "
-            f"{src!r}; mode('overwrite') would destroy the source dataset "
-            "mid-read — write to a sibling path and swap instead"
+            f"compact_parquet: src {src!r} and dst {dst!r} overlap (equal "
+            "or one nested under the other); mode('overwrite') would "
+            "destroy the source dataset mid-read — write to a sibling "
+            "path and swap instead"
         )
 
     jvm = spark._jvm

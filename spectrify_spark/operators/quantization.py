@@ -313,9 +313,13 @@ def pq_train(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     dsub = dim // m_subspaces
-    # seed: K hash-sampled vectors, split into their M subvectors
+    # seed: K hash-sampled DISTINCT vectors, split into their M
+    # subvectors — duplicate seeds would make duplicate codebook
+    # entries that the first-index argmin tie rule starves forever
+    # (dead codes wasting codebook capacity)
     seeds = (
         df.select(vec_col)
+        .distinct()
         .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
         .limit(n_codes)
         .collect()
@@ -419,7 +423,11 @@ def write_ivfpq_index(
     and ADC-scores 4-byte codes instead of 256-byte vectors, so the
     scanned bytes drop by BOTH factors (~C/nprobe x ~64x).  The model
     (centroids + codebooks) persists in a JSON sidecar, making probes
-    self-contained."""
+    self-contained.
+
+    Cell assignment is by cosine, ADC ranking by squared L2 — the two
+    agree for L2-normalized embeddings; see the metric contract in
+    :func:`ivfpq_topk` (normalize at ingest, or re-rank)."""
     from spectrify_spark.operators._sidecar import write_json_sidecar
     from spectrify_spark.operators.similarity import assign_partitions
 
@@ -488,6 +496,9 @@ def ivfpq_topk(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 4,
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k against a materialized IVF-PQ index: pick the
     ``nprobe`` cells whose centroids score highest for the query
@@ -495,9 +506,29 @@ def ivfpq_topk(
     those cell partitions (``isin`` on the partition column prunes at
     planning time), ADC-score the codes, ascending top-k.
 
-    Output: (id, adc_dist) — smaller distance = closer.  Recall is
+    Output: ``(id, adc_dist)`` — smaller distance = closer.  Recall is
     bounded by nprobe (cells not probed are never seen) and by PQ
-    quantization error; both knobs trade accuracy for scan cost."""
+    quantization error; both knobs trade accuracy for scan cost.
+
+    METRIC CONTRACT: cells are selected by cosine — the SAME rule
+    ``assign_partitions`` used to place vectors, so a vector is always
+    probed from the cell that holds it — but candidates are ranked by
+    squared-L2 ADC.  The two orders agree when embeddings are
+    L2-NORMALIZED (then ``l2² = 2·(1−cos)``, a monotone map); for
+    unnormalized embeddings the L2-nearest vector can sit in a
+    cosine-far cell that ``nprobe`` never scans, degrading recall
+    beyond the nprobe/quantization bounds.  Normalize at ingest
+    (``vectors.normalize``) or raise nprobe / use ``rerank_with``.
+
+    ``rerank_with`` is the standard FAISS recall lever: take the top
+    ``k·rerank_factor`` ADC candidates, re-score ONLY those against
+    the original float vectors (``rerank_with`` must expose the
+    index's id column and ``vec_col``), and return the exact-L2 top-k
+    as ``(id, l2_dist)``.  The exact pass touches candidate-sized
+    data, never the corpus: the bounded candidate id list is pushed
+    into the vector table's scan as an IN filter (row-group skipping),
+    not joined corpus-wide.  This removes quantization error from the
+    FINAL ranking; only the nprobe cell-selection bound remains."""
     import math
 
     from spectrify_spark.operators._sidecar import read_json_sidecar
@@ -524,8 +555,47 @@ def ivfpq_topk(
         for cid, _ in sorted(centroids, key=lambda cv: -cos(cv[1]))[:nprobe]
     ]
     enc = spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
-    return pq_adc_topk(
-        enc, codebooks, query_vec, k=k, id_col=id_col, code_col="pq_code"
+    if rerank_with is None:
+        return pq_adc_topk(
+            enc, codebooks, query_vec, k=k, id_col=id_col, code_col="pq_code"
+        )
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    cand = pq_adc_topk(
+        enc,
+        codebooks,
+        query_vec,
+        k=k * rerank_factor,
+        id_col=id_col,
+        code_col="pq_code",
+    )
+    # bounded collect: k·rerank_factor ids (the model-sized exception,
+    # same discipline as the sidecar reads) — an IN literal list prunes
+    # the vector table scan at planning time instead of forcing a
+    # corpus-wide join
+    cand_ids = [r[id_col] for r in cand.collect()]
+    dim = len(query_vec)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.col(vec_col).cast("array<double>")
+    guarded = F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ivfpq_topk rerank: vector dim "),
+                F.size(vec).cast("string"),
+                F.lit(f" != query dim {dim}"),
+            )
+        )
+    )
+    l2 = F.aggregate(
+        F.zip_with(guarded, qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        rerank_with.filter(F.col(id_col).isin(cand_ids))
+        .select(F.col(id_col), F.round(l2, 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -133,8 +133,9 @@ def assign_partitions(
     column.  At scale: write this table partitioned by ``ivf_cell`` so
     probes become partition-pruned scans.
 
-    Implementation notes: the centroid set enters the plan as three
-    Literal nodes (:func:`_centroid_lits`), and the argmax is a
+    Implementation notes: the centroid set enters the plan as a
+    one-row broadcast parameter table (:func:`_centroid_frame`) —
+    planning time stays flat in C×dim — and the argmax is a
     row-local ``aggregate`` fold over centroid indices keeping the
     best (score, index) seen — strict ``>`` keeps the FIRST index on
     exact score ties, matching the previous array_position-of-max
@@ -456,10 +457,15 @@ def compact_ivf_index(spark, src: str, dst: str) -> None:
 
     src_abs = os.path.realpath(src)
     dst_abs = os.path.realpath(dst)
-    if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep):
+    if (
+        dst_abs == src_abs
+        or dst_abs.startswith(src_abs + os.sep)
+        or src_abs.startswith(dst_abs + os.sep)
+    ):
         raise ValueError(
-            f"compact_ivf_index: dst {dst!r} equals or is nested under src "
-            f"{src!r}; mode('overwrite') would destroy the index mid-read"
+            f"compact_ivf_index: src {src!r} and dst {dst!r} overlap "
+            "(equal or one nested under the other); mode('overwrite') "
+            "would destroy the source index mid-read"
         )
     from spectrify_spark.operators._sidecar import (
         copy_sidecars,

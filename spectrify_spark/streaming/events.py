@@ -254,9 +254,16 @@ def stream_static_enrich(
     replaced data on the next batch (the slowly-changing-dimension
     refresh pattern without restarts).  Only ``inner`` and
     ``left_outer`` (stream side preserved) are supported by the
-    engine for stream-static joins; chain calls to enrich against a
+    engine for stream-static joins — validated HERE so an unsupported
+    mode fails immediately with a clear error instead of Spark's late
+    AnalysisException at stream start; chain calls to enrich against a
     star schema of several dims.
     """
+    if how not in ("inner", "left_outer", "left", "leftouter"):
+        raise ValueError(
+            "stream_static_enrich: stream-static joins support only "
+            f"'inner' and 'left_outer' (stream side preserved); got {how!r}"
+        )
     return stream_df.join(F.broadcast(dim), on, how)
 
 

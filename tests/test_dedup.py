@@ -468,3 +468,17 @@ def test_band_index_append_refuses_legacy_index(spark, tmp_path):
     delta = spark.createDataFrame([(3, "iota kappa lambda mu")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="no params sidecar"):
         write_band_index(delta, path, mode="append")
+
+
+def test_compact_band_index_rejects_overlapping_paths(spark, tmp_path):
+    """Both nesting directions are data loss: dst under src (overwrite
+    destroys the index mid-read) and src under dst (overwriting the
+    parent deletes the source)."""
+    import pytest
+
+    from spectrify_spark.operators.dedup import compact_band_index
+
+    src = str(tmp_path / "bands" / "inner")
+    for dst in (src, src + "/sub", str(tmp_path / "bands")):
+        with pytest.raises(ValueError, match="overlap"):
+            compact_band_index(spark, src, dst)

@@ -223,5 +223,8 @@ def test_compact_parquet_rejects_dst_inside_src(spark, tmp_path):
     spark.range(10).write.parquet(src)
     with pytest.raises(ValueError, match="nested|equals|destroy"):
         compact_parquet(spark, src, src)
-    with pytest.raises(ValueError, match="nested|equals|destroy"):
+    with pytest.raises(ValueError, match="nested|equals|destroy|overlap"):
         compact_parquet(spark, src, src + "/sub")
+    # reverse nesting: overwriting a PARENT of src deletes src itself
+    with pytest.raises(ValueError, match="overlap"):
+        compact_parquet(spark, src, str(tmp_path))

@@ -61,6 +61,26 @@ def test_pq_train_reduces_reconstruction_mse(spark):
     assert Q.reconstruction_mse(e, trained) < Q.reconstruction_mse(e, det)
 
 
+def test_pq_train_seeds_distinct_vectors(spark):
+    """Duplicate input vectors must not seed duplicate codebook
+    entries: the first-index argmin tie rule would starve the clones
+    forever (dead codes wasting codebook capacity)."""
+    import itertools
+
+    base = [
+        [float(i), float(i) + 1, float(i) * 2, float(i) * 3] for i in range(4)
+    ]
+    rows = [(i, v) for i, v in enumerate(itertools.chain(*([b] * 5 for b in base)))]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    books = Q.pq_train(e, m_subspaces=2, n_codes=4, iters=0)
+    for book in books:
+        entries = [tuple(c) for c in book]
+        assert len(set(entries)) == len(entries)
+    # only 4 DISTINCT vectors exist: asking for 5 codes now fails loud
+    with pytest.raises(ValueError, match="need >= 5"):
+        Q.pq_train(e, m_subspaces=2, n_codes=5, iters=0)
+
+
 def test_pq_encode_plan_has_no_shuffle(spark):
     """Encode + ADC scoring is map-side only: the two one-row
     parameter tables arrive as BroadcastExchange, and NO shuffle
@@ -152,6 +172,57 @@ def test_ivfpq_index_prunes_and_recalls(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         Q.ivfpq_topk(spark, str(tmp_path / "nope"), qv)
+
+
+def test_ivfpq_rerank_is_exact_l2_over_candidates(spark, tmp_path):
+    """rerank_with removes quantization error from the FINAL ranking:
+    with all cells probed and rerank_factor covering the corpus, the
+    result is EXACTLY the brute-force L2 top-k; with a smaller factor
+    it is the exact-L2 re-sort of the ADC candidate pool."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    books = Q.pq_train(e, 4, 16, iters=1)
+    path = str(tmp_path / "ivfpq")
+    Q.write_ivfpq_index(e, cents, books, path)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
+
+    # factor large enough to pool the whole corpus -> exact L2 top-k
+    got = Q.ivfpq_topk(
+        spark, path, qv, k=5, nprobe=8, rerank_with=e,
+        rerank_factor=(n // 5) + 1,
+    ).collect()
+    V = {r.vec_id: np.array(r.embedding, np.float64) for r in e.collect()}
+    q = np.array(qv)
+    exact = {i: round(float(((v - q) ** 2).sum()), 6) for i, v in V.items()}
+    want = sorted(V, key=lambda i: (exact[i], i))[:5]
+    assert [r.vec_id for r in got] == want
+    for r in got:
+        assert abs(r.l2_dist - exact[r.vec_id]) < 1e-6
+
+    # recall@5 with a practical factor is >= the pure-ADC recall
+    # (re-sorting a candidate pool by the true metric cannot lose a
+    # true neighbour that ADC ranked within the pool)
+    adc5 = {r.vec_id for r in Q.ivfpq_topk(spark, path, qv, k=5, nprobe=8).collect()}
+    rr5 = {
+        r.vec_id
+        for r in Q.ivfpq_topk(
+            spark, path, qv, k=5, nprobe=8, rerank_with=e, rerank_factor=8
+        ).collect()
+    }
+    truth = set(want)
+    assert len(rr5 & truth) >= len(adc5 & truth)
+
+    with pytest.raises(ValueError, match="rerank_factor"):
+        Q.ivfpq_topk(spark, path, qv, rerank_with=e, rerank_factor=0)
 
 
 def test_pq_adc_knn_join_matches_single_query_path(spark):

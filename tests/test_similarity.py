@@ -171,3 +171,16 @@ def test_ivf_index_append_and_sidecar(spark, sf_dir, tmp_path):
         SIM.write_ivf_index(delta, other, path, mode="append")
     with pytest.raises(FileNotFoundError):
         SIM.append_ivf_index(delta, str(tmp_path / "nope"))
+
+
+def test_compact_ivf_index_rejects_overlapping_paths(spark, tmp_path):
+    """Guard both nesting directions: dst under src destroys the index
+    mid-read; src under dst means overwriting dst deletes src itself."""
+    import pytest
+
+    from spectrify_spark.operators.similarity import compact_ivf_index
+
+    src = str(tmp_path / "idx" / "inner")
+    for dst in (src, src + "/sub", str(tmp_path / "idx")):
+        with pytest.raises(ValueError, match="overlap"):
+            compact_ivf_index(spark, src, dst)

@@ -317,3 +317,17 @@ def test_stream_static_enrich_left_outer_preserves_stream(spark, stream_dir):
     assert len(rows) == 1000  # every stream row preserved
     assert all(r.label is None for r in rows if r.user_id != 0)
     assert all(r.label == "zero" for r in rows if r.user_id == 0)
+
+
+def test_stream_static_enrich_rejects_unsupported_how(spark):
+    """Unsupported join modes fail IMMEDIATELY with a clear error, not
+    as Spark's late AnalysisException at stream start."""
+    import pytest
+
+    from spectrify_spark.streaming import events as SE
+
+    dim = spark.createDataFrame([(1, "a")], ["user_id", "tier"])
+    with pytest.raises(ValueError, match="stream-static"):
+        SE.stream_static_enrich(dim, dim, "user_id", how="full_outer")
+    with pytest.raises(ValueError, match="stream-static"):
+        SE.stream_static_enrich(dim, dim, "user_id", how="right_outer")

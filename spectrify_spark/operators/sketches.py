@@ -249,6 +249,14 @@ def cm_build(
     |distinct items| rows, never the corpus.  Counters are additive, so
     sketches merge by bucket-wise sum (:func:`cm_merge`) — the algebra
     that lets 100 TB of shards pre-aggregate independently.
+
+    The build ``width`` travels WITH the sketch as a column (the
+    sketch is <= depth*width rows, so the constant column is free;
+    depth is already recoverable as ``max(d)+1``): a probe against a
+    sketch of a different width hashes items into the wrong buckets
+    and can silently UNDERcount, breaking the overcount-only
+    guarantee — :func:`cm_point_estimates` validates both parameters
+    against the sketch itself.
     """
     from spectrify_spark.functions.text import hash_bucket
 
@@ -270,17 +278,30 @@ def cm_build(
         rows.select("d", bucket.alias("bucket"), "__n")
         .groupBy("d", "bucket")
         .agg(F.sum("__n").alias("cnt"))
+        .withColumn("width", F.lit(width))
     )
 
 
 def cm_merge(*sketches: DataFrame) -> DataFrame:
     """Merge count-min sketches built with the SAME (depth, width):
     bucket-wise counter sum — the mergeability that makes per-shard
-    sketches a 100 TB rollup primitive."""
-    out = sketches[0]
-    for s in sketches[1:]:
+    sketches a 100 TB rollup primitive.
+
+    ``width`` rides the group key, so merging sketches of DIFFERENT
+    widths yields >1 distinct width in the result, which
+    :func:`cm_point_estimates` rejects — a width mismatch can never
+    silently undercount (the merge itself stays lazy: no extra
+    action here)."""
+    # if ANY shard predates the width column, drop it everywhere — a
+    # half-tagged merge would split counters across (width, NULL) keys
+    # and the split minima could undercount
+    have_width = all("width" in s.columns for s in sketches)
+    parts = [s if have_width else s.drop("width") for s in sketches]
+    out = parts[0]
+    for s in parts[1:]:
         out = out.unionByName(s)
-    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    key = ["d", "bucket"] + (["width"] if have_width else [])
+    return out.groupBy(*key).agg(F.sum("cnt").alias("cnt"))
 
 
 def cm_point_estimates(
@@ -298,13 +319,19 @@ def cm_point_estimates(
     vanished row.
 
     ``depth`` and ``width`` must match the build (they parameterize the
-    hash family).  Depth is taken explicitly so an EMPTY sketch still
-    yields est=0 rows, and validated against the sketch's actual row
-    depths when it is non-empty: a probe depth LARGER than the build's
-    would join phantom rows at cnt=0 and min them into a silent total
-    undercount — the one way to break the overcount-only guarantee.
-    The validation is one aggregate over the sketch, which is bounded
-    (<= depth*width rows) by construction.
+    hash family).  Both are taken explicitly so an EMPTY sketch still
+    yields est=0 rows, and BOTH are validated against the sketch when
+    it is non-empty: a probe depth LARGER than the build's would join
+    phantom rows at cnt=0 and min them into a silent total undercount,
+    and a mismatched width hashes probes into the WRONG buckets, whose
+    counters can be smaller than the item's true count — either way
+    the overcount-only guarantee breaks silently.  Depth is recovered
+    from ``max(d)+1``; width from the ``width`` column :func:`cm_build`
+    stamps on every counter row (>1 distinct width = shards of
+    different widths were merged — also rejected; a legacy sketch
+    without the column skips the width check).  The validation is one
+    aggregate over the sketch, which is bounded (<= depth*width rows)
+    by construction.
 
     The sketch is bounded by construction (<= depth*width counter
     rows), so it broadcasts; probes may be arbitrarily many and stay
@@ -315,13 +342,35 @@ def cm_point_estimates(
 
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
-    actual_max_d = sketch.agg(F.max("d")).collect()[0][0]
+    has_width = "width" in sketch.columns
+    aggs = [F.max("d").alias("__maxd")]
+    if has_width:
+        aggs += [
+            F.count_distinct("width").alias("__nw"),
+            F.max("width").alias("__w"),
+        ]
+    stats = sketch.agg(*aggs).collect()[0]
+    actual_max_d = stats["__maxd"]
     if actual_max_d is not None and depth != actual_max_d + 1:
         raise ValueError(
             f"cm_point_estimates: probe depth {depth} does not match the "
             f"sketch's build depth {actual_max_d + 1}; a larger probe depth "
             "joins phantom cnt=0 rows and undercounts every item"
         )
+    if has_width and actual_max_d is not None:
+        if stats["__nw"] > 1:
+            raise ValueError(
+                "cm_point_estimates: sketch mixes counters of "
+                f"{stats['__nw']} different widths — shards of different "
+                "widths were merged; rebuild with one width"
+            )
+        if width != stats["__w"]:
+            raise ValueError(
+                f"cm_point_estimates: probe width {width} does not match "
+                f"the sketch's build width {stats['__w']}; mismatched "
+                "widths hash probes into the wrong buckets and can "
+                "silently undercount"
+            )
     pr = probes.select(F.col(item_col).alias("__item")).distinct()
     pd_rows = pr.select(
         "__item",

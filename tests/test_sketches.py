@@ -232,3 +232,33 @@ def test_cm_point_estimates_rejects_mismatched_depth(spark):
     # matching depth still estimates
     est = cm_point_estimates(sk, probes, "item", width=16, depth=2)
     assert est.count() == 3
+
+
+def test_cm_point_estimates_rejects_mismatched_width(spark):
+    """A mismatched probe width hashes items into the WRONG buckets,
+    whose counters can undercut the true count — the silent break of
+    the overcount-only guarantee; the width stored on the sketch by
+    cm_build must match, and merged shards must agree on one width."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.sketches import (
+        cm_build,
+        cm_merge,
+        cm_point_estimates,
+    )
+
+    df = spark.range(100).select((F.col("id") % 10).alias("item"))
+    sk = cm_build(df, "item", depth=2, width=16)
+    probes = spark.range(3).select(F.col("id").alias("item"))
+    with pytest.raises(ValueError, match="build width 16"):
+        cm_point_estimates(sk, probes, "item", width=32, depth=2)
+    # merging shards of different widths is caught at probe time
+    other = cm_build(df, "item", depth=2, width=32)
+    mixed = cm_merge(sk, other)
+    with pytest.raises(ValueError, match="different widths"):
+        cm_point_estimates(mixed, probes, "item", width=16, depth=2)
+    # a legacy sketch without the width column skips the width check
+    legacy = sk.drop("width")
+    est = cm_point_estimates(legacy, probes, "item", width=16, depth=2)
+    assert est.count() == 3

@@ -58,6 +58,30 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("csv_dir")
     e.add_argument("--max-records-per-file", type=int, default=None)
 
+    ej = sub.add_parser(
+        "export-jdbc",
+        help="live JDBC table -> UNLOAD-convention CSV + manifest "
+        "(the reference's export stage, reference spectrify/main.py:44-52; "
+        "connection params resolve flag -> REDSHIFT_* env -> default, and "
+        "a missing password is PROMPTED for, hidden, like the reference "
+        "CLI — reference main.py:20)",
+    )
+    ej.add_argument("table")
+    ej.add_argument("csv_dir")
+    ej.add_argument("--host", default=None)
+    ej.add_argument("--port", default=None)
+    ej.add_argument("--user", default=None)
+    ej.add_argument("--password", default=None)
+    ej.add_argument("--db", default=None)
+    ej.add_argument(
+        "--jdbc-url",
+        default=None,
+        help="full JDBC URL override (any Spark-supported driver, e.g. "
+        "jdbc:derby:...); skips host/port/db resolution",
+    )
+    ej.add_argument("--driver", default=None, help="JDBC driver class, if needed")
+    ej.add_argument("--max-records-per-file", type=int, default=None)
+
     c = sub.add_parser("convert", help="manifest CSV -> typed parquet")
     c.add_argument("manifest")
     c.add_argument("schema_json")
@@ -312,6 +336,40 @@ def main(argv: list[str] | None = None) -> int:
         print(ddl)
     elif args.cmd == "export":
         df = spark.read.parquet(args.source)
+        manifest = TR.export_to_csv(df, args.csv_dir, args.max_records_per_file)
+        print(manifest)
+    elif args.cmd == "export-jdbc":
+        from spectrify_spark.sources import jdbc as JDBC
+
+        opts: dict[str, str] = {}
+        if args.jdbc_url:
+            url = args.jdbc_url
+            # user/password still honored if given (flag/env only — no
+            # prompt when the URL is explicit and credentials may be
+            # embedded or unneeded, e.g. embedded Derby)
+            if args.user:
+                opts["user"] = args.user
+            if args.password:
+                opts["password"] = args.password
+        else:
+            try:
+                conn = JDBC.resolve_connection(
+                    {
+                        "host": args.host,
+                        "port": args.port,
+                        "user": args.user,
+                        "password": args.password,
+                        "db": args.db,
+                    }
+                )
+            except ValueError as ex:
+                print(str(ex), file=sys.stderr)
+                return 1
+            url = JDBC.connection_url(conn)
+            opts = {"user": conn["user"], "password": conn["password"]}
+        if args.driver:
+            opts["driver"] = args.driver
+        df = JDBC.read_table(spark, url, args.table, **opts)
         manifest = TR.export_to_csv(df, args.csv_dir, args.max_records_per_file)
         print(manifest)
     elif args.cmd == "convert":

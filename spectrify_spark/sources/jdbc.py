@@ -54,6 +54,70 @@ def read_table(
     return df
 
 
+#: flag -> environment-variable fallback, mirroring the reference CLI's
+#: click ``envvar=`` bindings (reference spectrify/main.py:17-21)
+_CONN_ENV = {
+    "host": "REDSHIFT_HOST",
+    "port": "REDSHIFT_PORT",
+    "user": "REDSHIFT_USER",
+    "password": "REDSHIFT_PASSWORD",
+    "db": "REDSHIFT_DB",
+}
+
+#: reference defaults (spectrify/main.py:17-19); password and db have
+#: none — password prompts, db is required
+_CONN_DEFAULTS = {"host": "localhost", "port": "5439", "user": "redshift"}
+
+
+def resolve_connection(
+    flags: dict | None = None,
+    env: "dict | None" = None,
+    prompt=None,
+) -> dict:
+    """Resolve JDBC connection parameters the way the reference CLI
+    does (reference spectrify/main.py:16-26 + utils/redshift.py:4-14):
+    flag -> ``REDSHIFT_*`` env var -> default, and — for the PASSWORD
+    only — an interactive hidden prompt when still missing (click's
+    ``prompt=True, hide_input=True`` on ``--password``).  A missing
+    ``db`` has no prompt in the reference either: it raises.
+
+    ``prompt`` is the zero-arg callable used for the password (default
+    ``getpass.getpass`` — hidden input); pass a fake in tests.  Returns
+    ``{host, port, user, password, db}`` with every value a string.
+    """
+    import os
+
+    flags = flags or {}
+    env = os.environ if env is None else env
+    out: dict[str, str] = {}
+    for key in ("host", "port", "user", "password", "db"):
+        val = flags.get(key)
+        if val is None or val == "":
+            val = env.get(_CONN_ENV[key]) or _CONN_DEFAULTS.get(key)
+        if val is not None:
+            out[key] = str(val)
+    if "password" not in out:
+        if prompt is None:
+            import getpass
+
+            prompt = lambda: getpass.getpass("Password: ")  # noqa: E731
+        out["password"] = str(prompt())
+    if not out.get("db"):
+        raise ValueError(
+            "db is required (flag --db or REDSHIFT_DB)"
+        )  # reference utils/redshift.py:10 wording: '{} is required'
+    return out
+
+
+def connection_url(params: dict, scheme: str = "postgresql") -> str:
+    """JDBC URL from resolved connection parameters —
+    ``jdbc:postgresql://host:port/db`` (Redshift speaks the postgres
+    wire protocol; the reference builds the SQLAlchemy twin of this
+    string at utils/redshift.py:19-25).  Credentials are NOT embedded:
+    pass them as reader options so they stay out of logs and plans."""
+    return f"jdbc:{scheme}://{params['host']}:{params['port']}/{params['db']}"
+
+
 def jdbc_options(
     url: str,
     table: str,

@@ -114,3 +114,84 @@ def test_transform_from_jdbc_source_end_to_end(spark, derby_url, tmp_path):
     # sum(grp) over ids 0..999 with grp = id % 7
     assert got["s"] == sum(i % 7 for i in range(1000))
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ------------------------------------------ connection-parameter parity
+
+
+def test_resolve_connection_flag_env_default_precedence():
+    """Reference CLI semantics (spectrify/main.py:16-26): flag beats
+    env beats default; db never defaults."""
+    flags = {"host": "h1", "port": None, "user": None, "password": "pw", "db": "d"}
+    env = {"REDSHIFT_PORT": "5555", "REDSHIFT_USER": "eve"}
+    got = jdbc_src.resolve_connection(flags, env=env)
+    assert got == {
+        "host": "h1",       # flag wins
+        "port": "5555",     # env beats the 5439 default
+        "user": "eve",      # env beats the 'redshift' default
+        "password": "pw",
+        "db": "d",
+    }
+    # defaults when neither flag nor env present
+    got = jdbc_src.resolve_connection({"password": "x", "db": "d"}, env={})
+    assert (got["host"], got["port"], got["user"]) == ("localhost", "5439", "redshift")
+
+
+def test_resolve_connection_prompts_only_for_missing_password():
+    """The hidden prompt fires IFF the password resolved to nothing —
+    click's prompt=True behavior on --password (reference main.py:20)."""
+    calls = []
+
+    def fake_prompt():
+        calls.append(1)
+        return "secret"
+
+    got = jdbc_src.resolve_connection({"db": "d"}, env={}, prompt=fake_prompt)
+    assert got["password"] == "secret" and calls == [1]
+    # present password (flag or env): no prompt
+    jdbc_src.resolve_connection({"db": "d", "password": "p"}, env={}, prompt=fake_prompt)
+    jdbc_src.resolve_connection(
+        {"db": "d"}, env={"REDSHIFT_PASSWORD": "p"}, prompt=fake_prompt
+    )
+    assert calls == [1]
+
+
+def test_resolve_connection_requires_db():
+    """db has no prompt in the reference either — it raises
+    (utils/redshift.py:10 '{} is required')."""
+    with pytest.raises(ValueError, match="db is required"):
+        jdbc_src.resolve_connection({"password": "p"}, env={})
+
+
+def test_connection_url_golden():
+    params = {"host": "rs.example", "port": "5439", "user": "u",
+              "password": "p", "db": "analytics"}
+    assert (
+        jdbc_src.connection_url(params)
+        == "jdbc:postgresql://rs.example:5439/analytics"
+    )
+    # credentials are NOT embedded in the URL
+    assert "p" != jdbc_src.connection_url(params).split("/")[-1]
+
+
+def test_cli_export_jdbc_roundtrip(spark, derby_url, tmp_path):
+    """The export-jdbc command end-to-end against embedded Derby: live
+    table -> UNLOAD-convention gzip CSV + manifest."""
+    import json
+
+    from spectrify_spark.cli import main
+
+    out = tmp_path / "csv"
+    rc = main([
+        "export-jdbc", "SRC", str(out),
+        "--jdbc-url", derby_url, "--driver", DRIVER,
+    ])
+    assert rc in (0, None)
+    manifest = json.load(open(out / "manifest"))
+    assert manifest["entries"]
+    import duckdb
+
+    n = duckdb.sql(
+        f"select count(*) from read_csv('{out}/*.csv.gz', delim='|', header=false)"
+    ).fetchone()[0]
+    assert n == 1000

@@ -497,3 +497,20 @@ def test_ulm_persist_false_skips_cache(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_dedup_spans_pushdown_cache_free(spark, sf_dir):
+    """Pushdown gate for q_dedup_spans, asserted in a CACHE-FREE state:
+    the operator persists its matched-window set, so when an earlier
+    test in the same session has already run it, its scans re-print as
+    InMemoryRelation reuse and PushedFilters vanishes from the plan
+    text — a false negative, not a lost pushdown (commit cc23480).
+    Clearing the cache first restores a parquet-scan plan where the
+    property is visible and asserted (the max_exchanges ceiling for
+    this key still rides the GOLDEN table)."""
+    spark.catalog.clearCache()
+    props = plan_props(_QUERIES["q_dedup_spans"](spark, sf_dir))
+    assert props["pushed_filters"], (
+        "q_dedup_spans: filter no longer pushed to the documents scan"
+    )
+    assert props["scan_cols"] and max(props["scan_cols"]) <= 2

@@ -3832,6 +3832,40 @@ def q_sim_ivfpq(spark, sf):
     )
 
 
+def q_sim_ivfpq_rerank(spark, sf):
+    """IVF-PQ probe with exact re-ranking (quantization.ivfpq_topk
+    rerank_with= — new r11, VERDICT r10 item 4): the standard FAISS
+    recall lever.  The ADC top k*rerank_factor candidate pool is
+    re-scored against the ORIGINAL float vectors — a bounded IN-pruned
+    scan of the embeddings table, candidates-sized, never corpus-sized
+    — and the exact-L2 top-k comes back.  Quantization error is
+    removed from the FINAL ranking; only the nprobe cell-selection
+    bound remains, and with nprobe=C here the result is fully
+    deterministic, so the oracle replicates the WHOLE path in SQL:
+    the same unrolled-literal ADC pool (top 40, q_embed_pq machinery),
+    then an exact unrolled-L2 re-sort (top 10).  Output bit-matched:
+    (vec_id, l2_dist rounded to 6)."""
+    import tempfile
+
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    work = tempfile.mkdtemp(prefix="q_sim_ivfpq_rr_")
+    Q.write_ivfpq_index(e, cents, _pq_books(), f"{work}/idx")
+    out = Q.ivfpq_topk(
+        spark,
+        f"{work}/idx",
+        _pq_query(),
+        k=10,
+        nprobe=8,
+        rerank_with=e,
+        rerank_factor=4,
+    )
+    return out.orderBy("l2_dist", "vec_id")
+
+
 def q_split_temporal(spark, sf):
     """Leakage-free temporal split with a 1-day embargo
     (sampling.split_temporal): train strictly before the cutoff, test
@@ -4138,6 +4172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
         "q_json_extract": q_json_extract,
+        # -- born r11: past the window (new keys never displace
+        #    overdue); owes its first driver row in a later rotation
+        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
     }
 
 
@@ -4336,6 +4373,35 @@ def _sql_ivfpq() -> str:
                TRUE AS pruned_no_better, TRUE AS pruned_le_k
         FROM codes ORDER BY ROUND({adc}, 6), vec_id
         LIMIT 10
+    """
+
+
+def _sql_ivfpq_rerank() -> str:
+    """DuckDB replica of q_sim_ivfpq_rerank: the nprobe=C ADC
+    candidate pool (top k*factor = 40, same unrolled literals as
+    :func:`_sql_ivfpq`), then the exact squared-L2 re-sort against the
+    float vectors — unrolled with the same left-to-right association
+    as the Spark zip_with/aggregate fold, so distances match
+    bit-for-bit at ROUND(..., 6)."""
+    d_cols, code_cols, adc = _pq_sql_parts()
+    qv = _pq_query()
+    l2 = " + ".join(
+        f"(embedding[{j + 1}] - ({x!r})) * (embedding[{j + 1}] - ({x!r}))"
+        for j, x in enumerate(qv)
+    )
+    return f"""
+        WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
+        codes AS (SELECT vec_id, {code_cols} FROM enc),
+        cand AS (SELECT vec_id FROM codes
+                 ORDER BY ROUND({adc}, 6), vec_id LIMIT 40),
+        -- DuckDB keeps float-column arithmetic in FLOAT (and ROUND on
+        -- FLOAT cannot hit 6 decimals); cast once, like the Spark
+        -- side's cast('array<double>')
+        ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings)
+        SELECT e.vec_id, ROUND({l2}, 6) AS l2_dist
+        FROM ed e JOIN cand USING (vec_id)
+        ORDER BY l2_dist, vec_id LIMIT 10
     """
 
 
@@ -5333,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_embed": _sql_dedup_embed(),
         "q_embed_pq": _sql_pq(),
         "q_sim_ivfpq": _sql_ivfpq(),
+        "q_sim_ivfpq_rerank": _sql_ivfpq_rerank(),
         "q_sim_ivf": """
             SELECT CAST(10 AS BIGINT) AS k,
                    vec_id AS brute_top1_id,

@@ -95,6 +95,12 @@ GOLDEN = {
     "q_sim_ivfpq": dict(
         max_exchanges=0, joins=["BroadcastNestedLoopJoin"], max_scan_cols=2
     ),
+    # r11: exact re-rank of the ADC candidate pool — the RETURNED plan
+    # is the rerank leg alone: the bounded candidate-id IN list pushed
+    # into the 2-col vector scan + TakeOrderedAndProject; zero shuffle
+    "q_sim_ivfpq_rerank": dict(
+        max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=2
+    ),
     # temporal split: the OR of timestamp-literal predicates MUST reach
     # the scan (that is the partition-pruning story at scale)
     "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),

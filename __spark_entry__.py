@@ -3244,6 +3244,51 @@ def q_zorder_layout(spark, sf):
     )
 
 
+def q_scan_skipping(spark, sf):
+    """File-level min/max skipping index (layout.write_file_stats /
+    pruned_scan — new r11): the Delta/Iceberg file-statistics idea on
+    plain parquet.  Parquet row groups carry min/max already, but the
+    engine still opens EVERY footer to use them — at 100 TB that is
+    millions of S3 GETs per query; a one-table per-file stats index
+    (built in one pass, maintained incrementally for appended files)
+    turns the skip decision into one bounded stats lookup, and the
+    scan reads only intersecting files.  Here: lineitem rewritten as
+    4 disjoint l_orderkey ranges (repartitionByRange — the layout half
+    of the story), stats indexed, then a range probe that provably
+    reads <= 2 of the 4 files.  Pruning is conservative by
+    construction: only files whose stats PROVE disjointness are
+    skipped, unknown files always read, so stale stats cost I/O, never
+    rows.  Output: the pruned scan's rows (full-value vs the plain SQL
+    filter — pruning must lose nothing) + the measured
+    files_read < files_total invariant as a boolean the oracle pins
+    TRUE."""
+    import tempfile
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    work = tempfile.mkdtemp(prefix="q_scan_skip_") + "/ds"
+    (
+        li.repartitionByRange(4, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(work)
+    )
+    write_file_stats(spark, work, ["l_orderkey"])
+    keep, total = prune_files(spark, work, "l_orderkey", 100, 500)
+    return pruned_scan(spark, work, "l_orderkey", 100, 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.lit(len(keep) < total).alias("pruned_lt_total"),
+    )
+
+
 def q_events_anomaly(spark, sf):
     """Per-entity activity-burst detection: daily event counts flagged
     when they exceed the USER'S OWN mean + 2 sigma baseline (>=3 active
@@ -4173,8 +4218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_daterange": q_filter_daterange,
         "q_json_extract": q_json_extract,
         # -- born r11: past the window (new keys never displace
-        #    overdue); owes its first driver row in a later rotation
+        #    overdue); owe their first driver rows in a later rotation
         "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "q_scan_skipping": q_scan_skipping,
     }
 
 
@@ -5400,6 +5446,12 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_pq": _sql_pq(),
         "q_sim_ivfpq": _sql_ivfpq(),
         "q_sim_ivfpq_rerank": _sql_ivfpq_rerank(),
+        "q_scan_skipping": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   TRUE AS pruned_lt_total
+            FROM lineitem
+            WHERE l_orderkey >= 100 AND l_orderkey < 500
+        """,
         "q_sim_ivf": """
             SELECT CAST(10 AS BIGINT) AS k,
                    vec_id AS brute_top1_id,

@@ -213,6 +213,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     co.add_argument("--bits", type=int, default=16)
 
+    ist = sub.add_parser(
+        "index-stats",
+        help="build (or incrementally extend with --append) the "
+        "per-file min/max stats index of a parquet dataset, enabling "
+        "planning-time file skipping (layout.pruned_scan)",
+    )
+    ist.add_argument("source")
+    ist.add_argument("cols", nargs="+", metavar="COL")
+    ist.add_argument(
+        "--append",
+        action="store_true",
+        help="index only files not yet in the stats table",
+    )
+
     ib = sub.add_parser(
         "index-bands",
         help="materialize the MinHash LSH band index of a corpus "
@@ -510,6 +524,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_parquet(packed, args.dest)
         print(args.dest)
+    elif args.cmd == "index-stats":
+        from spectrify_spark.operators.layout import write_file_stats
+
+        n = write_file_stats(spark, args.source, args.cols, append=args.append)
+        print(n)
     elif args.cmd == "compact":
         from pyspark.sql import functions as F
 

@@ -1,4 +1,5 @@
-"""Data-layout operators: multi-dimensional clustering keys.
+"""Data-layout operators: multi-dimensional clustering keys, file-level
+stats skipping, and compaction.
 
 The reference's parquet sink writes in arrival order
 (``/root/reference/spectrify/transform.py`` fans out one file per
@@ -141,3 +142,170 @@ def compact_parquet(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return n
+
+
+#: per-file min/max stats live INSIDE the dataset directory under an
+#: underscore-prefixed name, which parquet scans ignore (the same
+#: convention that hides _SUCCESS and the model sidecars)
+FILE_STATS_DIR = "_spectrify_file_stats"
+
+
+def _norm_file(p: str) -> str:
+    """Normalize a file URI for identity comparison: Hadoop listings
+    print ``file:/x`` while ``input_file_name()`` yields
+    ``file:///x`` — strip the local-FS scheme to one absolute path;
+    other schemes (s3a, hdfs) are already consistent between the two
+    sources and pass through untouched."""
+    import re
+
+    return re.sub(r"^file:/+", "/", p)
+
+
+def list_data_files(spark, path: str) -> list[str]:
+    """Recursive listing of the DATA files of a parquet dataset
+    (partitioned layouts included), via the Hadoop FileSystem API so
+    any FS Spark can reach works.  Hidden entries — basenames or path
+    segments starting with ``_`` or ``.`` (_SUCCESS, the stats dir,
+    checkpoint dirs) — are excluded, matching what a Spark scan reads.
+
+    Driver-side and file-count-bounded: this is the same enumeration
+    every planner performs to schedule a scan."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    root = _norm_file(fs.getFileStatus(jpath).getPath().toString())
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = _norm_file(it.next().getPath().toString())
+        rel = p[len(root):].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append(p)
+    return sorted(out)
+
+
+def write_file_stats(
+    spark,
+    path: str,
+    cols: list[str],
+    append: bool = False,
+) -> int:
+    """Build (or incrementally extend) a per-FILE min/max/count stats
+    table over a parquet dataset — the Delta/Iceberg file-statistics
+    idea on plain parquet, enabling :func:`pruned_scan` to skip whole
+    files at PLANNING time.
+
+    Parquet already carries row-group min/max, but the engine must
+    still OPEN every footer to use them; at 100 TB that is millions of
+    S3 GETs per query.  A one-table index (one row per file: ``file``,
+    ``n_rows``, ``min_<col>``/``max_<col>`` per indexed column) makes
+    the skip decision one bounded scan of the stats table instead.
+    Pairs with :func:`zorder_layout`: clustering makes per-file ranges
+    tight, which is what makes min/max pruning selective.
+
+    ``append=True`` indexes ONLY files not yet in the stats table
+    (reading just those files) — the incremental maintenance path
+    after appending data; a full rebuild is one pass over the dataset.
+    Stats write to ``{path}/_spectrify_file_stats`` (underscore =
+    invisible to data scans).  Staleness is SAFE by construction:
+    :func:`pruned_scan` prunes only files the stats PROVE disjoint and
+    reads unknown files unconditionally, so stale stats degrade to
+    less pruning, never to wrong results (files rewritten by
+    compaction get new names, dropping their stale rows from the live
+    set).  Returns the number of files indexed this call.
+    """
+    stats_path = f"{path}/{FILE_STATS_DIR}"
+    targets = None
+    if append:
+        live = set(list_data_files(spark, path))
+        try:
+            have = {
+                r["file"]
+                for r in spark.read.parquet(stats_path).select("file").collect()
+            }
+        except Exception:
+            have = set()
+        targets = sorted(live - have)
+        if not targets:
+            return 0
+    if targets is None:
+        src = spark.read.parquet(path)
+    else:
+        src = spark.read.option("basePath", path).parquet(*targets)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    # normalize the URI JVM-side (regexp, no UDF): file:/+ -> /
+    stats = (
+        src.select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("file"),
+            *cols,
+        )
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    n = stats.count()
+    stats.repartition(1).write.mode("append" if append else "overwrite").parquet(
+        stats_path
+    )
+    return n
+
+
+def prune_files(
+    spark,
+    path: str,
+    col: str,
+    lower=None,
+    upper=None,
+) -> tuple[list[str], int]:
+    """Planning-time file pruning for the half-open range
+    ``lower <= col < upper`` (either bound optional): returns
+    ``(files_to_read, total_live_files)``.
+
+    A live file is DROPPED only when its stats row proves it disjoint
+    from the range — ``max_<col> < lower``, ``min_<col> >= upper``, or
+    an all-NULL column (range predicates never match NULL).  Files
+    with no stats row (appended after the last index build) are kept
+    unconditionally: correctness never depends on index freshness.
+    """
+    live = list_data_files(spark, path)
+    try:
+        stats = spark.read.parquet(f"{path}/{FILE_STATS_DIR}")
+    except Exception:
+        return live, len(live)
+    mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+    disjoint = mn.isNull()
+    if lower is not None:
+        disjoint = disjoint | (mx < F.lit(lower))
+    if upper is not None:
+        disjoint = disjoint | (mn >= F.lit(upper))
+    pruned = {r["file"] for r in stats.filter(disjoint).select("file").collect()}
+    keep = [f for f in live if f not in pruned]
+    return keep, len(live)
+
+
+def pruned_scan(
+    spark,
+    path: str,
+    col: str,
+    lower=None,
+    upper=None,
+) -> DataFrame:
+    """Stats-pruned scan: read ONLY the files :func:`prune_files`
+    keeps for ``lower <= col < upper``, then apply the residual filter
+    (which Catalyst additionally pushes into the surviving files'
+    row groups).  With no prunable file or no stats table this
+    degrades to a plain filtered scan — same rows either way, the
+    stats only remove I/O."""
+    keep, _total = prune_files(spark, path, col, lower, upper)
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    df = spark.read.option("basePath", path).parquet(*keep)
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & (F.col(col) >= F.lit(lower))
+    if upper is not None:
+        pred = pred & (F.col(col) < F.lit(upper))
+    return df.filter(pred)

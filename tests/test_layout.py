@@ -228,3 +228,148 @@ def test_compact_parquet_rejects_dst_inside_src(spark, tmp_path):
     # reverse nesting: overwriting a PARENT of src deletes src itself
     with pytest.raises(ValueError, match="overlap"):
         compact_parquet(spark, src, str(tmp_path))
+
+
+# ------------------------------------------------- file-stats skipping
+
+
+def _range_laid_dataset(spark, tmp_path, name="ds"):
+    """lineitem-shaped dataset written as 4 disjoint key ranges, so
+    file-level min/max stats are selective."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / name)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    (
+        df.repartitionByRange(4, F.col("k"))
+        .sortWithinPartitions("k")
+        .write.parquet(path)
+    )
+    return path
+
+
+def test_file_stats_pruned_scan_matches_full_filter(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        list_data_files,
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    path = _range_laid_dataset(spark, tmp_path)
+    n_indexed = write_file_stats(spark, path, ["k"])
+    assert n_indexed == len(list_data_files(spark, path)) == 4
+
+    # correctness: pruned scan == plain filtered scan, exactly
+    got = {(r.k, r.v) for r in pruned_scan(spark, path, "k", 100, 300).collect()}
+    want = {
+        (r.k, r.v)
+        for r in spark.read.parquet(path)
+        .filter((F.col("k") >= 100) & (F.col("k") < 300))
+        .collect()
+    }
+    assert got == want and len(got) == 200
+
+    # the pruning is REAL: a 200-key range hits at most 2 of 4 files
+    keep, total = prune_files(spark, path, "k", 100, 300)
+    assert total == 4 and len(keep) <= 2
+
+    # open ranges: only-lower / only-upper / no stats for the column
+    keep_lo, _ = prune_files(spark, path, "k", lower=900)
+    assert len(keep_lo) == 1
+    assert pruned_scan(spark, path, "k", lower=900).count() == 100
+    keep_hi, _ = prune_files(spark, path, "k", upper=50)
+    assert len(keep_hi) == 1
+
+    # empty intersection -> schema-stable empty result
+    empty = pruned_scan(spark, path, "k", 5000, 6000)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+
+def test_file_stats_unknown_files_read_conservatively(spark, tmp_path):
+    """Files appended AFTER the index build have no stats row and must
+    be read unconditionally — stale stats degrade to less pruning,
+    never to wrong rows."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    path = _range_laid_dataset(spark, tmp_path)
+    write_file_stats(spark, path, ["k"])
+    # append out-of-range-looking data WITHOUT refreshing the index
+    spark.range(2000, 2100).select(
+        F.col("id").alias("k"), F.lit(99).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    got = pruned_scan(spark, path, "k", 2000, 3000).count()
+    assert got == 100  # unknown file scanned despite stats silence
+    keep, total = prune_files(spark, path, "k", 0, 10)
+    # the unknown file is kept even though its data is disjoint
+    assert total == 5 and len(keep) == 2
+
+    # incremental refresh indexes ONLY the new file, restoring pruning
+    n_new = write_file_stats(spark, path, ["k"], append=True)
+    assert n_new == 1
+    keep2, _ = prune_files(spark, path, "k", 0, 10)
+    assert len(keep2) == 1
+    assert write_file_stats(spark, path, ["k"], append=True) == 0  # idempotent
+
+
+def test_file_stats_all_null_files_pruned(spark, tmp_path):
+    """An all-NULL indexed column is provably disjoint from any range
+    (range predicates never match NULL) — the file is pruned, and the
+    result still matches the plain filtered scan."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "nulls")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    ).coalesce(1).write.parquet(path)
+    spark.range(0, 50).select(
+        F.lit(None).cast("long").alias("k"), F.lit(2).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    write_file_stats(spark, path, ["k"])
+    keep, total = prune_files(spark, path, "k", 0, 1000)
+    assert total == 2 and len(keep) == 1
+    assert pruned_scan(spark, path, "k", 0, 1000).count() == 100
+
+
+def test_file_stats_partitioned_layout_keeps_partition_columns(spark, tmp_path):
+    """Hive-partitioned datasets: explicit file lists would normally
+    lose the partition column — the basePath option preserves it, and
+    pruning composes with the partition layout."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import pruned_scan, write_file_stats
+
+    path = str(tmp_path / "part")
+    (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).alias("p"),
+        )
+        .repartition(F.col("p"))
+        .write.partitionBy("p")
+        .parquet(path)
+    )
+    write_file_stats(spark, path, ["k"])
+    out = pruned_scan(spark, path, "k", 100, 200)
+    assert set(out.columns) == {"k", "p"}
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r.p for r in rows} == {0, 1, 2, 3}

@@ -101,6 +101,11 @@ GOLDEN = {
     "q_sim_ivfpq_rerank": dict(
         max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=2
     ),
+    # r11: stats-pruned scan — only intersecting files are even listed
+    # in the read; residual filter still pushed into their row groups
+    "q_scan_skipping": dict(
+        max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=3
+    ),
     # temporal split: the OR of timestamp-literal predicates MUST reach
     # the scan (that is the partition-pruning story at scale)
     "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),

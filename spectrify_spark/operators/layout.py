@@ -256,56 +256,82 @@ def write_file_stats(
 def prune_files(
     spark,
     path: str,
-    col: str,
+    col: str | None = None,
     lower=None,
     upper=None,
+    ranges: "dict | None" = None,
 ) -> tuple[list[str], int]:
-    """Planning-time file pruning for the half-open range
-    ``lower <= col < upper`` (either bound optional): returns
+    """Planning-time file pruning for one half-open range
+    ``lower <= col < upper`` or a CONJUNCTION of them
+    (``ranges={col: (lower, upper), ...}`` — a file survives only if
+    its stats intersect EVERY range, which is where a Z-ordered layout
+    pays off: per-file boxes are tight in all interleaved dimensions).
+    Either bound of any range may be None.  Returns
     ``(files_to_read, total_live_files)``.
 
     A live file is DROPPED only when its stats row proves it disjoint
-    from the range — ``max_<col> < lower``, ``min_<col> >= upper``, or
-    an all-NULL column (range predicates never match NULL).  Files
+    from some range — ``max_<col> < lower``, ``min_<col> >= upper``,
+    or an all-NULL column (range predicates never match NULL).  Files
     with no stats row (appended after the last index build) are kept
     unconditionally: correctness never depends on index freshness.
     """
+    ranges = _as_ranges(col, lower, upper, ranges)
     live = list_data_files(spark, path)
     try:
         stats = spark.read.parquet(f"{path}/{FILE_STATS_DIR}")
     except Exception:
         return live, len(live)
-    mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
-    disjoint = mn.isNull()
-    if lower is not None:
-        disjoint = disjoint | (mx < F.lit(lower))
-    if upper is not None:
-        disjoint = disjoint | (mn >= F.lit(upper))
+    disjoint = F.lit(False)
+    for c, (lo, hi) in ranges.items():
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        disjoint = disjoint | mn.isNull()
+        if lo is not None:
+            disjoint = disjoint | (mx < F.lit(lo))
+        if hi is not None:
+            disjoint = disjoint | (mn >= F.lit(hi))
     pruned = {r["file"] for r in stats.filter(disjoint).select("file").collect()}
     keep = [f for f in live if f not in pruned]
     return keep, len(live)
 
 
+def _as_ranges(col, lower, upper, ranges) -> dict:
+    """Normalize the (col, lower, upper) single-range convenience form
+    and the ``ranges`` dict form into one dict; exactly one must be
+    given."""
+    if (ranges is None) == (col is None):
+        raise ValueError(
+            "pass either col (with lower/upper) or ranges=, not both/neither"
+        )
+    if ranges is None:
+        return {col: (lower, upper)}
+    if lower is not None or upper is not None:
+        raise ValueError("lower/upper only apply to the single-col form")
+    return dict(ranges)
+
+
 def pruned_scan(
     spark,
     path: str,
-    col: str,
+    col: str | None = None,
     lower=None,
     upper=None,
+    ranges: "dict | None" = None,
 ) -> DataFrame:
     """Stats-pruned scan: read ONLY the files :func:`prune_files`
-    keeps for ``lower <= col < upper``, then apply the residual filter
-    (which Catalyst additionally pushes into the surviving files'
-    row groups).  With no prunable file or no stats table this
-    degrades to a plain filtered scan — same rows either way, the
-    stats only remove I/O."""
-    keep, _total = prune_files(spark, path, col, lower, upper)
+    keeps for the range (or conjunction of ranges), then apply the
+    residual filter (which Catalyst additionally pushes into the
+    surviving files' row groups).  With no prunable file or no stats
+    table this degrades to a plain filtered scan — same rows either
+    way, the stats only remove I/O."""
+    rgs = _as_ranges(col, lower, upper, ranges)
+    keep, _total = prune_files(spark, path, ranges=rgs)
     if not keep:
         return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.option("basePath", path).parquet(*keep)
     pred = F.lit(True)
-    if lower is not None:
-        pred = pred & (F.col(col) >= F.lit(lower))
-    if upper is not None:
-        pred = pred & (F.col(col) < F.lit(upper))
+    for c, (lo, hi) in rgs.items():
+        if lo is not None:
+            pred = pred & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(c) < F.lit(hi))
     return df.filter(pred)

@@ -373,3 +373,53 @@ def test_file_stats_partitioned_layout_keeps_partition_columns(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 100
     assert {r.p for r in rows} == {0, 1, 2, 3}
+
+
+def test_file_stats_multi_range_zorder_composition(spark, tmp_path):
+    """The conjunctive-range pruner on a Z-ORDERED layout: per-file
+    boxes are tight in BOTH interleaved dimensions, so a 2-D range
+    probe prunes most files — the end-to-end OPTIMIZE ZORDER BY +
+    file-statistics story on plain parquet."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+        zorder_layout,
+    )
+
+    path = str(tmp_path / "zds")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+    )
+    zorder_layout(df, [F.col("x"), F.col("y")], bits=6, n_partitions=16).drop(
+        "z"
+    ).write.parquet(path)
+    write_file_stats(spark, path, ["x", "y"])
+
+    ranges = {"x": (8, 24), "y": (8, 24)}
+    keep, total = prune_files(spark, path, ranges=ranges)
+    assert total >= 8
+    # a 1/16-area box on a Z-ordered 16-file layout touches few files
+    assert len(keep) <= total // 2
+
+    got = {
+        (r.x, r.y) for r in pruned_scan(spark, path, ranges=ranges).collect()
+    }
+    want = {(x, y) for x in range(8, 24) for y in range(8, 24)}
+    assert got == want
+
+    # conjunction semantics: a range matching in x but impossible in y
+    # prunes everything
+    keep0, _ = prune_files(spark, path, ranges={"x": (8, 24), "y": (999, None)})
+    assert keep0 == []
+
+    # API misuse fails loud
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        prune_files(spark, path, "x", 0, 1, ranges={"x": (0, 1)})
+    with pytest.raises(ValueError, match="not both"):
+        prune_files(spark, path)

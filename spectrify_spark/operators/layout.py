@@ -253,6 +253,31 @@ def write_file_stats(
     return n
 
 
+def _read_stats_rows(spark, stats_path: str) -> "list[dict] | None":
+    """Read the stats table DRIVER-SIDE when the FS allows it: the
+    table is bounded at one row per data file, and a planning decision
+    should not launch a cluster job to make it.  Local paths go
+    through pyarrow (no Spark job, ~ms); any other scheme falls back
+    to a Spark read.  Returns None when no stats exist."""
+    import glob as _glob
+
+    local = _norm_file(stats_path)
+    if local.startswith("/"):
+        parts = sorted(_glob.glob(f"{local}/*.parquet"))
+        if not parts:
+            return None
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for p in parts:
+            out.extend(pq.read_table(p).to_pylist())
+        return out
+    try:
+        return [r.asDict() for r in spark.read.parquet(stats_path).collect()]
+    except Exception:
+        return None
+
+
 def prune_files(
     spark,
     path: str,
@@ -274,22 +299,29 @@ def prune_files(
     or an all-NULL column (range predicates never match NULL).  Files
     with no stats row (appended after the last index build) are kept
     unconditionally: correctness never depends on index freshness.
+
+    Pure planning: one driver-side FS listing + one driver-side read
+    of the bounded stats table (:func:`_read_stats_rows`) — no Spark
+    job, so the probe's only jobs are the ones that read data.
     """
     ranges = _as_ranges(col, lower, upper, ranges)
     live = list_data_files(spark, path)
-    try:
-        stats = spark.read.parquet(f"{path}/{FILE_STATS_DIR}")
-    except Exception:
+    rows = _read_stats_rows(spark, f"{path}/{FILE_STATS_DIR}")
+    if rows is None:
         return live, len(live)
-    disjoint = F.lit(False)
-    for c, (lo, hi) in ranges.items():
-        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
-        disjoint = disjoint | mn.isNull()
-        if lo is not None:
-            disjoint = disjoint | (mx < F.lit(lo))
-        if hi is not None:
-            disjoint = disjoint | (mn >= F.lit(hi))
-    pruned = {r["file"] for r in stats.filter(disjoint).select("file").collect()}
+
+    def _disjoint(row: dict) -> bool:
+        for c, (lo, hi) in ranges.items():
+            mn, mx = row.get(f"min_{c}"), row.get(f"max_{c}")
+            if mn is None:  # all-NULL column: no row can match a range
+                return True
+            if lo is not None and mx < lo:
+                return True
+            if hi is not None and mn >= hi:
+                return True
+        return False
+
+    pruned = {r["file"] for r in rows if _disjoint(r)}
     keep = [f for f in live if f not in pruned]
     return keep, len(live)
 

@@ -3289,6 +3289,59 @@ def q_scan_skipping(spark, sf):
     )
 
 
+def q_scan_bloom(spark, sf):
+    """Per-file bloom index for point lookups (layout.write_file_bloom
+    / pruned_scan_eq — new r11): the complement of q_scan_skipping's
+    min/max stats.  orderkeys hash-scattered over 8 files give every
+    file a min/max spanning the whole domain — range pruning is
+    USELESS by construction (the measured minmax_useless boolean pins
+    that) — yet the bloom (one sorted bit-position array per file,
+    engine-portable md5 hashes, built JVM-side in one pass) pins an
+    equality probe to only the files that can contain the key, with
+    zero false negatives.  Conservative like the stats index: unknown
+    files always read, stale blooms cost I/O never rows.  Output: the
+    probed key's rows (full-value vs the plain SQL equality filter) +
+    two measured invariants the oracle pins TRUE."""
+    import tempfile
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        prune_files_eq,
+        pruned_scan_eq,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    work = tempfile.mkdtemp(prefix="q_scan_bloom_") + "/ds"
+    li.repartition(8, F.col("l_orderkey")).write.parquet(work)
+    write_file_stats(spark, work, ["l_orderkey"])
+    # m=65536 = the full 16-bit md5-prefix domain: ~7.5k distinct keys
+    # per file at sf0.001 fill ~50% of it, keeping fpp ~1.5% at k=6
+    # (the 8192 default is sized for ~1k distinct values per file)
+    write_file_bloom(spark, work, ["l_orderkey"], m_bits=65536)
+    # deterministic MID-DOMAIN existing key (max key <= max/2): every
+    # file's hash-scattered [min, max] straddles it, so range pruning
+    # keeps all 8 files — the shape bloom pruning exists for
+    hi = li.agg(F.max("l_orderkey")).collect()[0][0]
+    key = (
+        li.filter(F.col("l_orderkey") <= hi / 2)
+        .agg(F.max("l_orderkey"))
+        .collect()[0][0]
+    )
+    keep_mm, total = prune_files(spark, work, "l_orderkey", key, key + 1)
+    keep_bl, _ = prune_files_eq(spark, work, "l_orderkey", key)
+    return pruned_scan_eq(spark, work, "l_orderkey", key).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.lit(len(keep_mm) == total).alias("minmax_useless"),
+        F.lit(len(keep_bl) < total).alias("bloom_pruned"),
+    )
+
+
 def q_events_anomaly(spark, sf):
     """Per-entity activity-burst detection: daily event counts flagged
     when they exceed the USER'S OWN mean + 2 sigma baseline (>=3 active
@@ -4221,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    overdue); owe their first driver rows in a later rotation
         "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "q_scan_skipping": q_scan_skipping,
+        "q_scan_bloom": q_scan_bloom,
     }
 
 
@@ -5451,6 +5505,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS pruned_lt_total
             FROM lineitem
             WHERE l_orderkey >= 100 AND l_orderkey < 500
+        """,
+        "q_scan_bloom": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   TRUE AS minmax_useless, TRUE AS bloom_pruned
+            FROM lineitem
+            WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem
+                                WHERE l_orderkey <= (SELECT MAX(l_orderkey)
+                                                     FROM lineitem) / 2)
         """,
         "q_sim_ivf": """
             SELECT CAST(10 AS BIGINT) AS k,

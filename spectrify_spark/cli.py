@@ -227,6 +227,19 @@ def main(argv: list[str] | None = None) -> int:
         help="index only files not yet in the stats table",
     )
 
+    ibl = sub.add_parser(
+        "index-bloom",
+        help="build (or --append) per-file bloom filters for "
+        "planning-time file skipping on equality probes "
+        "(layout.pruned_scan_eq) — the point-lookup complement of "
+        "index-stats",
+    )
+    ibl.add_argument("source")
+    ibl.add_argument("cols", nargs="+", metavar="COL")
+    ibl.add_argument("--m-bits", type=int, default=8192)
+    ibl.add_argument("--k-hashes", type=int, default=6)
+    ibl.add_argument("--append", action="store_true")
+
     ib = sub.add_parser(
         "index-bands",
         help="materialize the MinHash LSH band index of a corpus "
@@ -528,6 +541,18 @@ def main(argv: list[str] | None = None) -> int:
         from spectrify_spark.operators.layout import write_file_stats
 
         n = write_file_stats(spark, args.source, args.cols, append=args.append)
+        print(n)
+    elif args.cmd == "index-bloom":
+        from spectrify_spark.operators.layout import write_file_bloom
+
+        n = write_file_bloom(
+            spark,
+            args.source,
+            args.cols,
+            m_bits=args.m_bits,
+            k_hashes=args.k_hashes,
+            append=args.append,
+        )
         print(n)
     elif args.cmd == "compact":
         from pyspark.sql import functions as F

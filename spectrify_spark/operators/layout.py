@@ -367,3 +367,165 @@ def pruned_scan(
         if hi is not None:
             pred = pred & (F.col(c) < F.lit(hi))
     return df.filter(pred)
+
+
+#: per-file bloom filters for EQUALITY probes — the complement of the
+#: min/max stats: a high-cardinality id scattered uniformly across
+#: files has min/max spanning the whole domain (range pruning useless),
+#: but a point lookup can still skip every file whose bloom proves the
+#: value absent (the Iceberg/Delta bloom-filter-index idea on plain
+#: parquet)
+FILE_BLOOM_DIR = "_spectrify_file_bloom"
+
+
+def _bloom_positions_py(value, m_bits: int, k_hashes: int) -> list[int]:
+    """Python twin of the JVM position expression — the engine-portable
+    md5 bucket (``functions.text.hash_bucket``: first 4 hex chars of
+    md5 of the stringified key), keyed ``<value>:<i>`` per hash.
+    Bit-identical on both sides, so the probe can run DRIVER-SIDE with
+    no Spark job."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:4], 16
+        ) % m_bits
+        for i in range(k_hashes)
+    ]
+
+
+def write_file_bloom(
+    spark,
+    path: str,
+    cols: list[str],
+    m_bits: int = 8192,
+    k_hashes: int = 6,
+    append: bool = False,
+) -> int:
+    """Build (or incrementally extend) per-file bloom filters over
+    ``cols`` for planning-time file skipping on EQUALITY probes.
+
+    One pass over the data: each row contributes ``k_hashes`` bit
+    positions per column (md5 bucket of ``value:<i>`` — JVM-side
+    Column expressions, no UDF), a per-(file, col) ``collect_set``
+    gathers the SET bits, and the index stores them as a sorted sparse
+    int array (bounded by ``m_bits``; with the 8192x6 default and the
+    classic approximation the false-positive rate stays ~1% up to
+    ~1000 distinct values per file-column).  ``m_bits`` and
+    ``k_hashes`` are stored WITH each row and validated at probe time
+    (the count-min width lesson: a mismatched hash family silently
+    breaks the no-false-negative guarantee).
+
+    Same staleness contract as :func:`write_file_stats`: probes keep
+    files without an index row, so a stale bloom costs I/O, never
+    rows.  NULLs never set bits — an equality probe cannot match NULL.
+    ``append=True`` indexes only files not yet present.  Returns the
+    number of files indexed this call.
+    """
+    from spectrify_spark.functions.text import hash_bucket
+
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError(f"need m_bits >= 2, k_hashes >= 1; got {m_bits}x{k_hashes}")
+    bloom_path = f"{path}/{FILE_BLOOM_DIR}"
+    targets = None
+    if append:
+        live = set(list_data_files(spark, path))
+        have_rows = _read_stats_rows(spark, bloom_path) or []
+        have = {r["file"] for r in have_rows}
+        targets = sorted(live - have)
+        if not targets:
+            return 0
+    if targets is None:
+        src = spark.read.parquet(path)
+    else:
+        src = spark.read.option("basePath", path).parquet(*targets)
+    base = src.select(
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("file"),
+        *cols,
+    )
+    per_col = []
+    for c in cols:
+        positions = F.array(
+            *[
+                hash_bucket(
+                    F.concat_ws(":", F.col(c).cast("string"), F.lit(str(i))),
+                    m_bits,
+                )
+                for i in range(k_hashes)
+            ]
+        )
+        per_col.append(
+            base.filter(F.col(c).isNotNull())
+            .select("file", F.lit(c).alias("col"), F.explode(positions).alias("b"))
+        )
+    rows = per_col[0]
+    for p in per_col[1:]:
+        rows = rows.unionByName(p)
+    bloom = (
+        rows.groupBy("file", "col")
+        .agg(F.sort_array(F.collect_set("b")).alias("bits"))
+        .select(
+            "file",
+            "col",
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k_hashes).alias("k_hashes"),
+            "bits",
+        )
+    )
+    n = bloom.select("file").distinct().count()
+    bloom.repartition(1).write.mode("append" if append else "overwrite").parquet(
+        bloom_path
+    )
+    return n
+
+
+def prune_files_eq(
+    spark,
+    path: str,
+    col: str,
+    value,
+) -> tuple[list[str], int]:
+    """Planning-time file pruning for ``col = value``: a live file is
+    dropped only when its bloom row PROVES the value absent (some of
+    the value's bit positions unset — blooms have no false negatives).
+    Files without a bloom row are kept; probing a NULL value keeps
+    nothing to prune against (``col = NULL`` matches no row — callers
+    get an empty scan from :func:`pruned_scan_eq`).  Driver-side only:
+    no Spark job."""
+    live = list_data_files(spark, path)
+    rows = _read_stats_rows(spark, f"{path}/{FILE_BLOOM_DIR}")
+    if rows is None:
+        return live, len(live)
+    pruned = set()
+    for r in rows:
+        if r["col"] != col:
+            continue
+        pos = _bloom_positions_py(value, int(r["m_bits"]), int(r["k_hashes"]))
+        bits = set(r["bits"])
+        if any(p not in bits for p in pos):
+            pruned.add(r["file"])
+    keep = [f for f in live if f not in pruned]
+    return keep, len(live)
+
+
+def pruned_scan_eq(
+    spark,
+    path: str,
+    col: str,
+    value,
+) -> DataFrame:
+    """Bloom-pruned point lookup: read only the files whose bloom
+    cannot rule the value out, then apply the equality filter (pushed
+    into the surviving row groups by Catalyst).  Degrades to a plain
+    filtered scan without an index; NULL probes return the empty
+    result directly (SQL equality never matches NULL)."""
+    if value is None:
+        return spark.read.parquet(path).filter(F.lit(False))
+    keep, _total = prune_files_eq(spark, path, col, value)
+    if not keep:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*keep)
+        .filter(F.col(col) == F.lit(value))
+    )

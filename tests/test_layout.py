@@ -423,3 +423,85 @@ def test_file_stats_multi_range_zorder_composition(spark, tmp_path):
         prune_files(spark, path, "x", 0, 1, ranges={"x": (0, 1)})
     with pytest.raises(ValueError, match="not both"):
         prune_files(spark, path)
+
+
+# -------------------------------------------------- bloom file index
+
+
+def test_file_bloom_point_lookup_prunes_where_minmax_cannot(spark, tmp_path):
+    """High-cardinality ids scattered uniformly across files: every
+    file's min/max spans ~the whole domain (range pruning useless),
+    but the bloom index pins a point lookup to the files that can
+    actually contain the value — with zero false negatives."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        prune_files_eq,
+        pruned_scan_eq,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "ids")
+    # hash-scatter 4000 ids over 8 files: each file spans the domain
+    spark.range(0, 4000).select(F.col("id").alias("k")).repartition(
+        8, F.col("k")
+    ).write.parquet(path)
+    write_file_stats(spark, path, ["k"])
+    write_file_bloom(spark, path, ["k"])
+
+    # min/max pruning is useless on this layout
+    keep_mm, total = prune_files(spark, path, "k", 1500, 1501)
+    assert total == 8 and len(keep_mm) == 8
+
+    # bloom pruning pins the probe to few files, rows still exact
+    keep_bl, _ = prune_files_eq(spark, path, "k", 1500)
+    assert 1 <= len(keep_bl) < 8
+    got = pruned_scan_eq(spark, path, "k", 1500).collect()
+    assert [r.k for r in got] == [1500]
+
+    # absent value: typically every file pruned (8 files x 6 hashes
+    # against 8192 bits -> false-positive survivors are rare); always
+    # correct either way
+    assert pruned_scan_eq(spark, path, "k", 999_999).count() == 0
+
+    # NULL probe: SQL equality never matches NULL
+    assert pruned_scan_eq(spark, path, "k", None).count() == 0
+
+
+def test_file_bloom_append_and_conservative_unknowns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files_eq,
+        pruned_scan_eq,
+        write_file_bloom,
+    )
+
+    path = str(tmp_path / "ids2")
+    spark.range(0, 1000).select(F.col("id").alias("k")).repartition(
+        4, F.col("k")
+    ).write.parquet(path)
+    write_file_bloom(spark, path, ["k"])
+    # new data WITHOUT refreshing the index: its file must be scanned
+    spark.range(5000, 5001).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    assert pruned_scan_eq(spark, path, "k", 5000).count() == 1
+    keep, total = prune_files_eq(spark, path, "k", 5000)
+    assert total == 5 and len(keep) >= 1
+
+    # incremental refresh indexes only the new file; idempotent after
+    assert write_file_bloom(spark, path, ["k"], append=True) == 1
+    assert write_file_bloom(spark, path, ["k"], append=True) == 0
+    assert pruned_scan_eq(spark, path, "k", 5000).count() == 1
+
+
+def test_file_bloom_validates_params(spark, tmp_path):
+    import pytest
+
+    from spectrify_spark.operators.layout import write_file_bloom
+
+    with pytest.raises(ValueError, match="m_bits"):
+        write_file_bloom(spark, str(tmp_path), ["k"], m_bits=1)

@@ -106,6 +106,11 @@ GOLDEN = {
     "q_scan_skipping": dict(
         max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=3
     ),
+    # r11: bloom-pruned point lookup — equality filter pushed into the
+    # surviving files' row groups, no shuffle
+    "q_scan_bloom": dict(
+        max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=3
+    ),
     # temporal split: the OR of timestamp-literal predicates MUST reach
     # the scan (that is the partition-pruning story at scale)
     "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),

@@ -65,3 +65,10 @@ def test_examples_leave_shared_session_alive(spark):
     definition order), so it observes the session state after all
     examples ran."""
     assert spark.range(1).count() == 1
+
+
+def test_data_skipping_example(spark, sf_dir, tmp_path, capsys):
+    _run("examples/data_skipping.py", [sf_dir, str(tmp_path / "skip")])
+    out = capsys.readouterr().out
+    assert "range probe" in out
+    assert "bloom keeps" in out

@@ -505,3 +505,51 @@ def test_file_bloom_validates_params(spark, tmp_path):
 
     with pytest.raises(ValueError, match="m_bits"):
         write_file_bloom(spark, str(tmp_path), ["k"], m_bits=1)
+
+
+def test_file_bloom_no_false_negatives_property(spark, tmp_path):
+    """The bloom guarantee that makes pruning SAFE: every value
+    actually present in the data must keep its file — checked for all
+    500 present keys in one driver-side pass (blooms may keep extra
+    files, never drop a containing one).  Also pins the JVM/Python
+    hash twin: a drifted hash_bucket would fail this for ~all keys."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        _bloom_positions_py,
+        _read_stats_rows,
+        list_data_files,
+        write_file_bloom,
+    )
+
+    path = str(tmp_path / "prop")
+    # adversarial-ish keys: negatives, zero, huge, and strings-like ints
+    df = spark.range(0, 500).select(
+        ((F.col("id") * 2_654_435_761) % 1_000_003 - 500_000).alias("k")
+    )
+    df.repartition(6, F.col("k")).write.parquet(path)
+    write_file_bloom(spark, path, ["k"], m_bits=4096, k_hashes=4)
+
+    truth: dict[int, set[str]] = {}
+    for r in (
+        spark.read.parquet(path)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("f"),
+            "k",
+        )
+        .collect()
+    ):
+        truth.setdefault(r.k, set()).add(r.f)
+
+    rows = _read_stats_rows(spark, f"{path}/_spectrify_file_bloom")
+    blooms = {
+        r["file"]: (set(r["bits"]), int(r["m_bits"]), int(r["k_hashes"]))
+        for r in rows
+        if r["col"] == "k"
+    }
+    assert set(blooms) == set(list_data_files(spark, path))
+    for k, files in truth.items():
+        for f in files:
+            bits, m, kh = blooms[f]
+            pos = _bloom_positions_py(k, m, kh)
+            assert all(p in bits for p in pos), (k, f)

@@ -110,6 +110,13 @@ def running_user_totals(
     This is the engine's template for operators Structured Streaming's
     built-ins can't express (bespoke accumulators, model state, CEP):
     Arrow-batched per-group pandas with explicit GroupState.
+
+    (Spark 4.1's arbitrary-state v2 — ``transformWithStateInPandas``
+    with typed value/list/map state, timers and TTL — was evaluated as
+    the successor surface, but its state protocol requires protobuf at
+    runtime, which this environment does not ship; the v1 GroupState
+    API above is the supported custom-state path here and carries the
+    same semantics.)
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -66,12 +66,28 @@ def media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+def _feature_triplet(buf, n_features: int):
+    """The per-buffer math both exchange paths share (pandas
+    :func:`fake_decode_batch` and Arrow :func:`decode_images_arrow`),
+    factored out so they cannot drift: (n_bytes, content_hash,
+    features).  ``buf`` is anything ``np.frombuffer`` accepts —
+    bytes or a zero-copy memoryview."""
+    import numpy as np
+
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    n = len(arr)
+    h = int(arr.sum()) * 2654435761 % (2**63)
+    chunks = np.array_split(arr.astype(np.float32), n_features) if n else []
+    feats = [float(c.mean()) if len(c) else 0.0 for c in chunks] + [
+        0.0
+    ] * max(0, n_features - len(chunks))
+    return n, h, feats
+
+
 def fake_decode_batch(payload: pd.Series, n_features: int = 8) -> pd.DataFrame:
     """Deterministic stand-in for a codec: 'features' derived from byte
     content (length + positional byte sums).  Replace with PIL/ffmpeg
     in a real deployment; signature and batch shape are the contract."""
-    import numpy as np
-
     feats, hashes, sizes = [], [], []
     for buf in payload:
         if buf is None:
@@ -79,14 +95,10 @@ def fake_decode_batch(payload: pd.Series, n_features: int = 8) -> pd.DataFrame:
             hashes.append(None)
             sizes.append(None)
             continue
-        arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-        sizes.append(len(arr))
-        hashes.append(int(arr.sum()) * 2654435761 % (2**63))
-        chunks = np.array_split(arr.astype(np.float32), n_features) if len(arr) else []
-        feats.append(
-            [float(c.mean()) if len(c) else 0.0 for c in chunks]
-            + [0.0] * max(0, n_features - len(chunks))
-        )
+        n, h, fs = _feature_triplet(bytes(buf), n_features)
+        sizes.append(n)
+        hashes.append(h)
+        feats.append(fs)
     return pd.DataFrame(
         {"n_bytes": sizes, "content_hash": hashes, "features": feats}
     )
@@ -135,6 +147,71 @@ def decode_images(df: DataFrame, codec: str = "fake", batch_features: int = 8) -
             yield out
 
     return df.select("media_id", "payload").mapInPandas(decode, _DECODED_SCHEMA)
+
+
+def decode_images_arrow(
+    df: DataFrame, codec: str = "fake", batch_features: int = 8
+) -> DataFrame:
+    """Arrow-native twin of :func:`decode_images` via ``mapInArrow``:
+    payload bytes are consumed as ZERO-COPY memoryviews straight off
+    the Arrow RecordBatch's value buffer (offset slicing — no pandas
+    object-dtype boxing of megabyte payloads on either side of the
+    exchange) and results are built as Arrow arrays.
+
+    Output is bit-identical to the pandas path (parity-pinned by
+    ``tests/test_multimodal.py``; both share :func:`_feature_triplet`
+    / :func:`codecs.decode_image`).  Prefer this variant when payloads
+    are large relative to rows — the pandas path materializes every
+    payload as a Python ``bytes`` twice (Arrow->pandas, then
+    ``bytes(buf)``), which at media sizes is pure copy overhead."""
+    import pyarrow as pa
+
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r} (want 'fake' or 'real')")
+    real = codec == "real"
+
+    def _views(arr: "pa.Array"):
+        """Per-row zero-copy memoryview (or None) over a Binary or
+        LargeBinary array's value buffer."""
+        import numpy as np
+
+        dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], dtype=dt)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        data = memoryview(arr.buffers()[2])
+        nulls = arr.is_null().to_numpy(zero_copy_only=False)
+        for i in range(len(arr)):
+            yield None if nulls[i] else data[offs[i] : offs[i + 1]]
+
+    def decode(batches):
+        from spectrify_spark.multimodal.codecs import decode_image
+
+        for rb in batches:
+            sizes, hashes, feats = [], [], []
+            for view in _views(rb.column(1).combine_chunks() if isinstance(
+                rb.column(1), pa.ChunkedArray) else rb.column(1)):
+                if view is None:
+                    sizes.append(None)
+                    hashes.append(None)
+                    feats.append(None)
+                    continue
+                buf = decode_image(bytes(view))[3].tobytes() if real else view
+                n, h, fs = _feature_triplet(buf, batch_features)
+                sizes.append(n)
+                hashes.append(h)
+                feats.append(fs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(sizes, pa.int32()),
+                    pa.array(hashes, pa.int64()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                ],
+                names=["media_id", "n_bytes", "content_hash", "features"],
+            )
+
+    return df.select("media_id", "payload").mapInArrow(decode, _DECODED_SCHEMA)
 
 
 def extract_features(df: DataFrame, n_features: int = 8) -> DataFrame:

@@ -169,7 +169,23 @@ def list_data_files(spark, path: str) -> list[str]:
     checkpoint dirs) — are excluded, matching what a Spark scan reads.
 
     Driver-side and file-count-bounded: this is the same enumeration
-    every planner performs to schedule a scan."""
+    every planner performs to schedule a scan.  Local paths walk the
+    OS directly (no py4j round trips — at 1e5+ files the two JVM calls
+    per entry of the Hadoop iterator would dominate planning); remote
+    schemes go through the Hadoop iterator."""
+    import os
+
+    local = _norm_file(path)
+    if local.startswith("/") and os.path.isdir(local):
+        out = []
+        for dirpath, dirnames, filenames in os.walk(local):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for f in filenames:
+                if not f.startswith(("_", ".")):
+                    out.append(os.path.join(dirpath, f))
+        return sorted(out)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)

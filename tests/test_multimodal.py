@@ -296,3 +296,42 @@ def test_video_frame_features_spark(spark):
         (7, 0, 10.0), (7, 2, 30.0), (7, 4, 50.0)
     ]
     assert rows[0].width == 3 and rows[0].height == 2
+
+
+def test_decode_images_arrow_parity_fake_and_real(spark):
+    """The Arrow-native decode twin (mapInArrow, zero-copy payload
+    views) must be BIT-IDENTICAL to the pandas path for both codecs —
+    they share _feature_triplet / codecs.decode_image, and this pins
+    the exchange-layer rewrite to the same results."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.multimodal.binary_cols import decode_images_arrow
+
+    def rows(df):
+        return {
+            r.media_id: (
+                r.n_bytes,
+                r.content_hash,
+                None if r.features is None else tuple(r.features),
+            )
+            for r in df.collect()
+        }
+
+    media = _media(spark)
+    assert rows(decode_images_arrow(media)) == rows(decode_images(media))
+
+    # real codec over genuine PGM payloads (the q_multimodal_real shape)
+    from spectrify_spark.multimodal import MEDIA_SCHEMA
+
+    pgm = bytes("P5\n8 8\n255\n", "ascii") + bytes(range(64))
+    real_rows = [
+        (1, "image", "image/x-portable-graymap", bytearray(pgm), 8, 8, None),
+        (2, "image", "image/x-portable-graymap", None, None, None, None),
+    ]
+    m = spark.createDataFrame(real_rows, MEDIA_SCHEMA)
+    assert rows(decode_images_arrow(m, codec="real")) == rows(
+        decode_images(m, codec="real")
+    )
+
+    with pytest.raises(ValueError, match="unknown codec"):
+        decode_images_arrow(media, codec="pil")

@@ -2529,6 +2529,45 @@ def q_multimodal_real(spark, sf):
     )
 
 
+def q_multimodal_arrow(spark, sf):
+    """The Arrow-native decode exchange layer earning its own
+    oracle-backed driver row (new r11): identical semantics to
+    q_multimodal_real — same PGM payloads, same real stdlib codec,
+    same output columns — but through
+    ``decode_images_arrow``/``mapInArrow``, where payload bytes are
+    consumed as ZERO-COPY memoryviews off the RecordBatch value buffer
+    instead of pandas object-dtype boxing (1.19-1.49x measured,
+    growing with payload size — PERF_NOTES r11).  Sharing
+    q_multimodal_real's full-value PGM-pixel oracle means the driver
+    hash-checks the rewritten exchange path end-to-end, not just the
+    in-repo parity test."""
+    from spectrify_spark.multimodal.binary_cols import decode_images_arrow
+
+    d = _t(spark, sf, "documents")
+    padded = F.rpad(F.substring(F.col("text"), 1, 64), 64, " ")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit("P5\n8 8\n255\n"), padded), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    out = decode_images_arrow(media, codec="real", batch_features=4)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x.cast("double"), 3)
+                .cast("decimal(20,3)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features"),
+    )
+
+
 def q_stream_media(spark, sf):
     """Streaming MULTIMODAL decode — the seventh streaming/batch twin:
     media rows (PGM payloads built from document text, same encoding
@@ -4275,6 +4314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "q_scan_skipping": q_scan_skipping,
         "q_scan_bloom": q_scan_bloom,
+        "q_multimodal_arrow": q_multimodal_arrow,
     }
 
 
@@ -4682,6 +4722,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # real-codec twin: decoded PGM pixels == the padded text bytes
         "q_multimodal_real": """
+            WITH codes AS (
+              SELECT doc_id AS media_id,
+                     [ascii(t[i:i]) FOR i IN range(1, 65)] AS cs
+              FROM (SELECT doc_id, rpad(text[1:64], 64, ' ') AS t
+                    FROM documents))
+            SELECT media_id,
+                   CAST(64 AS INTEGER) AS n_bytes,
+                   CAST(list_sum(cs) * 2654435761 AS BIGINT) AS content_hash,
+                   array_to_string(
+                     [CAST(CAST(ROUND(CAST(CAST(
+                        list_aggregate(cs[j * 16 + 1 : j * 16 + 16], 'avg')
+                        AS FLOAT) AS DOUBLE), 3)
+                      AS DECIMAL(20,3)) AS VARCHAR)
+                      FOR j IN [0, 1, 2, 3]], ',') AS features
+            FROM codes
+        """,
+        # Arrow-exchange twin of the real-codec decode: byte-identical
+        # to the pandas path, so it shares the PGM-pixel oracle
+        "q_multimodal_arrow": """
             WITH codes AS (
               SELECT doc_id AS media_id,
                      [ascii(t[i:i]) FOR i IN range(1, 65)] AS cs

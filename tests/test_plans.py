@@ -129,6 +129,8 @@ GOLDEN = {
     "q_sketch_cm": dict(max_exchanges=6, joins=["BroadcastHashJoin"], pushed=True, ban_bnlj=True),
     # real-codec decode is pure mapInPandas over a pruned 2-col scan
     "q_multimodal_real": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # r11: same decode through the zero-copy mapInArrow exchange
+    "q_multimodal_arrow": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     "q_multimodal_audio": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     "q_multimodal_video": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     # drained memory-sink read (real streaming plan gated in

@@ -3381,6 +3381,44 @@ def q_scan_bloom(spark, sf):
     )
 
 
+def q_publish_versions(spark, sf):
+    """Versioned atomic publish (catalog/publish.py — new r11): the
+    pointer-flip protocol that closes the reference's
+    overwrite-then-repoint correctness hole (reference
+    spectrify/transform.py: a reader between UNLOAD landing and
+    CREATE TABLE sees a partial prefix).  Every publish lands a
+    complete immutable ``v=N`` directory, then atomically replaces a
+    tiny pointer file; readers resolve the pointer first, so they can
+    never observe a partial write, and old versions stay scannable
+    (time travel) until vacuumed.  Here: v1 = the even-orderkey half,
+    v2 = the full table; the returned rows are the CURRENT (v2)
+    content — full-value against the plain SQL — plus measured
+    invariants the oracle pins TRUE: the pointer flipped to 2, and
+    v1 is still exactly the half-table (time travel intact)."""
+    import tempfile
+
+    from spectrify_spark.catalog.publish import (
+        current_version,
+        publish,
+        read_published,
+    )
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="q_publish_") + "/ds"
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    publish(half, root)
+    publish(o, root)
+    v1_ok = (
+        read_published(spark, root, version=1).count() == half.count()
+    )
+    return read_published(spark, root).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(current_version(root) == 2).alias("flipped_v2"),
+        F.lit(v1_ok).alias("time_travel_ok"),
+    )
+
+
 def q_events_anomaly(spark, sf):
     """Per-entity activity-burst detection: daily event counts flagged
     when they exceed the USER'S OWN mean + 2 sigma baseline (>=3 active
@@ -4315,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scan_skipping": q_scan_skipping,
         "q_scan_bloom": q_scan_bloom,
         "q_multimodal_arrow": q_multimodal_arrow,
+        "q_publish_versions": q_publish_versions,
     }
 
 
@@ -5564,6 +5603,11 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS pruned_lt_total
             FROM lineitem
             WHERE l_orderkey >= 100 AND l_orderkey < 500
+        """,
+        "q_publish_versions": """
+            SELECT o_orderkey, o_totalprice,
+                   TRUE AS flipped_v2, TRUE AS time_travel_ok
+            FROM orders
         """,
         "q_scan_bloom": """
             SELECT l_orderkey, l_linenumber, l_extendedprice,

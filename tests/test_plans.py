@@ -111,6 +111,8 @@ GOLDEN = {
     "q_scan_bloom": dict(
         max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=3
     ),
+    # r11: pointer-resolved scan of the current published version
+    "q_publish_versions": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
     # temporal split: the OR of timestamp-literal predicates MUST reach
     # the scan (that is the partition-pruning story at scale)
     "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),

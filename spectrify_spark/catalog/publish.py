@@ -64,6 +64,8 @@ def publish(
     root: str,
     partition_by: list[str] | None = None,
     keep_versions: int = 2,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Land ``df`` as the next version of the dataset at ``root`` and
     flip the pointer atomically; returns the new version number.
@@ -71,9 +73,17 @@ def publish(
     The write order IS the protocol: (1) the full version directory
     lands (crash here leaves an orphan ``v=N`` the next publish reuses
     numbering past and vacuum removes — readers never saw it); (2) the
-    pointer is written to a temp name and ``os.replace``d over the
-    live one (atomic on POSIX); (3) versions older than the newest
+    version's skipping indexes build, if requested; (3) the pointer is
+    written to a temp name and ``os.replace``d over the live one
+    (atomic on POSIX); (4) versions older than the newest
     ``keep_versions`` are vacuumed.
+
+    ``stats_cols`` / ``bloom_cols`` build the file-skipping indexes
+    (``layout.write_file_stats`` / ``write_file_bloom``) INSIDE the
+    version directory BEFORE the flip — a published version arrives
+    pre-indexed, and because versions are immutable the indexes can
+    never go stale (the conservative-staleness machinery still guards
+    hand-modified dirs).
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
@@ -84,12 +94,30 @@ def publish(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(vdir)
+    if stats_cols:
+        from spectrify_spark.operators.layout import write_file_stats
+
+        write_file_stats(df.sparkSession, vdir, stats_cols)
+    if bloom_cols:
+        from spectrify_spark.operators.layout import write_file_bloom
+
+        write_file_bloom(df.sparkSession, vdir, bloom_cols)
     tmp = os.path.join(root, f".{CURRENT_POINTER}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": n}, fh)
     os.replace(tmp, os.path.join(root, CURRENT_POINTER))
     vacuum(root, keep_versions=keep_versions)
     return n
+
+
+def current_path(root: str) -> str:
+    """Filesystem path of the pointed version — the value to hand to
+    the skipping-index probes (``layout.pruned_scan(spark,
+    current_path(root), ...)``) or any external reader."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"current_path: nothing published at {root!r}")
+    return os.path.join(root, f"v={v}")
 
 
 def read_published(spark, root: str, version: int | None = None) -> DataFrame:

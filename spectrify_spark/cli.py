@@ -213,6 +213,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     co.add_argument("--bits", type=int, default=16)
 
+    pb = sub.add_parser(
+        "publish",
+        help="publish a parquet dataset as the next immutable version "
+        "of a pointer-flipped dataset root (readers never see partial "
+        "writes; old versions kept for time travel until vacuumed)",
+    )
+    pb.add_argument("source")
+    pb.add_argument("root")
+    pb.add_argument("--partition-by", nargs="*", default=None)
+    pb.add_argument("--keep-versions", type=int, default=2)
+    pb.add_argument(
+        "--stats", nargs="*", default=None, metavar="COL",
+        help="build the per-file min/max skipping index on these "
+        "columns inside the version before the flip",
+    )
+    pb.add_argument(
+        "--bloom", nargs="*", default=None, metavar="COL",
+        help="build the per-file bloom index on these columns inside "
+        "the version before the flip",
+    )
+
     ist = sub.add_parser(
         "index-stats",
         help="build (or incrementally extend with --append) the "
@@ -537,6 +558,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_parquet(packed, args.dest)
         print(args.dest)
+    elif args.cmd == "publish":
+        from spectrify_spark.catalog.publish import publish as do_publish
+
+        v = do_publish(
+            spark.read.parquet(args.source),
+            args.root,
+            partition_by=args.partition_by,
+            keep_versions=args.keep_versions,
+            stats_cols=args.stats,
+            bloom_cols=args.bloom,
+        )
+        print(v)
     elif args.cmd == "index-stats":
         from spectrify_spark.operators.layout import write_file_stats
 

@@ -101,3 +101,29 @@ def test_partitioned_publish_and_validation(spark, tmp_path):
     # pointer file is hidden from scans by the underscore convention
     assert CURRENT_POINTER.startswith("_")
     assert json.load(open(os.path.join(root, CURRENT_POINTER)))["version"] == 1
+
+
+def test_publish_with_skipping_indexes(spark, tmp_path):
+    """stats_cols/bloom_cols build the file-skipping indexes INSIDE
+    the version dir before the flip: the published version arrives
+    pre-indexed and immutable, so pruned probes work immediately."""
+    from spectrify_spark.catalog.publish import current_path
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        prune_files_eq,
+        pruned_scan,
+    )
+
+    root = str(tmp_path / "ds")
+    df = (
+        _df(spark, 1000, "a")
+        .repartitionByRange(4, F.col("k"))
+        .sortWithinPartitions("k")
+    )
+    publish(df, root, stats_cols=["k"], bloom_cols=["k"])
+    path = current_path(root)
+    keep, total = prune_files(spark, path, "k", 100, 300)
+    assert total == 4 and len(keep) <= 2
+    assert pruned_scan(spark, path, "k", 100, 300).count() == 200
+    keep_bl, _ = prune_files_eq(spark, path, "k", 150)
+    assert 1 <= len(keep_bl) <= total

@@ -3381,6 +3381,67 @@ def q_scan_bloom(spark, sf):
     )
 
 
+def q_embed_sq(spark, sf):
+    """SQ8 scalar quantization (quantization.sq_train/sq_encode/
+    sq_topk — new r11): the per-DIMENSION int8 sibling of PQ — 4x
+    compression on float32 with far gentler recall loss (each
+    dimension keeps 256 levels; PQ collapses a 16-dim subspace to 16
+    centroids).  Model = per-dimension (min, max) fitted in ONE
+    distributed pass; encode is a row-local zip_with against the
+    one-row broadcast model; scoring reconstructs candidates at cell
+    midpoints and L2-scores against the float query — asymmetric
+    distance, floats never read.  floor-based cells (not round) keep
+    the arithmetic bit-replicable, so the oracle recomputes the WHOLE
+    path from scratch in SQL — per-dim min/max, codes, midpoint
+    reconstruction, distance — and the top-10 hash-matches at
+    round-6."""
+    from spectrify_spark.operators import quantization as Q
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    model = Q.sq_train(e)
+    enc = Q.sq_encode(e, model)
+    return Q.sq_topk(enc, model, _pq_query(), k=10)
+
+
+def _sql_sq() -> str:
+    """DuckDB replica of q_embed_sq end-to-end from the raw table:
+    per-dimension min/max (data-derived, matching sq_train's exact
+    double min/max), 256-cell floor codes with the same clamp and
+    association order, midpoint reconstruction, and an UNROLLED
+    left-to-right distance sum against the literal query — bit-parity
+    with the Spark folds at ROUND(..., 6)."""
+    qv = _pq_query()
+    dim = len(qv)
+    dist = " + ".join(
+        f"(r[{j + 1}] - ({x!r})) * (r[{j + 1}] - ({x!r}))"
+        for j, x in enumerate(qv)
+    )
+    return f"""
+        WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+        dims AS (SELECT r.i AS i, MIN(e[r.i]) AS mn, MAX(e[r.i]) AS mx
+                 FROM ed, range(1, {dim + 1}) r(i)
+                 GROUP BY r.i),
+        model AS (SELECT list(mn ORDER BY i) AS mns,
+                         list(mx ORDER BY i) AS mxs
+                  FROM dims),
+        enc AS (SELECT vec_id,
+                       [CASE WHEN (mxs[j] - mns[j]) <= 0 THEN 0
+                             ELSE least(255, greatest(0,
+                               CAST(floor((e[j] - mns[j]) * 256.0
+                                          / (mxs[j] - mns[j])) AS INT)))
+                        END FOR j IN range(1, {dim + 1})] AS cs,
+                       mns, mxs
+                FROM ed, model),
+        rec AS (SELECT vec_id,
+                       [mns[j] + (cs[j] + 0.5) * (mxs[j] - mns[j]) / 256.0
+                        FOR j IN range(1, {dim + 1})] AS r
+                FROM enc)
+        SELECT vec_id, ROUND({dist}, 6) AS sq_dist
+        FROM rec ORDER BY sq_dist, vec_id LIMIT 10
+    """
+
+
 def q_publish_versions(spark, sf):
     """Versioned atomic publish (catalog/publish.py — new r11): the
     pointer-flip protocol that closes the reference's
@@ -4354,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scan_bloom": q_scan_bloom,
         "q_multimodal_arrow": q_multimodal_arrow,
         "q_publish_versions": q_publish_versions,
+        "q_embed_sq": q_embed_sq,
     }
 
 
@@ -5604,6 +5666,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey >= 100 AND l_orderkey < 500
         """,
+        "q_embed_sq": _sql_sq(),
         "q_publish_versions": """
             SELECT o_orderkey, o_totalprice,
                    TRUE AS flipped_v2, TRUE AS time_travel_ok

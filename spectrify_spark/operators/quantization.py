@@ -599,6 +599,127 @@ def ivfpq_topk(
     )
 
 
+# --------------------------------------------------------------- SQ8
+
+
+def sq_train(df: DataFrame, vec_col: str = "embedding") -> dict:
+    """Fit the scalar-quantization model: per-dimension (min, max) over
+    the corpus — the lightweight sibling of PQ (int8 per DIMENSION,
+    4x compression on float32, vs PQ's 64x per SUBSPACE; SQ keeps
+    per-dimension resolution, so recall degrades far less).
+
+    One distributed pass: posexplode -> per-dimension min/max groupBy
+    (bounded at dim rows); only the dim-sized model visits the driver.
+    Returns ``{"mins": [...], "maxs": [...]}``.
+    """
+    rows = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("pos")
+        .agg(F.min("col").alias("mn"), F.max("col").alias("mx"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq_train: empty input")
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    dim = max(by_pos) + 1
+    return {
+        "mins": [float(by_pos[j][0]) for j in range(dim)],
+        "maxs": [float(by_pos[j][1]) for j in range(dim)],
+    }
+
+
+def _sq_model_frame(spark, model: dict) -> DataFrame:
+    """One-row broadcast parameter table: per-dimension mins/maxs."""
+    mins = [float(x) for x in model["mins"]]
+    maxs = [float(x) for x in model["maxs"]]
+    if len(mins) != len(maxs) or not mins:
+        raise ValueError("sq model needs equal-length non-empty mins/maxs")
+    return spark.createDataFrame(
+        [(mins, maxs)], "__mn array<double>, __mx array<double>"
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Scalar-quantize every vector to int codes in [0, 255]:
+    ``code_j = min(255, floor((x_j - min_j) * 256 / (max_j - min_j)))``
+    — 256 equal cells of width ``range/256`` (the max value clamps
+    into the top cell); degenerate dimensions (max == min) code to 0.
+    Midpoint reconstruction (``sq_topk``) is then within half a cell,
+    worst-case one cell at the clamped max.
+
+    floor (not round) keeps the arithmetic bit-replicable across
+    engines — round's half-even/half-up split is the classic oracle
+    mismatch.  The model rides a one-row broadcast parameter table
+    (plan size flat in dim); the map is a row-local ``zip_with`` —
+    zero shuffle, zero Python.
+    """
+    mf = _sq_model_frame(df.sparkSession, model)
+    code = F.zip_with(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__mn"),
+            lambda x, mn: x - mn,
+        ),
+        F.zip_with(F.col("__mx"), F.col("__mn"), lambda mx, mn: mx - mn),
+        lambda d, rng: F.when(rng <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(F.lit(0), F.floor(d * F.lit(256.0) / rng)),
+            )
+        ).cast("int"),
+    )
+    return df.crossJoin(F.broadcast(mf)).withColumn(out_col, code).drop(
+        "__mn", "__mx"
+    )
+
+
+def sq_topk(
+    encoded: DataFrame,
+    model: dict,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Asymmetric top-k over SQ codes: each candidate is reconstructed
+    at its cell MIDPOINT (``min + (code + 0.5) * step``) and scored by
+    squared L2 against the FLOAT query — the float vectors are never
+    read, the same asymmetric-distance idea as PQ's ADC but with
+    per-dimension resolution.  Row-local fold, global ascending top-k
+    (TakeOrderedAndProject), ties by id."""
+    mf = _sq_model_frame(encoded.sparkSession, model)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    recon = F.zip_with(
+        F.zip_with(
+            F.col(code_col),
+            F.col("__mn"),
+            lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
+        ),
+        F.zip_with(F.col("__mx"), F.col("__mn"), lambda mx, mn: mx - mn),
+        lambda s, rng: s["mn"]
+        + (s["c"].cast("double") + F.lit(0.5)) * rng / F.lit(256.0),
+    )
+    dist = F.aggregate(
+        F.zip_with(recon, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    return (
+        encoded.crossJoin(F.broadcast(mf))
+        .select(F.col(id_col), dist.alias("sq_dist"))
+        .orderBy(F.col("sq_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 __all__ = [
     "deterministic_codebooks",
     "pq_encode",
@@ -607,6 +728,9 @@ __all__ = [
     "pq_adc_topk",
     "pq_adc_knn_join",
     "pq_train",
+    "sq_train",
+    "sq_encode",
+    "sq_topk",
     "reconstruction_mse",
     "write_ivfpq_index",
     "append_ivfpq_index",

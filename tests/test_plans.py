@@ -113,6 +113,10 @@ GOLDEN = {
     ),
     # r11: pointer-resolved scan of the current published version
     "q_publish_versions": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # r11: SQ8 — model fit is one posexplode agg; encode+score are
+    # row-local folds against the one-row broadcast model (the BNLJ);
+    # top-k is TakeOrderedAndProject
+    "q_embed_sq": dict(max_exchanges=2, max_scan_cols=2),
     # temporal split: the OR of timestamp-literal predicates MUST reach
     # the scan (that is the partition-pruning story at scale)
     "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),

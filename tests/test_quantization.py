@@ -341,3 +341,69 @@ def test_compact_ivf_index_carries_ivfpq_model(spark, tmp_path):
     hits_src = [r.vec_id for r in Q.ivfpq_topk(spark, src, qv, k=5, nprobe=4).collect()]
     hits_dst = [r.vec_id for r in Q.ivfpq_topk(spark, dst, qv, k=5, nprobe=4).collect()]
     assert hits_src == hits_dst and len(hits_dst) == 5
+
+
+def test_sq_encode_roundtrip_error_bound(spark):
+    """SQ8 contract: codes in [0,255]; midpoint reconstruction is
+    within one cell step per dimension; degenerate dims code to 0."""
+    import numpy as np
+
+    rows = [(i, [float(i), float(i) * 0.5, 7.0]) for i in range(100)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    model = Q.sq_train(e)
+    assert model["mins"][2] == model["maxs"][2] == 7.0  # degenerate dim
+    enc = {r.vec_id: r.sq_code for r in Q.sq_encode(e, model).collect()}
+    mn, mx = np.array(model["mins"]), np.array(model["maxs"])
+    step = np.where(mx > mn, (mx - mn) / 256.0, 0.0)
+    for i, v in rows:
+        codes = np.array(enc[i])
+        assert ((codes >= 0) & (codes <= 255)).all()
+        assert codes[2] == 0  # degenerate dim codes to 0
+        recon = mn + (codes + 0.5) * step
+        err = np.abs(recon - np.array(v))
+        assert (err <= np.maximum(step, 1e-9) + 1e-9).all(), (i, err, step)
+
+
+def test_sq_topk_close_to_exact(spark):
+    """Asymmetric SQ scoring: the query vector itself ranks first, and
+    top-k overlaps heavily with exact L2 (per-dimension resolution —
+    much tighter than PQ on the same data)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    model = Q.sq_train(e)
+    enc = Q.sq_encode(e, model)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
+    got = [r.vec_id for r in Q.sq_topk(enc, model, qv, k=10).collect()]
+    assert got[0] == 7
+    V = {r.vec_id: np.array(r.embedding, np.float64) for r in e.collect()}
+    q = np.array(qv)
+    exact = sorted(V, key=lambda i: (float(((V[i] - q) ** 2).sum()), i))[:10]
+    assert len(set(got) & set(exact)) >= 7  # SQ8 keeps most neighbours
+
+
+def test_sq_plan_is_map_side_only(spark):
+    """Encode + score plan: one-row parameter-table broadcasts only,
+    no hash/range shuffle of the corpus."""
+    rows = [(i, [float(i % 13), float(i % 7)]) for i in range(50)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    model = Q.sq_train(e)
+    out = Q.sq_topk(Q.sq_encode(e, model), model, [1.0, 2.0], k=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_sq_validation(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty input"):
+        Q.sq_train(empty)
+    with pytest.raises(ValueError, match="mins/maxs"):
+        Q._sq_model_frame(spark, {"mins": [1.0], "maxs": []})

@@ -3381,6 +3381,35 @@ def q_scan_bloom(spark, sf):
     )
 
 
+def q_graph_lpa(spark, sf):
+    """Label-propagation communities (graph.label_propagation — new
+    r11): the fourth graph kernel, complementing components/PageRank/
+    triangles.  Communities differ from components exactly where it
+    matters for curation: a single bridge edge fuses two dense product
+    clusters into ONE component, but LPA keeps them apart — the
+    domain-clustering signal.  The engine runs the SYNCHRONOUS
+    min-tie-break variant (classic LPA is run-order-dependent), so
+    2 fixed iterations are a deterministic function of the input and
+    the oracle replicates them as two unrolled vote-count CTEs (count
+    DESC, label ASC window per node) over the same thresholded
+    co-occurrence graph as q_graph_components.  Per round: one
+    labels-edges equi-join + one (node,label) count + one per-node
+    window — same shuffle key every round, lineage-truncated state."""
+    from spectrify_spark.operators.graph import (
+        cooccurrence_edges,
+        label_propagation,
+    )
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=2)
+    lab = label_propagation(edges, iters=2)
+    return (
+        lab.groupBy(F.col("label").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("community")
+    )
+
+
 def q_embed_sq(spark, sf):
     """SQ8 scalar quantization (quantization.sq_train/sq_encode/
     sq_topk — new r11): the per-DIMENSION int8 sibling of PQ — 4x
@@ -4416,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_arrow": q_multimodal_arrow,
         "q_publish_versions": q_publish_versions,
         "q_embed_sq": q_embed_sq,
+        "q_graph_lpa": q_graph_lpa,
     }
 
 
@@ -5607,6 +5637,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN customer c ON e.user_id = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "q_graph_lpa": """
+            WITH po AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            cooc AS (
+              SELECT x.l_partkey AS a, y.l_partkey AS b
+              FROM po x JOIN po y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sym AS (
+              SELECT a AS u, b AS v FROM cooc
+              UNION SELECT b, a FROM cooc),
+            nodes AS (SELECT DISTINCT u AS id FROM sym),
+            l0 AS (SELECT id, id AS label FROM nodes),
+            v1 AS (SELECT s.v AS id, l.label, COUNT(*) AS c
+                   FROM sym s JOIN l0 l ON s.u = l.id
+                   GROUP BY s.v, l.label),
+            b1 AS (SELECT id, label FROM v1
+                   QUALIFY ROW_NUMBER() OVER (
+                     PARTITION BY id ORDER BY c DESC, label ASC) = 1),
+            l1 AS (SELECT n.id, COALESCE(b.label, n.id) AS label
+                   FROM nodes n LEFT JOIN b1 b ON n.id = b.id),
+            v2 AS (SELECT s.v AS id, l.label, COUNT(*) AS c
+                   FROM sym s JOIN l1 l ON s.u = l.id
+                   GROUP BY s.v, l.label),
+            b2 AS (SELECT id, label FROM v2
+                   QUALIFY ROW_NUMBER() OVER (
+                     PARTITION BY id ORDER BY c DESC, label ASC) = 1),
+            l2 AS (SELECT n.id, COALESCE(b.label, l1.label) AS label
+                   FROM nodes n
+                   LEFT JOIN l1 ON n.id = l1.id
+                   LEFT JOIN b2 b ON n.id = b.id)
+            SELECT CAST(label AS BIGINT) AS community,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM l2 GROUP BY 1 ORDER BY 1
         """,
         "q_graph_components": """
             WITH RECURSIVE po AS (

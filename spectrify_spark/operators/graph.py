@@ -614,3 +614,77 @@ def cooccurrence_edges(
         .filter(F.col("__c") >= min_count)
         .select("src", "dst")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous, DETERMINISTIC label-propagation communities
+    (Raghavan et al. 2007, made reproducible): every node starts
+    labeled with its own id; each round every node adopts the most
+    frequent label among its NEIGHBORS, ties broken by the SMALLEST
+    label; isolated nodes (and nodes whose neighbors all vanished)
+    keep their current label.  Asynchronous/randomized LPA is the
+    usual formulation but is run-order dependent — the synchronous
+    min-tie variant gives identical output on every engine, which is
+    what makes a full-value oracle (and cross-cluster reproducibility)
+    possible.  Fixed ``iters`` bounds the cost and sidesteps sync
+    LPA's known 2-cycle oscillation.
+
+    Communities differ from connected components: a bridge edge
+    joins two dense clusters into ONE component, but LPA keeps them
+    apart — the signal used for domain clustering / near-dup group
+    refinement at corpus scale.
+
+    Per round: one labels->edges equi-join + one (node, label) count
+    agg + one per-node window top-1 — all keyed on node id, same
+    shuffle key every round; per-round state is lineage-truncated
+    (the plan stays constant-size across iterations, the
+    q_dedup_clusters discipline).  Output: ``(id, label)``, one row
+    per distinct node in ``edges``.
+    """
+    from pyspark.sql import Window
+
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropna()
+    sym = _truncate_lineage(
+        raw.filter(F.col("u") != F.col("v"))
+        .unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = _truncate_lineage(
+        raw.select(F.col("u").alias("id"))
+        .unionByName(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("u"), F.col("label")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        best = (
+            votes.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("id", F.col("label").alias("__new"))
+        )
+        labels = _truncate_lineage(
+            labels.join(best, "id", "left").select(
+                "id", F.coalesce("__new", "label").alias("label")
+            )
+        )
+    return labels

@@ -455,3 +455,78 @@ def test_cooccurrence_edges_rejects_bad_mode(spark):
         cooccurrence_edges(
             _cooc_df(spark, [("g", 1)]), "g", "item", on_oversize="ignore"
         )
+
+
+# ------------------------------------------------------ label propagation
+
+
+def _py_lpa(edges, iters):
+    """Synchronous min-tie LPA reference."""
+    adj: dict = {}
+    nodes = set()
+    for u, v in edges:
+        nodes.update((u, v))
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            counts: dict = {}
+            for nb in adj.get(n, ()):
+                counts[lab[nb]] = counts.get(lab[nb], 0) + 1
+            if not counts:
+                nxt[n] = lab[n]
+            else:
+                nxt[n] = min(
+                    counts, key=lambda c: (-counts[c], c)
+                )
+        lab = nxt
+    return lab
+
+
+def _run_lpa(spark, edges, iters):
+    from spectrify_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r.id: r.label
+        for r in label_propagation(df, iters=iters).collect()
+    }
+
+
+def test_lpa_matches_reference_on_bridged_clusters(spark):
+    """Two triangles joined by one bridge: connected components fuse
+    them into one; LPA keeps two communities — per-iteration output
+    equals the synchronous min-tie Python reference exactly."""
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (7, 7)]
+    for iters in (0, 1, 2, 3):
+        assert _run_lpa(spark, edges, iters) == _py_lpa(edges, iters), iters
+    final = _run_lpa(spark, edges, 3)
+    assert final[1] == final[2] == final[3]
+    assert final[4] == final[5] == final[6]
+    assert final[1] != final[4]  # bridge did NOT merge the communities
+    assert final[7] == 7  # self-loop-only node keeps its own label
+
+
+def test_lpa_matches_reference_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 12
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(20)
+        ]
+        assert _run_lpa(spark, edges, 2) == _py_lpa(edges, 2), (trial, edges)
+
+
+def test_lpa_validates_iters(spark):
+    import pytest
+
+    from spectrify_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(df, iters=-1)

@@ -117,6 +117,9 @@ GOLDEN = {
     # row-local folds against the one-row broadcast model (the BNLJ);
     # top-k is TakeOrderedAndProject
     "q_embed_sq": dict(max_exchanges=2, max_scan_cols=2),
+    # r11: LPA — the returned plan reads checkpointed final labels
+    # (per-round lineage truncation): rollup agg + ordered output
+    "q_graph_lpa": dict(max_exchanges=3, ban_bnlj=True),
     # temporal split: the OR of timestamp-literal predicates MUST reach
     # the scan (that is the partition-pruning story at scale)
     "q_split_temporal": dict(max_exchanges=1, pushed=True, ban_bnlj=True),

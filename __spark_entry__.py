@@ -4258,12 +4258,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     until their rotation slot comes up.
 
     Past the window: the remaining 14 r8-green keys (q_asof_forward
-    ... q_nullify_empty — they head the r12 window), then the 50
-    r9-greens, then the 50 r10-greens (freshest).  r12 plan: those 14
-    r8-greens + the 36 oldest r9-greens; after r11 lands, every key's
-    latest driver row is r8+ and the six r10-born keys are
-    first-verified, restoring "no never-verified key" for the first
-    time since r9 (VERDICT r10 item 1).
+    ... q_nullify_empty), then the 50 r9-greens, then the 50
+    r10-greens, then the seven r11-BORN keys (q_sim_ivfpq_rerank,
+    q_scan_skipping, q_scan_bloom, q_multimodal_arrow,
+    q_publish_versions, q_embed_sq, q_graph_lpa — new keys never
+    displace overdue ones; each passed the vanilla sf0.01 gate at
+    birth).  After r11 lands, every pre-r11 key's latest driver row is
+    r8+ and the six r10-born keys are first-verified (VERDICT r10
+    item 1).  r12 plan per the rotation rules: slots 1-7 = the seven
+    never-verified r11-born keys (rule 2), slots 8-21 = the 14
+    r8-greens, slots 22-50 = the 29 oldest r9-greens in their r9
+    window order.
     """
     return {
         # -- r11 window, slots 1-6: r10-born keys, first driver rows

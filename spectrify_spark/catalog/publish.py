@@ -87,6 +87,32 @@ def publish(
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    # overlap guard (the compact_* lesson): publishing a dataset INTO a
+    # directory it is being read from would land v=N inside the source
+    # — every later plain scan discovers v=N as a partition and returns
+    # duplicated rows, and vacuum could delete source data
+    import re
+
+    root_abs = os.path.realpath(root)
+    src_dirs = {
+        os.path.dirname(os.path.realpath(re.sub(r"^file:/+", "/", f)))
+        for f in df.inputFiles()
+        if "://" not in re.sub(r"^file:/+", "/", f)
+    }
+    for d in src_dirs:
+        # reading FROM root/v=N and publishing v=N+1 into the same root
+        # is the legitimate incremental-republish pattern (v=N is
+        # immutable; only the keep window can remove it later) — what
+        # corrupts data is a source that IS root, or that CONTAINS
+        # root: v=N would land inside a directory plain scans read as a
+        # whole and be discovered as a phantom partition
+        if d == root_abs or root_abs.startswith(d + os.sep):
+            raise ValueError(
+                f"publish: dataset root {root!r} is (or is inside) the "
+                f"DataFrame's own source directory {d!r} — landing a "
+                "v=N version inside the source corrupts it; publish to "
+                "a sibling path"
+            )
     os.makedirs(root, exist_ok=True)
     n = max(_versions(root), default=0) + 1
     vdir = os.path.join(root, f"v={n}")

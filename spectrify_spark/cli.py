@@ -391,14 +391,19 @@ def main(argv: list[str] | None = None) -> int:
 
         opts: dict[str, str] = {}
         if args.jdbc_url:
+            import os
+
             url = args.jdbc_url
-            # user/password still honored if given (flag/env only — no
-            # prompt when the URL is explicit and credentials may be
-            # embedded or unneeded, e.g. embedded Derby)
-            if args.user:
-                opts["user"] = args.user
-            if args.password:
-                opts["password"] = args.password
+            # user/password still honored if given — flag, then the
+            # documented REDSHIFT_* env fallback; no prompt when the
+            # URL is explicit and credentials may be embedded or
+            # unneeded (e.g. embedded Derby)
+            user = args.user or os.environ.get("REDSHIFT_USER")
+            password = args.password or os.environ.get("REDSHIFT_PASSWORD")
+            if user:
+                opts["user"] = user
+            if password:
+                opts["password"] = password
         else:
             try:
                 conn = JDBC.resolve_connection(

@@ -236,13 +236,9 @@ def write_file_stats(
     targets = None
     if append:
         live = set(list_data_files(spark, path))
-        try:
-            have = {
-                r["file"]
-                for r in spark.read.parquet(stats_path).select("file").collect()
-            }
-        except Exception:
-            have = set()
+        have = {
+            r["file"] for r in (_read_stats_rows(spark, stats_path) or [])
+        }
         targets = sorted(live - have)
         if not targets:
             return 0
@@ -262,11 +258,15 @@ def write_file_stats(
         .groupBy("file")
         .agg(*aggs)
     )
-    n = stats.count()
+    # ONE pass: write, then count driver-side from the written table
+    # (a .count() before the write would execute the full scan+agg
+    # twice — double the 100 TB build cost)
     stats.repartition(1).write.mode("append" if append else "overwrite").parquet(
         stats_path
     )
-    return n
+    if targets is not None:
+        return len(targets)
+    return len({r["file"] for r in (_read_stats_rows(spark, stats_path) or [])})
 
 
 def _read_stats_rows(spark, stats_path: str) -> "list[dict] | None":
@@ -328,7 +328,13 @@ def prune_files(
 
     def _disjoint(row: dict) -> bool:
         for c, (lo, hi) in ranges.items():
-            mn, mx = row.get(f"min_{c}"), row.get(f"max_{c}")
+            if f"min_{c}" not in row:
+                # column was never indexed: the stats prove NOTHING
+                # about it — keep the file (treating absent like
+                # all-NULL would prune every file for an un-indexed
+                # column and silently return wrong results)
+                continue
+            mn, mx = row[f"min_{c}"], row[f"max_{c}"]
             if mn is None:  # all-NULL column: no row can match a range
                 return True
             if lo is not None and mx < lo:
@@ -394,17 +400,52 @@ def pruned_scan(
 FILE_BLOOM_DIR = "_spectrify_file_bloom"
 
 
-def _bloom_positions_py(value, m_bits: int, k_hashes: int) -> list[int]:
+def _bloom_key_col(c: str, dtype: str):
+    """The CANONICAL string a column value hashes as, JVM-side.
+    Fractional types format via ``%.9e`` (Java's and Python's %-format
+    produce the same '5.000000000e+07' text), everything else via
+    Spark's string cast ('true'/'false' for booleans, plain digits for
+    integrals) — chosen so :func:`_bloom_key_py` reproduces it
+    EXACTLY.  A raw ``cast('string')`` on a double prints Java
+    Double.toString ('5.0E7'), which no Python f-string matches: the
+    probe would hash a different key and bloom false NEGATIVES would
+    silently drop matching rows."""
+    col = F.col(c)
+    if dtype in ("float", "double"):
+        return F.format_string("%.9e", col.cast("double"))
+    return col.cast("string")
+
+
+def _bloom_key_py(value, dtype: str) -> str:
+    """Python twin of the canonical key formatting, driven by the
+    column dtype the index stored (so a probe against a FLOAT column
+    first rounds the probe value through float32 — the widened double
+    the build hashed)."""
+    if dtype == "boolean":
+        return "true" if value else "false"
+    if dtype == "float":
+        import numpy as np
+
+        return "%.9e" % float(np.float32(value))
+    if dtype == "double":
+        return "%.9e" % float(value)
+    return str(value)
+
+
+def _bloom_positions_py(
+    value, m_bits: int, k_hashes: int, dtype: str = ""
+) -> list[int]:
     """Python twin of the JVM position expression — the engine-portable
     md5 bucket (``functions.text.hash_bucket``: first 4 hex chars of
-    md5 of the stringified key), keyed ``<value>:<i>`` per hash.
-    Bit-identical on both sides, so the probe can run DRIVER-SIDE with
-    no Spark job."""
+    md5 of the canonical key, :func:`_bloom_key_py`), keyed
+    ``<key>:<i>`` per hash.  Bit-identical on both sides, so the probe
+    can run DRIVER-SIDE with no Spark job."""
     import hashlib
 
+    key = _bloom_key_py(value, dtype)
     return [
         int(
-            hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:4], 16
+            hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:4], 16
         ) % m_bits
         for i in range(k_hashes)
     ]
@@ -459,12 +500,15 @@ def write_file_bloom(
         F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("file"),
         *cols,
     )
+    dtypes = dict(src.select(*cols).dtypes)
     per_col = []
     for c in cols:
         positions = F.array(
             *[
                 hash_bucket(
-                    F.concat_ws(":", F.col(c).cast("string"), F.lit(str(i))),
+                    F.concat_ws(
+                        ":", _bloom_key_col(c, dtypes[c]), F.lit(str(i))
+                    ),
                     m_bits,
                 )
                 for i in range(k_hashes)
@@ -472,27 +516,35 @@ def write_file_bloom(
         )
         per_col.append(
             base.filter(F.col(c).isNotNull())
-            .select("file", F.lit(c).alias("col"), F.explode(positions).alias("b"))
+            .select(
+                "file",
+                F.lit(c).alias("col"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.explode(positions).alias("b"),
+            )
         )
     rows = per_col[0]
     for p in per_col[1:]:
         rows = rows.unionByName(p)
     bloom = (
-        rows.groupBy("file", "col")
+        rows.groupBy("file", "col", "dtype")
         .agg(F.sort_array(F.collect_set("b")).alias("bits"))
         .select(
             "file",
             "col",
+            "dtype",
             F.lit(m_bits).alias("m_bits"),
             F.lit(k_hashes).alias("k_hashes"),
             "bits",
         )
     )
-    n = bloom.select("file").distinct().count()
+    # ONE pass: write, then count driver-side from the written table
     bloom.repartition(1).write.mode("append" if append else "overwrite").parquet(
         bloom_path
     )
-    return n
+    if targets is not None:
+        return len(targets)
+    return len({r["file"] for r in (_read_stats_rows(spark, bloom_path) or [])})
 
 
 def prune_files_eq(
@@ -516,7 +568,15 @@ def prune_files_eq(
     for r in rows:
         if r["col"] != col:
             continue
-        pos = _bloom_positions_py(value, int(r["m_bits"]), int(r["k_hashes"]))
+        pos = _bloom_positions_py(
+            value,
+            int(r["m_bits"]),
+            int(r["k_hashes"]),
+            # legacy indexes predate the dtype column: they hashed the
+            # plain cast('string') form, which str() matches for the
+            # int/string keys that format identically on both sides
+            dtype=r.get("dtype", ""),
+        )
         bits = set(r["bits"])
         if any(p not in bits for p in pos):
             pruned.add(r["file"])

@@ -266,7 +266,9 @@ def stream_static_enrich(
     AnalysisException at stream start; chain calls to enrich against a
     star schema of several dims.
     """
-    if how not in ("inner", "left_outer", "left", "leftouter"):
+    if how.lower() not in ("inner", "left_outer", "left", "leftouter"):
+        # Spark's join how is case-insensitive; match that so the
+        # eager guard never rejects a mode the engine accepts
         raise ValueError(
             "stream_static_enrich: stream-static joins support only "
             f"'inner' and 'left_outer' (stream side preserved); got {how!r}"

@@ -553,3 +553,71 @@ def test_file_bloom_no_false_negatives_property(spark, tmp_path):
             bits, m, kh = blooms[f]
             pos = _bloom_positions_py(k, m, kh)
             assert all(p in bits for p in pos), (k, f)
+
+
+def test_file_stats_unindexed_column_keeps_files(spark, tmp_path):
+    """Review regression (r11): probing a column the stats never
+    indexed must prune NOTHING — treating an absent stats key like an
+    all-NULL column pruned every file and silently returned empty."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import prune_files, pruned_scan
+
+    path = _range_laid_dataset(spark, tmp_path)
+    from spectrify_spark.operators.layout import write_file_stats
+
+    write_file_stats(spark, path, ["k"])  # 'v' deliberately un-indexed
+    keep, total = prune_files(spark, path, "v", 1, 3)
+    assert len(keep) == total == 4  # stats prove nothing about v
+    got = pruned_scan(spark, path, "v", 1, 3).count()
+    want = (
+        spark.read.parquet(path)
+        .filter((F.col("v") >= 1) & (F.col("v") < 3))
+        .count()
+    )
+    assert got == want > 0
+
+
+def test_file_bloom_double_and_boolean_probes(spark, tmp_path):
+    """Review regression (r11): Spark casts doubles to '5.0E7' and
+    booleans to 'true', Python str() gives '50000000.0'/'True' — the
+    divergence made the probe hash different keys and bloom false
+    NEGATIVES dropped matching rows.  The canonical %.9e / true-false
+    key formatting (stored dtype drives the probe side) must round-trip
+    exactly, including the float32 widening path."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import pruned_scan_eq, write_file_bloom
+
+    path = str(tmp_path / "typed")
+    (
+        spark.range(0, 40)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 12_500_000.0).alias("price"),
+            (F.col("id") % 2 == 0).alias("flag"),
+            (F.col("id") / 10.0).cast("float").alias("ratio"),
+        )
+        .repartition(4, F.col("k"))
+        .write.parquet(path)
+    )
+    write_file_bloom(spark, path, ["price", "flag", "ratio"])
+
+    # double: 4 * 12.5M = 5.0E7 in Spark's cast-to-string form
+    assert pruned_scan_eq(spark, path, "price", 50_000_000.0).count() == 1
+    assert pruned_scan_eq(spark, path, "price", 12_500_000.0).count() == 1
+    # boolean
+    assert pruned_scan_eq(spark, path, "flag", True).count() == 20
+    assert pruned_scan_eq(spark, path, "flag", False).count() == 20
+    # float32 column: Spark promotes the column to double for the
+    # equality, so only the WIDENED float32 value matches — plain 0.1
+    # is correctly empty (that is Spark's own `ratio = 0.1` semantics,
+    # and the bloom must not change it), while the widened double
+    # finds its row
+    import numpy as np
+
+    assert pruned_scan_eq(spark, path, "ratio", 0.1).count() == 0
+    widened = float(np.float32(0.1))
+    assert pruned_scan_eq(spark, path, "ratio", widened).count() == 1
+    # absent double still returns empty, never errors
+    assert pruned_scan_eq(spark, path, "price", 1.23).count() == 0

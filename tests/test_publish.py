@@ -127,3 +127,29 @@ def test_publish_with_skipping_indexes(spark, tmp_path):
     assert pruned_scan(spark, path, "k", 100, 300).count() == 200
     keep_bl, _ = prune_files_eq(spark, path, "k", 150)
     assert 1 <= len(keep_bl) <= total
+
+
+def test_publish_rejects_overlapping_source(spark, tmp_path):
+    """Review regression (r11): publishing a dataset INTO its own
+    source directory would land v=N inside it — later plain scans
+    discover v=N as a phantom partition and duplicate rows.  Reading
+    from a version dir under the SAME root (incremental republish)
+    stays allowed."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "plain")
+    _df(spark, 10, "a").write.parquet(src)
+    df = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="source directory"):
+        publish(df, src)
+    with pytest.raises(ValueError, match="source directory"):
+        publish(df, src + "/sub")
+
+    # legitimate: republish a transformation of the current version
+    root = str(tmp_path / "ds")
+    publish(df, root)
+    cur = read_published(spark, root)
+    v2 = publish(cur.withColumn("tag", F.lit("b")), root)
+    assert v2 == 2 and read_published(spark, root).count() == 10

@@ -4243,90 +4243,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r11 (per the plan recorded at r10 close + VERDICT r10 item
-    1): slots 1-6 = the six r10-born keys owing their first driver
-    rows (q_graph_pagerank_dangling, q_embed_pq, q_sim_ivfpq,
-    q_graph_components, q_stream_enrich, q_dedup_spans — rule (2):
-    never-verified outranks everything); slots 7-14 = the eight keys
-    carried green-since-r7 (q_array_slice, q_unpivot, q_join_multi,
-    q_join_star, q_join_two_dims, q_topk_customers, q_asof_join,
-    q_grouping_sets); slots 15-50 = the 36 oldest r8-green keys in
-    their r8 window order (q_winsorize_grouped ... q_asof_tolerance).
-    64 keys were overdue for 50 slots, so rule (1) admits no
-    changed-code extras this round; r11-touched keys past the window
-    rely on the per-pytest sweep + at-change vanilla sf0.01 checks
-    until their rotation slot comes up.
+    Window r12 (per the plan recorded at r11 close + VERDICT r11 item
+    1): slots 1-7 = the seven r11-born keys owing their first driver
+    rows (q_sim_ivfpq_rerank, q_scan_skipping, q_scan_bloom,
+    q_multimodal_arrow, q_publish_versions, q_embed_sq, q_graph_lpa —
+    rule (2): never-verified outranks everything; skipping/bloom lead
+    because their wrong-results bugs were fixed in-round r11 and need
+    first driver confirmation); slots 8-21 = the 14 remaining r8-green
+    keys (q_asof_forward ... q_nullify_empty); slots 22-50 = the 29
+    oldest r9-green keys in their r9 window order (q_graph_pagerank
+    ... q_window_analytic).  71 keys were overdue for 50 slots, so
+    rule (1) admits no changed-code extras this round; r12-touched
+    keys past the window (q_graph_components via the shuffle-hygiene
+    repartition change, q_dedup_incremental/q_sim_* via index-probe
+    caching) rely on the per-pytest sweep + at-change vanilla sf0.01
+    checks until their rotation slot comes up.
 
-    Past the window: the remaining 14 r8-green keys (q_asof_forward
-    ... q_nullify_empty), then the 50 r9-greens, then the 50
-    r10-greens, then the seven r11-BORN keys (q_sim_ivfpq_rerank,
-    q_scan_skipping, q_scan_bloom, q_multimodal_arrow,
-    q_publish_versions, q_embed_sq, q_graph_lpa — new keys never
-    displace overdue ones; each passed the vanilla sf0.01 gate at
-    birth).  After r11 lands, every pre-r11 key's latest driver row is
-    r8+ and the six r10-born keys are first-verified (VERDICT r10
-    item 1).  r12 plan per the rotation rules: slots 1-7 = the seven
-    never-verified r11-born keys (rule 2), slots 8-21 = the 14
-    r8-greens, slots 22-50 = the 29 oldest r9-greens in their r9
-    window order.
+    Past the window: the 21 remaining r9-green keys (q_window_rank
+    ... q_agg_sketch_hll), then the 50 r10-greens, then the 50
+    r11-greens (freshest rows).  Any r12-born keys append at the end
+    (new keys never displace overdue ones; each must pass the vanilla
+    sf0.01 gate at birth).  r13 plan per the rotation rules: slots
+    1-21 = the 21 remaining r9-greens, slots 22-50 = the 29 oldest
+    r10-greens in their r10 window order, with rule (1)/(2)
+    insertions for any r12-born keys ahead of the r10 block.
     """
     return {
-        # -- r11 window, slots 1-6: r10-born keys, first driver rows
-        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
-        "q_embed_pq": q_embed_pq,
-        "q_sim_ivfpq": q_sim_ivfpq,
-        "q_graph_components": q_graph_components,
-        "q_stream_enrich": q_stream_enrich,
-        "q_dedup_spans": q_dedup_spans,
-        # -- r11 window, slots 7-14: the 8 keys green-since-r7 (4 rounds)
-        "q_array_slice": q_array_slice,
-        "q_unpivot": q_unpivot,
-        "q_join_multi": q_join_multi,
-        "q_join_star": q_join_star,
-        "q_join_two_dims": q_join_two_dims,
-        "q_topk_customers": q_topk_customers,
-        "q_asof_join": q_asof_join,
-        "q_grouping_sets": q_grouping_sets,
-        # -- r11 window, slots 15-50: the 36 oldest r8-green keys;
-        #    the remaining 14 r8 keys head the r12 window
-        "q_winsorize_grouped": q_winsorize_grouped,
-        "q_embed_standardize": q_embed_standardize,
-        "q_multimodal_decode": q_multimodal_decode,
-        "q_shipmode_priority": q_shipmode_priority,
-        "q_sim_ivf_recall": q_sim_ivf_recall,
-        "q_resample_ffill": q_resample_ffill,
-        "q_agg_median": q_agg_median,
-        "q_histogram": q_histogram,
-        "q_agg_approx": q_agg_approx,
-        "q_rollup": q_rollup,
-        "q_cube": q_cube,
-        "q_pivot": q_pivot,
-        "q_window_range": q_window_range,
-        "q_row_number_global": q_row_number_global,
-        "q_interval_join": q_interval_join,
-        "q_embed_centroid": q_embed_centroid,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_wordcount": q_text_wordcount,
-        "q_text_ngram": q_text_ngram,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
-        "q_null_handling": q_null_handling,
-        "q_anti_blacklist": q_anti_blacklist,
-        "q_scalar_subquery_global": q_scalar_subquery_global,
-        "q_dedup_latest": q_dedup_latest,
-        "q_split_train_test": q_split_train_test,
-        "q_sim_topk": q_sim_topk,
-        "q_sim_knn": q_sim_knn,
-        "q_text_stats": q_text_stats,
-        "q_text_tokens": q_text_tokens,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_multimodal_cols": q_multimodal_cols,
-        "q_events_window": q_events_window,
-        "q_events_sliding": q_events_sliding,
-        "q_sim_threshold": q_sim_threshold,
-        "q_events_sessionize": q_events_sessionize,
-        "q_asof_tolerance": q_asof_tolerance,
-        # -- past the window: last 14 r8-green keys (r12 slots 1-14),
-        #    pytest-sweep-verified meanwhile
+        # -- r12 window, slots 1-7: r11-born keys, first driver rows
+        #    (rule 2: never-verified outranks everything)
+        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "q_scan_skipping": q_scan_skipping,
+        "q_scan_bloom": q_scan_bloom,
+        "q_multimodal_arrow": q_multimodal_arrow,
+        "q_publish_versions": q_publish_versions,
+        "q_embed_sq": q_embed_sq,
+        "q_graph_lpa": q_graph_lpa,
+        # -- r12 window, slots 8-21: the 14 remaining r8-green keys
         "q_asof_forward": q_asof_forward,
         "q_stream_sessionize": q_stream_sessionize,
         "q_chunk_documents": q_chunk_documents,
@@ -4341,7 +4293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch": q_quantile_sketch,
         "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
-        # -- past the window: r9-green keys, then r10-green (freshest)
+        # -- r12 window, slots 22-50: the 29 oldest r9-green keys in
+        #    their r9 window order
         "q_graph_pagerank": q_graph_pagerank,
         "q_zorder_layout": q_zorder_layout,
         "q_events_anomaly": q_events_anomaly,
@@ -4371,6 +4324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_having": q_agg_having,
         "q_window_ntile": q_window_ntile,
         "q_window_analytic": q_window_analytic,
+        # -- past the window: the 21 remaining r9-green keys (head of
+        #    the r13 window), pytest-sweep-verified meanwhile
         "q_window_rank": q_window_rank,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
@@ -4392,6 +4347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
+        # -- past the window: r10-green keys in r10 window order
         "q_multimodal_real": q_multimodal_real,
         "q_sketch_cm": q_sketch_cm,
         "q_graph_triangles": q_graph_triangles,
@@ -4442,15 +4398,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
         "q_json_extract": q_json_extract,
-        # -- born r11: past the window (new keys never displace
-        #    overdue); owe their first driver rows in a later rotation
-        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
-        "q_scan_skipping": q_scan_skipping,
-        "q_scan_bloom": q_scan_bloom,
-        "q_multimodal_arrow": q_multimodal_arrow,
-        "q_publish_versions": q_publish_versions,
-        "q_embed_sq": q_embed_sq,
-        "q_graph_lpa": q_graph_lpa,
+        # -- past the window: r11-green keys (freshest driver rows)
+        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
+        "q_embed_pq": q_embed_pq,
+        "q_sim_ivfpq": q_sim_ivfpq,
+        "q_graph_components": q_graph_components,
+        "q_stream_enrich": q_stream_enrich,
+        "q_dedup_spans": q_dedup_spans,
+        "q_array_slice": q_array_slice,
+        "q_unpivot": q_unpivot,
+        "q_join_multi": q_join_multi,
+        "q_join_star": q_join_star,
+        "q_join_two_dims": q_join_two_dims,
+        "q_topk_customers": q_topk_customers,
+        "q_asof_join": q_asof_join,
+        "q_grouping_sets": q_grouping_sets,
+        "q_winsorize_grouped": q_winsorize_grouped,
+        "q_embed_standardize": q_embed_standardize,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_sim_ivf_recall": q_sim_ivf_recall,
+        "q_resample_ffill": q_resample_ffill,
+        "q_agg_median": q_agg_median,
+        "q_histogram": q_histogram,
+        "q_agg_approx": q_agg_approx,
+        "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_pivot": q_pivot,
+        "q_window_range": q_window_range,
+        "q_row_number_global": q_row_number_global,
+        "q_interval_join": q_interval_join,
+        "q_embed_centroid": q_embed_centroid,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_wordcount": q_text_wordcount,
+        "q_text_ngram": q_text_ngram,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_null_handling": q_null_handling,
+        "q_anti_blacklist": q_anti_blacklist,
+        "q_scalar_subquery_global": q_scalar_subquery_global,
+        "q_dedup_latest": q_dedup_latest,
+        "q_split_train_test": q_split_train_test,
+        "q_sim_topk": q_sim_topk,
+        "q_sim_knn": q_sim_knn,
+        "q_text_stats": q_text_stats,
+        "q_text_tokens": q_text_tokens,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_multimodal_cols": q_multimodal_cols,
+        "q_events_window": q_events_window,
+        "q_events_sliding": q_events_sliding,
+        "q_sim_threshold": q_sim_threshold,
+        "q_events_sessionize": q_events_sessionize,
+        "q_asof_tolerance": q_asof_tolerance,
     }
 
 

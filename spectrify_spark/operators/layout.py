@@ -269,27 +269,94 @@ def write_file_stats(
     return len({r["file"] for r in (_read_stats_rows(spark, stats_path) or [])})
 
 
+#: probe-time cache of stats/bloom tables keyed by path, validated by
+#: a (name, size, mtime) fingerprint of the index parts: repeated
+#: probes against an unchanged index skip the re-read entirely (at
+#: 1e6 files the index is a few hundred MB — re-reading it per probe
+#: was the one metadata-scale cost of this module).  Any index
+#: rewrite/append changes a part's (name, size, mtime) and invalidates
+#: the entry; callers treat the returned rows as READ-ONLY.
+_STATS_CACHE: dict = {}
+_STATS_CACHE_MAX = 64
+
+
+def _cache_get(key: str, fingerprint):
+    hit = _STATS_CACHE.get(key)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
+    return None
+
+
+def _cache_put(key: str, fingerprint, rows) -> None:
+    if len(_STATS_CACHE) >= _STATS_CACHE_MAX and key not in _STATS_CACHE:
+        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
+    _STATS_CACHE[key] = (fingerprint, rows)
+
+
 def _read_stats_rows(spark, stats_path: str) -> "list[dict] | None":
     """Read the stats table DRIVER-SIDE when the FS allows it: the
     table is bounded at one row per data file, and a planning decision
     should not launch a cluster job to make it.  Local paths go
     through pyarrow (no Spark job, ~ms); any other scheme falls back
-    to a Spark read.  Returns None when no stats exist."""
+    to PER-PART Spark reads.  Per-part matters on BOTH paths:
+    append-built stats parts can carry DIFFERENT column sets when
+    later builds index different columns, and a single merged read
+    would fill the missing ``min_<col>`` cells with NULL —
+    indistinguishable from a genuine all-NULL column, which
+    ``prune_files`` treats as prunable → silent false negatives.
+    Reading each part with its own schema keeps "column absent from
+    this row" (stats prove nothing, keep the file) distinct from
+    "column indexed and all-NULL" (provably no range match).  Results
+    are cached per path against a (name, size, mtime) fingerprint of
+    the parts — see ``_STATS_CACHE``.  Returns None when no stats
+    exist; callers must not mutate the returned rows."""
     import glob as _glob
+    import os
 
     local = _norm_file(stats_path)
     if local.startswith("/"):
         parts = sorted(_glob.glob(f"{local}/*.parquet"))
         if not parts:
             return None
+        fp = tuple(
+            (p, os.path.getsize(p), os.path.getmtime(p)) for p in parts
+        )
+        cached = _cache_get(local, fp)
+        if cached is not None:
+            return cached
         import pyarrow.parquet as pq
 
         out: list[dict] = []
         for p in parts:
             out.extend(pq.read_table(p).to_pylist())
+        _cache_put(local, fp, out)
         return out
     try:
-        return [r.asDict() for r in spark.read.parquet(stats_path).collect()]
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(stats_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = [
+            s
+            for s in fs.listStatus(jpath)
+            if s.getPath().getName().endswith(".parquet")
+        ]
+        if not statuses:
+            return None
+        parts = sorted(s.getPath().toString() for s in statuses)
+        fp = tuple(
+            sorted(
+                (s.getPath().getName(), s.getLen(), s.getModificationTime())
+                for s in statuses
+            )
+        )
+        cached = _cache_get(stats_path, fp)
+        if cached is not None:
+            return cached
+        rows = []
+        for p in parts:
+            rows.extend(r.asDict() for r in spark.read.parquet(p).collect())
+        _cache_put(stats_path, fp, rows)
+        return rows
     except Exception:
         return None
 
@@ -351,16 +418,31 @@ def prune_files(
 def _as_ranges(col, lower, upper, ranges) -> dict:
     """Normalize the (col, lower, upper) single-range convenience form
     and the ``ranges`` dict form into one dict; exactly one must be
-    given."""
+    given, and every range needs at least one bound.  An unbounded
+    (None, None) range is rejected rather than treated as vacuous:
+    with no bounds there is no range predicate, so NULL rows WOULD
+    match the scan — but the pruning side drops all-NULL files on the
+    "range predicates never match NULL" rule, and the two readings
+    disagree exactly on those files (a silent false negative)."""
     if (ranges is None) == (col is None):
         raise ValueError(
             "pass either col (with lower/upper) or ranges=, not both/neither"
         )
     if ranges is None:
-        return {col: (lower, upper)}
-    if lower is not None or upper is not None:
-        raise ValueError("lower/upper only apply to the single-col form")
-    return dict(ranges)
+        out = {col: (lower, upper)}
+    else:
+        if lower is not None or upper is not None:
+            raise ValueError("lower/upper only apply to the single-col form")
+        out = dict(ranges)
+    for c, (lo, hi) in out.items():
+        if lo is None and hi is None:
+            raise ValueError(
+                f"range for {c!r} has neither bound: an unbounded range "
+                "prunes nothing but would still drop all-NULL files "
+                "(which its scan predicate WOULD return) — pass at "
+                "least one bound, or just scan the dataset plainly"
+            )
+    return out
 
 
 def pruned_scan(
@@ -416,11 +498,27 @@ def _bloom_key_col(c: str, dtype: str):
     return col.cast("string")
 
 
-def _bloom_key_py(value, dtype: str) -> str:
+#: dtypes whose Spark ``cast('string')`` prints plain digits that
+#: ``str(int(v))`` reproduces exactly
+_INTEGRAL_DTYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
+
+
+def _bloom_key_py(value, dtype: str) -> "str | None":
     """Python twin of the canonical key formatting, driven by the
     column dtype the index stored (so a probe against a FLOAT column
     first rounds the probe value through float32 — the widened double
-    the build hashed)."""
+    the build hashed).
+
+    Returns ``None`` whenever the probe value cannot be PROVEN to
+    canonicalize to the exact string the build hashed — the caller
+    must then KEEP the file (skip bloom pruning for that row).  This
+    is the no-false-negative guarantee's load-bearing branch: a
+    fallback ``str(value)`` that differs from Spark's canonical text
+    by even one character (``'5.5'`` vs a decimal column's stored
+    ``'5.50'``, ``'2024-1-5'`` vs a date's ``'2024-01-05'``) hashes a
+    DIFFERENT key and silently prunes files that contain matching
+    rows.  Unknown dtypes degrade to no pruning, never to wrong
+    results."""
     if dtype == "boolean":
         return "true" if value else "false"
     if dtype == "float":
@@ -429,20 +527,94 @@ def _bloom_key_py(value, dtype: str) -> str:
         return "%.9e" % float(np.float32(value))
     if dtype == "double":
         return "%.9e" % float(value)
-    return str(value)
+    if dtype in _INTEGRAL_DTYPES:
+        if isinstance(value, bool):
+            # Python bool IS an int, but an int column stores 0/1
+            value = int(value)
+        try:
+            iv = int(value)
+        except (TypeError, ValueError):
+            return None
+        # a fractional probe (5.5 on an int column) matches no stored
+        # value at all; truncating it would hash SOME OTHER value's
+        # key — skip pruning and let the residual filter return empty
+        return str(iv) if iv == value else None
+    if dtype.startswith("decimal"):
+        import re as _re
+        from decimal import Decimal, InvalidOperation
+
+        m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", dtype)
+        if not m:
+            return None
+        scale = int(m.group(2))
+        try:
+            d = Decimal(str(value))
+            # Spark prints decimals at the column's scale ('5.50' for
+            # decimal(10,2)); quantize the probe to that scale
+            q = d.quantize(Decimal(1).scaleb(-scale))
+        except (InvalidOperation, ValueError, TypeError):
+            return None
+        if q != d:
+            # more fractional digits than the column holds: no stored
+            # value can equal the probe — skip pruning (residual
+            # filter returns empty either way)
+            return None
+        return str(q)
+    if dtype == "string":
+        return value if isinstance(value, str) else None
+    if dtype == "date":
+        import datetime
+        import re as _re
+
+        if isinstance(value, datetime.datetime):
+            return None
+        if isinstance(value, datetime.date):
+            return value.isoformat()
+        if isinstance(value, str) and _re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}", value
+        ):
+            # already in Spark's canonical date text; any other string
+            # form may still CAST-match rows ('2024-1-5') but would
+            # hash a different key — skip pruning for those
+            return value
+        return None
+    if dtype.startswith("timestamp"):
+        import datetime
+
+        if not isinstance(value, datetime.datetime) or value.tzinfo is not None:
+            return None
+        base = value.strftime("%Y-%m-%d %H:%M:%S")
+        if value.microsecond:
+            # Spark trims trailing zeros of the fractional second
+            return f"{base}.{f'{value.microsecond:06d}'.rstrip('0')}"
+        return base
+    if dtype == "":
+        # legacy indexes predate the stored dtype column: they hashed
+        # plain cast('string'), which str() provably matches only for
+        # int and string probes
+        if isinstance(value, str):
+            return value
+        if isinstance(value, int) and not isinstance(value, bool):
+            return str(value)
+        return None
+    return None
 
 
 def _bloom_positions_py(
     value, m_bits: int, k_hashes: int, dtype: str = ""
-) -> list[int]:
+) -> "list[int] | None":
     """Python twin of the JVM position expression — the engine-portable
     md5 bucket (``functions.text.hash_bucket``: first 4 hex chars of
     md5 of the canonical key, :func:`_bloom_key_py`), keyed
     ``<key>:<i>`` per hash.  Bit-identical on both sides, so the probe
-    can run DRIVER-SIDE with no Spark job."""
+    can run DRIVER-SIDE with no Spark job.  Returns None when the key
+    canonicalization is unverifiable for ``dtype`` (caller must skip
+    pruning — see :func:`_bloom_key_py`)."""
     import hashlib
 
     key = _bloom_key_py(value, dtype)
+    if key is None:
+        return None
     return [
         int(
             hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:4], 16
@@ -572,11 +744,16 @@ def prune_files_eq(
             value,
             int(r["m_bits"]),
             int(r["k_hashes"]),
-            # legacy indexes predate the dtype column: they hashed the
-            # plain cast('string') form, which str() matches for the
-            # int/string keys that format identically on both sides
-            dtype=r.get("dtype", ""),
+            # dtype "" = legacy pre-dtype index rows (plain
+            # cast('string') keys); _bloom_key_py accepts only the
+            # probe types whose str() provably matches that form
+            dtype=r.get("dtype", "") or "",
         )
+        if pos is None:
+            # probe value's canonical key is unverifiable for this
+            # dtype: pruning here could drop files with matching rows
+            # (the false-negative hole) — keep the file
+            continue
         bits = set(r["bits"])
         if any(p not in bits for p in pos):
             pruned.add(r["file"])

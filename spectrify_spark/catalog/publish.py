@@ -12,14 +12,26 @@ protocol table formats use under the hood:
 - every publish lands a COMPLETE new version directory ``v=N``
   (immutable once the pointer flips — never rewritten, never renamed);
 - a tiny pointer file (``_spectrify_current.json``) is then replaced
-  ATOMICALLY (``os.replace`` locally; the same pattern is a
-  single-object PUT on S3, which is atomic per object);
+  atomically — ``os.replace`` on plain local paths; on schemed
+  storage the pointer is a SINGLE-OBJECT create-overwrite through the
+  Hadoop FileSystem API, which is an atomic PUT on object stores
+  (S3/GCS: readers see the old or the new object, never a mix);
 - readers resolve the pointer first and scan an immutable directory —
   they can never observe a partial write, and a long-running scan of
   version N is undisturbed by the publish of N+1;
 - old versions are vacuumed only after ``keep_versions`` newer ones
   exist, giving in-flight readers a grace window plus free time
   travel (``read_published(version=...)``).
+
+Storage routing: every directory/pointer/vacuum operation goes
+through the same Hadoop FileSystem helper the index sidecars use
+(:func:`spectrify_spark.operators._sidecar.index_fs`) whenever the
+root carries a scheme (``file:``, ``hdfs:``, ``s3a:``, ...), so the
+protocol runs on any storage Spark can reach.  Plain local paths keep
+a no-JVM fast path (and POSIX-atomic ``os.replace`` for the pointer);
+helpers that can be called without a SparkSession
+(``current_version``/``vacuum``/``current_path``) accept an optional
+``spark=`` and require it only for schemed roots.
 
 Single-writer contract: concurrent publishers would race the version
 counter; serialize publishes per dataset (the same contract as the
@@ -30,33 +42,126 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 #: underscore prefix keeps the pointer invisible to any parquet scan
 CURRENT_POINTER = "_spectrify_current.json"
 
-
-def _versions(root: str) -> list[int]:
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for name in os.listdir(root):
-        if name.startswith("v=") and name[2:].isdigit():
-            out.append(int(name[2:]))
-    return sorted(out)
+#: per-version min/max rollup of the file-stats index (JSON sidecar
+#: inside the version dir): readers skip a WHOLE version without even
+#: listing its files or opening the per-file index
+VERSION_STATS = "_spectrify_version_stats.json"
 
 
-def current_version(root: str) -> int | None:
+def _local_path(root: str) -> "str | None":
+    """The plain local filesystem path for an UNSCHEMED root, else
+    None.  ``file:`` URIs deliberately return None: they route through
+    the Hadoop FS branch, so the whole protocol is exercisable against
+    the FS API without an object store in the loop."""
+    if "://" in root or root.startswith("file:"):
+        return None
+    return root
+
+
+def _require_spark(spark, root: str, op: str):
+    if spark is None:
+        raise ValueError(
+            f"{op}: root {root!r} carries a scheme — pass spark= so the "
+            "operation can route through the Hadoop FileSystem API"
+        )
+    return spark
+
+
+def _join(root: str, name: str) -> str:
+    lp = _local_path(root)
+    if lp is not None:
+        return os.path.join(lp, name)
+    return root.rstrip("/") + "/" + name
+
+
+def _versions(root: str, spark=None) -> list[int]:
+    lp = _local_path(root)
+    if lp is not None:
+        if not os.path.isdir(lp):
+            return []
+        names = os.listdir(lp)
+    else:
+        from spectrify_spark.operators._sidecar import index_fs
+
+        fs, hpath, _ = index_fs(_require_spark(spark, root, "versions"), root)
+        if not fs.exists(hpath):
+            return []
+        names = [s.getPath().getName() for s in fs.listStatus(hpath)]
+    return sorted(
+        int(nm[2:]) for nm in names if nm.startswith("v=") and nm[2:].isdigit()
+    )
+
+
+def current_version(root: str, spark=None) -> int | None:
     """The published version the pointer names, or None if nothing has
     been published yet (landed-but-unflipped version dirs don't
     count — that is the point)."""
-    ptr = os.path.join(root, CURRENT_POINTER)
-    if not os.path.isfile(ptr):
-        return None
-    with open(ptr) as fh:
-        return int(json.load(fh)["version"])
+    lp = _local_path(root)
+    if lp is not None:
+        ptr = os.path.join(lp, CURRENT_POINTER)
+        if not os.path.isfile(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(json.load(fh)["version"])
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    payload = read_json_sidecar(
+        _require_spark(spark, root, "current_version"), root, CURRENT_POINTER
+    )
+    return None if payload is None else int(payload["version"])
+
+
+def _pointer_write(spark, root: str, n: int) -> None:
+    lp = _local_path(root)
+    if lp is not None:
+        # POSIX rename-over: atomic on every local filesystem
+        tmp = os.path.join(lp, f".{CURRENT_POINTER}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": n}, fh)
+        os.replace(tmp, os.path.join(lp, CURRENT_POINTER))
+        return
+    # schemed storage: a single-object create-overwrite — the atomic
+    # per-object PUT on S3/GCS (Hadoop rename is not overwrite-capable
+    # portably, and a delete+rename pair would open a no-pointer gap)
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+
+    write_json_sidecar(spark, root, CURRENT_POINTER, {"version": n})
+
+
+def _remove_dir(root: str, name: str, spark=None) -> None:
+    lp = _local_path(root)
+    if lp is not None:
+        shutil.rmtree(os.path.join(lp, name), ignore_errors=True)
+        return
+    from spectrify_spark.operators._sidecar import index_fs
+
+    fs, _, jvm = index_fs(_require_spark(spark, root, "vacuum"), root)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_join(root, name)), True)
+
+
+def _dir_exists(root: str, name: str, spark=None) -> bool:
+    lp = _local_path(root)
+    if lp is not None:
+        return os.path.isdir(os.path.join(lp, name))
+    from spectrify_spark.operators._sidecar import index_fs
+
+    fs, _, jvm = index_fs(_require_spark(spark, root, "read"), root)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(_join(root, name))))
+
+
+def _norm_uri(u: str) -> str:
+    """Collapse the local-FS scheme (``file:/x`` == ``file:///x`` ==
+    ``/x``) and trailing slashes so overlap comparison is textual on
+    one canonical form; non-local schemes pass through as-is."""
+    return re.sub(r"^file:/+", "/", u).rstrip("/")
 
 
 def publish(
@@ -73,32 +178,43 @@ def publish(
     The write order IS the protocol: (1) the full version directory
     lands (crash here leaves an orphan ``v=N`` the next publish reuses
     numbering past and vacuum removes — readers never saw it); (2) the
-    version's skipping indexes build, if requested; (3) the pointer is
-    written to a temp name and ``os.replace``d over the live one
-    (atomic on POSIX); (4) versions older than the newest
-    ``keep_versions`` are vacuumed.
+    version's skipping indexes build, if requested; (3) the pointer
+    flips atomically (:func:`_pointer_write`); (4) versions older than
+    the newest ``keep_versions`` PUBLISHED ones are vacuumed.
 
     ``stats_cols`` / ``bloom_cols`` build the file-skipping indexes
     (``layout.write_file_stats`` / ``write_file_bloom``) INSIDE the
     version directory BEFORE the flip — a published version arrives
     pre-indexed, and because versions are immutable the indexes can
     never go stale (the conservative-staleness machinery still guards
-    hand-modified dirs).
+    hand-modified dirs).  ``stats_cols`` additionally rolls the
+    per-file stats up into a VERSION-level min/max sidecar
+    (:data:`VERSION_STATS`): :func:`published_pruned_scan` can then
+    rule out a whole version from one tiny JSON read, without listing
+    its files or opening the per-file index.
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    spark = df.sparkSession
     # overlap guard (the compact_* lesson): publishing a dataset INTO a
     # directory it is being read from would land v=N inside the source
     # — every later plain scan discovers v=N as a partition and returns
-    # duplicated rows, and vacuum could delete source data
-    import re
-
-    root_abs = os.path.realpath(root)
-    src_dirs = {
-        os.path.dirname(os.path.realpath(re.sub(r"^file:/+", "/", f)))
-        for f in df.inputFiles()
-        if "://" not in re.sub(r"^file:/+", "/", f)
-    }
+    # duplicated rows, and vacuum could delete source data.  Schemed
+    # sources compare on normalized URI text; local ones additionally
+    # resolve symlinks via realpath.
+    root_lp = _local_path(root)
+    if root_lp is not None:
+        root_cmp = os.path.realpath(root_lp)
+    else:
+        root_cmp = _norm_uri(root)
+        if root_cmp.startswith("/"):
+            root_cmp = os.path.realpath(root_cmp)
+    src_dirs = set()
+    for f in df.inputFiles():
+        d = _norm_uri(f).rsplit("/", 1)[0]
+        if d.startswith("/"):
+            d = os.path.realpath(d)
+        src_dirs.add(d)
     for d in src_dirs:
         # reading FROM root/v=N and publishing v=N+1 into the same root
         # is the legitimate incremental-republish pattern (v=N is
@@ -106,16 +222,22 @@ def publish(
         # corrupts data is a source that IS root, or that CONTAINS
         # root: v=N would land inside a directory plain scans read as a
         # whole and be discovered as a phantom partition
-        if d == root_abs or root_abs.startswith(d + os.sep):
+        if d == root_cmp or root_cmp.startswith(d + "/"):
             raise ValueError(
                 f"publish: dataset root {root!r} is (or is inside) the "
                 f"DataFrame's own source directory {d!r} — landing a "
                 "v=N version inside the source corrupts it; publish to "
                 "a sibling path"
             )
-    os.makedirs(root, exist_ok=True)
-    n = max(_versions(root), default=0) + 1
-    vdir = os.path.join(root, f"v={n}")
+    if root_lp is not None:
+        os.makedirs(root_lp, exist_ok=True)
+    else:
+        from spectrify_spark.operators._sidecar import index_fs
+
+        fs, hpath, _ = index_fs(spark, root)
+        fs.mkdirs(hpath)
+    n = max(_versions(root, spark), default=0) + 1
+    vdir = _join(root, f"v={n}")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -123,56 +245,154 @@ def publish(
     if stats_cols:
         from spectrify_spark.operators.layout import write_file_stats
 
-        write_file_stats(df.sparkSession, vdir, stats_cols)
+        write_file_stats(spark, vdir, stats_cols)
+        _write_version_rollup(spark, vdir, stats_cols)
     if bloom_cols:
         from spectrify_spark.operators.layout import write_file_bloom
 
-        write_file_bloom(df.sparkSession, vdir, bloom_cols)
-    tmp = os.path.join(root, f".{CURRENT_POINTER}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": n}, fh)
-    os.replace(tmp, os.path.join(root, CURRENT_POINTER))
-    vacuum(root, keep_versions=keep_versions)
+        write_file_bloom(spark, vdir, bloom_cols)
+    _pointer_write(spark, root, n)
+    vacuum(root, keep_versions=keep_versions, spark=spark)
     return n
 
 
-def current_path(root: str) -> str:
-    """Filesystem path of the pointed version — the value to hand to
-    the skipping-index probes (``layout.pruned_scan(spark,
+def current_path(root: str, spark=None) -> str:
+    """Path/URI of the pointed version — the value to hand to the
+    skipping-index probes (``layout.pruned_scan(spark,
     current_path(root), ...)``) or any external reader."""
-    v = current_version(root)
+    v = current_version(root, spark)
     if v is None:
         raise FileNotFoundError(f"current_path: nothing published at {root!r}")
-    return os.path.join(root, f"v={v}")
+    return _join(root, f"v={v}")
 
 
 def read_published(spark, root: str, version: int | None = None) -> DataFrame:
     """Scan a published version (default: the one the pointer names).
     Resolving the pointer BEFORE the scan is what makes readers immune
     to concurrent publishes — the resolved directory is immutable."""
-    v = current_version(root) if version is None else int(version)
+    v = current_version(root, spark) if version is None else int(version)
     if v is None:
         raise FileNotFoundError(f"read_published: nothing published at {root!r}")
-    vdir = os.path.join(root, f"v={v}")
-    if not os.path.isdir(vdir):
+    if not _dir_exists(root, f"v={v}", spark):
         raise FileNotFoundError(
             f"read_published: version {v} not found at {root!r} "
-            f"(have {_versions(root)}; it may have been vacuumed)"
+            f"(have {_versions(root, spark)}; it may have been vacuumed)"
         )
-    return spark.read.parquet(vdir)
+    return spark.read.parquet(_join(root, f"v={v}"))
 
 
-def vacuum(root: str, keep_versions: int = 2) -> list[int]:
-    """Remove version directories older than the newest
-    ``keep_versions``, never the pointed one; returns the removed
-    version numbers.  Orphans from crashed publishes (landed, never
-    pointed) age out the same way."""
-    cur = current_version(root)
-    vs = _versions(root)
-    keep = set(vs[-keep_versions:]) | ({cur} if cur is not None else set())
+def vacuum(root: str, keep_versions: int = 2, spark=None) -> list[int]:
+    """Remove version directories outside the retention window;
+    returns the removed version numbers.
+
+    The window is the newest ``keep_versions`` among versions **<= the
+    current pointer** — i.e. versions a reader could actually have
+    resolved.  Counting orphans from crashed publishes (landed, never
+    pointed, numbered PAST the pointer) against the window would let
+    garbage evict the just-superseded version an in-flight reader may
+    still be scanning; instead those orphans are deleted outright (a
+    crashed publish's directory was never visible to any reader, and
+    the single-writer contract means no publish is concurrently
+    landing it)."""
+    cur = current_version(root, spark)
+    vs = _versions(root, spark)
+    published = [v for v in vs if cur is None or v <= cur]
+    keep = set(published[-keep_versions:]) | ({cur} if cur is not None else set())
     removed = []
     for v in vs:
         if v not in keep:
-            shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+            _remove_dir(root, f"v={v}", spark)
             removed.append(v)
     return removed
+
+
+# ------------------------------------------------- version-level stats
+
+
+def _write_version_rollup(spark, vdir: str, cols: list[str]) -> None:
+    """Fold the freshly built per-file stats into one version-level
+    ``{col: {min, max}}`` summary plus the row count, stored as a JSON
+    sidecar in the version dir.  Only JSON-native value types
+    (int/float/str/bool) are rolled up — a column whose min/max does
+    not serialize losslessly (dates, decimals) is simply omitted, and
+    omission is SAFE: readers treat an absent column as "proves
+    nothing" and fall through to the per-file index."""
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+    from spectrify_spark.operators.layout import FILE_STATS_DIR, _read_stats_rows
+
+    rows = _read_stats_rows(spark, f"{vdir}/{FILE_STATS_DIR}") or []
+    out_cols: dict = {}
+    for c in cols:
+        mns = [r[f"min_{c}"] for r in rows if f"min_{c}" in r]
+        vals = [v for v in mns if v is not None]
+        mxs = [
+            v for r in rows if f"max_{c}" in r
+            for v in [r[f"max_{c}"]] if v is not None
+        ]
+        if len(mns) < len(rows):
+            continue  # some file lacks stats for c: rollup proves nothing
+        if vals and not all(
+            isinstance(v, (int, float, str, bool)) for v in vals + mxs
+        ):
+            continue  # not JSON-lossless: omit (reader falls through)
+        out_cols[c] = {
+            "min": min(vals) if vals else None,
+            "max": max(mxs) if mxs else None,
+        }
+    payload = {
+        "n_rows": int(sum(int(r.get("n_rows") or 0) for r in rows)),
+        "cols": out_cols,
+    }
+    write_json_sidecar(spark, vdir, VERSION_STATS, payload)
+
+
+def published_pruned_scan(
+    spark,
+    root: str,
+    col: str | None = None,
+    lower=None,
+    upper=None,
+    ranges: "dict | None" = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan over a published version with TWO pruning tiers:
+    (1) the version-level rollup — if every row of the version is
+    provably outside some range, return the empty scan after ONE tiny
+    JSON read (no file listing, no per-file index open: at 10^6 files
+    per version this is the difference between a metadata no-op and a
+    planning stampede); (2) otherwise the per-file stats index
+    (:func:`spectrify_spark.operators.layout.pruned_scan`).  Same
+    conservative contract as every skipping tier: a version/file is
+    skipped only when stats PROVE disjointness, so a missing or
+    partial rollup only costs pruning, never rows."""
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+    from spectrify_spark.operators.layout import _as_ranges, pruned_scan
+
+    rgs = _as_ranges(col, lower, upper, ranges)
+    v = current_version(root, spark) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(
+            f"published_pruned_scan: nothing published at {root!r}"
+        )
+    vdir = _join(root, f"v={v}")
+    rollup = read_json_sidecar(spark, vdir, VERSION_STATS)
+    if rollup:
+        for c, (lo, hi) in rgs.items():
+            s = (rollup.get("cols") or {}).get(c)
+            if s is None:
+                continue  # column not rolled up: proves nothing
+            mn, mx = s.get("min"), s.get("max")
+            try:
+                disjoint = (
+                    mn is None  # whole version all-NULL: no range match
+                    or (lo is not None and mx < lo)
+                    or (hi is not None and mn >= hi)
+                )
+            except TypeError:
+                # probe type not comparable to the JSON'd stats (e.g.
+                # date probe vs str rollup): proves nothing — fall
+                # through to the per-file tier
+                continue
+            if disjoint:
+                return spark.read.parquet(vdir).filter(F.lit(False))
+    return pruned_scan(spark, vdir, ranges=rgs)

@@ -153,3 +153,87 @@ def test_publish_rejects_overlapping_source(spark, tmp_path):
     cur = read_published(spark, root)
     v2 = publish(cur.withColumn("tag", F.lit("b")), root)
     assert v2 == 2 and read_published(spark, root).count() == 10
+
+
+def test_vacuum_orphans_above_pointer_do_not_consume_window(spark, tmp_path):
+    """ADVICE fix (r12): a crashed publish lands v=N PAST the pointer;
+    counting it against keep_versions evicted the just-superseded
+    version an in-flight reader may still scan.  The window now counts
+    only versions <= the pointer, and never-pointed orphans are
+    removed outright."""
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=2)
+    publish(_df(spark, 20, "b"), root, keep_versions=2)
+    # crash simulation: v=3 landed, pointer still at 2
+    _df(spark, 99, "crash").write.parquet(os.path.join(root, "v=3"))
+    assert current_version(root) == 2
+    removed = vacuum(root, keep_versions=2)
+    # the orphan goes; BOTH published versions stay in the window
+    assert removed == [3]
+    assert read_published(spark, root, version=1).count() == 10
+    assert read_published(spark, root).count() == 20
+
+
+def test_publish_full_protocol_on_file_uri(spark, tmp_path):
+    """r11 carry-over (q_publish_versions weak): the whole protocol —
+    publish, pointer read, time travel, vacuum, overlap guard — must
+    route through the Hadoop FileSystem API for any schemed root.  A
+    file: URI exercises that branch end-to-end without an object
+    store in the loop."""
+    root = "file://" + str(tmp_path / "ds_uri")
+    assert current_version(root, spark) is None
+    v1 = publish(_df(spark, 10, "a"), root)
+    assert v1 == 1 and current_version(root, spark) == 1
+    assert read_published(spark, root).count() == 10
+    v2 = publish(_df(spark, 20, "b"), root)
+    assert read_published(spark, root, version=1).count() == 10
+    assert read_published(spark, root).count() == 20
+    for _ in range(2):
+        publish(_df(spark, 5, "c"), root, keep_versions=2)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_published(spark, root, version=1)
+    # schemed root without spark: helpful error, not a silent os.* miss
+    with pytest.raises(ValueError, match="spark"):
+        current_version(root)
+    # overlap guard works on schemed URIs too
+    df = read_published(spark, root)
+    with pytest.raises(ValueError, match="source directory"):
+        publish(df, root + f"/v={current_version(root, spark)}/sub")
+
+
+def test_published_pruned_scan_version_rollup(spark, tmp_path):
+    """Publish-time stats rollup (r11 item 7): a range probe that the
+    VERSION-level min/max already rules out returns empty without
+    touching the per-file index; an in-range probe falls through to
+    per-file pruning and returns exact rows."""
+    from spectrify_spark.catalog.publish import (
+        VERSION_STATS,
+        current_path,
+        published_pruned_scan,
+    )
+
+    root = str(tmp_path / "ds")
+    df = (
+        _df(spark, 1000, "a")
+        .repartitionByRange(4, F.col("k"))
+        .sortWithinPartitions("k")
+    )
+    publish(df, root, stats_cols=["k"])
+    assert os.path.isfile(os.path.join(current_path(root), VERSION_STATS))
+    rollup = json.load(open(os.path.join(current_path(root), VERSION_STATS)))
+    assert rollup["n_rows"] == 1000
+    assert rollup["cols"]["k"] == {"min": 0, "max": 999}
+
+    # fully out of range: version skipped at the rollup tier
+    assert published_pruned_scan(spark, root, "k", 5000, 6000).count() == 0
+    # in range: per-file tier, exact rows
+    assert published_pruned_scan(spark, root, "k", 100, 300).count() == 200
+    # half-open edge semantics match the scan predicate
+    assert published_pruned_scan(spark, root, "k", 999, 1000).count() == 1
+    assert published_pruned_scan(spark, root, "k", 1000, 1001).count() == 0
+    # time travel composes with pruning
+    publish(_df(spark, 10, "b"), root, stats_cols=["k"])
+    assert (
+        published_pruned_scan(spark, root, "k", 100, 300, version=1).count()
+        == 200
+    )

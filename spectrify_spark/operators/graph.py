@@ -386,15 +386,19 @@ def connected_components(
     so at 100 TB the raw edge set is scanned once ever; each increment
     contracts a node-sized forest plus the delta.
 
-    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` for
-    the contraction rounds only (restored afterwards) — the same
-    pattern as the streaming drain helper: the working edge set is
-    usually orders of magnitude smaller than the corpus that produced
-    it, and every round pays per-partition task overhead across ~4
-    shuffles, so sizing partitions to the EDGE SET (not the session's
-    corpus-sized default) removes pure scheduling cost.  Size it to
-    edges/partition ~ a few hundred MB at cluster scale; leave None to
-    inherit the session setting.
+    ``shuffle_partitions`` sizes the working edge set with PLAN-LOCAL
+    ``repartition(n, key)`` calls instead of touching the session's
+    ``spark.sql.shuffle.partitions`` (a session-global mutation is
+    visible to every concurrent query on a shared session for the
+    duration of the loop — the r11/r12 review flag).  The explicit
+    hash partitioning on the star key satisfies the groupBy/join
+    clustering requirement, so each star step's aggregate and join run
+    at ``n`` partitions WITHOUT extra Exchanges, and the per-round
+    task count tracks the edge set (usually orders of magnitude
+    smaller than the corpus that produced it) rather than the
+    session's corpus-sized default.  Size it to edges/partition ~ a
+    few hundred MB at cluster scale; leave None to inherit the
+    session setting everywhere.
     """
     # materialize the (possibly expensive) upstream edge build ONCE;
     # the node spine and the working edge set both derive from it
@@ -419,9 +423,21 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    def _sized(frame: DataFrame, cols: list[str]) -> DataFrame:
+        # plan-local shuffle sizing: hash-partition on the step's key
+        # so the groupBy/join that follow reuse the partitioning (no
+        # extra Exchange) at the requested width — never mutates the
+        # session's shuffle.partitions
+        if shuffle_partitions is None:
+            return frame
+        return frame.repartition(shuffle_partitions, *[F.col(c) for c in cols])
+
     def _large_star(frame: DataFrame) -> DataFrame:
-        sym = frame.unionByName(
-            frame.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = _sized(
+            frame.unionByName(
+                frame.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ),
+            ["u"],
         )
         m = (
             sym.groupBy("u")
@@ -439,8 +455,11 @@ def connected_components(
         )
 
     def _small_star(frame: DataFrame) -> DataFrame:
-        o = frame.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        o = _sized(
+            frame.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ),
+            ["u"],
         )
         # every neighbor here is < u, so min over the closed
         # neighborhood is just min(v)
@@ -448,7 +467,9 @@ def connected_components(
         out = j.select(F.col("v").alias("u"), F.col("__m").alias("v")).unionByName(
             j.select("u", F.col("__m").alias("v"))
         )
-        return out.filter(F.col("u") != F.col("v")).distinct()
+        return _sized(
+            out.filter(F.col("u") != F.col("v")), ["u", "v"]
+        ).distinct()
 
     def _truncate_lazy(frame: DataFrame) -> DataFrame:
         # LAZY checkpoint: the signature aggregate right after is the
@@ -459,34 +480,19 @@ def connected_components(
             return frame.checkpoint(eager=False)
         return frame.localCheckpoint(eager=False)
 
-    spark = edges.sparkSession
-    # session-global knob: concurrent queries on a SHARED session see
-    # the reduced value for the duration of the contraction loop (use a
-    # dedicated session, or leave None, if that matters); an unset key
-    # is restored by unsetting, not by pinning the default
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        sig = _signature(e)
-        converged = False
-        # max_iters + 1: signature-based detection needs one extra
-        # UNCHANGED round to observe the fixpoint, and that confirm
-        # round should not count against the productive budget (a
-        # graph converging exactly on round max_iters is converged)
-        for _ in range(max_iters + 1):
-            e = _truncate_lazy(_small_star(_large_star(e)))
-            new_sig = _signature(e)
-            if new_sig == sig:
-                converged = True
-                break
-            sig = new_sig
-    finally:
-        if shuffle_partitions is not None:
-            if prev_parts is None:
-                spark.conf.unset("spark.sql.shuffle.partitions")
-            else:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    sig = _signature(e)
+    converged = False
+    # max_iters + 1: signature-based detection needs one extra
+    # UNCHANGED round to observe the fixpoint, and that confirm
+    # round should not count against the productive budget (a
+    # graph converging exactly on round max_iters is converged)
+    for _ in range(max_iters + 1):
+        e = _truncate_lazy(_small_star(_large_star(e)))
+        new_sig = _signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
     if not converged:
         # labels mid-contraction are NOT component labels; failing loud
         # beats silently returning partial unions (convergence is
@@ -509,7 +515,7 @@ def cooccurrence_edges(
     group_col: str,
     item_col: str,
     min_count: int = 2,
-    max_group_size: int | None = 10_000,
+    max_group_size: int | None = None,
     on_oversize: str = "raise",
 ) -> DataFrame:
     """Item co-occurrence edge table: items are adjacent when they
@@ -530,16 +536,22 @@ def cooccurrence_edges(
     count, and it happens inside ONE row — a single pathological group
     (bot session, spam basket: 100k items -> ~5e9 structs) OOMs one
     task in a way AQE cannot split.  ``max_group_size`` guards this
-    100 TB failure shape BEFORE the explode:
+    100 TB failure shape BEFORE the explode.  The guard is OPT-IN
+    (``None`` default): a cap that silently changes results would
+    violate the no-silent-caps rule, and a cap that raises by default
+    turns a legitimate heavy-but-bounded run into a failing one — at
+    production scale, SET IT (10_000 is a sane ceiling: ~5e7 pair
+    structs in one row) after profiling group sizes with
+    ``df.groupBy(group_col).agg(countDistinct(item_col))``:
 
-    - ``on_oversize="raise"`` (default): any group whose distinct item
-      set exceeds the cap fails the job with a clear error naming the
-      group — no silent result change, no extra job.
+    - ``on_oversize="raise"`` (default when a cap is set): any group
+      whose distinct item set exceeds the cap fails the job with a
+      clear error naming the group — no silent result change, no
+      extra job.
     - ``on_oversize="drop"``: oversized groups are filtered out and
       COUNTED via ``DataFrame.observe`` (metric
       ``cooccurrence_oversized_groups``, reported on the same action —
       no second pass over the shuffle), per the no-silent-caps rule.
-    - ``max_group_size=None`` disables the guard (caller pre-filtered).
 
     Output: ``(src, dst)`` with ``src < dst``, one row per qualifying
     pair — the edge input shape of :func:`connected_components`,
@@ -621,6 +633,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
+    max_degree: int | None = None,
+    on_oversize: str = "raise",
 ) -> DataFrame:
     """Synchronous, DETERMINISTIC label-propagation communities
     (Raghavan et al. 2007, made reproducible): every node starts
@@ -645,11 +659,29 @@ def label_propagation(
     (the plan stays constant-size across iterations, the
     q_dedup_clusters discipline).  Output: ``(id, label)``, one row
     per distinct node in ``edges``.
+
+    ``max_degree`` guards the celebrity-node shape (the r11/r12 review
+    flag): the per-node top-1 vote window partitions by node id, so a
+    node with 10^8 neighbors concentrates up to that many (label,
+    count) rows in ONE window partition — a skew AQE cannot split.
+    The guard measures degrees on the symmetrized edge set in one
+    bounded pre-pass, then either fails loudly naming the hottest
+    nodes (``on_oversize="raise"``, the default when a cap is set) or
+    removes the over-degree nodes' INCOMING votes
+    (``on_oversize="drop"``) — a dropped node keeps its own label via
+    the coalesce path and still votes for its neighbors, and the
+    output keeps one row per node either way, so no rows are silently
+    lost.  ``None`` (default) disables the guard — same opt-in
+    contract as :func:`cooccurrence_edges`.
     """
     from pyspark.sql import Window
 
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    if on_oversize not in ("raise", "drop"):
+        raise ValueError(
+            f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
+        )
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropna()
     sym = _truncate_lineage(
         raw.filter(F.col("u") != F.col("v"))
@@ -662,6 +694,34 @@ def label_propagation(
         .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
     )
+    if max_degree is not None:
+        # one bounded pre-pass over the symmetric edges: degree = the
+        # window-partition size the vote step will later build per node
+        hot = (
+            sym.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") > F.lit(max_degree))
+        )
+        if on_oversize == "raise":
+            sample = hot.orderBy(F.col("__deg").desc()).limit(5).collect()
+            if sample:
+                worst = ", ".join(
+                    f"{r['v']!r}:{r['__deg']}" for r in sample
+                )
+                raise ValueError(
+                    "label_propagation: node degree exceeds "
+                    f"max_degree={max_degree} (hottest: {worst}) — the "
+                    "per-node vote window cannot be split; pre-filter "
+                    "hub nodes, raise the cap, or pass "
+                    "on_oversize='drop'"
+                )
+        else:
+            # drop only the votes INTO hot nodes: they keep their own
+            # label via the coalesce path; all other nodes' votes are
+            # untouched (hot nodes still VOTE for their neighbors)
+            sym = _truncate_lineage(
+                sym.join(hot.select("v"), "v", "left_anti")
+            )
     labels = nodes.select("id", F.col("id").alias("label"))
     w = Window.partitionBy("id").orderBy(
         F.col("__c").desc(), F.col("label").asc()

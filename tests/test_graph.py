@@ -530,3 +530,82 @@ def test_lpa_validates_iters(spark):
     df = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError, match="iters"):
         label_propagation(df, iters=-1)
+
+
+# ------------------------------------------- r13 guard/hygiene regressions
+
+
+def test_cooccurrence_default_is_unguarded(spark):
+    """ADVICE fix (r12): the guard is opt-in — with no max_group_size
+    the full pair set is produced (no silent cap, no failing default);
+    callers at production scale set the cap explicitly."""
+    from spectrify_spark.operators.graph import cooccurrence_edges
+
+    rows = [("big", i) for i in range(50)]
+    out = cooccurrence_edges(_cooc_df(spark, rows), "g", "item", min_count=1)
+    assert out.count() == 50 * 49 // 2
+
+
+def test_cc_shuffle_partitions_is_plan_local(spark):
+    """r11 item 4: shuffle_partitions must size the contraction plan
+    via repartition(), NOT mutate the session-global
+    spark.sql.shuffle.partitions (a shared session's concurrent
+    queries would see the reduced value mid-loop).  Pins both the
+    no-conf-mutation contract and result correctness under the knob."""
+    from spectrify_spark.operators.graph import connected_components
+
+    calls = []
+    orig = spark.conf.set
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    spark.conf.set = spy
+    try:
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+        )
+        comp = {
+            r.id: r.component
+            for r in connected_components(df, shuffle_partitions=3).collect()
+        }
+    finally:
+        spark.conf.set = orig
+    assert not [c for c in calls if "shuffle.partitions" in str(c)]
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_lpa_degree_guard_raises_and_drops(spark):
+    """r11 item 5: the per-node vote window has no skew escape — a
+    celebrity node concentrates its whole neighborhood in ONE window
+    partition.  Planted hub (degree 20) over max_degree=10: raise
+    names the node; drop removes only the hub's INCOMING votes (hub
+    keeps its own label, leaves still adopt the hub's), one row per
+    node either way."""
+    from spectrify_spark.operators.graph import label_propagation
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 21)], ["src", "dst"]
+    )
+    with pytest.raises(ValueError, match="max_degree=10"):
+        label_propagation(star, iters=1, max_degree=10)
+
+    out = {
+        r.id: r.label
+        for r in label_propagation(
+            star, iters=1, max_degree=10, on_oversize="drop"
+        ).collect()
+    }
+    assert len(out) == 21
+    assert out[0] == 0  # hub kept its own label (votes into it dropped)
+    assert all(out[i] == 0 for i in range(1, 21))  # leaves adopt hub's
+
+    # unguarded: the hub ADOPTS the smallest neighbor label instead
+    full = {
+        r.id: r.label for r in label_propagation(star, iters=1).collect()
+    }
+    assert full[0] == 1
+
+    with pytest.raises(ValueError, match="on_oversize"):
+        label_propagation(star, iters=1, max_degree=10, on_oversize="x")

@@ -529,8 +529,6 @@ def ivfpq_topk(
     into the vector table's scan as an IN filter (row-group skipping),
     not joined corpus-wide.  This removes quantization error from the
     FINAL ranking; only the nprobe cell-selection bound remains."""
-    import math
-
     from spectrify_spark.operators._sidecar import read_json_sidecar
 
     payload = read_json_sidecar(spark, path, _IVFPQ_SIDECAR)
@@ -543,17 +541,7 @@ def ivfpq_topk(
     codebooks = payload["codebooks"]
     cell_col, id_col = payload["cell_col"], payload["id_col"]
 
-    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
-
-    def cos(vec):
-        d = sum(float(a) * float(b) for a, b in zip(query_vec, vec))
-        n = math.sqrt(sum(float(b) * float(b) for b in vec)) or 1.0
-        return d / (qn * n)
-
-    probe_cells = [
-        int(cid)
-        for cid, _ in sorted(centroids, key=lambda cv: -cos(cv[1]))[:nprobe]
-    ]
+    probe_cells = _probe_cells(centroids, query_vec, nprobe)
     enc = spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
     if rerank_with is None:
         return pq_adc_topk(
@@ -569,10 +557,48 @@ def ivfpq_topk(
         id_col=id_col,
         code_col="pq_code",
     )
-    # bounded collect: k·rerank_factor ids (the model-sized exception,
-    # same discipline as the sidecar reads) — an IN literal list prunes
-    # the vector table scan at planning time instead of forcing a
-    # corpus-wide join
+    return _exact_l2_rerank(
+        rerank_with, cand, query_vec, k, id_col, vec_col, "ivfpq_topk"
+    )
+
+
+def _probe_cells(
+    centroids, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids whose centroids score highest for the
+    query by cosine — driver-side over the sidecar model (C rows,
+    tiny); the SAME rule ``assign_partitions`` used to place vectors,
+    so a vector is always probed from the cell that holds it."""
+    import math
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+
+    def cos(vec):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, vec))
+        n = math.sqrt(sum(float(b) * float(b) for b in vec)) or 1.0
+        return d / (qn * n)
+
+    return [
+        int(cid)
+        for cid, _ in sorted(centroids, key=lambda cv: -cos(cv[1]))[:nprobe]
+    ]
+
+
+def _exact_l2_rerank(
+    rerank_with: DataFrame,
+    cand: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    caller: str,
+) -> DataFrame:
+    """Exact-L2 re-rank of a bounded candidate set against the original
+    float vectors.  Bounded collect: k·rerank_factor ids (the
+    model-sized exception, same discipline as the sidecar reads) — an
+    IN literal list prunes the vector table scan at planning time
+    instead of forcing a corpus-wide join.  Returns ``(id, l2_dist)``
+    ascending top-k, ties by id."""
     cand_ids = [r[id_col] for r in cand.collect()]
     dim = len(query_vec)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -580,17 +606,13 @@ def ivfpq_topk(
     guarded = F.when(F.size(vec) == dim, vec).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("ivfpq_topk rerank: vector dim "),
+                F.lit(f"{caller} rerank: vector dim "),
                 F.size(vec).cast("string"),
                 F.lit(f" != query dim {dim}"),
             )
         )
     )
-    l2 = F.aggregate(
-        F.zip_with(guarded, qlit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    l2 = _l2_fold(guarded, qlit)
     return (
         rerank_with.filter(F.col(id_col).isin(cand_ids))
         .select(F.col(id_col), F.round(l2, 6).alias("l2_dist"))
@@ -678,6 +700,31 @@ def sq_encode(
     )
 
 
+def _sq_midpoint_recon(code):
+    """Midpoint reconstruction of an SQ code array — requires the
+    broadcast model columns ``__mn``/``__mx`` in scope (see
+    :func:`_sq_model_frame`).  Row-local ``zip_with``, no shuffle."""
+    return F.zip_with(
+        F.zip_with(
+            code,
+            F.col("__mn"),
+            lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
+        ),
+        F.zip_with(F.col("__mx"), F.col("__mn"), lambda mx, mn: mx - mn),
+        lambda s, rng: s["mn"]
+        + (s["c"].cast("double") + F.lit(0.5)) * rng / F.lit(256.0),
+    )
+
+
+def _l2_fold(a, b):
+    """Squared L2 between two double arrays as a row-local fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def sq_topk(
     encoded: DataFrame,
     model: dict,
@@ -695,21 +742,7 @@ def sq_topk(
     (TakeOrderedAndProject), ties by id."""
     mf = _sq_model_frame(encoded.sparkSession, model)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    recon = F.zip_with(
-        F.zip_with(
-            F.col(code_col),
-            F.col("__mn"),
-            lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
-        ),
-        F.zip_with(F.col("__mx"), F.col("__mn"), lambda mx, mn: mx - mn),
-        lambda s, rng: s["mn"]
-        + (s["c"].cast("double") + F.lit(0.5)) * rng / F.lit(256.0),
-    )
-    dist = F.aggregate(
-        F.zip_with(recon, q, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dist = _l2_fold(_sq_midpoint_recon(F.col(code_col)), q)
     if round_digits is not None:
         dist = F.round(dist, round_digits)
     return (
@@ -717,6 +750,202 @@ def sq_topk(
         .select(F.col(id_col), dist.alias("sq_dist"))
         .orderBy(F.col("sq_dist").asc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def sq_knn_join(
+    encoded: DataFrame,
+    model: dict,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq_code",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """SQ top-k for MANY query vectors at once — the batched twin of
+    :func:`sq_topk`, mirroring :func:`pq_adc_knn_join`'s shape: the
+    corpus of codes never shuffles; each candidate reconstructs its
+    midpoint ONCE (before the query join, so the model columns are
+    projected away early), the bounded query table is broadcast, and
+    only the per-query top-k window runs over (corpus x queries)
+    scored rows.
+
+    Same small-side contract as ``pq_adc_knn_join``/
+    ``similarity.knn_join_topk``: the query batch must fit the
+    broadcast budget; partition a larger query set into batches and
+    union the results.  Output: one row per (query, candidate) kept,
+    columns ``(query_id, id_col, sq_dist)``."""
+    from pyspark.sql import Window
+
+    mf = _sq_model_frame(encoded.sparkSession, model)
+    cand = (
+        encoded.crossJoin(F.broadcast(mf))
+        .select(
+            F.col(id_col),
+            _sq_midpoint_recon(F.col(code_col)).alias("__recon"),
+        )
+    )
+    dist = _l2_fold(F.col("__recon"), F.col(query_vec).cast("array<double>"))
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    scored = cand.crossJoin(
+        F.broadcast(queries.select(query_id, query_vec))
+    ).select(F.col(query_id), F.col(id_col), dist.alias("sq_dist"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("sq_dist").asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+# ------------------------------------------------------------- IVF-SQ
+
+
+#: sidecar recording the coarse centroids + SQ model of an IVF-SQ
+#: index — underscore prefix keeps it invisible to parquet scans
+_IVFSQ_SIDECAR = "_spectrify_ivfsq_model.json"
+
+
+def write_ivfsq_index(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    model: dict,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize an IVF-SQ index: coarse-quantize every vector to its
+    nearest centroid cell (``similarity.assign_partitions``),
+    scalar-quantize it (:func:`sq_encode`), and write ONLY
+    ``(id, sq_code)`` partitioned by cell — SQ8 as a drop-in inside
+    the IVF layout (the same architecture as
+    :func:`write_ivfpq_index`, trading PQ's 64x compression for SQ's
+    per-dimension resolution: 4x smaller than float32 with far
+    smaller recall loss, the FAISS ``IVF*,SQ8`` middle ground).
+
+    A query probes ``nprobe`` of C cell partitions (partition-pruned
+    scan) and scores int8 codes instead of float vectors — scanned
+    bytes drop by ~C/nprobe x ~4x.  The model (centroids + per-dim
+    min/max) persists in a JSON sidecar, making probes
+    self-contained."""
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+    from spectrify_spark.operators.similarity import assign_partitions
+
+    assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
+    enc = sq_encode(assigned, model, vec_col=vec_col, out_col="sq_code")
+    (
+        enc.select(id_col, cell_col, "sq_code")
+        .repartition(F.col(cell_col))
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+    write_json_sidecar(
+        df.sparkSession,
+        path,
+        _IVFSQ_SIDECAR,
+        {
+            "cell_col": cell_col,
+            "id_col": id_col,
+            "centroids": [
+                [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+            ],
+            "mins": [float(x) for x in model["mins"]],
+            "maxs": [float(x) for x in model["maxs"]],
+        },
+    )
+
+
+def append_ivfsq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector delta into an existing IVF-SQ index, assigning
+    cells and encoding codes with the index's OWN stored model — the
+    increment path that cannot drift from the build (same contract as
+    :func:`append_ivfpq_index`)."""
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+    from spectrify_spark.operators.similarity import assign_partitions
+
+    spark = df.sparkSession
+    payload = read_json_sidecar(spark, path, _IVFSQ_SIDECAR)
+    if payload is None:
+        raise FileNotFoundError(
+            f"append_ivfsq_index: no model sidecar in {path!r} — build with "
+            "write_ivfsq_index first"
+        )
+    centroids = [(int(c), [float(x) for x in v]) for c, v in payload["centroids"]]
+    model = {"mins": payload["mins"], "maxs": payload["maxs"]}
+    cell_col, id_col = payload["cell_col"], payload["id_col"]
+    assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
+    enc = sq_encode(assigned, model, vec_col=vec_col, out_col="sq_code")
+    (
+        enc.select(id_col, cell_col, "sq_code")
+        .repartition(F.col(cell_col))
+        .write.mode("append")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+
+
+def ivfsq_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_with: DataFrame | None = None,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a materialized IVF-SQ index: pick the
+    ``nprobe`` cosine-nearest cells driver-side (:func:`_probe_cells`),
+    scan ONLY those cell partitions (planning-time partition pruning
+    via ``isin``), midpoint-reconstruct and L2-score the SQ codes
+    (:func:`sq_topk`), ascending top-k.
+
+    Output ``(id, sq_dist)``; with ``rerank_with``, the top
+    ``k·rerank_factor`` SQ candidates are re-scored exactly against
+    the float vectors (:func:`_exact_l2_rerank` — bounded IN-pruned
+    scan, never a corpus join) and the exact-L2 top-k returns as
+    ``(id, l2_dist)``.  Same metric contract as :func:`ivfpq_topk`:
+    cell selection is cosine, ranking is squared L2 — normalize
+    embeddings at ingest or use the re-rank lever."""
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    payload = read_json_sidecar(spark, path, _IVFSQ_SIDECAR)
+    if payload is None:
+        raise FileNotFoundError(
+            f"ivfsq_topk: no model sidecar in {path!r} — build with "
+            "write_ivfsq_index first"
+        )
+    model = {"mins": payload["mins"], "maxs": payload["maxs"]}
+    cell_col, id_col = payload["cell_col"], payload["id_col"]
+    probe_cells = _probe_cells(payload["centroids"], query_vec, nprobe)
+    enc = spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
+    if rerank_with is None:
+        return sq_topk(
+            enc, model, query_vec, k=k, id_col=id_col, code_col="sq_code"
+        )
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    cand = sq_topk(
+        enc,
+        model,
+        query_vec,
+        k=k * rerank_factor,
+        id_col=id_col,
+        code_col="sq_code",
+    )
+    return _exact_l2_rerank(
+        rerank_with, cand, query_vec, k, id_col, vec_col, "ivfsq_topk"
     )
 
 
@@ -731,8 +960,12 @@ __all__ = [
     "sq_train",
     "sq_encode",
     "sq_topk",
+    "sq_knn_join",
     "reconstruction_mse",
     "write_ivfpq_index",
     "append_ivfpq_index",
     "ivfpq_topk",
+    "write_ivfsq_index",
+    "append_ivfsq_index",
+    "ivfsq_topk",
 ]

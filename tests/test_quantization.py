@@ -407,3 +407,110 @@ def test_sq_validation(spark):
         Q.sq_train(empty)
     with pytest.raises(ValueError, match="mins/maxs"):
         Q._sq_model_frame(spark, {"mins": [1.0], "maxs": []})
+
+
+def test_sq_knn_join_matches_single_query_path(spark):
+    """Batched SQ knn == per-query sq_topk for every query, and the
+    plan keeps the corpus map-side (broadcast model + broadcast query
+    batch, per-query window top-k only)."""
+    e = _vecs(spark)
+    model = Q.sq_train(e)
+    enc = Q.sq_encode(e, model)
+    qids = [3, 7, 11]
+    queries = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = Q.sq_knn_join(enc, model, queries, k=5)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r.q_id, []).append((r.sq_dist, r.vec_id))
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == qid).first().embedding
+        ]
+        single = [
+            (r.sq_dist, r.vec_id)
+            for r in Q.sq_topk(enc, model, qv, k=5).collect()
+        ]
+        assert sorted(by_q[qid]) == single, qid
+    # AQE toString prints final + initial sections; gate the FINAL one
+    plan = (
+        got._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # corpus never hash/range-shuffles except the per-query window
+    assert plan.count("hashpartitioning") <= 1
+    assert "BroadcastExchange" in plan
+
+
+def test_ivfsq_index_prunes_probes_and_reranks(spark, tmp_path):
+    """IVF-SQ composition (r11 item 6): SQ8 as a drop-in inside the
+    IVF layout — build writes (id, sq_code) partitioned by cell with a
+    self-contained model sidecar; probes partition-prune to nprobe
+    cells; full-nprobe recall matches flat SQ; rerank returns exact-L2
+    order over the bounded candidate set."""
+    from spectrify_spark.operators.similarity import choose_centroids
+
+    e = _vecs(spark)
+    model = Q.sq_train(e)
+    cents = choose_centroids(e, n_centroids=8)
+    path = str(tmp_path / "ivfsq")
+    Q.write_ivfsq_index(e, cents, model, path)
+
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 3).first().embedding]
+    # full probe == flat SQ top-k over the whole corpus
+    got = Q.ivfsq_topk(spark, path, qv, k=10, nprobe=8)
+    flat = Q.sq_topk(Q.sq_encode(e, model), model, qv, k=10)
+    assert [r.vec_id for r in got.collect()] == [
+        r.vec_id for r in flat.collect()
+    ]
+    # narrow probe: the scan carries PartitionFilters on the cell
+    # column (planning-time pruning) and touches fewer rows than the
+    # full index
+    narrow = Q.ivfsq_topk(spark, path, qv, k=5, nprobe=2)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    assert (
+        Q.ivfsq_topk(spark, path, qv, k=5000, nprobe=1).count()
+        < spark.read.parquet(path).count()
+    )
+    assert narrow.count() == 5
+    assert [r.vec_id for r in narrow.collect()][0] == 3
+
+    # rerank: exact L2 over candidates, ascending, k rows
+    rr = Q.ivfsq_topk(
+        spark, path, qv, k=5, nprobe=8, rerank_with=e, rerank_factor=4
+    ).collect()
+    assert [r.vec_id for r in rr][0] == 3 and rr[0].l2_dist == 0.0
+    assert [r.l2_dist for r in rr] == sorted(r.l2_dist for r in rr)
+    with pytest.raises(ValueError, match="rerank_factor"):
+        Q.ivfsq_topk(spark, path, qv, rerank_with=e, rerank_factor=0)
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        Q.ivfsq_topk(spark, str(tmp_path / "nope"), qv)
+
+
+def test_append_ivfsq_index_matches_from_scratch(spark, tmp_path):
+    """append_ivfsq_index assigns+encodes the delta with the STORED
+    model: append(base)+delta == write(all) for every probe."""
+    e = _vecs(spark)
+    model = Q.sq_train(e)
+    from spectrify_spark.operators.similarity import choose_centroids
+
+    cents = choose_centroids(e, n_centroids=4)
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "inc")
+    scratch = str(tmp_path / "scratch")
+    Q.write_ivfsq_index(base, cents, model, path)
+    Q.append_ivfsq_index(delta, path)
+    Q.write_ivfsq_index(e, cents, model, scratch)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 5).first().embedding]
+    inc = [r.vec_id for r in Q.ivfsq_topk(spark, path, qv, k=8, nprobe=4).collect()]
+    full = [r.vec_id for r in Q.ivfsq_topk(spark, scratch, qv, k=8, nprobe=4).collect()]
+    assert inc == full
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        Q.append_ivfsq_index(delta, str(tmp_path / "nope"))

@@ -315,18 +315,38 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--id-col", default="vec_id")
     iv.add_argument("--vec-col", default="embedding")
 
+    ivs = sub.add_parser(
+        "index-ivfsq",
+        help="materialize an IVF-SQ8 ANN index over an embeddings "
+        "parquet: cell-partitioned int8 scalar codes + model sidecar "
+        "(4x compression, per-dimension resolution — the higher-recall "
+        "sibling of index-ivfpq)",
+    )
+    ivs.add_argument("source", help="parquet with (id, vector) columns")
+    ivs.add_argument("dest", help="index output dir")
+    ivs.add_argument("--n-centroids", type=int, default=8)
+    ivs.add_argument("--train-iters", type=int, default=1)
+    ivs.add_argument("--id-col", default="vec_id")
+    ivs.add_argument("--vec-col", default="embedding")
+
     an = sub.add_parser(
         "ann",
-        help="approximate nearest neighbours from an IVF-PQ index "
-        "(query vector looked up by id in SOURCE)",
+        help="approximate nearest neighbours from an IVF-PQ or IVF-SQ "
+        "index (query vector looked up by id in SOURCE)",
     )
-    an.add_argument("index", help="dir written by index-ivfpq")
+    an.add_argument("index", help="dir written by index-ivfpq/index-ivfsq")
     an.add_argument("source", help="parquet holding the query vector")
     an.add_argument("--query-id", type=int, required=True)
     an.add_argument("-k", type=int, default=10)
     an.add_argument("--nprobe", type=int, default=4)
     an.add_argument("--id-col", default="vec_id")
     an.add_argument("--vec-col", default="embedding")
+    an.add_argument(
+        "--codec",
+        choices=["pq", "sq"],
+        default="pq",
+        help="which index family the INDEX dir holds (default pq)",
+    )
 
     cc = sub.add_parser(
         "components",
@@ -693,6 +713,33 @@ def main(argv: list[str] | None = None) -> int:
             vec_col=args.vec_col,
         )
         print(args.dest)
+    elif args.cmd == "index-ivfsq":
+        from pyspark.sql import functions as F
+
+        from spectrify_spark.operators import quantization as Q
+        from spectrify_spark.operators import similarity as SIM
+        from spectrify_spark.sources.parquet import read_table
+
+        src = read_table(spark, args.source)
+        vecs = src.select(
+            F.col(args.id_col).alias("vec_id"),
+            F.col(args.vec_col).alias("embedding"),
+        )
+        cents = SIM.kmeans_refine(
+            vecs,
+            SIM.choose_centroids(vecs, n_centroids=args.n_centroids),
+            iters=args.train_iters,
+        )
+        model = Q.sq_train(src, vec_col=args.vec_col)
+        Q.write_ivfsq_index(
+            src,
+            cents,
+            model,
+            args.dest,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        print(args.dest)
     elif args.cmd == "ann":
         from pyspark.sql import functions as F
 
@@ -708,7 +755,8 @@ def main(argv: list[str] | None = None) -> int:
         if row is None:
             print(f"no row with {args.id_col}={args.query_id}", file=sys.stderr)
             return 1
-        hits = Q.ivfpq_topk(
+        topk = Q.ivfsq_topk if args.codec == "sq" else Q.ivfpq_topk
+        hits = topk(
             spark,
             args.index,
             [float(x) for x in row[args.vec_col]],
@@ -716,7 +764,7 @@ def main(argv: list[str] | None = None) -> int:
             nprobe=args.nprobe,
         )
         for r in hits.collect():
-            print(f"{r[0]}\t{r.adc_dist:.6f}")
+            print(f"{r[0]}\t{r[1]:.6f}")
     elif args.cmd == "near-dups":
         from spectrify_spark.operators.dedup import near_dup_pairs_indexed
         from spectrify_spark.sources.parquet import read_table

@@ -113,6 +113,22 @@ GOLDEN = {
     ),
     # r11: pointer-resolved scan of the current published version
     "q_publish_versions": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # r13: two-tier pruned read of a published version — version
+    # rollup checked driver-side, then the per-file-pruned scan with
+    # the residual range filter pushed into surviving row groups
+    "q_publish_pruned": dict(
+        max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=2
+    ),
+    # r13: IVF-SQ exact re-rank — visible plan is the rerank leg
+    # (bounded candidate IN list into a 2-col vector scan +
+    # TakeOrderedAndProject), same shape as q_sim_ivfpq_rerank
+    "q_sim_ivfsq_rerank": dict(
+        max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=2
+    ),
+    # r13: batched SQ knn — the two BNLJs are the designed one-row
+    # model broadcast + bounded query-batch broadcast; shuffles are
+    # the per-query top-k window + the ordered output
+    "q_knn_join_sq": dict(max_exchanges=3, max_scan_cols=2),
     # r11: SQ8 — model fit is one posexplode agg; encode+score are
     # row-local folds against the one-row broadcast model (the BNLJ);
     # top-k is TakeOrderedAndProject

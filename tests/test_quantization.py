@@ -514,3 +514,26 @@ def test_append_ivfsq_index_matches_from_scratch(spark, tmp_path):
     assert inc == full
     with pytest.raises(FileNotFoundError, match="sidecar"):
         Q.append_ivfsq_index(delta, str(tmp_path / "nope"))
+
+
+def test_cli_index_ivfsq_and_ann(spark, tmp_path, capsys):
+    """CLI drive of the SQ ANN pair: index-ivfsq fits the SQ model +
+    coarse centroids and writes the cell-partitioned int8 index; ann
+    --codec sq probes it and prints (id, sq_dist) lines; with all
+    cells probed the query ranks itself first."""
+    from spectrify_spark import cli
+
+    idx = str(tmp_path / "ivfsq_idx")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    assert cli.main(["index-ivfsq", src, idx, "--n-centroids", "4"]) == 0
+    capsys.readouterr()
+    assert (
+        cli.main(
+            ["ann", idx, src, "--query-id", "7", "--nprobe", "4", "--codec", "sq"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 10
+    first_id, first_dist = out[0].split("\t")
+    assert int(first_id) == 7 and float(first_dist) >= 0.0

@@ -55,6 +55,11 @@ CURRENT_POINTER = "_spectrify_current.json"
 #: listing its files or opening the per-file index
 VERSION_STATS = "_spectrify_version_stats.json"
 
+#: per-version bit-OR rollup of the per-file blooms — the equality
+#: complement of VERSION_STATS: rules a point lookup out of a whole
+#: version from one JSON read
+VERSION_BLOOM = "_spectrify_version_bloom.json"
+
 
 def _local_path(root: str) -> "str | None":
     """The plain local filesystem path for an UNSCHEMED root, else
@@ -187,11 +192,13 @@ def publish(
     version directory BEFORE the flip — a published version arrives
     pre-indexed, and because versions are immutable the indexes can
     never go stale (the conservative-staleness machinery still guards
-    hand-modified dirs).  ``stats_cols`` additionally rolls the
-    per-file stats up into a VERSION-level min/max sidecar
-    (:data:`VERSION_STATS`): :func:`published_pruned_scan` can then
-    rule out a whole version from one tiny JSON read, without listing
-    its files or opening the per-file index.
+    hand-modified dirs).  Both families additionally roll up to
+    VERSION-level sidecars — ``stats_cols`` into a min/max summary
+    (:data:`VERSION_STATS`, read by :func:`published_pruned_scan`),
+    ``bloom_cols`` into a bit-OR'd union bloom (:data:`VERSION_BLOOM`,
+    read by :func:`published_pruned_scan_eq`) — so a reader can rule
+    out a whole version from one tiny JSON read, without listing its
+    files or opening the per-file index.
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
@@ -251,6 +258,7 @@ def publish(
         from spectrify_spark.operators.layout import write_file_bloom
 
         write_file_bloom(spark, vdir, bloom_cols)
+        _write_version_bloom_rollup(spark, vdir, bloom_cols)
     _pointer_write(spark, root, n)
     vacuum(root, keep_versions=keep_versions, spark=spark)
     return n
@@ -396,3 +404,89 @@ def published_pruned_scan(
             if disjoint:
                 return spark.read.parquet(vdir).filter(F.lit(False))
     return pruned_scan(spark, vdir, ranges=rgs)
+
+
+def _write_version_bloom_rollup(spark, vdir: str, cols: list[str]) -> None:
+    """Union the freshly built per-file blooms into one VERSION-level
+    bloom per column, stored as a JSON sidecar in the version dir.
+    Bit-OR of per-file bit sets is exactly the bloom of the union of
+    the files' values (same m_bits/k_hashes family), so a probe whose
+    positions are not all set in the rollup is PROVABLY absent from
+    the whole version.  Columns whose per-file rows disagree on
+    (m_bits, k_hashes, dtype) are omitted — omission is safe (the
+    reader falls through to the per-file tier).  Sidecar size is
+    bounded by m_bits ints per column (8192 by default, ~50 KB of
+    JSON) — independent of the file count."""
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+    from spectrify_spark.operators.layout import FILE_BLOOM_DIR, _read_stats_rows
+
+    rows = _read_stats_rows(spark, f"{vdir}/{FILE_BLOOM_DIR}") or []
+    out: dict = {}
+    for c in cols:
+        mine = [r for r in rows if r["col"] == c]
+        if not mine:
+            continue
+        fams = {
+            (int(r["m_bits"]), int(r["k_hashes"]), r.get("dtype", "") or "")
+            for r in mine
+        }
+        if len(fams) != 1:
+            continue  # mixed hash families: a rollup would prove nothing
+        m_bits, k_hashes, dtype = next(iter(fams))
+        bits: set[int] = set()
+        for r in mine:
+            bits.update(int(b) for b in r["bits"])
+        out[c] = {
+            "m_bits": m_bits,
+            "k_hashes": k_hashes,
+            "dtype": dtype,
+            "bits": sorted(bits),
+        }
+    write_json_sidecar(spark, vdir, VERSION_BLOOM, out)
+
+
+def published_pruned_scan_eq(
+    spark,
+    root: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup over a published version with TWO pruning tiers:
+    (1) the version-level bloom rollup — if the probe's bit positions
+    are not all set, the value is PROVABLY absent from the whole
+    version: return the empty scan after one JSON read (no file
+    listing, no per-file index open — at 10^6 files per version that
+    is the difference between a metadata no-op and a planning
+    stampede); (2) otherwise the per-file bloom pruning
+    (:func:`spectrify_spark.operators.layout.pruned_scan_eq`).  Same
+    conservative contract as every skipping tier: an unverifiable
+    probe canonicalization or a missing rollup only costs pruning,
+    never rows; NULL probes return the empty result directly (SQL
+    equality never matches NULL)."""
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+    from spectrify_spark.operators.layout import (
+        _bloom_positions_py,
+        pruned_scan_eq,
+    )
+
+    v = current_version(root, spark) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(
+            f"published_pruned_scan_eq: nothing published at {root!r}"
+        )
+    vdir = _join(root, f"v={v}")
+    if value is None:
+        return spark.read.parquet(vdir).filter(F.lit(False))
+    rollup = read_json_sidecar(spark, vdir, VERSION_BLOOM) or {}
+    s = rollup.get(col)
+    if s:
+        pos = _bloom_positions_py(
+            value,
+            int(s["m_bits"]),
+            int(s["k_hashes"]),
+            dtype=s.get("dtype", ""),
+        )
+        if pos is not None and any(p not in set(s["bits"]) for p in pos):
+            return spark.read.parquet(vdir).filter(F.lit(False))
+    return pruned_scan_eq(spark, vdir, col, value)

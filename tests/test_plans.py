@@ -119,6 +119,11 @@ GOLDEN = {
     "q_publish_pruned": dict(
         max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=2
     ),
+    # r13: two-tier point lookup — version bloom rollup driver-side,
+    # then the per-file-bloom-pruned scan with the equality pushed
+    "q_publish_bloom": dict(
+        max_exchanges=0, ban_bnlj=True, pushed=True, max_scan_cols=2
+    ),
     # r13: IVF-SQ exact re-rank — visible plan is the rerank leg
     # (bounded candidate IN list into a 2-col vector scan +
     # TakeOrderedAndProject), same shape as q_sim_ivfpq_rerank

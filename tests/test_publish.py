@@ -237,3 +237,44 @@ def test_published_pruned_scan_version_rollup(spark, tmp_path):
         published_pruned_scan(spark, root, "k", 100, 300, version=1).count()
         == 200
     )
+
+
+def test_published_pruned_scan_eq_version_bloom(spark, tmp_path):
+    """Version-level bloom rollup: a bloom_cols publish writes the
+    bit-OR'd union bloom sidecar; an absent-value point lookup is
+    ruled out of the WHOLE version by the rollup (empty result from
+    one JSON read), a present value falls through to the per-file
+    tier and returns exactly its rows, and a publish WITHOUT blooms
+    degrades to the plain filtered scan."""
+    from spectrify_spark.catalog.publish import (
+        VERSION_BLOOM,
+        current_path,
+        published_pruned_scan_eq,
+    )
+
+    root = str(tmp_path / "ds")
+    df = _df(spark, 1000, "a").repartition(4, F.col("k"))
+    publish(df, root, bloom_cols=["k"])
+    sidecar = os.path.join(current_path(root), VERSION_BLOOM)
+    rollup = json.load(open(sidecar))
+    assert set(rollup) == {"k"} and rollup["k"]["m_bits"] == 8192
+    assert 0 < len(rollup["k"]["bits"]) <= 8192
+
+    # present value: exact row through both tiers
+    got = published_pruned_scan_eq(spark, root, "k", 150).collect()
+    assert [(r.k, r.tag) for r in got] == [(150, "a")]
+    # absent value: provably not in the version (usually pruned at the
+    # rollup tier; correct either way), and NULL matches nothing
+    assert published_pruned_scan_eq(spark, root, "k", 999_999).count() == 0
+    assert published_pruned_scan_eq(spark, root, "k", None).count() == 0
+
+    # time travel composes: v1 still probe-able after a v2 publish
+    publish(_df(spark, 10, "b"), root, bloom_cols=["k"])
+    assert (
+        published_pruned_scan_eq(spark, root, "k", 150, version=1).count()
+        == 1
+    )
+    # no-bloom publish: falls through to a plain filtered scan
+    root2 = str(tmp_path / "ds2")
+    publish(_df(spark, 100, "c"), root2)
+    assert published_pruned_scan_eq(spark, root2, "k", 50).count() == 1

@@ -211,6 +211,22 @@ def main(argv: list[str] | None = None) -> int:
         metavar="COL",
         help="integer columns to Z-order by (low bits interleaved)",
     )
+    co.add_argument(
+        "--stats",
+        nargs="*",
+        default=None,
+        metavar="COL",
+        help="rebuild the per-file min/max skipping index on the "
+        "compacted output for these columns",
+    )
+    co.add_argument(
+        "--bloom",
+        nargs="*",
+        default=None,
+        metavar="COL",
+        help="rebuild the per-file bloom index on the compacted "
+        "output for these columns",
+    )
     co.add_argument("--bits", type=int, default=16)
 
     pb = sub.add_parser(
@@ -629,6 +645,8 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_mb * 1024 * 1024,
             zorder_cols=zcols,
             bits=args.bits,
+            stats_cols=args.stats or None,
+            bloom_cols=args.bloom or None,
         )
         print(f"{args.dest}: {n} file(s)")
     elif args.cmd == "components":

@@ -91,6 +91,8 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_cols: list[Column] | None = None,
     bits: int = 16,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet dataset into files of
     ~``target_file_bytes`` (the OPTIMIZE half of Delta/Iceberg's
@@ -109,6 +111,15 @@ def compact_parquet(
     With ``zorder_cols`` the rewrite also Z-orders
     (:func:`zorder_layout`): compaction and multi-dimensional
     clustering in the same single pass over the data.
+
+    ``stats_cols`` / ``bloom_cols`` rebuild the file-skipping indexes
+    on the COMPACTED output: compaction renames every file, so any
+    per-file index of ``src`` does not transfer (the conservative
+    staleness contract means an index-less ``dst`` simply prunes
+    nothing) — rebuilding in the same maintenance job restores
+    pruning for the new layout, and with ``zorder_cols`` the tight
+    per-file ranges are exactly what makes the rebuilt stats
+    selective.
 
     Returns the target file count.
     """
@@ -141,6 +152,10 @@ def compact_parquet(
     else:
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
+    if stats_cols:
+        write_file_stats(spark, dst, stats_cols)
+    if bloom_cols:
+        write_file_bloom(spark, dst, bloom_cols)
     return n
 
 

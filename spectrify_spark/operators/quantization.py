@@ -248,31 +248,11 @@ def pq_adc_knn_join(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     cent = _codebook_frame(encoded.sparkSession, codebooks)
-    cb = F.col("__cb")
-    # lut[m][k] materialized per query row once, then reused across the
-    # corpus join — distance per candidate is M element_at lookups
-    lut = F.transform(
-        F.sequence(F.lit(1), F.lit(m)),
-        lambda mi: F.transform(
-            F.element_at(cb, mi),
-            lambda code: _sq_l2(
-                F.slice(F.col(query_vec), (mi - 1) * dsub + 1, dsub), code
-            ),
-        ),
-    )
     q = (
         queries.crossJoin(F.broadcast(cent))
-        .select(query_id, lut.alias("__lut"))
+        .select(query_id, _adc_lut_expr(m, dsub, F.col(query_vec)).alias("__lut"))
     )
-    dist = F.aggregate(
-        F.sequence(F.lit(1), F.lit(m)),
-        F.lit(0.0),
-        lambda acc, mi: acc
-        + F.element_at(
-            F.element_at(F.col("__lut"), mi),
-            F.element_at(F.col(code_col), mi) + F.lit(1),
-        ),
-    )
+    dist = _adc_dist_expr(m, F.col("__lut"), F.col(code_col))
     if round_digits is not None:
         dist = F.round(dist, round_digits)
     scored = encoded.crossJoin(F.broadcast(q)).select(
@@ -285,6 +265,39 @@ def pq_adc_knn_join(
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def _adc_lut_expr(m: int, dsub: int, qcol):
+    """The per-query M x K ADC lookup table as a Column expression —
+    squared-L2 of each query subvector against every codebook entry,
+    JVM-side from the broadcast ``__cb`` codebook column.  lut[m][k]
+    materializes per query row once, then is reused across the corpus
+    join; distance per candidate is M element_at lookups."""
+    cb = F.col("__cb")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda mi: F.transform(
+            F.element_at(cb, mi),
+            lambda code: _sq_l2(
+                F.slice(qcol, (mi - 1) * dsub + 1, dsub), code
+            ),
+        ),
+    )
+
+
+def _adc_dist_expr(m: int, lut_col, code_col):
+    """ADC distance: M lookups of the candidate's per-subspace codes
+    in the query's LUT, summed left-to-right (the fold association
+    every oracle replicates)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.element_at(lut_col, mi),
+            F.element_at(code_col, mi) + F.lit(1),
+        ),
     )
 
 
@@ -949,6 +962,219 @@ def ivfsq_topk(
     )
 
 
+# ----------------------------------------- batched index probes (knn)
+
+
+def _query_cells_col(n_centroids: int, nprobe: int, qcol):
+    """Per-query top-``nprobe`` IVF cells as a Column expression —
+    the JVM twin of the driver-side :func:`_probe_cells`: score every
+    centroid by ``dot(q, c) / ||c||`` (argmax-equivalent to cosine —
+    the positive common factor ``1/||q||`` cannot reorder cells),
+    sort descending with ties by cell id, keep ``nprobe``.  Needs the
+    one-row centroid frame columns (``__cmat``/``__cnorms``/
+    ``__cids``, :func:`similarity._centroid_frame`) in scope."""
+    from spectrify_spark.functions.vectors import dot
+
+    cmat, cnorms, cids = F.col("__cmat"), F.col("__cnorms"), F.col("__cids")
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(n_centroids)),
+        lambda i: F.struct(
+            (-(dot(qcol, F.element_at(cmat, i)) / F.element_at(cnorms, i))).alias(
+                "neg"
+            ),
+            F.element_at(cids, i).alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def _index_knn_join(
+    spark,
+    path: str,
+    payload: dict,
+    queries: DataFrame,
+    centroids: list,
+    q_extra_cols: list,
+    dist_fn,
+    dist_name: str,
+    enc_prep,
+    k: int,
+    nprobe: int,
+    query_id: str,
+    round_digits: "int | None",
+) -> DataFrame:
+    """Shared engine of :func:`ivfpq_knn_join` / :func:`ivfsq_knn_join`:
+    (1) each query computes its top-``nprobe`` cells JVM-side against
+    the broadcast centroid frame; (2) the UNION of all queries' cells
+    (bounded by C — one tiny job over the bounded query batch) prunes
+    the index scan at planning time via the partition column; (3) the
+    broadcast query batch joins the pruned codes on
+    ``array_contains(query.cells, code.cell)`` so every candidate is
+    scored ONLY against the queries that probed its cell; (4) one
+    per-query top-k window.  The corpus of codes never shuffles."""
+    from pyspark.sql import Window
+
+    from spectrify_spark.operators.similarity import _centroid_frame
+
+    cell_col, id_col = payload["cell_col"], payload["id_col"]
+    cent = _centroid_frame(spark, [(int(c), v) for c, v in centroids])
+    cells = _query_cells_col(len(centroids), nprobe, F.col("q_vec_norm_src"))
+    q = (
+        queries.withColumnRenamed(
+            q_extra_cols[0], "q_vec_norm_src"
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            query_id,
+            F.col("q_vec_norm_src").cast("array<double>").alias("__qv"),
+            cells.alias("__cells"),
+            *q_extra_cols[1:],
+        )
+    )
+    probe_cells = sorted(
+        r[0] for r in q.select(F.explode("__cells")).distinct().collect()
+    )
+    enc = enc_prep(
+        spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
+    )
+    dist = dist_fn(q)
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    scored = enc.join(
+        F.broadcast(q), F.array_contains(F.col("__cells"), F.col(cell_col))
+    ).select(F.col(query_id), F.col(id_col), dist.alias(dist_name))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col(dist_name).asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def ivfpq_knn_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    round_digits: "int | None" = 6,
+) -> DataFrame:
+    """Batched ADC top-k against a MATERIALIZED IVF-PQ index — the
+    many-query twin of :func:`ivfpq_topk` (cf. :func:`pq_adc_knn_join`
+    for the index-less form).  Each query probes only its own
+    ``nprobe`` cells; the scan reads the UNION of probed cells
+    (planning-time partition pruning), and candidates are ADC-scored
+    per probing query via the broadcast per-query LUTs.  Same bounded
+    query-batch broadcast contract as ``pq_adc_knn_join``.  Output:
+    ``(query_id, id, adc_dist)``, top-k per query ascending, ties by
+    id."""
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    payload = read_json_sidecar(spark, path, _IVFPQ_SIDECAR)
+    if payload is None:
+        raise FileNotFoundError(
+            f"ivfpq_knn_join: no model sidecar in {path!r} — build with "
+            "write_ivfpq_index first"
+        )
+    codebooks = payload["codebooks"]
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    cb = _codebook_frame(spark, codebooks)
+
+    def dist_fn(q):
+        return _adc_dist_expr(m, F.col("__lut"), F.col("pq_code"))
+
+    def enc_prep(enc):
+        return enc
+
+    # the LUT rides the query side: inject it via a wrapper that adds
+    # __lut after the centroid cross-join (the codebook frame is a
+    # second one-row broadcast)
+    queries_lut = (
+        queries.crossJoin(F.broadcast(cb))
+        .select(
+            query_id,
+            F.col(query_vec),
+            _adc_lut_expr(m, dsub, F.col(query_vec)).alias("__lut"),
+        )
+    )
+    return _index_knn_join(
+        spark,
+        path,
+        payload,
+        queries_lut,
+        payload["centroids"],
+        [query_vec, "__lut"],
+        dist_fn,
+        "adc_dist",
+        enc_prep,
+        k,
+        nprobe,
+        query_id,
+        round_digits,
+    )
+
+
+def ivfsq_knn_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    round_digits: "int | None" = 6,
+) -> DataFrame:
+    """Batched SQ top-k against a MATERIALIZED IVF-SQ index — the
+    many-query twin of :func:`ivfsq_topk` (cf. :func:`sq_knn_join`
+    for the index-less form).  Candidates midpoint-reconstruct ONCE
+    (model broadcast on the code side, projected away before the
+    query join); each query scores only the cells it probed.  Output:
+    ``(query_id, id, sq_dist)``, top-k per query ascending, ties by
+    id."""
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    payload = read_json_sidecar(spark, path, _IVFSQ_SIDECAR)
+    if payload is None:
+        raise FileNotFoundError(
+            f"ivfsq_knn_join: no model sidecar in {path!r} — build with "
+            "write_ivfsq_index first"
+        )
+    model = {"mins": payload["mins"], "maxs": payload["maxs"]}
+    mf = _sq_model_frame(spark, model)
+
+    def dist_fn(q):
+        return _l2_fold(F.col("__recon"), F.col("__qv"))
+
+    def enc_prep(enc):
+        return enc.crossJoin(F.broadcast(mf)).select(
+            payload["id_col"],
+            payload["cell_col"],
+            _sq_midpoint_recon(F.col("sq_code")).alias("__recon"),
+        )
+
+    return _index_knn_join(
+        spark,
+        path,
+        payload,
+        queries.select(query_id, query_vec),
+        payload["centroids"],
+        [query_vec],
+        dist_fn,
+        "sq_dist",
+        enc_prep,
+        k,
+        nprobe,
+        query_id,
+        round_digits,
+    )
+
+
 __all__ = [
     "deterministic_codebooks",
     "pq_encode",
@@ -968,4 +1194,6 @@ __all__ = [
     "write_ivfsq_index",
     "append_ivfsq_index",
     "ivfsq_topk",
+    "ivfpq_knn_join",
+    "ivfsq_knn_join",
 ]

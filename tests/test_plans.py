@@ -134,6 +134,11 @@ GOLDEN = {
     # model broadcast + bounded query-batch broadcast; shuffles are
     # the per-query top-k window + the ordered output
     "q_knn_join_sq": dict(max_exchanges=3, max_scan_cols=2),
+    # r13: batched index knn joins — partition-pruned code scan, the
+    # BNLJs are the designed centroid/model/query-batch broadcasts and
+    # the array_contains cell join; shuffles = per-query window + sort
+    "q_knn_join_ivfpq": dict(max_exchanges=3, max_scan_cols=3),
+    "q_knn_join_ivfsq": dict(max_exchanges=3, max_scan_cols=3),
     # r11: SQ8 — model fit is one posexplode agg; encode+score are
     # row-local folds against the one-row broadcast model (the BNLJ);
     # top-k is TakeOrderedAndProject

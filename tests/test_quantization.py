@@ -537,3 +537,78 @@ def test_cli_index_ivfsq_and_ann(spark, tmp_path, capsys):
     assert len(out) == 10
     first_id, first_dist = out[0].split("\t")
     assert int(first_id) == 7 and float(first_dist) >= 0.0
+
+
+def test_ivfpq_knn_join_full_probe_matches_flat(spark, tmp_path):
+    """Batched index ADC join with nprobe=C == the index-less
+    pq_adc_knn_join on the same encoded corpus (cells cannot restrict
+    anything); with nprobe<C each query's results come only from its
+    own probed cells and the scan carries PartitionFilters."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _vecs(spark)
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    path = str(tmp_path / "ivfpq")
+    Q.write_ivfpq_index(e, cents, books, path)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    got = {
+        (r.q_id, r.vec_id): r.adc_dist
+        for r in Q.ivfpq_knn_join(spark, path, qs, k=5, nprobe=8).collect()
+    }
+    flat = {
+        (r.q_id, r.vec_id): r.adc_dist
+        for r in Q.pq_adc_knn_join(Q.pq_encode(e, books), books, qs, k=5).collect()
+    }
+    assert got == flat and len(got) == 15
+
+    narrow = Q.ivfpq_knn_join(spark, path, qs, k=5, nprobe=2)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    rows = narrow.collect()
+    assert {r.q_id for r in rows} == {0, 1, 2}
+    # each query still finds itself (it lives in its own top cell)
+    for qid in (0, 1, 2):
+        best = min((r.adc_dist, r.vec_id) for r in rows if r.q_id == qid)
+        assert best[1] == qid
+
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        Q.ivfpq_knn_join(spark, str(tmp_path / "nope"), qs)
+
+
+def test_ivfsq_knn_join_full_probe_matches_flat(spark, tmp_path):
+    """Batched index SQ join with nprobe=C == the index-less
+    sq_knn_join on the same model/corpus."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _vecs(spark)
+    model = Q.sq_train(e)
+    cents = SIM.choose_centroids(e, n_centroids=8)
+    path = str(tmp_path / "ivfsq")
+    Q.write_ivfsq_index(e, cents, model, path)
+    qs = e.filter(F.col("vec_id").isin([3, 7, 11])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {
+        (r.q_id, r.vec_id): r.sq_dist
+        for r in Q.ivfsq_knn_join(spark, path, qs, k=5, nprobe=8).collect()
+    }
+    flat = {
+        (r.q_id, r.vec_id): r.sq_dist
+        for r in Q.sq_knn_join(Q.sq_encode(e, model), model, qs, k=5).collect()
+    }
+    assert got == flat and len(got) == 15
+    # narrow probe: every query still ranks itself first
+    rows = Q.ivfsq_knn_join(spark, path, qs, k=3, nprobe=2).collect()
+    for qid in (3, 7, 11):
+        best = min((r.sq_dist, r.vec_id) for r in rows if r.q_id == qid)
+        assert best[1] == qid
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        Q.ivfsq_knn_join(spark, str(tmp_path / "nope"), qs)

@@ -9,12 +9,13 @@ same keyed upserts/deletes to an already-updated snapshot — a no-op —
 so the apply is idempotent and end-to-end effectively-once without a
 transaction log.
 
-Scope note (honest limits): the atomic rename is a POSIX-filesystem
-property; on object stores you would back this with a table format
-(Delta/Iceberg) whose commit protocol replaces the directory swap.
-Everything above the swap — batch compaction, broadcast MERGE shape,
-idempotent replay — is exactly what those formats run inside their
-commit, so the operator ports by swapping the sink.
+Scope note: the atomic rename is a POSIX-filesystem property; on
+object stores the commit must be a pointer-flip protocol instead —
+which is exactly what :func:`stream_apply_changes_published` does
+(r13): same compaction + broadcast MERGE, committed through
+``catalog/publish.py``'s versioned atomic publish (scheme-agnostic,
+immutable versions, reader time travel).  The rename form stays as
+the zero-dependency local sink.
 """
 
 from __future__ import annotations
@@ -91,6 +92,84 @@ def stream_apply_changes(
         shutil.rmtree(old, ignore_errors=True)
 
     os.makedirs(snapshot_dir, exist_ok=True)
+    writer = changes.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_apply_changes_published(
+    changes: DataFrame,
+    root: str,
+    key: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    seq_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    keep_versions: int = 2,
+    stats_cols: list | None = None,
+    bloom_cols: list | None = None,
+):
+    """CDC apply whose per-batch commit is the VERSIONED PUBLISH
+    pointer flip instead of :func:`stream_apply_changes`'s directory
+    rename — closing that function's own scope note: the pointer-flip
+    protocol (catalog/publish.py) IS the object-store-safe commit the
+    rename approximates on POSIX.  Each micro-batch is compacted
+    latest-wins per key, MERGE-applied to the CURRENT PUBLISHED
+    version (changeset broadcast — the snapshot never shuffles), and
+    published as the next immutable ``v=N`` (reading from ``root/v=N``
+    while publishing ``v=N+1`` into the same root is the
+    incremental-republish pattern the overlap guard explicitly
+    allows).  Readers resolve the pointer first, so they always see a
+    COMPLETE version — mid-batch, mid-crash, any storage scheme the
+    Hadoop FS reaches — and the keep window gives them time travel
+    over the last ``keep_versions`` micro-batch snapshots for free.
+
+    Replay idempotency: re-applying a batch to the already-updated
+    snapshot re-publishes IDENTICAL content as one more version — a
+    reader-visible no-op that ages out of the keep window — so the
+    sink stays effectively-once without a transaction log.
+    ``stats_cols``/``bloom_cols`` pre-index every published version
+    (and build the version rollups), making the live snapshot
+    immediately probe-able via ``published_pruned_scan[_eq]``.
+
+    Returns the started StreamingQuery (same trigger contract as
+    :func:`stream_apply_changes`)."""
+    from spectrify_spark.catalog.publish import (
+        current_version,
+        publish,
+        read_published,
+    )
+
+    base_cols = [c for c in changes.columns if c != op_col]
+    base_schema = changes.select(*base_cols).schema
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        if seq_col is not None:
+            batch2 = dedup_exact(batch, [key], tie_break=[F.col(seq_col).desc()])
+        else:
+            batch2 = batch
+        if current_version(root, spark) is not None:
+            base = read_published(spark, root)
+        else:
+            base = spark.createDataFrame([], base_schema)
+        nxt = merge_changes(
+            base, batch2, key, op_col=op_col, delete_op=delete_op
+        )
+        publish(
+            nxt,
+            root,
+            keep_versions=keep_versions,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+        )
+
     writer = changes.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -115,3 +115,77 @@ def test_stream_apply_changes_rejects_bad_op(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception():
             raise q.exception()
+
+
+def test_stream_apply_changes_published_equals_batch_merge(spark, tmp_path):
+    """The versioned-publish commit form: same change stream, same
+    final content — but every micro-batch lands as an immutable
+    published version (pointer flip, no directory rename), readers
+    get time travel over the keep window, and versions are
+    pre-indexed when stats/bloom cols are passed."""
+    from spectrify_spark.catalog.publish import (
+        VERSION_BLOOM,
+        VERSION_STATS,
+        current_path,
+        current_version,
+        published_pruned_scan_eq,
+        read_published,
+    )
+
+    log = str(tmp_path / "changelog")
+    root = str(tmp_path / "pubds")
+    _stage_log(spark, log)
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log + "/*")
+    )
+    q = cdc.stream_apply_changes_published(
+        stream,
+        root,
+        key="k",
+        seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        keep_versions=2,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    q.awaitTermination(120)
+
+    # one version per non-empty micro-batch; pointer at the last
+    assert current_version(root) == 3
+    got = {(r["k"], r["v"]) for r in read_published(spark, root).collect()}
+    assert got == _expected(spark)
+    assert got == {(1, "a"), (2, "b2"), (4, "d"), (5, "e1")}
+    # time travel: the previous micro-batch snapshot is still readable
+    prev = {
+        (r["k"], r["v"])
+        for r in read_published(spark, root, version=2).collect()
+    }
+    assert prev == {(1, "a"), (2, "b2")}
+    # every published version arrives pre-indexed with both rollups
+    assert os.path.isfile(os.path.join(current_path(root), VERSION_STATS))
+    assert os.path.isfile(os.path.join(current_path(root), VERSION_BLOOM))
+    # the live snapshot is immediately point-lookup probe-able
+    assert published_pruned_scan_eq(spark, root, "k", 5).count() == 1
+    assert published_pruned_scan_eq(spark, root, "k", 3).count() == 0
+
+    # replay with a fresh checkpoint: content stays identical
+    # (duplicate versions are reader-invisible and age out)
+    stream2 = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log + "/*")
+    )
+    q2 = cdc.stream_apply_changes_published(
+        stream2,
+        root,
+        key="k",
+        seq_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        keep_versions=2,
+    )
+    q2.awaitTermination(120)
+    got2 = {(r["k"], r["v"]) for r in read_published(spark, root).collect()}
+    assert got2 == got

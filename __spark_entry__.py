@@ -4576,6 +4576,38 @@ def q_dedup_incremental(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_pipeline_curate(spark, sf):
+    """END-TO-END training-data curation
+    (pipelines/training_data.py::curate) as ONE driver-verified key:
+    clean (URL strip + whitespace collapse) -> annotate (lang-id,
+    quality, token count) -> gate (quality >= 0.5, n_tokens >= 10) ->
+    exact dedup (keep lowest id per token-set fingerprint) -> MinHash-
+    LSH near dedup (drop id_b of every exact-Jaccard>=0.8 pair) ->
+    deterministic 90/5/5 md5-bucket split.  Every stage already has a
+    standalone hash-checked key (q_text_quality / q_text_langid /
+    q_dedup_exact / q_dedup_near / q_split_train_test); this key proves
+    the COMPOSITION — the single lineage the individual operators exist
+    for — against a DuckDB replica of the whole pipeline.  The oracle
+    brute-forces the near-dup stage (O(survivors^2), sf0.01-only cost);
+    hash equality therefore also re-proves LSH recall=1.0 on the gate
+    corpus (planted near-dups sit at J~0.95, where the 32-hash/8-band
+    miss probability is ~1e-6, same argument as q_dedup_near).  The
+    exact-dedup stage groups on xxhash64(sorted distinct tokens) in
+    Spark and on the sorted-distinct-token STRING in DuckDB — the
+    fingerprint value never escapes the pipeline, so the oracle needs
+    only group equality, not hash equality."""
+    from spectrify_spark.pipelines.training_data import curate
+
+    d = _t(spark, sf, "documents")
+    return curate(
+        d,
+        min_quality=0.5,
+        min_tokens=10,
+        near_dup_threshold=0.8,
+        split_weights=(90, 5, 5),
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -4608,7 +4640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_publish_bloom — the version-level bloom-rollup point lookup —
     q_knn_join_ivfpq / q_knn_join_ivfsq — the batched knn joins
     against the materialized IVF indexes — and q_stream_publish, the
-    versioned-publish CDC commit); slots 8-15 =
+    versioned-publish CDC commit — plus, added mid-round,
+    q_pipeline_curate: the end-to-end curation pipeline composition,
+    slot 8, displacing q_table_diff past the window); slots 9-16 =
     rule-(1) changed-code keys (q_scan_bloom + q_scan_skipping via the
     bloom probe-key canonicalization / unbounded-range rejection /
     probe-cache fixes in layout.py; q_publish_versions via the
@@ -4616,25 +4650,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_graph_components + q_graph_lpa via the plan-local repartition
     and the opt-in degree guard; q_sim_ivfpq_rerank + q_sim_ivfpq +
     q_embed_sq via the shared _probe_cells/_exact_l2_rerank/SQ-fold
-    refactor in quantization.py); slots 16-36 = the 21 remaining
+    refactor in quantization.py); slots 17-37 = the 21 remaining
     r9-green keys in their r9 window order (q_window_rank ...
-    q_agg_sketch_hll); slots 37-50 = the 14 oldest r10-green keys
-    (q_multimodal_real ... q_table_diff).
+    q_agg_sketch_hll); slots 38-50 = the 13 oldest r10-green keys
+    (q_multimodal_real ... q_sample_weighted).
 
     Past the window, least-recently-driver-verified first (the r14
-    head): the 36 remaining r10-greens (q_corpus_drift ...
+    head): the 37 remaining r10-greens (q_table_diff, q_corpus_drift ...
     q_json_extract), the 48 remaining r11-greens
     (q_graph_pagerank_dangling ... q_asof_tolerance, minus the two
     pulled forward), then the 44 remaining r12-greens (freshest rows;
     q_multimodal_arrow leads as the only r12 slots-1-7 key not
-    re-entering).  r14 plan per the rotation rules: slots 1-32 = the
+    re-entering).  r14 plan per the rotation rules: slots 1-37 = the
     remaining r10-greens, the rest = the oldest r11-greens, with
     rule-(1)/(2) insertions ahead of them for any r13/r14-born or
     changed-code keys (each new key must pass the vanilla sf0.01 gate
     at birth; new keys never displace overdue ones).
     """
     return {
-        # -- r13 window, slots 1-7: r13-born keys (rule 2)
+        # -- r13 window, slots 1-8: r13-born keys (rule 2)
         "q_knn_join_sq": q_knn_join_sq,
         "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
         "q_publish_pruned": q_publish_pruned,
@@ -4642,7 +4676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_join_ivfpq": q_knn_join_ivfpq,
         "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_stream_publish": q_stream_publish,
-        # -- r13 window, slots 8-15: rule-(1) changed-code keys
+        "q_pipeline_curate": q_pipeline_curate,
+        # -- r13 window, slots 9-16: rule-(1) changed-code keys
         "q_scan_bloom": q_scan_bloom,
         "q_scan_skipping": q_scan_skipping,
         "q_publish_versions": q_publish_versions,
@@ -4651,7 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "q_sim_ivfpq": q_sim_ivfpq,
         "q_embed_sq": q_embed_sq,
-        # -- r13 window, slots 16-36: the 21 remaining r9-green keys
+        # -- r13 window, slots 17-37: the 21 remaining r9-green keys
         "q_window_rank": q_window_rank,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
@@ -4673,7 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
-        # -- r13 window, slots 37-50: the 14 oldest r10-green keys
+        # -- r13 window, slots 38-50: the 13 oldest r10-green keys
         "q_multimodal_real": q_multimodal_real,
         "q_sketch_cm": q_sketch_cm,
         "q_graph_triangles": q_graph_triangles,
@@ -4687,8 +4722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_weighted": q_sample_weighted,
         "q_stream_window": q_stream_window,
         "q_text_bm25": q_text_bm25,
+        # -- past the window: the 37 remaining r10-greens (r14 head)
         "q_table_diff": q_table_diff,
-        # -- past the window: the 36 remaining r10-greens (r14 head)
         "q_corpus_drift": q_corpus_drift,
         "q_zscore_robust": q_zscore_robust,
         "q_text_pii": q_text_pii,
@@ -5878,6 +5913,99 @@ def oracle_sql() -> dict[str, str]:
         # construction, so they share one oracle
         "q_stream_cdc": _SQL_MERGED_ORDERS,
         "q_stream_publish": _SQL_MERGED_ORDERS,
+        # Full DuckDB replica of pipelines/training_data.py::curate —
+        # clean -> annotate -> gate -> exact dedup -> brute-force near
+        # dedup (ground truth for the Spark side's LSH) -> md5 split.
+        # Stage logic mirrors the standalone q_text_quality /
+        # q_text_langid / q_dedup_near / q_split_train_test oracles,
+        # re-rooted on the CLEANED text.
+        "q_pipeline_curate": f"""
+            WITH docs_clean AS (
+              SELECT doc_id AS id,
+                     trim(regexp_replace(regexp_replace(
+                       text, 'https?://\\S+', ' ', 'g'), '\\s+', ' ', 'g'))
+                       AS text
+              FROM documents),
+            lt AS (
+              SELECT id, text, {_SQL_LTOKS} AS ltoks,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM docs_clean),
+            hits AS (
+              SELECT id, text, ltoks, toks,
+                     {_SQL_LANG_HITS['en']} AS h_en,
+                     {_SQL_LANG_HITS['de']} AS h_de,
+                     {_SQL_LANG_HITS['es']} AS h_es,
+                     {_SQL_LANG_HITS['fr']} AS h_fr
+              FROM lt),
+            m AS (
+              SELECT id, text, ltoks, toks, h_en, h_de, h_es, h_fr,
+                     len(toks) AS n_tok,
+                     CASE WHEN len(ltoks) > 0
+                          THEN CAST(len(list_filter(ltoks,
+                                 x -> x IN ({_SQL_STOPWORDS}))) AS DOUBLE)
+                               / len(ltoks)
+                          ELSE 0.0 END AS sw,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(
+                                 text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                               / length(text)
+                          ELSE 1.0 END AS pr,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks,
+                                 x -> length(x))) AS DOUBLE) / len(toks)
+                          ELSE 0.0 END AS mwl
+              FROM hits),
+            ann AS (
+              SELECT id, text AS text_clean, ltoks,
+                     {_SQL_LANG_CASE} AS lang,
+                     ROUND(((CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN sw >= 0.01 AND sw <= 0.6
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                                  THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
+                       AS quality,
+                     CAST(n_tok AS BIGINT) AS n_tokens
+              FROM m),
+            gated AS (
+              SELECT * FROM ann
+              WHERE quality >= 0.5 AND n_tokens >= 10),
+            exact AS (
+              SELECT id, text_clean, ltoks, lang, quality, n_tokens
+              FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY array_to_string(
+                      list_sort(list_distinct(ltoks)), ' ')
+                    ORDER BY id) AS rn
+                FROM gated)
+              WHERE rn = 1),
+            sh AS (
+              SELECT id,
+                     CASE WHEN len(ltoks) >= 3
+                          THEN list_distinct(list_transform(
+                                 range(1, len(ltoks) - 1),
+                                 i -> ltoks[i] || ' ' || ltoks[i+1]
+                                      || ' ' || ltoks[i+2]))
+                          ELSE [array_to_string(ltoks, ' ')] END AS sh
+              FROM exact),
+            victims AS (
+              SELECT DISTINCT b.id AS id
+              FROM sh a JOIN sh b ON a.id < b.id
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+            SELECT id, text_clean, lang, quality, n_tokens,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT id, text_clean, lang, quality, n_tokens,
+                     CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % 100 AS b
+              FROM exact
+              WHERE id NOT IN (SELECT id FROM victims))
+        """,
         # streaming drain twin: MUST equal the batch window agg exactly
         "q_stream_window": """
             SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,

@@ -4608,6 +4608,42 @@ def q_pipeline_curate(spark, sf):
     )
 
 
+def q_stream_curate(spark, sf):
+    """Streaming ingest curation — the TENTH streaming/batch twin:
+    documents land as parquet files, a file-source stream reads them,
+    and the curation pipeline's stateless head (clean -> lang-id ->
+    quality -> token count -> gate -> deterministic split) runs
+    per-micro-batch via the SAME annotate_gate projection the batch
+    pipeline uses (streaming/curation.py::stream_curate).  STATELESS
+    by design: no watermark, no state store — the scale property
+    pinned by tests/test_streaming_plans.py is their ABSENCE (gate at
+    the ingest edge = dropped rows never pay downstream shuffle/state
+    cost; the stateful dedup stages have their own twins,
+    q_stream_dedup / q_stream_cdc).  Drained output must hash-match
+    the batch SQL replica of the same stages exactly."""
+    import tempfile
+    import uuid
+
+    from spectrify_spark.streaming.curation import stream_curate
+
+    name = f"q_stream_curate_{uuid.uuid4().hex[:8]}"
+    d = _t(spark, sf, "documents")
+    work = tempfile.mkdtemp(prefix="q_stream_curate_")
+    d.select("doc_id", "text").write.mode("overwrite").parquet(f"{work}/docs")
+    src_stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{work}/docs")
+    )
+    curated = stream_curate(
+        src_stream,
+        min_quality=0.5,
+        min_tokens=10,
+        split_weights=(90, 5, 5),
+    )
+    return _drain_scoped(spark, curated, name, "append")
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -4641,8 +4677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_knn_join_ivfpq / q_knn_join_ivfsq — the batched knn joins
     against the materialized IVF indexes — and q_stream_publish, the
     versioned-publish CDC commit — plus, added mid-round,
-    q_pipeline_curate: the end-to-end curation pipeline composition,
-    slot 8, displacing q_table_diff past the window); slots 9-16 =
+    q_pipeline_curate, the end-to-end curation pipeline composition
+    (slot 8), and q_stream_curate, its streaming-ingest stateless twin
+    (slot 9), displacing q_table_diff and q_text_bm25 past the
+    window); slots 10-17 =
     rule-(1) changed-code keys (q_scan_bloom + q_scan_skipping via the
     bloom probe-key canonicalization / unbounded-range rejection /
     probe-cache fixes in layout.py; q_publish_versions via the
@@ -4650,18 +4688,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_graph_components + q_graph_lpa via the plan-local repartition
     and the opt-in degree guard; q_sim_ivfpq_rerank + q_sim_ivfpq +
     q_embed_sq via the shared _probe_cells/_exact_l2_rerank/SQ-fold
-    refactor in quantization.py); slots 17-37 = the 21 remaining
+    refactor in quantization.py); slots 18-38 = the 21 remaining
     r9-green keys in their r9 window order (q_window_rank ...
-    q_agg_sketch_hll); slots 38-50 = the 13 oldest r10-green keys
-    (q_multimodal_real ... q_sample_weighted).
+    q_agg_sketch_hll); slots 39-50 = the 12 oldest r10-green keys
+    (q_multimodal_real ... q_stream_window).
 
     Past the window, least-recently-driver-verified first (the r14
-    head): the 37 remaining r10-greens (q_table_diff, q_corpus_drift ...
+    head): the 38 remaining r10-greens (q_text_bm25, q_table_diff,
+    q_corpus_drift ...
     q_json_extract), the 48 remaining r11-greens
     (q_graph_pagerank_dangling ... q_asof_tolerance, minus the two
     pulled forward), then the 44 remaining r12-greens (freshest rows;
     q_multimodal_arrow leads as the only r12 slots-1-7 key not
-    re-entering).  r14 plan per the rotation rules: slots 1-37 = the
+    re-entering).  r14 plan per the rotation rules: slots 1-38 = the
     remaining r10-greens, the rest = the oldest r11-greens, with
     rule-(1)/(2) insertions ahead of them for any r13/r14-born or
     changed-code keys (each new key must pass the vanilla sf0.01 gate
@@ -4677,7 +4716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_stream_publish": q_stream_publish,
         "q_pipeline_curate": q_pipeline_curate,
-        # -- r13 window, slots 9-16: rule-(1) changed-code keys
+        "q_stream_curate": q_stream_curate,
+        # -- r13 window, slots 10-17: rule-(1) changed-code keys
         "q_scan_bloom": q_scan_bloom,
         "q_scan_skipping": q_scan_skipping,
         "q_publish_versions": q_publish_versions,
@@ -4686,7 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
         "q_sim_ivfpq": q_sim_ivfpq,
         "q_embed_sq": q_embed_sq,
-        # -- r13 window, slots 17-37: the 21 remaining r9-green keys
+        # -- r13 window, slots 18-38: the 21 remaining r9-green keys
         "q_window_rank": q_window_rank,
         "q_topk": q_topk,
         "q_set_ops": q_set_ops,
@@ -4708,7 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_ops": q_array_ops,
         "q_text_levenshtein": q_text_levenshtein,
         "q_agg_sketch_hll": q_agg_sketch_hll,
-        # -- r13 window, slots 38-50: the 13 oldest r10-green keys
+        # -- r13 window, slots 39-50: the 12 oldest r10-green keys
         "q_multimodal_real": q_multimodal_real,
         "q_sketch_cm": q_sketch_cm,
         "q_graph_triangles": q_graph_triangles,
@@ -4721,8 +4761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_sample_weighted": q_sample_weighted,
         "q_stream_window": q_stream_window,
+        # -- past the window: the 38 remaining r10-greens (r14 head)
         "q_text_bm25": q_text_bm25,
-        # -- past the window: the 37 remaining r10-greens (r14 head)
         "q_table_diff": q_table_diff,
         "q_corpus_drift": q_corpus_drift,
         "q_zscore_robust": q_zscore_robust,
@@ -4951,6 +4991,68 @@ _SQL_LANG_CTE = f"""
   FROM (SELECT doc_id, lang, text, {_SQL_LTOKS} AS ltoks FROM documents)
 """
 
+
+#: Shared CTE chain of the curation pipeline's STATELESS head: clean
+#: (URL strip + whitespace collapse) -> annotate (lang hits, stopword /
+#: punct / mean-word-length metrics) -> quality score -> gate
+#: (quality >= 0.5, n_tokens >= 10 — the literal params both curation
+#: keys pass).  DuckDB twin of pipelines/training_data.py::
+#: annotate_gate; q_pipeline_curate continues from ``gated`` with the
+#: dedup stages, q_stream_curate splits it directly.
+_SQL_CURATE_GATED = f"""
+            docs_clean AS (
+              SELECT doc_id AS id,
+                     trim(regexp_replace(regexp_replace(
+                       text, 'https?://\\S+', ' ', 'g'), '\\s+', ' ', 'g'))
+                       AS text
+              FROM documents),
+            lt AS (
+              SELECT id, text, {_SQL_LTOKS} AS ltoks,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM docs_clean),
+            hits AS (
+              SELECT id, text, ltoks, toks,
+                     {_SQL_LANG_HITS['en']} AS h_en,
+                     {_SQL_LANG_HITS['de']} AS h_de,
+                     {_SQL_LANG_HITS['es']} AS h_es,
+                     {_SQL_LANG_HITS['fr']} AS h_fr
+              FROM lt),
+            m AS (
+              SELECT id, text, ltoks, toks, h_en, h_de, h_es, h_fr,
+                     len(toks) AS n_tok,
+                     CASE WHEN len(ltoks) > 0
+                          THEN CAST(len(list_filter(ltoks,
+                                 x -> x IN ({_SQL_STOPWORDS}))) AS DOUBLE)
+                               / len(ltoks)
+                          ELSE 0.0 END AS sw,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(
+                                 text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+                               / length(text)
+                          ELSE 1.0 END AS pr,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks,
+                                 x -> length(x))) AS DOUBLE) / len(toks)
+                          ELSE 0.0 END AS mwl
+              FROM hits),
+            ann AS (
+              SELECT id, text AS text_clean, ltoks,
+                     {_SQL_LANG_CASE} AS lang,
+                     ROUND(((CASE WHEN n_tok >= 10 AND n_tok <= 100000
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN sw >= 0.01 AND sw <= 0.6
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                                  THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
+                       AS quality,
+                     CAST(n_tok AS BIGINT) AS n_tokens
+              FROM m),
+            gated AS (
+              SELECT * FROM ann
+              WHERE quality >= 0.5 AND n_tokens >= 10)
+"""
 
 #: Batch MERGE of the deterministic %10 changeset into orders — the
 #: shared oracle of q_merge_upsert (one-shot batch apply) and
@@ -5920,58 +6022,7 @@ def oracle_sql() -> dict[str, str]:
         # q_text_langid / q_dedup_near / q_split_train_test oracles,
         # re-rooted on the CLEANED text.
         "q_pipeline_curate": f"""
-            WITH docs_clean AS (
-              SELECT doc_id AS id,
-                     trim(regexp_replace(regexp_replace(
-                       text, 'https?://\\S+', ' ', 'g'), '\\s+', ' ', 'g'))
-                       AS text
-              FROM documents),
-            lt AS (
-              SELECT id, text, {_SQL_LTOKS} AS ltoks,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
-                                 x -> x <> '') AS toks
-              FROM docs_clean),
-            hits AS (
-              SELECT id, text, ltoks, toks,
-                     {_SQL_LANG_HITS['en']} AS h_en,
-                     {_SQL_LANG_HITS['de']} AS h_de,
-                     {_SQL_LANG_HITS['es']} AS h_es,
-                     {_SQL_LANG_HITS['fr']} AS h_fr
-              FROM lt),
-            m AS (
-              SELECT id, text, ltoks, toks, h_en, h_de, h_es, h_fr,
-                     len(toks) AS n_tok,
-                     CASE WHEN len(ltoks) > 0
-                          THEN CAST(len(list_filter(ltoks,
-                                 x -> x IN ({_SQL_STOPWORDS}))) AS DOUBLE)
-                               / len(ltoks)
-                          ELSE 0.0 END AS sw,
-                     CASE WHEN length(text) > 0
-                          THEN CAST(length(regexp_replace(
-                                 text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-                               / length(text)
-                          ELSE 1.0 END AS pr,
-                     CASE WHEN len(toks) > 0
-                          THEN CAST(list_sum(list_transform(toks,
-                                 x -> length(x))) AS DOUBLE) / len(toks)
-                          ELSE 0.0 END AS mwl
-              FROM hits),
-            ann AS (
-              SELECT id, text AS text_clean, ltoks,
-                     {_SQL_LANG_CASE} AS lang,
-                     ROUND(((CASE WHEN n_tok >= 10 AND n_tok <= 100000
-                                  THEN 1.0 ELSE 0.0 END)
-                          + (CASE WHEN sw >= 0.01 AND sw <= 0.6
-                                  THEN 1.0 ELSE 0.0 END)
-                          + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)
-                          + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
-                                  THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
-                       AS quality,
-                     CAST(n_tok AS BIGINT) AS n_tokens
-              FROM m),
-            gated AS (
-              SELECT * FROM ann
-              WHERE quality >= 0.5 AND n_tokens >= 10),
+            WITH {_SQL_CURATE_GATED},
             exact AS (
               SELECT id, text_clean, ltoks, lang, quality, n_tokens
               FROM (
@@ -6005,6 +6056,23 @@ def oracle_sql() -> dict[str, str]:
                           AS INTEGER) % 100 AS b
               FROM exact
               WHERE id NOT IN (SELECT id FROM victims))
+        """,
+        # Streaming ingest curation — the tenth streaming twin.  The
+        # drained stream must equal the BATCH replica of the pipeline's
+        # stateless head (annotate_gate + split): same fragment as
+        # q_pipeline_curate, no dedup stages (those are stateful and
+        # have their own twins — q_stream_dedup, q_stream_cdc).
+        "q_stream_curate": f"""
+            WITH {_SQL_CURATE_GATED}
+            SELECT id, text_clean, lang, quality, n_tokens,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT id, text_clean, lang, quality, n_tokens,
+                     CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % 100 AS b
+              FROM gated)
         """,
         # streaming drain twin: MUST equal the batch window agg exactly
         "q_stream_window": """

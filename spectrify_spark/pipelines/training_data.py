@@ -28,6 +28,51 @@ from spectrify_spark.functions import text as TX
 from spectrify_spark.operators import dedup as D
 
 
+def annotate_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    min_tokens: int = 5,
+    redact_pii: bool = False,
+) -> DataFrame:
+    """The STATELESS head of the curation pipeline: clean (URL strip +
+    whitespace collapse, optional PII redaction) -> annotate (lang-id,
+    quality score, token count) -> gate.  Returns one row per passing
+    doc: ``(id, text_clean, lang, quality, n_tokens)``.
+
+    Factored out of :func:`curate` because this half is pure per-row
+    Catalyst expressions — no shuffle, no state — so it runs UNCHANGED
+    on a Structured Streaming source (streaming/curation.py::
+    stream_curate): at 100 TB-ingest scale the gate belongs at the
+    edge, where it shrinks the corpus BEFORE the stateful dedup stages
+    pay shuffle/state cost on it.
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), r"https?://\S+", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    if redact_pii:
+        cleaned = TX.pii_redact(cleaned)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("text_clean"),
+    )
+    t = F.col("text_clean")
+    return base.select(
+        "id",
+        "text_clean",
+        TX.lang_id(t).alias("lang"),
+        F.round(TX.quality_score(t), 4).alias("quality"),
+        TX.token_count(t).cast("bigint").alias("n_tokens"),
+    ).filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -71,35 +116,19 @@ def curate(
             F.col(id_col), F.col("text_clean").alias(text_col)
         )
 
-    # 1. clean: strip URLs, collapse whitespace (C4-style, expression-only)
-    cleaned = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.col(text_col), r"https?://\S+", " "),
-            r"\s+",
-            " ",
-        )
-    )
-    if redact_pii:
-        cleaned = TX.pii_redact(cleaned)
-    base = src.select(
-        F.col(id_col).alias("id"),
-        cleaned.alias("text_clean"),
-    )
-
-    # 2. annotate + gate (quality score, language, token count)
-    t = F.col("text_clean")
-    annotated = base.select(
-        "id",
-        "text_clean",
-        TX.lang_id(t).alias("lang"),
-        F.round(TX.quality_score(t), 4).alias("quality"),
-        TX.token_count(t).cast("bigint").alias("n_tokens"),
-    ).filter(
-        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    # 1.-2. clean -> annotate -> gate (the stateless head, shared with
+    # the streaming form — see annotate_gate)
+    annotated = annotate_gate(
+        src,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        redact_pii=redact_pii,
     )
 
     # 3. exact dedup on content fingerprint (keep lowest id per fingerprint)
-    with_fp = annotated.withColumn("__fp", TX.fingerprint(t))
+    with_fp = annotated.withColumn("__fp", TX.fingerprint(F.col("text_clean")))
     exact = D.dedup_exact(
         with_fp, ["__fp"], tie_break=[F.col("id")]
     ).drop("__fp")

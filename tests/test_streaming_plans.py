@@ -71,6 +71,14 @@ GOLDEN = {
     "q_stream_enrich": dict(
         node="BroadcastHashJoin", wm_tag=False, stores=None, stateless=True
     ),
+    # streaming ingest curation (r13): STATELESS by design — the
+    # pipeline's annotate+gate head is pure per-row Catalyst
+    # expressions, so the pinned property is the ABSENCE of state
+    # stores/watermark (gate at the edge: dropped rows never pay
+    # downstream shuffle or state cost); the Filter node is the gate
+    "q_stream_curate": dict(
+        node="Filter", wm_tag=False, stores=None, stateless=True
+    ),
 }
 
 _WM_TAG = re.compile(r"-T\d+ms")

@@ -13,9 +13,15 @@ protocol table formats use under the hood:
   (immutable once the pointer flips — never rewritten, never renamed);
 - a tiny pointer file (``_spectrify_current.json``) is then replaced
   atomically — ``os.replace`` on plain local paths; on schemed
-  storage the pointer is a SINGLE-OBJECT create-overwrite through the
-  Hadoop FileSystem API, which is an atomic PUT on object stores
-  (S3/GCS: readers see the old or the new object, never a mix);
+  storage via temp-object + ``FileContext`` rename-OVERWRITE (atomic
+  on HDFS/local), falling back to a SINGLE-OBJECT create-overwrite on
+  schemes without an ``AbstractFileSystem`` binding, which is an
+  atomic PUT on object stores (S3/GCS: readers see the old or the new
+  object, never a mix);
+- each version carries a commit marker (``_spectrify_committed.json``)
+  written after data+indexes and before the flip, so crashed partial
+  versions are distinguishable from published ones: they never count
+  against the vacuum window and time travel refuses them;
 - readers resolve the pointer first and scan an immutable directory —
   they can never observe a partial write, and a long-running scan of
   version N is undisturbed by the publish of N+1;
@@ -59,6 +65,16 @@ VERSION_STATS = "_spectrify_version_stats.json"
 #: complement of VERSION_STATS: rules a point lookup out of a whole
 #: version from one JSON read
 VERSION_BLOOM = "_spectrify_version_bloom.json"
+
+#: per-version commit marker, written as the LAST step before the
+#: pointer flip.  Its presence distinguishes a version that completed
+#: its publish (data + indexes + rollups all landed) from a crashed
+#: publish's partial directory — version NUMBERS cannot make that
+#: distinction once a later publish allocates past the orphan, and
+#: counting orphans as published would both evict the just-superseded
+#: version from the vacuum window early AND let time travel resolve a
+#: half-written directory.
+COMMITTED = "_spectrify_committed.json"
 
 
 def _local_path(root: str) -> "str | None":
@@ -124,6 +140,34 @@ def current_version(root: str, spark=None) -> int | None:
     return None if payload is None else int(payload["version"])
 
 
+def _mark_committed(spark, root: str, n: int) -> None:
+    """Land the per-version commit marker (the last write before the
+    pointer flip — see :data:`COMMITTED`)."""
+    lp = _local_path(root)
+    if lp is not None:
+        with open(os.path.join(lp, f"v={n}", COMMITTED), "w") as fh:
+            json.dump({"version": n}, fh)
+        return
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+
+    write_json_sidecar(spark, _join(root, f"v={n}"), COMMITTED, {"version": n})
+
+
+def _is_committed(root: str, n: int, spark=None) -> bool:
+    lp = _local_path(root)
+    rel = os.path.join(f"v={n}", COMMITTED)
+    if lp is not None:
+        return os.path.isfile(os.path.join(lp, rel))
+    from spectrify_spark.operators._sidecar import index_fs
+
+    fs, _, jvm = index_fs(_require_spark(spark, root, "read"), root)
+    return bool(
+        fs.exists(
+            jvm.org.apache.hadoop.fs.Path(_join(root, f"v={n}") + "/" + COMMITTED)
+        )
+    )
+
+
 def _pointer_write(spark, root: str, n: int) -> None:
     lp = _local_path(root)
     if lp is not None:
@@ -133,12 +177,15 @@ def _pointer_write(spark, root: str, n: int) -> None:
             json.dump({"version": n}, fh)
         os.replace(tmp, os.path.join(lp, CURRENT_POINTER))
         return
-    # schemed storage: a single-object create-overwrite — the atomic
-    # per-object PUT on S3/GCS (Hadoop rename is not overwrite-capable
-    # portably, and a delete+rename pair would open a no-pointer gap)
-    from spectrify_spark.operators._sidecar import write_json_sidecar
+    # schemed storage: temp object + FileContext rename-OVERWRITE
+    # (atomic on HDFS/local), falling back to the single-object
+    # create-overwrite on schemes with no AbstractFileSystem binding —
+    # the atomic per-object PUT on S3/GCS.  A bare create-overwrite
+    # everywhere would truncate the live pointer in place on
+    # HDFS/local, letting a concurrent reader observe empty JSON.
+    from spectrify_spark.operators._sidecar import replace_json_sidecar
 
-    write_json_sidecar(spark, root, CURRENT_POINTER, {"version": n})
+    replace_json_sidecar(spark, root, CURRENT_POINTER, {"version": n})
 
 
 def _remove_dir(root: str, name: str, spark=None) -> None:
@@ -183,9 +230,12 @@ def publish(
     The write order IS the protocol: (1) the full version directory
     lands (crash here leaves an orphan ``v=N`` the next publish reuses
     numbering past and vacuum removes — readers never saw it); (2) the
-    version's skipping indexes build, if requested; (3) the pointer
-    flips atomically (:func:`_pointer_write`); (4) versions older than
-    the newest ``keep_versions`` PUBLISHED ones are vacuumed.
+    version's skipping indexes build, if requested; (3) the commit
+    marker (:data:`COMMITTED`) lands inside the version dir — from
+    here the directory is complete and may be time-traveled to; (4)
+    the pointer flips atomically (:func:`_pointer_write`); (5)
+    versions older than the newest ``keep_versions`` COMMITTED ones
+    are vacuumed (crashed partials never consume window slots).
 
     ``stats_cols`` / ``bloom_cols`` build the file-skipping indexes
     (``layout.write_file_stats`` / ``write_file_bloom``) INSIDE the
@@ -236,6 +286,22 @@ def publish(
                 "v=N version inside the source corrupts it; publish to "
                 "a sibling path"
             )
+        # ... and a source INSIDE root that is not one of root's own
+        # version dirs: a Hive-partitioned source rooted AT root puts
+        # each file's parent at root/<part>=<val>, which the two checks
+        # above never see — yet publishing would land v=N inside the
+        # source all the same (only root/v=N/... parents are the
+        # legitimate republish-from-own-history case)
+        if d.startswith(root_cmp + "/"):
+            seg = d[len(root_cmp) + 1 :].split("/", 1)[0]
+            if not re.fullmatch(r"v=\d+", seg):
+                raise ValueError(
+                    f"publish: the DataFrame reads from {d!r}, which is "
+                    f"INSIDE the dataset root {root!r} but not one of "
+                    "its published versions — landing a v=N version "
+                    "next to the source would corrupt it; publish to a "
+                    "sibling path"
+                )
     if root_lp is not None:
         os.makedirs(root_lp, exist_ok=True)
     else:
@@ -259,6 +325,7 @@ def publish(
 
         write_file_bloom(spark, vdir, bloom_cols)
         _write_version_bloom_rollup(spark, vdir, bloom_cols)
+    _mark_committed(spark, root, n)
     _pointer_write(spark, root, n)
     vacuum(root, keep_versions=keep_versions, spark=spark)
     return n
@@ -286,6 +353,16 @@ def read_published(spark, root: str, version: int | None = None) -> DataFrame:
             f"read_published: version {v} not found at {root!r} "
             f"(have {_versions(root, spark)}; it may have been vacuumed)"
         )
+    if version is not None and not _is_committed(root, v, spark):
+        # the directory exists but its publish never completed: a
+        # crashed partial must not be readable as a snapshot (the
+        # pointer path never resolves here — a pointed version is
+        # committed by write order)
+        raise FileNotFoundError(
+            f"read_published: version {v} at {root!r} exists but was "
+            "never committed (crashed publish) — it is not a readable "
+            "snapshot and the next vacuum will remove it"
+        )
     return spark.read.parquet(_join(root, f"v={v}"))
 
 
@@ -293,24 +370,38 @@ def vacuum(root: str, keep_versions: int = 2, spark=None) -> list[int]:
     """Remove version directories outside the retention window;
     returns the removed version numbers.
 
-    The window is the newest ``keep_versions`` among versions **<= the
-    current pointer** — i.e. versions a reader could actually have
-    resolved.  Counting orphans from crashed publishes (landed, never
-    pointed, numbered PAST the pointer) against the window would let
-    garbage evict the just-superseded version an in-flight reader may
-    still be scanning; instead those orphans are deleted outright (a
-    crashed publish's directory was never visible to any reader, and
+    The window is the newest ``keep_versions`` among COMMITTED
+    versions <= the current pointer — i.e. versions a reader could
+    actually have resolved.  Crashed-publish partials (no
+    :data:`COMMITTED` marker) never consume window slots: a version
+    number cannot tell an orphan from a published version once a
+    later publish allocates past it, which is exactly how an orphan
+    below the pointer would otherwise evict the just-superseded
+    version an in-flight reader is still scanning.
+
+    Past the pointer: an UNCOMMITTED dir is a crashed-publish partial
+    and is removed outright (it was never visible to any reader, and
     the single-writer contract means no publish is concurrently
-    landing it)."""
+    landing one when vacuum runs); a COMMITTED dir past the pointer
+    is a publish between its marker and its flip — never touched."""
     cur = current_version(root, spark)
     vs = _versions(root, spark)
-    published = [v for v in vs if cur is None or v <= cur]
-    keep = set(published[-keep_versions:]) | ({cur} if cur is not None else set())
+    published = [
+        v
+        for v in vs
+        if cur is not None and v <= cur and _is_committed(root, v, spark)
+    ]
+    keep = set(published[-keep_versions:]) | (
+        {cur} if cur is not None else set()
+    )
     removed = []
     for v in vs:
-        if v not in keep:
-            _remove_dir(root, f"v={v}", spark)
-            removed.append(v)
+        if (cur is None or v > cur) and _is_committed(root, v, spark):
+            continue  # committed, flip imminent: belongs to the writer
+        if v in keep:
+            continue
+        _remove_dir(root, f"v={v}", spark)
+        removed.append(v)
     return removed
 
 
@@ -328,7 +419,15 @@ def _write_version_rollup(spark, vdir: str, cols: list[str]) -> None:
     from spectrify_spark.operators._sidecar import write_json_sidecar
     from spectrify_spark.operators.layout import FILE_STATS_DIR, _read_stats_rows
 
-    rows = _read_stats_rows(spark, f"{vdir}/{FILE_STATS_DIR}") or []
+    rows = _read_stats_rows(spark, f"{vdir}/{FILE_STATS_DIR}")
+    if not rows:
+        # stats unreadable (or the index is empty): write NO rollup
+        # rather than an all-None one — {min: None} reads as "whole
+        # version all-NULL", i.e. PROOF of disjointness, and a
+        # transient read failure here would silently prune the entire
+        # version on every later probe (absence just means readers
+        # fall through to the per-file tier)
+        return
     out_cols: dict = {}
     for c in cols:
         mns = [r[f"min_{c}"] for r in rows if f"min_{c}" in r]
@@ -420,7 +519,9 @@ def _write_version_bloom_rollup(spark, vdir: str, cols: list[str]) -> None:
     from spectrify_spark.operators._sidecar import write_json_sidecar
     from spectrify_spark.operators.layout import FILE_BLOOM_DIR, _read_stats_rows
 
-    rows = _read_stats_rows(spark, f"{vdir}/{FILE_BLOOM_DIR}") or []
+    rows = _read_stats_rows(spark, f"{vdir}/{FILE_BLOOM_DIR}")
+    if not rows:
+        return  # bloom index unreadable/empty: no rollup (see stats twin)
     out: dict = {}
     for c in cols:
         mine = [r for r in rows if r["col"] == c]

@@ -32,6 +32,55 @@ def write_json_sidecar(spark, path: str, filename: str, payload) -> None:
         out.close()
 
 
+def replace_json_sidecar(spark, path: str, filename: str, payload) -> None:
+    """REPLACE ``<path>/<filename>`` with no partially-written window.
+
+    ``fs.create(..., overwrite=True)`` truncates the destination in
+    place on HDFS and on Hadoop's local filesystems — a concurrent
+    reader can observe an empty or partial object between the truncate
+    and the close.  For live pointers (the versioned-publish
+    ``_spectrify_current.json``) that window breaks the old-or-new
+    contract, so this helper writes a dot-prefixed temp object and
+    renames over the destination via ``FileContext`` with
+    ``Options.Rename.OVERWRITE`` — atomic on HDFS and local
+    filesystems.  Schemes with no ``AbstractFileSystem`` binding
+    (S3A/GCS by default) raise ``UnsupportedFileSystemException``
+    inside the try and fall back to the direct create — which IS the
+    atomic single-object PUT there (visible only on close), so both
+    arms end atomic.  Plain sidecars that are only written before a
+    directory becomes visible can keep using
+    :func:`write_json_sidecar`.
+    """
+    import json
+
+    fs, _, jvm = index_fs(spark, path)
+    dst = jvm.org.apache.hadoop.fs.Path(path, filename)
+    data = bytearray(json.dumps(payload, sort_keys=True).encode())
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        tmp = jvm.org.apache.hadoop.fs.Path(path, f".{filename}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+        overwrite = spark._sc._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, dst, overwrite)
+        return
+    except Exception:
+        pass
+    out = fs.create(dst, True)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+
+
 def read_json_sidecar(spark, path: str, filename: str):
     """Load ``<path>/<filename>`` as JSON, or None if absent."""
     import json

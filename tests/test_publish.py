@@ -278,3 +278,77 @@ def test_published_pruned_scan_eq_version_bloom(spark, tmp_path):
     root2 = str(tmp_path / "ds2")
     publish(_df(spark, 100, "c"), root2)
     assert published_pruned_scan_eq(spark, root2, "k", 50).count() == 1
+
+
+def test_vacuum_orphan_below_pointer_never_consumes_window(spark, tmp_path):
+    """Review regression (r13): a crashed publish's partial below the
+    pointer (landed, never committed, numbering passed by a later
+    publish) must not count as 'published' — doing so evicted the
+    just-superseded version from the keep window while RETAINING the
+    partial as a time-travelable 'snapshot'."""
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=2)
+    publish(_df(spark, 20, "b"), root, keep_versions=2)
+    # crash simulation: v=3 landed without a commit marker
+    _df(spark, 99, "crash").write.parquet(os.path.join(root, "v=3"))
+    # the partial is not a readable snapshot even before any vacuum
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        read_published(spark, root, version=3)
+    publish(_df(spark, 30, "c"), root, keep_versions=2)  # v=4, window {3,4}?
+    # the window must be {v2, v4}: the orphan neither survives nor
+    # evicts v2 (the version an in-flight reader may still be scanning)
+    assert sorted(
+        int(d[2:]) for d in os.listdir(root) if d.startswith("v=")
+    ) == [2, 4]
+    assert read_published(spark, root, version=2).count() == 20
+    assert read_published(spark, root).count() == 30
+
+
+def test_vacuum_spares_committed_version_awaiting_flip(spark, tmp_path):
+    """A committed-but-not-yet-pointed version (the window between the
+    marker and the flip) belongs to the in-flight publisher: vacuum
+    must not remove it."""
+    from spectrify_spark.catalog.publish import COMMITTED
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root)
+    # simulate a publish caught between marker and flip
+    _df(spark, 20, "b").write.parquet(os.path.join(root, "v=2"))
+    with open(os.path.join(root, "v=2", COMMITTED), "w") as fh:
+        json.dump({"version": 2}, fh)
+    assert vacuum(root, keep_versions=1) == []
+    assert os.path.isdir(os.path.join(root, "v=2"))
+
+
+def test_publish_rejects_partitioned_source_rooted_at_root(spark, tmp_path):
+    """Review regression (r13): a Hive-partitioned source puts every
+    file's parent at root/<part>=<val>, which the dir==root and
+    root-inside-dir checks both miss — publishing INTO the root of a
+    partitioned source must still be rejected."""
+    src = str(tmp_path / "part_ds")
+    _df(spark, 10, "a").withColumn("p", F.col("k") % 2).write.partitionBy(
+        "p"
+    ).parquet(src)
+    df = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="INSIDE the dataset root"):
+        publish(df, src)
+
+
+def test_version_rollup_not_written_when_stats_missing(spark, tmp_path):
+    """Review regression (r13): an unreadable/empty stats index must
+    produce NO version rollup — an all-None rollup reads as 'whole
+    version all-NULL', i.e. proof of disjointness, silently pruning
+    the entire version on every later range probe."""
+    from spectrify_spark.catalog.publish import (
+        VERSION_STATS,
+        _write_version_rollup,
+        published_pruned_scan,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root)  # no stats_cols: no stats index
+    vdir = os.path.join(root, "v=1")
+    _write_version_rollup(spark, vdir, ["k"])  # stats dir absent
+    assert not os.path.exists(os.path.join(vdir, VERSION_STATS))
+    # probe falls through (no rollup, no per-file index) — full rows
+    assert published_pruned_scan(spark, root, "k", 0, 100).count() == 10

@@ -593,16 +593,48 @@ def _bloom_key_py(value, dtype: str) -> "str | None":
             # hash a different key — skip pruning for those
             return value
         return None
-    if dtype.startswith("timestamp"):
+    if dtype == "timestamp_ntz" or dtype.startswith("timestamp["):
         import datetime
 
-        if not isinstance(value, datetime.datetime) or value.tzinfo is not None:
+        if not isinstance(value, datetime.datetime):
+            return None
+        if dtype.startswith("timestamp["):
+            # session-local timestamp: the BUILD hashed cast(ts as
+            # string) rendered in the BUILD session's timezone, which
+            # write_file_bloom recorded inside the dtype as
+            # 'timestamp[<tz>]'.  The probe, meanwhile, matches rows
+            # at an INSTANT: pyspark converts an aware literal exactly,
+            # and a NAIVE literal through the PYTHON process's OS
+            # timezone (time.mktime — NOT the session timezone).  The
+            # key is provable only when both renderings are pinned:
+            # the build zone must be fixed-offset UTC (named zones
+            # would trust JVM-vs-Python tzdata agreement), and a naive
+            # probe additionally needs the OS timezone to be UTC so
+            # its instant equals its wall clock.  Everything else
+            # skips pruning — the residual filter decides.
+            stored_tz = dtype[len("timestamp[") : -1]
+            if stored_tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                return None
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            elif value.astimezone().utcoffset() != datetime.timedelta(0):
+                return None
+        elif value.tzinfo is not None:
+            # ntz columns store wall-clock text; an aware probe has no
+            # provable wall-clock rendering here
             return None
         base = value.strftime("%Y-%m-%d %H:%M:%S")
         if value.microsecond:
             # Spark trims trailing zeros of the fractional second
             return f"{base}.{f'{value.microsecond:06d}'.rstrip('0')}"
         return base
+    if dtype == "timestamp":
+        # built before the tz annotation existed (or by an external
+        # writer): the build session's timezone is unrecorded, so no
+        # probe rendering is provable — skip pruning, keep the file
+        return None
     if dtype == "":
         # legacy indexes predate the stored dtype column: they hashed
         # plain cast('string'), which str() provably matches only for
@@ -688,6 +720,16 @@ def write_file_bloom(
         *cols,
     )
     dtypes = dict(src.select(*cols).dtypes)
+    # session-local timestamps hash cast(ts as string) rendered in THIS
+    # session's timezone — record it inside the stored dtype
+    # ('timestamp[UTC]') so probes can tell whether their own rendering
+    # is provably the same text (_bloom_key_py); a bare 'timestamp'
+    # row is treated as unprovable forever
+    build_tz = spark.conf.get("spark.sql.session.timeZone")
+    stored = {
+        c: (f"timestamp[{build_tz}]" if dt == "timestamp" else dt)
+        for c, dt in dtypes.items()
+    }
     per_col = []
     for c in cols:
         positions = F.array(
@@ -706,7 +748,7 @@ def write_file_bloom(
             .select(
                 "file",
                 F.lit(c).alias("col"),
-                F.lit(dtypes[c]).alias("dtype"),
+                F.lit(stored[c]).alias("dtype"),
                 F.explode(positions).alias("b"),
             )
         )

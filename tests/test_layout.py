@@ -678,7 +678,13 @@ def test_bloom_key_jvm_python_twins_all_dtypes(spark):
         "db": 50_000_000.0,
         "b": True,
     }
-    dtypes = dict(df.dtypes)
+    # probes see the dtype as the INDEX stores it: session-local
+    # timestamps carry the build session's timezone (timestamp[UTC])
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    dtypes = {
+        c: (f"timestamp[{tz}]" if t == "timestamp" else t)
+        for c, t in df.dtypes
+    }
     for c, probe in probes.items():
         got = _bloom_key_py(probe, dtypes[c])
         assert got == row[c], (c, got, row[c])
@@ -795,6 +801,78 @@ def test_file_bloom_date_and_timestamp_probes(spark, tmp_path):
 
     probe_ts = datetime.datetime(2024, 1, 1, 0, 0, 7)
     assert pruned_scan_eq(spark, path, "ts", probe_ts).count() == 1
+
+
+def test_file_bloom_timestamp_probe_cross_timezone(spark, tmp_path):
+    """Review regression (r13): the build hashes cast(ts as string)
+    rendered in the BUILD session's timezone, while the probe matches
+    rows at an INSTANT (pyspark converts naive literals through the
+    OS timezone, aware ones exactly).  An index built under a non-UTC
+    session therefore stores wall-clock text no probe rendering can
+    reproduce without trusting tzdata — the old code hashed the
+    probe's own text and silently pruned files containing matching
+    rows.  Now: non-UTC-built timestamp blooms never prune (residual
+    filter decides); UTC-built ones prune for naive probes (OS tz is
+    UTC here) and for aware probes regardless."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files_eq,
+        pruned_scan_eq,
+        write_file_bloom,
+    )
+
+    path = str(tmp_path / "tstz")
+    (
+        spark.range(0, 40)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id").cast("double"))
+            ).alias("ts"),
+        )
+        .repartition(4, F.col("k"))
+        .write.parquet(path)
+    )
+    # build the index under a non-UTC session timezone: the stored
+    # keys render instants as New-York wall text
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        write_file_bloom(spark, path, ["ts"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # the row at instant 2024-01-01 00:00:07 UTC is stored under key
+    # '2023-12-31 19:00:07' — hashing the probe's own UTC text would
+    # prune its file; the NY-built index must simply never prune
+    probe = datetime.datetime(2024, 1, 1, 0, 0, 7)
+    keep, total = prune_files_eq(spark, path, "ts", probe)
+    assert len(keep) == total
+    assert pruned_scan_eq(spark, path, "ts", probe).count() == 1
+    aware = datetime.datetime(
+        2024, 1, 1, 0, 0, 7, tzinfo=datetime.timezone.utc
+    )
+    keep, total = prune_files_eq(spark, path, "ts", aware)
+    assert len(keep) == total
+    assert pruned_scan_eq(spark, path, "ts", aware).count() == 1
+
+    # rebuilt under UTC: naive probes prune (OS tz here is UTC) and
+    # aware probes prune after converting to the build rendering
+    write_file_bloom(spark, path, ["ts"])
+    keep, total = prune_files_eq(
+        spark, path, "ts", datetime.datetime(2030, 1, 1)
+    )
+    assert len(keep) < total
+    assert pruned_scan_eq(spark, path, "ts", probe).count() == 1
+    keep, total = prune_files_eq(
+        spark, path, "ts",
+        datetime.datetime(2030, 1, 1, tzinfo=datetime.timezone.utc),
+    )
+    assert len(keep) < total
+    assert pruned_scan_eq(spark, path, "ts", aware).count() == 1
 
 
 def test_prune_files_rejects_unbounded_range(spark, tmp_path):

@@ -367,9 +367,23 @@ def _read_stats_rows(spark, stats_path: str) -> "list[dict] | None":
         cached = _cache_get(stats_path, fp)
         if cached is not None:
             return cached
-        rows = []
+        # group parts by footer schema and collect each GROUP in one
+        # job: per-part reads preserve the absent-vs-NULL distinction
+        # but cost one sequential Spark job per append-built part —
+        # O(#appends) jobs on a cold probe.  Parts sharing a column
+        # set (the overwhelmingly common case: every append indexing
+        # the same cols) read together; schema probing itself is a
+        # driver-side footer read, not a job.
+        by_schema: dict = {}
         for p in parts:
-            rows.extend(r.asDict() for r in spark.read.parquet(p).collect())
+            sch = spark.read.parquet(p).schema
+            by_schema.setdefault(sch.json(), (sch, []))[1].append(p)
+        rows = []
+        for sch, group in by_schema.values():
+            rows.extend(
+                r.asDict()
+                for r in spark.read.schema(sch).parquet(*group).collect()
+            )
         _cache_put(stats_path, fp, rows)
         return rows
     except Exception:

@@ -581,7 +581,11 @@ def _probe_cells(
     """The ``nprobe`` cell ids whose centroids score highest for the
     query by cosine — driver-side over the sidecar model (C rows,
     tiny); the SAME rule ``assign_partitions`` used to place vectors,
-    so a vector is always probed from the cell that holds it."""
+    so a vector is always probed from the cell that holds it.  Ties
+    break by ASCENDING cell id — the same rule as the batched JVM twin
+    (:func:`_query_cells_col`'s struct sort), so the single-query and
+    batched paths probe the same cell set even on duplicate or
+    equidistant centroids."""
     import math
 
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
@@ -593,7 +597,9 @@ def _probe_cells(
 
     return [
         int(cid)
-        for cid, _ in sorted(centroids, key=lambda cv: -cos(cv[1]))[:nprobe]
+        for cid, _ in sorted(
+            centroids, key=lambda cv: (-cos(cv[1]), int(cv[0]))
+        )[:nprobe]
     ]
 
 

@@ -969,3 +969,45 @@ def test_compact_parquet_rebuilds_skipping_indexes(spark, tmp_path):
     assert pruned_scan(spark, dst, "k", 100, 200).count() == 100
     got = pruned_scan_eq(spark, dst, "k", 1500).collect()
     assert [r.k for r in got] == [1500]
+
+
+def test_schemed_stats_read_groups_parts_and_keeps_absent_distinct(
+    spark, tmp_path
+):
+    """Review follow-up (r13): the schemed _read_stats_rows branch ran
+    one sequential Spark job per append-built part — O(#appends) jobs
+    per cold probe.  Parts now group by footer schema (one collect per
+    distinct column set) while preserving the absent-vs-NULL
+    distinction: a column missing from an older part's stats must
+    still read as 'proves nothing' (keep the file), never as all-NULL
+    (prune)."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        _read_stats_rows,
+        FILE_STATS_DIR,
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    path = "file://" + str(tmp_path / "hetero")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4, F.col("k")).write.parquet(path)
+    write_file_stats(spark, path, ["k"])  # part 1: min_k/max_k only
+    spark.range(2000, 2100).select(
+        F.col("id").alias("k"), F.lit(3).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    # part 2 indexes BOTH columns: heterogeneous part schemas
+    assert write_file_stats(spark, path, ["k", "v"], append=True) == 1
+
+    rows = _read_stats_rows(spark, f"{path}/{FILE_STATS_DIR}")
+    assert rows is not None and len(rows) == 5
+    with_v = [r for r in rows if "min_v" in r]
+    assert len(with_v) == 1  # absent stays absent, not NULL-filled
+    # probing v: the four v-less stats rows prove nothing -> kept
+    keep, total = prune_files(spark, path, "v", 100, 200)
+    assert total == 5 and len(keep) == 4
+    # and the scan stays exact
+    assert pruned_scan(spark, path, "k", 2000, 2100).count() == 100

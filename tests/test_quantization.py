@@ -612,3 +612,20 @@ def test_ivfsq_knn_join_full_probe_matches_flat(spark, tmp_path):
         assert best[1] == qid
     with pytest.raises(FileNotFoundError, match="sidecar"):
         Q.ivfsq_knn_join(spark, str(tmp_path / "nope"), qs)
+
+
+def test_probe_cells_tie_break_matches_jvm_twin():
+    """Review regression (r13): the driver-side _probe_cells broke
+    centroid-score ties by the centroid LIST order while the batched
+    JVM twin (_query_cells_col) breaks them by ascending cell id — on
+    duplicate/equidistant centroids the single-query and batched paths
+    probed different cell sets.  Both now tie-break by cell id."""
+    from spectrify_spark.operators.quantization import _probe_cells
+
+    v = [1.0, 0.0]
+    # scrambled list order, identical vectors: pure tie
+    centroids = [(5, v), (2, v), (9, v), (0, v)]
+    assert _probe_cells(centroids, [1.0, 0.0], 3) == [0, 2, 5]
+    # mixed: a strictly-better centroid first, then ties by cid
+    centroids = [(7, [0.0, 1.0]), (5, v), (2, v)]
+    assert _probe_cells(centroids, [1.0, 0.0], 2) == [2, 5]

@@ -99,6 +99,7 @@ STREAMING_KEYS = (
     "q_stream_sketch",
     "q_stream_media",
     "q_stream_enrich",
+    "q_stream_curate",
 )
 
 

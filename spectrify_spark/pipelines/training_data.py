@@ -86,6 +86,7 @@ def curate(
     decontam_min_overlap: int = 3,
     line_dedup: bool = False,
     redact_pii: bool = False,
+    persist_survivors: bool = False,
 ) -> DataFrame:
     """documents -> curated training corpus with split assignment.
 
@@ -107,6 +108,15 @@ def curate(
     line structure; docs whose every line was boilerplate are dropped.
     ``redact_pii=True`` masks emails/SSNs/phones/IPs with typed tokens
     (``text.pii_redact``) inside the same map-side cleaning projection.
+
+    ``persist_survivors=True`` caches the exact-dedup survivors, which
+    feed BOTH the near-dup pair generation and the final anti-join —
+    without it the scan->clean->annotate->gate->window lineage
+    executes twice (two full corpus passes).  Opt-in because caching
+    the whole cleaned corpus trades executor memory/spill for the
+    second pass; the default recompute is usually right when the gate
+    is selective, the cache when it is not.  Callers own the lifetime
+    (unpersist via the returned plan's source when done).
     """
     # 0. optional corpus-global line dedup on the RAW line structure
     src = docs
@@ -132,6 +142,8 @@ def curate(
     exact = D.dedup_exact(
         with_fp, ["__fp"], tie_break=[F.col("id")]
     ).drop("__fp")
+    if persist_survivors:
+        exact = exact.persist()
 
     # 4. near dedup: MinHash-LSH pairs over the survivors, drop higher ids
     pairs = D.near_dup_pairs(

@@ -166,3 +166,13 @@ def test_curate_line_dedup_drops_boilerplate(spark):
     assert "SHARED BOILERPLATE LINE" in out[1].text_clean
     assert "SHARED BOILERPLATE" not in out[2].text_clean
     assert "gamma delta" in out[2].text_clean
+
+
+def test_curate_persist_survivors_identical(spark):
+    """persist_survivors=True caches the exact-dedup survivors (they
+    feed both the near-dup stage and the final anti-join) — results
+    must be byte-identical to the recompute default."""
+    docs = _docs(spark)
+    base = sorted(map(tuple, curate(docs).collect()))
+    cached = curate(docs, persist_survivors=True)
+    assert sorted(map(tuple, cached.collect())) == base

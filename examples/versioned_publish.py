@@ -77,8 +77,19 @@ def main(sf_dir: str, work_dir: str) -> None:
         "(version ruled out by the union bloom)"
     )
 
-    # the grace window: keep only the newest version; v1 ages out,
-    # the pointed version is never removable
+    # crash safety (r13 commit markers): a version dir landed WITHOUT
+    # its commit marker — a publish that died before committing — is
+    # not a readable snapshot, never consumes a vacuum window slot,
+    # and is swept without touching published versions
+    o.limit(5).write.parquet(f"{root}/v={v2 + 1}")
+    try:
+        read_published(spark, root, version=v2 + 1)
+    except FileNotFoundError as e:
+        print(f"crashed partial v{v2 + 1} refused: {str(e)[:60]}...")
+
+    # the grace window: keep only the newest version; v1 ages out and
+    # the crashed partial is swept; the pointed version is never
+    # removable
     removed = vacuum(root, keep_versions=1)
     print(
         f"vacuum(keep=1) removed versions {removed}; "

@@ -80,4 +80,5 @@ def test_versioned_publish_example(spark, sf_dir, tmp_path, capsys):
     assert "published v2; pointer=2" in out
     assert "out-of-domain probe: 0 rows" in out
     assert "absent key: 0 rows" in out
-    assert "vacuum(keep=1) removed versions [1]" in out
+    assert "crashed partial v3 refused" in out
+    assert "vacuum(keep=1) removed versions [1, 3]" in out

@@ -168,6 +168,27 @@ def _is_committed(root: str, n: int, spark=None) -> bool:
     )
 
 
+def _migrate_legacy_markers(root: str, spark=None) -> None:
+    """Grandfather datasets published BEFORE the commit marker existed.
+    New-code publishes always mark before flipping, so a POINTED
+    version without a marker can only mean the dataset predates the
+    protocol — in that case every version <= the pointer was published
+    by legacy code and gets stamped.  One-shot and idempotent (after
+    stamping, the pointed version carries a marker and this is a
+    single exists() check).  Without this, the first post-upgrade
+    vacuum would treat the whole retained history as crashed partials
+    — deleting it — and time travel would refuse the live pointed
+    version.  A legacy crashed partial below the pointer gets stamped
+    too: indistinguishable by construction, and stamping merely
+    preserves the behavior legacy datasets already had."""
+    cur = current_version(root, spark)
+    if cur is None or _is_committed(root, cur, spark):
+        return
+    for v in _versions(root, spark):
+        if v <= cur:
+            _mark_committed(spark, root, v)
+
+
 def _pointer_write(spark, root: str, n: int) -> None:
     lp = _local_path(root)
     if lp is not None:
@@ -309,6 +330,19 @@ def publish(
 
         fs, hpath, _ = index_fs(spark, root)
         fs.mkdirs(hpath)
+    _migrate_legacy_markers(root, spark)
+    # single-writer cleanup: any version dir numbered PAST the pointer
+    # at publish start is a crashed publish's leftover — we are the
+    # only publish in flight and the pointer never named those dirs.
+    # The COMMITTED-but-unflipped leftover (died between marker and
+    # flip) is the dangerous one: once this publish advances the
+    # pointer past it, vacuum could no longer tell it from a published
+    # version — it would consume a retention slot and evict the
+    # genuinely just-superseded version.
+    cur0 = current_version(root, spark)
+    for v in _versions(root, spark):
+        if cur0 is None or v > cur0:
+            _remove_dir(root, f"v={v}", spark)
     n = max(_versions(root, spark), default=0) + 1
     vdir = _join(root, f"v={n}")
     writer = df.write.mode("overwrite")
@@ -353,6 +387,8 @@ def read_published(spark, root: str, version: int | None = None) -> DataFrame:
             f"read_published: version {v} not found at {root!r} "
             f"(have {_versions(root, spark)}; it may have been vacuumed)"
         )
+    if version is not None:
+        _migrate_legacy_markers(root, spark)
     if version is not None and not _is_committed(root, v, spark):
         # the directory exists but its publish never completed: a
         # crashed partial must not be readable as a snapshot (the
@@ -383,7 +419,12 @@ def vacuum(root: str, keep_versions: int = 2, spark=None) -> list[int]:
     and is removed outright (it was never visible to any reader, and
     the single-writer contract means no publish is concurrently
     landing one when vacuum runs); a COMMITTED dir past the pointer
-    is a publish between its marker and its flip — never touched."""
+    is a publish between its marker and its flip — never touched.
+    (Publish start additionally sweeps ALL above-pointer leftovers
+    under the single-writer guarantee, so a committed-unflipped crash
+    cannot survive into a later pointer regime and masquerade as
+    published.)"""
+    _migrate_legacy_markers(root, spark)
     cur = current_version(root, spark)
     vs = _versions(root, spark)
     published = [

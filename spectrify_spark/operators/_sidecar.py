@@ -32,6 +32,15 @@ def write_json_sidecar(spark, path: str, filename: str, payload) -> None:
         out.close()
 
 
+#: schemes whose FileContext rename-OVERWRITE is a metadata-atomic
+#: in-place swap.  The arm is an ALLOWLIST, not a capability probe:
+#: an object store with an AbstractFileSystem binding configured
+#: (fs.AbstractFileSystem.s3a.impl on several managed distros) would
+#: pass a getFileContext probe yet implement rename as delete+copy —
+#: opening a NO-POINTER window the single-object PUT never had.
+_RENAME_ATOMIC_SCHEMES = frozenset(("file", "hdfs"))
+
+
 def replace_json_sidecar(spark, path: str, filename: str, payload) -> None:
     """REPLACE ``<path>/<filename>`` with no partially-written window.
 
@@ -40,27 +49,30 @@ def replace_json_sidecar(spark, path: str, filename: str, payload) -> None:
     reader can observe an empty or partial object between the truncate
     and the close.  For live pointers (the versioned-publish
     ``_spectrify_current.json``) that window breaks the old-or-new
-    contract, so this helper writes a dot-prefixed temp object and
-    renames over the destination via ``FileContext`` with
-    ``Options.Rename.OVERWRITE`` — atomic on HDFS and local
-    filesystems.  Schemes with no ``AbstractFileSystem`` binding
-    (S3A/GCS by default) raise ``UnsupportedFileSystemException``
-    inside the try and fall back to the direct create — which IS the
-    atomic single-object PUT there (visible only on close), so both
-    arms end atomic.  Plain sidecars that are only written before a
-    directory becomes visible can keep using
-    :func:`write_json_sidecar`.
+    contract, so on the rename-atomic schemes
+    (:data:`_RENAME_ATOMIC_SCHEMES`) this helper writes a dot-prefixed
+    temp object and renames over the destination via ``FileContext``
+    with ``Options.Rename.OVERWRITE``; a rename failure there RAISES
+    (after best-effort temp cleanup) rather than degrading to the
+    truncating create.  Every other scheme takes the single-object
+    create — the atomic visible-on-close PUT on object stores.  Plain
+    sidecars only written before a directory becomes visible can keep
+    using :func:`write_json_sidecar`.
     """
     import json
 
     fs, _, jvm = index_fs(spark, path)
     dst = jvm.org.apache.hadoop.fs.Path(path, filename)
+    scheme = fs.getUri().getScheme() or ""
+    if scheme not in _RENAME_ATOMIC_SCHEMES:
+        write_json_sidecar(spark, path, filename, payload)
+        return
     data = bytearray(json.dumps(payload, sort_keys=True).encode())
+    tmp = jvm.org.apache.hadoop.fs.Path(path, f".{filename}.tmp")
     try:
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             dst.toUri(), spark._jsc.hadoopConfiguration()
         )
-        tmp = jvm.org.apache.hadoop.fs.Path(path, f".{filename}.tmp")
         out = fs.create(tmp, True)
         try:
             out.write(data)
@@ -71,14 +83,12 @@ def replace_json_sidecar(spark, path: str, filename: str, payload) -> None:
         )
         overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, dst, overwrite)
-        return
     except Exception:
-        pass
-    out = fs.create(dst, True)
-    try:
-        out.write(data)
-    finally:
-        out.close()
+        try:
+            fs.delete(tmp, False)
+        except Exception:
+            pass
+        raise
 
 
 def read_json_sidecar(spark, path: str, filename: str):

@@ -114,9 +114,11 @@ def curate(
     without it the scan->clean->annotate->gate->window lineage
     executes twice (two full corpus passes).  Opt-in because caching
     the whole cleaned corpus trades executor memory/spill for the
-    second pass; the default recompute is usually right when the gate
-    is selective, the cache when it is not.  Callers own the lifetime
-    (unpersist via the returned plan's source when done).
+    second pass (measured LOSING on selective-gate corpora —
+    PERF_NOTES r13); the persisted handle is exposed as
+    ``.cached_survivors`` on the returned DataFrame so callers can
+    ``result.cached_survivors.unpersist()`` when done — without it the
+    cache would be unreleasable short of ``spark.catalog.clearCache``.
     """
     # 0. optional corpus-global line dedup on the RAW line structure
     src = docs
@@ -175,7 +177,7 @@ def curate(
     # 5. deterministic split (engine-portable md5 bucket)
     n_train, n_valid, _ = split_weights
     bucket = TX.hash_bucket(F.col("id"), sum(split_weights))
-    return deduped.select(
+    result = deduped.select(
         "id",
         "text_clean",
         "lang",
@@ -186,6 +188,10 @@ def curate(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+    if persist_survivors:
+        # hand the cache's lifetime to the caller (see docstring)
+        result.cached_survivors = exact
+    return result
 
 
 def curate_chunks(

@@ -74,20 +74,22 @@ def test_vacuum_keeps_window_and_never_current(spark, tmp_path):
 
 def test_crash_orphan_is_invisible_and_ages_out(spark, tmp_path):
     """A version dir landed by a crashed publish (pointer never
-    flipped) is invisible to readers and numbering continues past it;
-    vacuum eventually removes it."""
+    flipped) is invisible to readers; the next publish sweeps it at
+    start (single-writer: no other publish can be landing it) and
+    reuses its number — the dir was never reader-visible, so the
+    number was never meaningful."""
     root = str(tmp_path / "ds")
     publish(_df(spark, 5, "a"), root)
     # simulate a crash: v=2 landed, pointer still at 1
     _df(spark, 99, "crash").write.parquet(os.path.join(root, "v=2"))
     assert current_version(root) == 1
     assert read_published(spark, root).count() == 5
-    # next publish numbers PAST the orphan and flips to it
+    # next publish sweeps the orphan and takes its slot
     v = publish(_df(spark, 7, "c"), root, keep_versions=1)
-    assert v == 3 and read_published(spark, root).count() == 7
+    assert v == 2 and read_published(spark, root).count() == 7
     assert sorted(
         int(d[2:]) for d in os.listdir(root) if d.startswith("v=")
-    ) == [3]
+    ) == [2]
 
 
 def test_partitioned_publish_and_validation(spark, tmp_path):
@@ -294,12 +296,14 @@ def test_vacuum_orphan_below_pointer_never_consumes_window(spark, tmp_path):
     # the partial is not a readable snapshot even before any vacuum
     with pytest.raises(FileNotFoundError, match="never committed"):
         read_published(spark, root, version=3)
-    publish(_df(spark, 30, "c"), root, keep_versions=2)  # v=4, window {3,4}?
-    # the window must be {v2, v4}: the orphan neither survives nor
-    # evicts v2 (the version an in-flight reader may still be scanning)
+    v = publish(_df(spark, 30, "c"), root, keep_versions=2)
+    # publish swept the partial at start and took its slot (v=3); the
+    # window must be {v2, v3}: the orphan neither survives nor evicts
+    # v2 (the version an in-flight reader may still be scanning)
+    assert v == 3
     assert sorted(
         int(d[2:]) for d in os.listdir(root) if d.startswith("v=")
-    ) == [2, 4]
+    ) == [2, 3]
     assert read_published(spark, root, version=2).count() == 20
     assert read_published(spark, root).count() == 30
 
@@ -352,3 +356,56 @@ def test_version_rollup_not_written_when_stats_missing(spark, tmp_path):
     assert not os.path.exists(os.path.join(vdir, VERSION_STATS))
     # probe falls through (no rollup, no per-file index) — full rows
     assert published_pruned_scan(spark, root, "k", 0, 100).count() == 10
+
+
+def test_committed_unflipped_crash_never_consumes_window(spark, tmp_path):
+    """Second-review regression (r13): a publish that crashed BETWEEN
+    its commit marker and its pointer flip leaves a committed-but-
+    never-pointed dir.  If a later publish advanced the pointer past
+    it, vacuum could no longer tell it from a published version — it
+    would consume a retention slot and evict the genuinely
+    just-superseded version.  Publish now sweeps all above-pointer
+    leftovers at start (single-writer), so the masquerade can never
+    form."""
+    from spectrify_spark.catalog.publish import COMMITTED
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=2)
+    publish(_df(spark, 20, "b"), root, keep_versions=2)
+    # crash between marker and flip: committed v=3, pointer still at 2
+    _df(spark, 99, "crash").write.parquet(os.path.join(root, "v=3"))
+    with open(os.path.join(root, "v=3", COMMITTED), "w") as fh:
+        json.dump({"version": 3}, fh)
+    v = publish(_df(spark, 30, "c"), root, keep_versions=2)
+    assert v == 3  # the leftover was swept, its number reused
+    # window is {v2, v3}: v2 retained (not evicted by the crash dir),
+    # and the current version holds the NEW data, not the crash's
+    assert read_published(spark, root, version=2).count() == 20
+    assert read_published(spark, root).count() == 30
+
+
+def test_legacy_pre_marker_datasets_grandfathered(spark, tmp_path):
+    """Second-review regression (r13): datasets published before the
+    commit marker existed have no markers at all — treating them as
+    crashed partials would refuse time travel on the LIVE pointed
+    version and let the first post-upgrade vacuum delete the whole
+    retained history.  A pointed-but-unmarked dataset is detected as
+    legacy and its versions <= pointer are stamped in place."""
+    from spectrify_spark.catalog.publish import COMMITTED
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=3)
+    publish(_df(spark, 20, "b"), root, keep_versions=3)
+    # strip the markers: the on-disk layout of a pre-marker dataset
+    for v in (1, 2):
+        os.remove(os.path.join(root, f"v={v}", COMMITTED))
+    # time travel works (migration stamps on first contact)
+    assert read_published(spark, root, version=2).count() == 20
+    assert os.path.isfile(os.path.join(root, "v=1", COMMITTED))
+    # vacuum keeps the legacy window instead of wiping it
+    assert vacuum(root, keep_versions=2) == []
+    assert read_published(spark, root, version=1).count() == 10
+    # and the next publish retains the just-superseded legacy version
+    publish(_df(spark, 30, "c"), root, keep_versions=2)
+    assert read_published(spark, root, version=2).count() == 20
+    assert read_published(spark, root).count() == 30

@@ -339,9 +339,17 @@ def publish(
     # pointer past it, vacuum could no longer tell it from a published
     # version — it would consume a retention slot and evict the
     # genuinely just-superseded version.
+    # ... except a dir the INPUT DataFrame reads from (a caller
+    # salvaging a crashed partial by republishing it): deleting it
+    # here would pull the source out from under the lazy write.  It
+    # is left for the end-of-publish vacuum, which runs after the
+    # write has fully consumed it.
     cur0 = current_version(root, spark)
     for v in _versions(root, spark):
-        if cur0 is None or v > cur0:
+        vcand = f"{root_cmp}/v={v}"
+        if (cur0 is None or v > cur0) and not any(
+            d == vcand or d.startswith(vcand + "/") for d in src_dirs
+        ):
             _remove_dir(root, f"v={v}", spark)
     n = max(_versions(root, spark), default=0) + 1
     vdir = _join(root, f"v={n}")

@@ -409,3 +409,22 @@ def test_legacy_pre_marker_datasets_grandfathered(spark, tmp_path):
     publish(_df(spark, 30, "c"), root, keep_versions=2)
     assert read_published(spark, root, version=2).count() == 20
     assert read_published(spark, root).count() == 30
+
+
+def test_publish_salvaging_a_crashed_partial_keeps_its_source(spark, tmp_path):
+    """The publish-start sweep of above-pointer leftovers must SKIP a
+    dir the input DataFrame reads from — a caller salvaging a crashed
+    partial by republishing it would otherwise have the source deleted
+    out from under the lazy write."""
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root)
+    # crashed partial above the pointer
+    _df(spark, 7, "crash").write.parquet(os.path.join(root, "v=2"))
+    salvaged = spark.read.parquet(os.path.join(root, "v=2"))
+    v = publish(salvaged, root, keep_versions=1)
+    # the salvage succeeded: the new current version carries the
+    # partial's rows, and the partial itself aged out via end-vacuum
+    assert read_published(spark, root).count() == 7
+    assert sorted(
+        int(d[2:]) for d in os.listdir(root) if d.startswith("v=")
+    ) == [v]

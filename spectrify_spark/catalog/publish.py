@@ -249,8 +249,8 @@ def publish(
     flip the pointer atomically; returns the new version number.
 
     The write order IS the protocol: (1) the full version directory
-    lands (crash here leaves an orphan ``v=N`` the next publish reuses
-    numbering past and vacuum removes — readers never saw it); (2) the
+    lands (crash here leaves an orphan ``v=N`` the next publish sweeps
+    at start and whose number it reuses — readers never saw it); (2) the
     version's skipping indexes build, if requested; (3) the commit
     marker (:data:`COMMITTED`) lands inside the version dir — from
     here the directory is complete and may be time-traveled to; (4)

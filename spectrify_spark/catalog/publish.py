@@ -12,11 +12,11 @@ protocol table formats use under the hood:
 - every publish lands a COMPLETE new version directory ``v=N``
   (immutable once the pointer flips — never rewritten, never renamed);
 - a tiny pointer file (``_spectrify_current.json``) is then replaced
-  atomically — ``os.replace`` on plain local paths; on schemed
-  storage via temp-object + ``FileContext`` rename-OVERWRITE (atomic
-  on HDFS/local), falling back to a SINGLE-OBJECT create-overwrite on
-  schemes without an ``AbstractFileSystem`` binding, which is an
-  atomic PUT on object stores (S3/GCS: readers see the old or the new
+  atomically — ``os.replace`` on local paths (plain AND ``file:``
+  URIs); temp-object + ``FileContext`` rename-OVERWRITE on HDFS (the
+  one scheme whose rename is a server-side atomic swap); a
+  SINGLE-OBJECT create-overwrite everywhere else, which is an atomic
+  PUT on object stores (S3/GCS: readers see the old or the new
   object, never a mix);
 - each version carries a commit marker (``_spectrify_committed.json``)
   written after data+indexes and before the flip, so crashed partial
@@ -198,12 +198,12 @@ def _pointer_write(spark, root: str, n: int) -> None:
             json.dump({"version": n}, fh)
         os.replace(tmp, os.path.join(lp, CURRENT_POINTER))
         return
-    # schemed storage: temp object + FileContext rename-OVERWRITE
-    # (atomic on HDFS/local), falling back to the single-object
-    # create-overwrite on schemes with no AbstractFileSystem binding —
-    # the atomic per-object PUT on S3/GCS.  A bare create-overwrite
-    # everywhere would truncate the live pointer in place on
-    # HDFS/local, letting a concurrent reader observe empty JSON.
+    # schemed storage: os.replace for file: URIs, temp object +
+    # FileContext rename-OVERWRITE on HDFS, single-object
+    # create-overwrite (atomic PUT) everywhere else — see
+    # _sidecar.replace_json_sidecar for why each scheme gets its arm
+    # (a bare create-overwrite would truncate the live pointer in
+    # place on HDFS/local, letting readers observe empty JSON).
     from spectrify_spark.operators._sidecar import replace_json_sidecar
 
     replace_json_sidecar(spark, root, CURRENT_POINTER, {"version": n})

@@ -33,12 +33,17 @@ def write_json_sidecar(spark, path: str, filename: str, payload) -> None:
 
 
 #: schemes whose FileContext rename-OVERWRITE is a metadata-atomic
-#: in-place swap.  The arm is an ALLOWLIST, not a capability probe:
-#: an object store with an AbstractFileSystem binding configured
-#: (fs.AbstractFileSystem.s3a.impl on several managed distros) would
-#: pass a getFileContext probe yet implement rename as delete+copy —
-#: opening a NO-POINTER window the single-object PUT never had.
-_RENAME_ATOMIC_SCHEMES = frozenset(("file", "hdfs"))
+#: in-place swap: ONLY Hdfs overrides AbstractFileSystem.renameInternal
+#: with a server-side atomic rename.  The arm is an ALLOWLIST, not a
+#: capability probe, twice over: an object store with an
+#: AbstractFileSystem binding configured (fs.AbstractFileSystem.s3a.impl
+#: on several managed distros) would pass a getFileContext probe yet
+#: implement rename as delete+copy, and even Hadoop's own LocalFs
+#: inherits the DEFAULT renameInternal — delete dst, then rename —
+#: which a concurrent-reader hammer test catches as a vanished pointer
+#: (plus the checksum sidecar making it multi-file).  ``file:`` is
+#: therefore handled by a plain POSIX ``os.replace`` instead.
+_RENAME_ATOMIC_SCHEMES = frozenset(("hdfs",))
 
 
 def replace_json_sidecar(spark, path: str, filename: str, payload) -> None:
@@ -61,9 +66,32 @@ def replace_json_sidecar(spark, path: str, filename: str, payload) -> None:
     """
     import json
 
+    import os
+
     fs, _, jvm = index_fs(spark, path)
     dst = jvm.org.apache.hadoop.fs.Path(path, filename)
     scheme = fs.getUri().getScheme() or ""
+    if scheme == "file":
+        # POSIX rename-over on the underlying local path — the only
+        # truly atomic swap here (Hadoop LocalFs's FileContext rename
+        # is delete-then-rename).  Any stale Hadoop checksum sidecar
+        # from an earlier fs.create-based write must go first, or
+        # checksummed readers would verify new bytes against the old
+        # crc; removal is safe mid-sequence (a reader sees either the
+        # old pair or a plain un-checksummed file).
+        local = dst.toUri().getPath()
+        crc = os.path.join(
+            os.path.dirname(local), "." + os.path.basename(local) + ".crc"
+        )
+        tmp_local = os.path.join(
+            os.path.dirname(local), "." + os.path.basename(local) + ".tmp"
+        )
+        with open(tmp_local, "w") as fh:
+            json.dump(payload, fh, sort_keys=True)
+        if os.path.exists(crc):
+            os.remove(crc)
+        os.replace(tmp_local, local)
+        return
     if scheme not in _RENAME_ATOMIC_SCHEMES:
         write_json_sidecar(spark, path, filename, payload)
         return

@@ -428,3 +428,47 @@ def test_publish_salvaging_a_crashed_partial_keeps_its_source(spark, tmp_path):
     assert sorted(
         int(d[2:]) for d in os.listdir(root) if d.startswith("v=")
     ) == [v]
+
+
+def test_pointer_flip_never_observably_partial(spark, tmp_path):
+    """The atomicity claim, hammered: flip the pointer hundreds of
+    times on a file: root (the FileContext rename-OVERWRITE arm) while
+    a reader polls current_version concurrently — every read must see
+    a valid old-or-new version number, never a missing pointer or
+    partial JSON (the truncate-in-place windows fs.create would open)."""
+    import threading
+
+    from spectrify_spark.catalog.publish import _pointer_write
+
+    root = "file://" + str(tmp_path / "flip")
+    os.makedirs(str(tmp_path / "flip"), exist_ok=True)
+    _pointer_write(spark, root, 1)
+
+    seen: list = []
+    errors: list = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                v = current_version(root, spark)
+                if v is None:
+                    errors.append("pointer vanished")
+                else:
+                    seen.append(v)
+            except Exception as e:  # partial JSON would land here
+                errors.append(repr(e))
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for n in range(2, 300):
+            _pointer_write(spark, root, n)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[:3]
+    assert seen and all(1 <= v <= 299 for v in seen)
+    # monotone non-decreasing: a reader never sees an OLDER pointer
+    # than one it already observed (single rename-over, no window)
+    assert all(a <= b for a, b in zip(seen, seen[1:]))

@@ -673,10 +673,12 @@ def write_index_params(spark, path: str, params: dict) -> None:
     dir, so later probes can default/validate against what the index
     was ACTUALLY built with instead of trusting the caller to repeat
     the same flags (a mismatched ``n_buckets`` silently prunes the
-    wrong partitions)."""
-    from spectrify_spark.operators._sidecar import write_json_sidecar
+    wrong partitions).  Atomic replace, not truncating create: appends
+    re-stamp the sidecar on a LIVE index dir, and a concurrent probe
+    must never read a partially-written params file."""
+    from spectrify_spark.operators._sidecar import replace_json_sidecar
 
-    write_json_sidecar(spark, path, _PARAMS_FILE, params)
+    replace_json_sidecar(spark, path, _PARAMS_FILE, params)
 
 
 def read_index_params(spark, path: str) -> dict | None:

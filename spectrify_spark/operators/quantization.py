@@ -441,7 +441,7 @@ def write_ivfpq_index(
     Cell assignment is by cosine, ADC ranking by squared L2 — the two
     agree for L2-normalized embeddings; see the metric contract in
     :func:`ivfpq_topk` (normalize at ingest, or re-rank)."""
-    from spectrify_spark.operators._sidecar import write_json_sidecar
+    from spectrify_spark.operators._sidecar import replace_json_sidecar
     from spectrify_spark.operators.similarity import assign_partitions
 
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
@@ -453,7 +453,9 @@ def write_ivfpq_index(
         .partitionBy(cell_col)
         .parquet(path)
     )
-    write_json_sidecar(
+    # atomic replace: a rebuild targets a LIVE index dir — a concurrent
+    # probe must never read a partially-written model sidecar
+    replace_json_sidecar(
         df.sparkSession,
         path,
         _IVFPQ_SIDECAR,
@@ -853,7 +855,7 @@ def write_ivfsq_index(
     bytes drop by ~C/nprobe x ~4x.  The model (centroids + per-dim
     min/max) persists in a JSON sidecar, making probes
     self-contained."""
-    from spectrify_spark.operators._sidecar import write_json_sidecar
+    from spectrify_spark.operators._sidecar import replace_json_sidecar
     from spectrify_spark.operators.similarity import assign_partitions
 
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
@@ -865,7 +867,9 @@ def write_ivfsq_index(
         .partitionBy(cell_col)
         .parquet(path)
     )
-    write_json_sidecar(
+    # atomic replace: a rebuild targets a LIVE index dir — a concurrent
+    # probe must never read a partially-written model sidecar
+    replace_json_sidecar(
         df.sparkSession,
         path,
         _IVFSQ_SIDECAR,

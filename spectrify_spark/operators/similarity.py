@@ -401,9 +401,11 @@ def write_ivf_index(
             )
     assigned = assign_partitions(df, centroids, vec_col, cell_col)
     assigned.write.mode(mode).partitionBy(cell_col).parquet(path)
-    from spectrify_spark.operators._sidecar import write_json_sidecar
+    # atomic replace: append mode re-stamps the sidecar on a LIVE
+    # index dir — a concurrent probe must never read partial JSON
+    from spectrify_spark.operators._sidecar import replace_json_sidecar
 
-    write_json_sidecar(spark, path, _IVF_SIDECAR, payload)
+    replace_json_sidecar(spark, path, _IVF_SIDECAR, payload)
 
 
 def _read_ivf_sidecar(spark, path: str):

@@ -180,13 +180,40 @@ def _migrate_legacy_markers(root: str, spark=None) -> None:
     — deleting it — and time travel would refuse the live pointed
     version.  A legacy crashed partial below the pointer gets stamped
     too: indistinguishable by construction, and stamping merely
-    preserves the behavior legacy datasets already had."""
+    preserves the behavior legacy datasets already had.
+
+    WRITER PATHS ONLY (publish / vacuum): stamping from a read would
+    make a pure read mutate the dataset — on read-only storage or for
+    a reader without write permission, time travel on a legacy dataset
+    would fail with a WRITE error instead of returning rows.  Read
+    paths use the read-only twin :func:`_is_committed_or_legacy`,
+    which applies the same pointed-but-unmarked rule without
+    writing."""
     cur = current_version(root, spark)
     if cur is None or _is_committed(root, cur, spark):
         return
     for v in _versions(root, spark):
         if v <= cur:
             _mark_committed(spark, root, v)
+
+
+def _is_committed_or_legacy(root: str, n: int, spark=None) -> bool:
+    """READ-ONLY committed check for reader paths: a version counts as
+    committed if it carries the marker, OR if the dataset is a legacy
+    (pre-marker) one — the POINTED version has no marker, which
+    new-code publishes cannot produce — and ``n`` is at or below the
+    pointer (exactly the set :func:`_migrate_legacy_markers` would
+    stamp).  Never writes, so time travel works on read-only storage;
+    the first writer-path operation (publish/vacuum) stamps the
+    markers durably."""
+    if _is_committed(root, n, spark):
+        return True
+    cur = current_version(root, spark)
+    if cur is None or n > cur:
+        return False
+    # pointed-but-unmarked == legacy dataset: every v <= cur was
+    # published by pre-marker code
+    return not _is_committed(root, cur, spark)
 
 
 def _pointer_write(spark, root: str, n: int) -> None:
@@ -395,19 +422,40 @@ def read_published(spark, root: str, version: int | None = None) -> DataFrame:
             f"read_published: version {v} not found at {root!r} "
             f"(have {_versions(root, spark)}; it may have been vacuumed)"
         )
-    if version is not None:
-        _migrate_legacy_markers(root, spark)
-    if version is not None and not _is_committed(root, v, spark):
+    if version is not None and not _is_committed_or_legacy(root, v, spark):
         # the directory exists but its publish never completed: a
         # crashed partial must not be readable as a snapshot (the
         # pointer path never resolves here — a pointed version is
-        # committed by write order)
+        # committed by write order).  The check is READ-ONLY
+        # (_is_committed_or_legacy): time travel on a legacy
+        # pre-marker dataset must not require write permission.
         raise FileNotFoundError(
             f"read_published: version {v} at {root!r} exists but was "
             "never committed (crashed publish) — it is not a readable "
             "snapshot and the next vacuum will remove it"
         )
     return spark.read.parquet(_join(root, f"v={v}"))
+
+
+def _check_time_travel_target(fn: str, root: str, v: int, spark) -> None:
+    """Shared explicit-``version=`` guard of the pruned-scan readers:
+    the directory must exist AND be committed (read-only legacy-aware
+    check) — otherwise time travel through the pruned scans would
+    silently scan a crashed publish's partial directory and return
+    incomplete data, contradicting the module contract that time
+    travel refuses them (the pointer path never resolves to one by
+    write order, so only explicit versions need this)."""
+    if not _dir_exists(root, f"v={v}", spark):
+        raise FileNotFoundError(
+            f"{fn}: version {v} not found at {root!r} "
+            f"(have {_versions(root, spark)}; it may have been vacuumed)"
+        )
+    if not _is_committed_or_legacy(root, v, spark):
+        raise FileNotFoundError(
+            f"{fn}: version {v} at {root!r} exists but was never "
+            "committed (crashed publish) — it is not a readable "
+            "snapshot and the next vacuum will remove it"
+        )
 
 
 def vacuum(root: str, keep_versions: int = 2, spark=None) -> list[int]:
@@ -530,6 +578,8 @@ def published_pruned_scan(
         raise FileNotFoundError(
             f"published_pruned_scan: nothing published at {root!r}"
         )
+    if version is not None:
+        _check_time_travel_target("published_pruned_scan", root, v, spark)
     vdir = _join(root, f"v={v}")
     rollup = read_json_sidecar(spark, vdir, VERSION_STATS)
     if rollup:
@@ -625,6 +675,8 @@ def published_pruned_scan_eq(
         raise FileNotFoundError(
             f"published_pruned_scan_eq: nothing published at {root!r}"
         )
+    if version is not None:
+        _check_time_travel_target("published_pruned_scan_eq", root, v, spark)
     vdir = _join(root, f"v={v}")
     if value is None:
         return spark.read.parquet(vdir).filter(F.lit(False))
@@ -637,6 +689,11 @@ def published_pruned_scan_eq(
             int(s["k_hashes"]),
             dtype=s.get("dtype", ""),
         )
-        if pos is not None and any(p not in set(s["bits"]) for p in pos):
+        # bits materializes ONCE before the membership test: rebuilding
+        # a set of up to m_bits ints per hash position would put an
+        # O(k·m) loop on the very driver-side probe path the rollup
+        # exists to make cheap
+        bits = set(s["bits"])
+        if pos is not None and any(p not in bits for p in pos):
             return spark.read.parquet(vdir).filter(F.lit(False))
     return pruned_scan_eq(spark, vdir, col, value)

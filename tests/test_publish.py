@@ -390,7 +390,9 @@ def test_legacy_pre_marker_datasets_grandfathered(spark, tmp_path):
     crashed partials would refuse time travel on the LIVE pointed
     version and let the first post-upgrade vacuum delete the whole
     retained history.  A pointed-but-unmarked dataset is detected as
-    legacy and its versions <= pointer are stamped in place."""
+    legacy; READS honor it without writing (a pure read must work on
+    read-only storage — r13 ADVICE), and the first WRITER path
+    (vacuum/publish) stamps the markers durably."""
     from spectrify_spark.catalog.publish import COMMITTED
 
     root = str(tmp_path / "ds")
@@ -399,11 +401,15 @@ def test_legacy_pre_marker_datasets_grandfathered(spark, tmp_path):
     # strip the markers: the on-disk layout of a pre-marker dataset
     for v in (1, 2):
         os.remove(os.path.join(root, f"v={v}", COMMITTED))
-    # time travel works (migration stamps on first contact)
+    # time travel works READ-ONLY: no marker appears from a pure read
     assert read_published(spark, root, version=2).count() == 20
-    assert os.path.isfile(os.path.join(root, "v=1", COMMITTED))
-    # vacuum keeps the legacy window instead of wiping it
+    assert read_published(spark, root, version=1).count() == 10
+    assert not os.path.isfile(os.path.join(root, "v=1", COMMITTED))
+    assert not os.path.isfile(os.path.join(root, "v=2", COMMITTED))
+    # vacuum (a writer path) stamps the legacy window instead of
+    # wiping it
     assert vacuum(root, keep_versions=2) == []
+    assert os.path.isfile(os.path.join(root, "v=1", COMMITTED))
     assert read_published(spark, root, version=1).count() == 10
     # and the next publish retains the just-superseded legacy version
     publish(_df(spark, 30, "c"), root, keep_versions=2)
@@ -472,3 +478,57 @@ def test_pointer_flip_never_observably_partial(spark, tmp_path):
     # monotone non-decreasing: a reader never sees an OLDER pointer
     # than one it already observed (single rename-over, no window)
     assert all(a <= b for a, b in zip(seen, seen[1:]))
+
+
+def test_pruned_scan_time_travel_refuses_crashed_partial(spark, tmp_path):
+    """r13 ADVICE medium: published_pruned_scan / published_pruned_scan_eq
+    with an explicit version= must refuse an uncommitted partial
+    version exactly like read_published — otherwise time travel
+    through the pruned-scan APIs silently scans a crashed publish's
+    incomplete directory and returns partial data."""
+    from spectrify_spark.catalog.publish import (
+        published_pruned_scan,
+        published_pruned_scan_eq,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 100, "a"), root, stats_cols=["k"], bloom_cols=["k"])
+    # fabricate a crashed publish: a v=2 directory that landed data but
+    # never reached the commit marker (pointer still names v=1)
+    _df(spark, 7, "crash").write.parquet(os.path.join(root, "v=2"))
+
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        published_pruned_scan(spark, root, "k", 0, 10, version=2)
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        published_pruned_scan_eq(spark, root, "k", 5, version=2)
+    # a vacuumed/absent version is a distinct, equally explicit error
+    with pytest.raises(FileNotFoundError, match="not found"):
+        published_pruned_scan(spark, root, "k", 0, 10, version=9)
+    with pytest.raises(FileNotFoundError, match="not found"):
+        published_pruned_scan_eq(spark, root, "k", 5, version=9)
+    # the committed version stays probe-able through both APIs
+    assert published_pruned_scan(spark, root, "k", 0, 10, version=1).count() == 10
+    assert published_pruned_scan_eq(spark, root, "k", 5, version=1).count() == 1
+    # and the pointer path (version=None) is untouched by the guard
+    assert published_pruned_scan(spark, root, "k", 0, 10).count() == 10
+
+
+def test_pruned_scan_time_travel_on_legacy_dataset_is_read_only(spark, tmp_path):
+    """Legacy (pre-marker) datasets: explicit-version pruned scans must
+    honor the pointed-but-unmarked grandfathering WITHOUT writing
+    markers — a pure read must work on read-only storage."""
+    from spectrify_spark.catalog.publish import (
+        COMMITTED,
+        published_pruned_scan,
+        published_pruned_scan_eq,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 100, "a"), root, stats_cols=["k"], bloom_cols=["k"])
+    publish(_df(spark, 200, "b"), root, stats_cols=["k"], bloom_cols=["k"])
+    for v in (1, 2):
+        os.remove(os.path.join(root, f"v={v}", COMMITTED))
+    assert published_pruned_scan(spark, root, "k", 0, 10, version=1).count() == 10
+    assert published_pruned_scan_eq(spark, root, "k", 5, version=2).count() == 1
+    for v in (1, 2):
+        assert not os.path.isfile(os.path.join(root, f"v={v}", COMMITTED))

@@ -1011,3 +1011,102 @@ def test_schemed_stats_read_groups_parts_and_keeps_absent_distinct(
     assert total == 5 and len(keep) == 4
     # and the scan stays exact
     assert pruned_scan(spark, path, "k", 2000, 2100).count() == 100
+
+
+def test_prune_files_spark_side_matches_driver_path(spark, tmp_path):
+    """r13 VERDICT item 5: above SPARK_PRUNE_FILE_THRESHOLD live files
+    the prune evaluates as a Spark job + anti-join instead of a
+    driver-side stats read.  Forced onto the Spark path, every probe
+    shape must return the IDENTICAL surviving-file set as the driver
+    path: single/conjunction/open ranges, heterogeneous append-built
+    part schemas (absent-vs-NULL preserved), all-NULL columns, and
+    stats-less appended files (kept unconditionally)."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import prune_files, write_file_stats
+
+    path = str(tmp_path / "hetero")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, F.col("k")).sortWithinPartitions("k").write.parquet(
+        path
+    )
+    write_file_stats(spark, path, ["k"])  # part 1: min_k/max_k only
+    # append: one file indexed for BOTH cols, one file with v all-NULL,
+    # and one file never indexed at all
+    spark.range(2000, 2100).select(
+        F.col("id").alias("k"), F.lit(3).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.range(3000, 3100).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    write_file_stats(spark, path, ["k", "v"], append=True)
+    spark.range(4000, 4100).select(
+        F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)  # stats-less
+
+    probes = [
+        dict(ranges={"k": (100, 300)}),
+        dict(ranges={"k": (2000, 2100)}),
+        dict(ranges={"k": (None, 50)}),
+        dict(ranges={"k": (900, None)}),
+        dict(ranges={"v": (0, 5)}),           # all-NULL file prunable
+        dict(ranges={"v": (100, 200)}),       # absent-vs-NULL distinction
+        dict(ranges={"k": (0, 500), "v": (0, 5)}),  # conjunction
+        dict(ranges={"k": (50_000, 60_000)}),  # everything provably out
+    ]
+    for probe in probes:
+        keep_drv, tot_drv = prune_files(spark, path, spark_side=False, **probe)
+        keep_spk, tot_spk = prune_files(spark, path, spark_side=True, **probe)
+        assert tot_drv == tot_spk == 7
+        assert keep_drv == keep_spk, probe
+    # the stats-less file survives every probe on both paths
+    keep_spk, _ = prune_files(
+        spark, path, ranges={"k": (50_000, 60_000)}, spark_side=True
+    )
+    assert len(keep_spk) == 1 and "4000" not in keep_spk[0]
+
+    # a dataset with NO stats index: both paths keep everything
+    bare = str(tmp_path / "bare")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(bare)
+    keep_a, tot_a = prune_files(spark, bare, "k", 0, 5, spark_side=True)
+    keep_b, tot_b = prune_files(spark, bare, "k", 0, 5, spark_side=False)
+    assert keep_a == keep_b and tot_a == tot_b == len(keep_a)
+
+
+def test_read_stats_rows_logs_corruption_at_debug(spark, tmp_path, caplog):
+    """r13 VERDICT nit: the conservative except->None in _read_stats_rows
+    silenced genuine index corruption.  A corrupt/unreachable index
+    still degrades to no-pruning, but now leaves a debug-level
+    breadcrumb on BOTH branches (local pyarrow + schemed JVM); a
+    genuinely ABSENT index stays silent."""
+    import logging
+    import os
+
+    from spectrify_spark.operators.layout import (
+        FILE_STATS_DIR,
+        _read_stats_rows,
+    )
+
+    root = tmp_path / "ds"
+    stats = root / FILE_STATS_DIR
+    os.makedirs(stats)
+    (stats / "part-00000-corrupt.parquet").write_bytes(b"not parquet at all")
+
+    # local branch: corrupt parquet part
+    with caplog.at_level(logging.DEBUG, logger="spectrify_spark.operators.layout"):
+        assert _read_stats_rows(spark, str(stats)) is None
+    assert any("failed to read" in r.message for r in caplog.records)
+
+    # schemed branch: an unresolvable filesystem scheme
+    caplog.clear()
+    with caplog.at_level(logging.DEBUG, logger="spectrify_spark.operators.layout"):
+        assert _read_stats_rows(spark, "bogus-scheme://bucket/stats") is None
+    assert any("failed to read" in r.message for r in caplog.records)
+
+    # absent index: quiet None on both branches
+    caplog.clear()
+    with caplog.at_level(logging.DEBUG, logger="spectrify_spark.operators.layout"):
+        assert _read_stats_rows(spark, str(root / "_nope")) is None
+        assert _read_stats_rows(spark, "file://" + str(root) + "/_nope") is None
+    assert not any("failed to read" in r.message for r in caplog.records)

@@ -78,6 +78,24 @@ def main() -> int:
         f"(x{t_cold / max(t_warm, 1e-9):.1f}) | live listing alone "
         f"{t_list:.1f} ms ({100 * t_list / max(t_warm, 1e-9):.0f}% of warm)"
     )
+
+    # r14: the join-based cold-probe path (prune_files spark_side=True)
+    # — above SPARK_PRUNE_FILE_THRESHOLD live files the disjointness
+    # test runs as a Spark job + anti-join and only surviving NAMES
+    # return to the driver.  Cold each run by construction (it never
+    # touches _STATS_CACHE); the crossover vs the driver-side cold
+    # read is what this prints.
+    def spark_side():
+        L.prune_files(spark, work, "k", lo, hi, spark_side=True)
+
+    keep_s, total_s = L.prune_files(spark, work, "k", lo, hi, spark_side=True)
+    assert (keep_s, total_s) == (keep, total), "spark-side prune diverged"
+    t_spark = med_ms(spark_side)
+    print(
+        f"spark-side prune {t_spark:.1f} ms (driver cold {t_cold:.1f} ms; "
+        f"identical {len(keep_s)}-file surviving set) — driver-side wins "
+        "below the threshold, the join path bounds driver memory above it"
+    )
     return 0
 
 

@@ -4430,6 +4430,39 @@ def q_knn_join_ivfpq(spark, sf):
     return out.orderBy("q_id", "adc_dist", "vec_id")
 
 
+def q_knn_join_shuffle(spark, sf):
+    """Shuffle-arm twin of q_knn_join_ivfpq (r14 — VERDICT r13 item 1):
+    the SAME batched ADC knn against the materialized IVF-PQ index,
+    FORCED onto the non-broadcast arm (broadcast_queries=False) —
+    queries explode to (cell, query) rows and EQUI-join the
+    cell-partitioned codes on the cell key instead of the broadcast
+    array_contains nested loop, so the query batch is no longer bound
+    by the broadcast budget (the one remaining scale bound of the r13
+    similarity stack).  Union-of-cells partition pruning, the
+    per-query top-k window, and the results themselves are
+    arm-invariant (pinned by tests/test_quantization.py's plan-gated
+    parity tests), so the oracle IS q_knn_join_ivfpq's literal-LUT
+    replica: one semantics, two physical joins, both
+    driver-verified."""
+    import tempfile
+
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    work = tempfile.mkdtemp(prefix="q_knn_shuffle_")
+    Q.write_ivfpq_index(e, cents, _pq_books(), f"{work}/idx")
+    queries = spark.createDataFrame(
+        [(i, qv) for i, qv in enumerate(_knn_pq_queries())],
+        "q_id int, q_vec array<double>",
+    )
+    out = Q.ivfpq_knn_join(
+        spark, f"{work}/idx", queries, k=5, nprobe=8, broadcast_queries=False
+    )
+    return out.orderBy("q_id", "adc_dist", "vec_id")
+
+
 def q_knn_join_ivfsq(spark, sf):
     """Batched SQ knn against the MATERIALIZED IVF-SQ index
     (quantization.ivfsq_knn_join — new r13): the index-backed twin of
@@ -4713,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_publish_pruned": q_publish_pruned,
         "q_publish_bloom": q_publish_bloom,
         "q_knn_join_ivfpq": q_knn_join_ivfpq,
+        "q_knn_join_shuffle": q_knn_join_shuffle,
         "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_stream_publish": q_stream_publish,
         "q_pipeline_curate": q_pipeline_curate,
@@ -6308,6 +6342,9 @@ def oracle_sql() -> dict[str, str]:
         "q_sim_ivfsq_rerank": _sql_ivfsq_rerank(),
         "q_knn_join_sq": _sql_knn_sq(),
         "q_knn_join_ivfpq": _sql_knn_ivfpq(),
+        # arm-invariant twin: the shuffle arm must reproduce the same
+        # literal-LUT ADC result as the broadcast arm
+        "q_knn_join_shuffle": _sql_knn_ivfpq(),
         "q_knn_join_ivfsq": _sql_knn_sq(),
         "q_publish_versions": """
             SELECT o_orderkey, o_totalprice,

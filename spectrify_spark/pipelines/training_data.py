@@ -35,11 +35,15 @@ def annotate_gate(
     min_quality: float = 0.0,
     min_tokens: int = 5,
     redact_pii: bool = False,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """The STATELESS head of the curation pipeline: clean (URL strip +
     whitespace collapse, optional PII redaction) -> annotate (lang-id,
     quality score, token count) -> gate.  Returns one row per passing
-    doc: ``(id, text_clean, lang, quality, n_tokens)``.
+    doc: ``(id, text_clean, lang, quality, n_tokens)`` plus any
+    ``carry_cols`` passed through untouched (e.g. the event-time
+    column a downstream watermark-bounded dedup keys its state
+    eviction on — streaming/curation.py::stream_curate_dedup_publish).
 
     Factored out of :func:`curate` because this half is pure per-row
     Catalyst expressions — no shuffle, no state — so it runs UNCHANGED
@@ -48,6 +52,7 @@ def annotate_gate(
     edge, where it shrinks the corpus BEFORE the stateful dedup stages
     pay shuffle/state cost on it.
     """
+    carry = list(carry_cols or [])
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.col(text_col), r"https?://\S+", " "),
@@ -60,6 +65,7 @@ def annotate_gate(
     base = docs.select(
         F.col(id_col).alias("id"),
         cleaned.alias("text_clean"),
+        *carry,
     )
     t = F.col("text_clean")
     return base.select(
@@ -68,6 +74,7 @@ def annotate_gate(
         TX.lang_id(t).alias("lang"),
         F.round(TX.quality_score(t), 4).alias("quality"),
         TX.token_count(t).cast("bigint").alias("n_tokens"),
+        *carry,
     ).filter(
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     )

@@ -37,17 +37,21 @@ def stream_curate(
     min_tokens: int = 5,
     split_weights: tuple[int, int, int] = (90, 5, 5),
     redact_pii: bool = False,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Curate a streaming documents source: returns a STREAMING frame
     ``(id, text_clean, lang, quality, n_tokens, split)`` — one row per
     arriving doc that passes the quality/length gate, with the same
     deterministic md5-bucket split as the batch pipeline (a doc's
-    split never depends on when it arrived).
+    split never depends on when it arrived).  ``carry_cols`` pass
+    through untouched (the event-time column for a downstream
+    watermark-bounded stage).
 
     Stateless by construction: safe in ``append`` mode with no
     watermark, restarts are trivially exactly-once given an
     idempotent sink (the projection is deterministic per row).
     """
+    carry = list(carry_cols or [])
     gated = annotate_gate(
         docs_stream,
         id_col=id_col,
@@ -55,6 +59,7 @@ def stream_curate(
         min_quality=min_quality,
         min_tokens=min_tokens,
         redact_pii=redact_pii,
+        carry_cols=carry,
     )
     n_train, n_valid, _ = split_weights
     bucket = TX.hash_bucket(F.col("id"), sum(split_weights))
@@ -68,4 +73,5 @@ def stream_curate(
         .when(bucket < n_train + n_valid, F.lit("valid"))
         .otherwise(F.lit("test"))
         .alias("split"),
+        *carry,
     )

@@ -629,3 +629,100 @@ def test_probe_cells_tie_break_matches_jvm_twin():
     # mixed: a strictly-better centroid first, then ties by cid
     centroids = [(7, [0.0, 1.0]), (5, v), (2, v)]
     assert _probe_cells(centroids, [1.0, 0.0], 2) == [2, 5]
+
+
+def _nonparam_bnlj(plan: str) -> list:
+    """BroadcastNestedLoopJoin plan lines that are NOT the one-row
+    parameter-table cross joins (those are ', Cross' with no join
+    condition beyond the frame columns): the data-sized join the
+    shuffle arm exists to avoid shows as an Inner BNLJ carrying the
+    array_contains condition."""
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and ", Cross" not in ln
+    ]
+
+
+def test_ivfpq_knn_join_shuffle_arm_matches_broadcast(spark, tmp_path):
+    """r14 (VERDICT r13 item 1): the batched index knn join must not be
+    bound by the broadcast budget.  The shuffle arm (exploded (cell,
+    query) rows equi-joined on the cell key) returns rows IDENTICAL to
+    the broadcast arm, its plan is a plain equi-join (no
+    BroadcastNestedLoopJoin, no CartesianProduct), it keeps the
+    union-of-cells PartitionFilters pruning, and the auto policy
+    switches to it when the batch exceeds broadcast_max_queries."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _vecs(spark)
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    path = str(tmp_path / "ivfpq")
+    Q.write_ivfpq_index(e, cents, books, path)
+    qs = e.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def rows(df):
+        return sorted((r.q_id, r.vec_id, r.adc_dist) for r in df.collect())
+
+    bc = rows(Q.ivfpq_knn_join(spark, path, qs, k=5, nprobe=3,
+                               broadcast_queries=True))
+    sh_df = Q.ivfpq_knn_join(spark, path, qs, k=5, nprobe=3,
+                             broadcast_queries=False)
+    assert rows(sh_df) == bc and len(bc) == 60
+    plan = sh_df._jdf.queryExecution().executedPlan().toString()
+    # the query<->codes join must be an EQUI-join in the shuffle arm:
+    # the only nested-loop joins left are the one-row parameter-table
+    # cross joins (centroid/codebook frames) — never the per-pair
+    # array_contains evaluation the broadcast arm uses, and never a
+    # cartesian product
+    assert _nonparam_bnlj(plan) == []
+    assert "CartesianProduct" not in plan
+    # partition pruning survives the arm switch
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    # auto policy: a batch larger than the cap takes the shuffle arm
+    auto_df = Q.ivfpq_knn_join(spark, path, qs, k=5, nprobe=3,
+                               broadcast_max_queries=4)
+    assert rows(auto_df) == bc
+    auto_plan = auto_df._jdf.queryExecution().executedPlan().toString()
+    assert _nonparam_bnlj(auto_plan) == []
+    # ... and a batch within the cap keeps the broadcast arm
+    small_plan = (
+        Q.ivfpq_knn_join(spark, path, qs, k=5, nprobe=3,
+                         broadcast_max_queries=1_000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert _nonparam_bnlj(small_plan) != []
+
+
+def test_ivfsq_knn_join_shuffle_arm_matches_broadcast(spark, tmp_path):
+    """SQ twin of the shuffle-arm invariant: identical rows on both
+    arms, equi-join plan shape, partition pruning preserved."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _vecs(spark)
+    model = Q.sq_train(e)
+    cents = SIM.choose_centroids(e, n_centroids=8)
+    path = str(tmp_path / "ivfsq")
+    Q.write_ivfsq_index(e, cents, model, path)
+    qs = e.filter(F.col("vec_id").isin([3, 7, 11])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def rows(df):
+        return sorted((r.q_id, r.vec_id, r.sq_dist) for r in df.collect())
+
+    bc = rows(Q.ivfsq_knn_join(spark, path, qs, k=5, nprobe=3,
+                               broadcast_queries=True))
+    sh_df = Q.ivfsq_knn_join(spark, path, qs, k=5, nprobe=3,
+                             broadcast_queries=False)
+    assert rows(sh_df) == bc and len(bc) == 15
+    plan = sh_df._jdf.queryExecution().executedPlan().toString()
+    assert _nonparam_bnlj(plan) == []
+    assert "CartesianProduct" not in plan
+    assert "PartitionFilters" in plan and "ivf_cell" in plan

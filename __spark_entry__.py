@@ -4677,6 +4677,71 @@ def q_stream_curate(spark, sf):
     return _drain_scoped(spark, curated, name, "append")
 
 
+def q_stream_curate_publish(spark, sf):
+    """The ELEVENTH streaming/batch twin (r14 — VERDICT r13 item 7):
+    the full streaming curation loop the curation module docstring
+    describes — stateless gate head -> WATERMARK-BOUNDED exact dedup
+    on the doc id (every doc is delivered TWICE here; state is bounded
+    by the redelivery horizon, never the corpus) -> each micro-batch
+    upserted into a VERSIONED PUBLISHED dataset via the atomic pointer
+    flip (streaming/curation.py::stream_curate_dedup_publish).  The
+    published corpus must hash-match the batch replica of
+    annotate_gate + split over the UNIQUE docs — the duplicate
+    delivery must be invisible.  The publish-side id upsert also makes
+    replayed/late-redelivered batches idempotent (pinned with a
+    fresh-checkpoint replay in tests/test_streaming.py); the dedup
+    state operator is plan-gated in tests/test_streaming_plans.py."""
+    import tempfile
+
+    from spectrify_spark.catalog.publish import read_published
+    from spectrify_spark.streaming.curation import stream_curate_dedup_publish
+
+    work = tempfile.mkdtemp(prefix="q_stream_curate_pub_")
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    src = f"{work}/docs"
+    d.repartition(4).write.mode("append").parquet(src)
+    d.repartition(4).write.mode("append").parquet(src)  # duplicate delivery
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+    )
+    # same state-store scoping + audit capture as _drain_scoped (the
+    # sink here is foreachBatch->publish, not a memory sink, so the
+    # audit is recorded inline)
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_curate_dedup_publish(
+            stream,
+            f"{work}/pub",
+            min_quality=0.5,
+            min_tokens=10,
+            split_weights=(90, 5, 5),
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        try:
+            q.processAllAvailable()
+            try:
+                STREAM_AUDITS["q_stream_curate_publish"] = {
+                    "plan": q._jsq.explainInternal(False),
+                    "progress": q.lastProgress
+                    if q.lastProgress is not None
+                    else {},
+                }
+            except Exception:  # noqa: BLE001 — audit is best-effort
+                pass
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_published(spark, f"{work}/pub")
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -4751,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_publish": q_stream_publish,
         "q_pipeline_curate": q_pipeline_curate,
         "q_stream_curate": q_stream_curate,
+        "q_stream_curate_publish": q_stream_curate_publish,
         # -- r13 window, slots 10-17: rule-(1) changed-code keys
         "q_scan_bloom": q_scan_bloom,
         "q_scan_skipping": q_scan_skipping,
@@ -6097,6 +6163,22 @@ def oracle_sql() -> dict[str, str]:
         # q_pipeline_curate, no dedup stages (those are stateful and
         # have their own twins — q_stream_dedup, q_stream_cdc).
         "q_stream_curate": f"""
+            WITH {_SQL_CURATE_GATED}
+            SELECT id, text_clean, lang, quality, n_tokens,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT id, text_clean, lang, quality, n_tokens,
+                     CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % 100 AS b
+              FROM gated)
+        """,
+        # Eleventh streaming twin: gate -> watermark dedup -> versioned
+        # publish.  Docs are delivered TWICE on the stream, so the
+        # published corpus equaling this SAME per-unique-doc replica is
+        # exactly the dedup + idempotent-upsert guarantee.
+        "q_stream_curate_publish": f"""
             WITH {_SQL_CURATE_GATED}
             SELECT id, text_clean, lang, quality, n_tokens,
                    CASE WHEN b < 90 THEN 'train'

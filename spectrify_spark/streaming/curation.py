@@ -14,10 +14,21 @@ downstream on the gated stream: exact/near dedup via
 watermark-bounded state) or as periodic batch compactions committed
 through the versioned publish (streaming/cdc.py).
 
+:func:`stream_curate_dedup_publish` (r14) closes that loop end-to-end:
+gate at the edge (stateless) -> watermark-bounded exact dedup on the
+doc id (state bounded by the redelivery horizon, never the corpus) ->
+each micro-batch upserted into a VERSIONED PUBLISHED dataset
+(catalog/publish.py's atomic pointer flip).  The publish-side upsert
+keys on the doc id too, so a re-delivery that outlives the watermark
+state — or a replayed micro-batch after a failure — lands as an
+idempotent replace: streaming state stays bounded while the published
+corpus stays exactly-once-deduped.
+
 Batch/stream parity is structural, not re-implemented: both forms call
 the SAME ``annotate_gate`` projection, so the streamed drain must equal
 the batch run row-for-row (q_stream_curate's oracle is exactly the
-batch SQL replica of those stages).
+batch SQL replica of those stages; q_stream_curate_publish's oracle
+adds the distinct-by-id publish semantics).
 """
 
 from __future__ import annotations
@@ -75,3 +86,98 @@ def stream_curate(
         .alias("split"),
         *carry,
     )
+
+
+def stream_curate_dedup_publish(
+    docs_stream: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_quality: float = 0.0,
+    min_tokens: int = 5,
+    split_weights: tuple[int, int, int] = (90, 5, 5),
+    redact_pii: bool = False,
+    watermark: str = "2 hours",
+    keep_versions: int = 2,
+    checkpoint_dir: "str | None" = None,
+    available_now: bool = True,
+):
+    """The full streaming curation loop (r13 VERDICT item 7): stateless
+    gate head -> watermark-bounded exact dedup on the doc id -> every
+    micro-batch committed through the versioned atomic publish.
+
+    Returns the started StreamingQuery.  The published dataset at
+    ``root`` holds the cumulative curated corpus ``(id, text_clean,
+    lang, quality, n_tokens, split)`` — one row per unique passing
+    doc — with reader time travel over the last ``keep_versions``
+    micro-batch snapshots for free.
+
+    Layered exactly-once without corpus-sized state:
+
+    - the GATE is stateless (pure Catalyst projections) — dropped docs
+      never pay shuffle, state, or publish cost;
+    - the DEDUP stage is ``dropDuplicatesWithinWatermark`` on ``id``
+      keyed by ``ts_col`` event time: state is bounded by the
+      redelivery horizon (``watermark``), never by corpus size — the
+      property plain streaming ``dropDuplicates`` lacks;
+    - the PUBLISH upserts each micro-batch into the current published
+      version by ``id`` (``relational.merge_changes``: batch
+      broadcast, snapshot never shuffles) and commits with the atomic
+      pointer flip, so (a) a re-delivery arriving AFTER its watermark
+      state was evicted collapses into an idempotent replace instead
+      of a duplicate row, and (b) replaying a micro-batch after a
+      failure re-publishes identical content as one more version — a
+      reader-visible no-op that ages out of the keep window.
+
+    Like every publish sink this is single-writer per dataset; the
+    per-micro-batch republish touches the whole snapshot (the same
+    contract as ``cdc.stream_apply_changes_published``) — at large
+    corpus sizes raise the trigger interval or fold the stream into
+    periodic batch compactions.
+    """
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.catalog.publish import (
+        current_version,
+        publish,
+        read_published,
+    )
+    from spectrify_spark.operators.relational import merge_changes
+
+    curated = stream_curate(
+        docs_stream,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        split_weights=split_weights,
+        redact_pii=redact_pii,
+        carry_cols=[ts_col],
+    )
+    deduped = curated.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["id"])
+    out_cols = ["id", "text_clean", "lang", "quality", "n_tokens", "split"]
+    base_schema = deduped.select(*out_cols).schema
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        # the watermark dedup guarantees <= 1 row per id WITHIN a batch
+        # (merge_changes' contract); 'U' = idempotent upsert by id
+        changes = batch.select(*out_cols).withColumn("op", F.lit("U"))
+        if current_version(root, spark) is not None:
+            base = read_published(spark, root)
+        else:
+            base = spark.createDataFrame([], base_schema)
+        nxt = merge_changes(base, changes, "id", op_col="op", delete_op="D")
+        publish(nxt, root, keep_versions=keep_versions)
+
+    writer = deduped.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

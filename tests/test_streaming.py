@@ -331,3 +331,91 @@ def test_stream_static_enrich_rejects_unsupported_how(spark):
         SE.stream_static_enrich(dim, dim, "user_id", how="full_outer")
     with pytest.raises(ValueError, match="stream-static"):
         SE.stream_static_enrich(dim, dim, "user_id", how="right_outer")
+
+
+def test_stream_curate_dedup_publish_end_to_end(spark, tmp_path):
+    """Eleventh streaming twin (r13 VERDICT item 7): gate (stateless) ->
+    watermark-bounded exact dedup on doc id -> micro-batches committed
+    through the versioned publish.  Pins: (1) the published corpus
+    equals the batch replica (annotate_gate + split over the UNIQUE
+    docs) despite every doc being delivered twice; (2) the only state
+    operator is the watermark-bounded dedup (bounded by the redelivery
+    horizon, never the corpus); (3) a full re-delivery AFTER the first
+    query ended (fresh checkpoint — all dedup state gone) collapses
+    into idempotent upserts: content unchanged, only the version
+    advances."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.catalog.publish import current_version, read_published
+    from spectrify_spark.functions import text as TX
+    from spectrify_spark.pipelines.training_data import annotate_gate
+    from spectrify_spark.sources.parquet import read_table
+    from spectrify_spark.streaming.curation import stream_curate_dedup_publish
+
+    d = (
+        read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "text",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        )
+    )
+    src = str(tmp_path / "in")
+    d.repartition(4).write.mode("append").parquet(src)
+    d.repartition(4).write.mode("append").parquet(src)  # duplicate delivery
+    root = str(tmp_path / "pub")
+
+    def new_stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+            .option("maxFilesPerTrigger", "3")
+            .parquet(src)
+        )
+
+    q = stream_curate_dedup_publish(
+        new_stream(),
+        root,
+        min_quality=0.5,
+        min_tokens=10,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(300)
+    ops = q.lastProgress["stateOperators"]
+    assert len(ops) == 1 and "dedupe" in ops[0]["operatorName"].lower(), ops
+
+    bucket = TX.hash_bucket(F.col("id"), 100)
+    want = {
+        tuple(r)
+        for r in annotate_gate(d, min_quality=0.5, min_tokens=10)
+        .select(
+            "id",
+            "text_clean",
+            "lang",
+            "quality",
+            "n_tokens",
+            F.when(bucket < 90, F.lit("train"))
+            .when(bucket < 95, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .collect()
+    }
+    got = {tuple(r) for r in read_published(spark, root).collect()}
+    assert got == want and len(want) > 0
+    v1 = current_version(root)
+    assert v1 is not None and v1 >= 1
+
+    # full re-delivery with ALL streaming dedup state gone: the
+    # publish-side id upsert absorbs it — content identical, version
+    # advances (replayed batches are reader-visible no-ops)
+    q2 = stream_curate_dedup_publish(
+        new_stream(),
+        root,
+        min_quality=0.5,
+        min_tokens=10,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert {tuple(r) for r in read_published(spark, root).collect()} == want
+    assert current_version(root) > v1

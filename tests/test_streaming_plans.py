@@ -79,6 +79,15 @@ GOLDEN = {
     "q_stream_curate": dict(
         node="Filter", wm_tag=False, stores=None, stateless=True
     ),
+    # streaming curation with dedup + versioned publish (r14): the
+    # ONLY state is the watermark-bounded id dedup (state evicted past
+    # the redelivery horizon — never corpus-sized); the -T tag is not
+    # printed because the sink is foreachBatch (same reporting shape
+    # as q_stream_dedup).  The audit is recorded inline by the key
+    # (foreachBatch sink, no memory-sink drain).
+    "q_stream_curate_publish": dict(
+        node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=8
+    ),
 }
 
 _WM_TAG = re.compile(r"-T\d+ms")

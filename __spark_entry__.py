@@ -1442,6 +1442,41 @@ def q_sim_ivf(spark, sf):
     )
 
 
+def q_sim_ivf_append(spark, sf):
+    """Incremental ANN index maintenance, driver-checked end-to-end
+    (r14 — the r13 VERDICT item 2 follow-through): build the
+    MATERIALIZED IVF index over HALF the corpus (write_ivf_index,
+    even vec_ids), append the odd half with the index's OWN stored
+    centroids (append_ivf_index — the increment path that cannot
+    drift from the build), then probe the appended index with
+    nprobe=C so the cell tier drops out: the top-10 must equal the
+    brute-force cosine top-10 over the FULL corpus.  A row lost,
+    duplicated, or mis-assigned by the append changes the result and
+    hash-fails.  (Append == from-scratch-rebuild ROW identity is
+    additionally pinned in tests/test_similarity.py and
+    tests/test_quantization.py for all three index families.)  The
+    probe takes unrounded top-20 from the index then re-ranks rounded
+    to 4dp for the oracle comparison — the same rounding rule as
+    brute_force_topk."""
+    import tempfile
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+    cents = SIM.choose_centroids(base, n_centroids=8)
+    work = tempfile.mkdtemp(prefix="q_sim_ivf_append_")
+    SIM.write_ivf_index(base, cents, f"{work}/idx")
+    SIM.append_ivf_index(delta, f"{work}/idx")
+    qv = _query_vec(spark, sf, 0)
+    idx = SIM.read_ivf_index(spark, f"{work}/idx")
+    cand = SIM.ivf_topk(idx, cents, qv, k=20, nprobe=8)
+    return (
+        cand.select("vec_id", F.round(F.col("cos"), 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 def q_sim_ivf_recall(spark, sf):
     """Measured ANN quality over a query BATCH (r6 verdict item 5):
     recall@10 of the kmeans-refined IVF probe path (similarity.py
@@ -4838,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embed": q_dedup_embed,
         "q_sim_ivf": q_sim_ivf,
+        "q_sim_ivf_append": q_sim_ivf_append,
         "q_cluster_kmeans": q_cluster_kmeans,
         "q_text_quality": q_text_quality,
         "q_text_langid": q_text_langid,
@@ -6451,6 +6487,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem
                                 WHERE l_orderkey <= (SELECT MAX(l_orderkey)
                                                      FROM lineitem) / 2)
+        """,
+        # incremental IVF append probed at nprobe=C == brute force over
+        # the FULL (base + appended) corpus — rounding rule matches
+        # brute_force_topk (4dp, ties by vec_id)
+        "q_sim_ivf_append": """
+            SELECT vec_id, cos FROM (
+              SELECT vec_id,
+                     ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 4) AS cos
+              FROM embeddings)
+            ORDER BY cos DESC, vec_id LIMIT 10
         """,
         "q_sim_ivf": """
             SELECT CAST(10 AS BIGINT) AS k,

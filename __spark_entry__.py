@@ -4794,110 +4794,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    CORRECTION (r13, VERDICT r12 item 4): the r12 rotation docstring
-    claimed a shuffle-hygiene repartition change and index-probe
-    caching as existing r12 work; neither had landed (r12 shipped only
-    the rotation commit).  Both ARE landed now, in r13 —
-    graph.connected_components sizes its rounds with PLAN-LOCAL
-    repartition(n, key) instead of mutating the session conf, and
-    layout._read_stats_rows caches probe reads against a
-    (name,size,mtime) part fingerprint — and the affected keys
-    re-enter this window under rule (1).
+    Window r14 (183 keys total: 180 r13 keys + 3 r14-born): slots 1-3
+    = the three r14-born keys (rule 2: q_knn_join_shuffle — the
+    shuffle-arm twin of the batched IVF-PQ knn join, VERDICT r13 item
+    1; q_stream_curate_publish — the eleventh streaming twin, gate ->
+    watermark dedup -> versioned publish, item 7; q_sim_ivf_append —
+    incremental IVF append probed at nprobe=C vs full-corpus brute
+    force, item 2 follow-through; all three passed the vanilla sf0.01
+    gate at birth).  Slots 4-13 = rule-(1) changed-code keys:
+    q_knn_join_ivfpq + q_knn_join_ivfsq (the shared _index_knn_join
+    gained the two-arm join + auto policy), q_publish_pruned +
+    q_publish_bloom + q_publish_versions + q_stream_publish (publish.py
+    reader paths: explicit-version committed guard on the pruned
+    scans, read-only legacy check, bits-set hoist), q_pipeline_curate
+    + q_stream_curate (annotate_gate/stream_curate carry_cols
+    pass-through), q_scan_skipping + q_scan_bloom (layout.py: the
+    Spark-side prune arm + threshold branch in prune_files, the
+    conservative catch + debug logging in _read_stats_rows).  Slots
+    14-50 = the 37 oldest overdue keys — the r10-greens in their
+    listed order (q_text_bm25 ... q_filter_daterange); q_json_extract,
+    the 38th, did not fit and leads r15.
 
-    Window r13: slots 1-7 = the seven r13-born keys (rule 2:
-    q_knn_join_sq, q_sim_ivfsq_rerank, q_publish_pruned,
-    q_publish_bloom — the version-level bloom-rollup point lookup —
-    q_knn_join_ivfpq / q_knn_join_ivfsq — the batched knn joins
-    against the materialized IVF indexes — and q_stream_publish, the
-    versioned-publish CDC commit — plus, added mid-round,
-    q_pipeline_curate, the end-to-end curation pipeline composition
-    (slot 8), and q_stream_curate, its streaming-ingest stateless twin
-    (slot 9), displacing q_table_diff and q_text_bm25 past the
-    window); slots 10-17 =
-    rule-(1) changed-code keys (q_scan_bloom + q_scan_skipping via the
-    bloom probe-key canonicalization / unbounded-range rejection /
-    probe-cache fixes in layout.py; q_publish_versions via the
-    scheme-agnostic + vacuum-window publish rework;
-    q_graph_components + q_graph_lpa via the plan-local repartition
-    and the opt-in degree guard; q_sim_ivfpq_rerank + q_sim_ivfpq +
-    q_embed_sq via the shared _probe_cells/_exact_l2_rerank/SQ-fold
-    refactor in quantization.py); slots 18-38 = the 21 remaining
-    r9-green keys in their r9 window order (q_window_rank ...
-    q_agg_sketch_hll); slots 39-50 = the 12 oldest r10-green keys
-    (q_multimodal_real ... q_stream_window).
-
-    Past the window, least-recently-driver-verified first (the r14
-    head): the 38 remaining r10-greens (q_text_bm25, q_table_diff,
-    q_corpus_drift ...
-    q_json_extract), the 48 remaining r11-greens
-    (q_graph_pagerank_dangling ... q_asof_tolerance, minus the two
-    pulled forward), then the 44 remaining r12-greens (freshest rows;
-    q_multimodal_arrow leads as the only r12 slots-1-7 key not
-    re-entering).  r14 plan per the rotation rules: slots 1-38 = the
-    remaining r10-greens, the rest = the oldest r11-greens, with
-    rule-(1)/(2) insertions ahead of them for any r13/r14-born or
+    Past the window, least-recently-driver-verified first:
+    q_json_extract (r10, the r15 head), the 48 remaining r11-greens
+    (q_graph_pagerank_dangling ... q_asof_tolerance), the 44
+    r12-greens (q_multimodal_arrow ... q_window_analytic), then the 40
+    r13-greens not re-entering (freshest rows: q_knn_join_sq ...
+    q_stream_window).  r15 plan per the rotation rules: slot 1 =
+    q_json_extract, then the oldest r11-greens fill the window, with
+    rule-(1)/(2) insertions ahead of them for any r14/r15-born or
     changed-code keys (each new key must pass the vanilla sf0.01 gate
-    at birth; new keys never displace overdue ones).
+    at birth).
+
+    (Historical note, kept for the record: the r12 docstring claimed
+    two changes that had not landed; r13 landed both and carried an
+    explicit CORRECTION — see git history at graph.py:389-433 and
+    layout.py's probe cache.)
     """
     return {
-        # -- r13 window, slots 1-8: r13-born keys (rule 2)
-        "q_knn_join_sq": q_knn_join_sq,
-        "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
+        # -- r14 window, slots 1-3: r14-born keys (rule 2)
+        "q_knn_join_shuffle": q_knn_join_shuffle,
+        "q_stream_curate_publish": q_stream_curate_publish,
+        "q_sim_ivf_append": q_sim_ivf_append,
+        # -- r14 window, slots 4-13: rule-(1) changed-code keys
+        "q_knn_join_ivfpq": q_knn_join_ivfpq,
+        "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_publish_pruned": q_publish_pruned,
         "q_publish_bloom": q_publish_bloom,
-        "q_knn_join_ivfpq": q_knn_join_ivfpq,
-        "q_knn_join_shuffle": q_knn_join_shuffle,
-        "q_knn_join_ivfsq": q_knn_join_ivfsq,
+        "q_publish_versions": q_publish_versions,
         "q_stream_publish": q_stream_publish,
         "q_pipeline_curate": q_pipeline_curate,
         "q_stream_curate": q_stream_curate,
-        "q_stream_curate_publish": q_stream_curate_publish,
-        # -- r13 window, slots 10-17: rule-(1) changed-code keys
-        "q_scan_bloom": q_scan_bloom,
         "q_scan_skipping": q_scan_skipping,
-        "q_publish_versions": q_publish_versions,
-        "q_graph_components": q_graph_components,
-        "q_graph_lpa": q_graph_lpa,
-        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
-        "q_sim_ivfpq": q_sim_ivfpq,
-        "q_embed_sq": q_embed_sq,
-        # -- r13 window, slots 18-38: the 21 remaining r9-green keys
-        "q_window_rank": q_window_rank,
-        "q_topk": q_topk,
-        "q_set_ops": q_set_ops,
-        "q_scalar_funcs": q_scalar_funcs,
-        "q_agg_distinct": q_agg_distinct,
-        "q_dedup_near": q_dedup_near,
-        "q_dedup_jaccard": q_dedup_jaccard,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_embed": q_dedup_embed,
-        "q_sim_ivf": q_sim_ivf,
-        "q_sim_ivf_append": q_sim_ivf_append,
-        "q_cluster_kmeans": q_cluster_kmeans,
-        "q_text_quality": q_text_quality,
-        "q_text_langid": q_text_langid,
-        "q_text_clean": q_text_clean,
-        "q_text_gopher": q_text_gopher,
-        "q_sample_stratified": q_sample_stratified,
-        "q_text_tfidf": q_text_tfidf,
-        "q_array_ops": q_array_ops,
-        "q_text_levenshtein": q_text_levenshtein,
-        "q_agg_sketch_hll": q_agg_sketch_hll,
-        # -- r13 window, slots 39-50: the 12 oldest r10-green keys
-        "q_multimodal_real": q_multimodal_real,
-        "q_sketch_cm": q_sketch_cm,
-        "q_graph_triangles": q_graph_triangles,
-        "q_multimodal_audio": q_multimodal_audio,
-        "q_multimodal_video": q_multimodal_video,
-        "q_stream_media": q_stream_media,
-        "q_join_salted": q_join_salted,
-        "q_subquery_scalar": q_subquery_scalar,
-        "q_decontaminate": q_decontaminate,
-        "q_pack_sequences": q_pack_sequences,
-        "q_sample_weighted": q_sample_weighted,
-        "q_stream_window": q_stream_window,
-        # -- past the window: the 38 remaining r10-greens (r14 head)
+        "q_scan_bloom": q_scan_bloom,
+        # -- r14 window, slots 14-50: the 37 oldest r10-green keys
         "q_text_bm25": q_text_bm25,
         "q_table_diff": q_table_diff,
         "q_corpus_drift": q_corpus_drift,
@@ -4935,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_hash": q_agg_hash,
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
+        # -- past the window: the one r10-green that did not fit (r15 head)
         "q_json_extract": q_json_extract,
         # -- past the window: the 48 remaining r11-greens
         "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
@@ -4985,7 +4936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
         "q_asof_tolerance": q_asof_tolerance,
-        # -- past the window: the 44 r12-greens (freshest rows)
+        # -- past the window: the 44 r12-greens
         "q_multimodal_arrow": q_multimodal_arrow,
         "q_asof_forward": q_asof_forward,
         "q_stream_sessionize": q_stream_sessionize,
@@ -5030,6 +4981,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_having": q_agg_having,
         "q_window_ntile": q_window_ntile,
         "q_window_analytic": q_window_analytic,
+        # -- past the window: the 40 r13-greens (freshest rows)
+        "q_knn_join_sq": q_knn_join_sq,
+        "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
+        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "q_sim_ivfpq": q_sim_ivfpq,
+        "q_embed_sq": q_embed_sq,
+        "q_graph_components": q_graph_components,
+        "q_graph_lpa": q_graph_lpa,
+        "q_window_rank": q_window_rank,
+        "q_topk": q_topk,
+        "q_set_ops": q_set_ops,
+        "q_scalar_funcs": q_scalar_funcs,
+        "q_agg_distinct": q_agg_distinct,
+        "q_dedup_near": q_dedup_near,
+        "q_dedup_jaccard": q_dedup_jaccard,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embed": q_dedup_embed,
+        "q_sim_ivf": q_sim_ivf,
+        "q_cluster_kmeans": q_cluster_kmeans,
+        "q_text_quality": q_text_quality,
+        "q_text_langid": q_text_langid,
+        "q_text_clean": q_text_clean,
+        "q_text_gopher": q_text_gopher,
+        "q_sample_stratified": q_sample_stratified,
+        "q_text_tfidf": q_text_tfidf,
+        "q_array_ops": q_array_ops,
+        "q_text_levenshtein": q_text_levenshtein,
+        "q_agg_sketch_hll": q_agg_sketch_hll,
+        "q_multimodal_real": q_multimodal_real,
+        "q_sketch_cm": q_sketch_cm,
+        "q_graph_triangles": q_graph_triangles,
+        "q_multimodal_audio": q_multimodal_audio,
+        "q_multimodal_video": q_multimodal_video,
+        "q_stream_media": q_stream_media,
+        "q_join_salted": q_join_salted,
+        "q_subquery_scalar": q_subquery_scalar,
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_sample_weighted": q_sample_weighted,
+        "q_stream_window": q_stream_window,
     }
 
 

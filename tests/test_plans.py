@@ -498,6 +498,21 @@ GOLDEN = {
     "q_transition_matrix": dict(max_exchanges=2, ban_bnlj=True, max_scan_cols=4),
     # readability: expression-only, zero shuffle
     "q_text_readability": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # ------------------------------------------------------------------
+    # r14 keys
+    # batched knn shuffle arm: the query<->codes join must stay an
+    # EQUI-join (hash family; AQE broadcasts the exploded side at this
+    # scale, SMJ/shuffled-hash at real scale) — the BNLJ in the plan is
+    # the one-row parameter-table cross join, so no blanket ban (the
+    # arm-specific no-array_contains-BNLJ gate lives in
+    # tests/test_quantization.py); 2 exchanges: the exploded-query
+    # repartition + the per-query top-k window
+    "q_knn_join_shuffle": dict(
+        max_exchanges=2, joins=["BroadcastHashJoin"], max_scan_cols=2,
+    ),
+    # incremental IVF append probe at nprobe=C: partition-pruned index
+    # scan + global top-k (TakeOrderedAndProject) — zero shuffles
+    "q_sim_ivf_append": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
 }
 
 

@@ -690,9 +690,18 @@ def _bloom_key_py(value, dtype: str) -> "str | None":
     if dtype == "float":
         import numpy as np
 
-        return "%.9e" % float(np.float32(value))
+        try:
+            return "%.9e" % float(np.float32(value))
+        except (TypeError, ValueError):
+            # unconvertible probe (e.g. a non-numeric string): no
+            # provable rendering — skip pruning, same contract as the
+            # integral/decimal branches (the residual filter decides)
+            return None
     if dtype == "double":
-        return "%.9e" % float(value)
+        try:
+            return "%.9e" % float(value)
+        except (TypeError, ValueError):
+            return None
     if dtype in _INTEGRAL_DTYPES:
         if isinstance(value, bool):
             # Python bool IS an int, but an int column stores 0/1
@@ -927,20 +936,98 @@ def write_file_bloom(
     return len({r["file"] for r in (_read_stats_rows(spark, bloom_path) or [])})
 
 
+def _prune_files_eq_spark(
+    spark, bloom_path: str, live: list[str], col: str, value
+) -> "list[str] | None":
+    """Spark-side twin of the driver-side bloom prune loop (the
+    equality complement of :func:`_prune_files_spark`): the distinct
+    hash families present for ``col`` come back from one bounded agg
+    job per schema group (a handful of rows), the probe's bit
+    positions are computed driver-side per family with the SAME
+    dtype-verified canonicalization (:func:`_bloom_positions_py` —
+    unverifiable families contribute no pruning proof), and a Spark
+    job marks rows whose bits provably miss a position.  The surviving
+    set is the live list anti-joined against the pruned names — only
+    NAMES return to the driver, never the bits arrays (the heaviest
+    index rows this module stores).  Returns None when no bloom index
+    exists."""
+    groups = _stats_part_groups(spark, bloom_path)
+    if groups is None:
+        return None
+    pruned = None
+    for sch, parts in groups:
+        fields = set(sch.fieldNames())
+        sdf = spark.read.schema(sch).parquet(*parts).filter(F.col("col") == col)
+        # legacy pre-dtype parts hashed plain cast('string') keys —
+        # same "" convention as the driver path
+        dtype_col = F.col("dtype") if "dtype" in fields else F.lit("")
+        fams = (
+            sdf.select(
+                F.col("m_bits"), F.col("k_hashes"), dtype_col.alias("dtype")
+            )
+            .distinct()
+            .collect()
+        )
+        cond = None
+        for fr in fams:
+            pos = _bloom_positions_py(
+                value,
+                int(fr["m_bits"]),
+                int(fr["k_hashes"]),
+                dtype=fr["dtype"] or "",
+            )
+            if pos is None:
+                continue  # unverifiable canonicalization: keep the files
+            fam_match = (
+                (F.col("m_bits") == F.lit(int(fr["m_bits"])))
+                & (F.col("k_hashes") == F.lit(int(fr["k_hashes"])))
+                & (dtype_col == F.lit(fr["dtype"] or ""))
+            )
+            missing = F.lit(False)
+            for p in pos:
+                missing = missing | ~F.array_contains(F.col("bits"), int(p))
+            c = fam_match & missing
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            continue  # no provable family in this group
+        g = sdf.where(cond).select("file")
+        pruned = g if pruned is None else pruned.unionByName(g)
+    if pruned is None:
+        return list(live)  # bloom exists but proves nothing: keep all
+    live_df = spark.createDataFrame([(f,) for f in live], "file string")
+    keep_rows = live_df.join(pruned, "file", "left_anti").collect()
+    return sorted(r["file"] for r in keep_rows)
+
+
 def prune_files_eq(
     spark,
     path: str,
     col: str,
     value,
+    spark_side: "bool | None" = None,
 ) -> tuple[list[str], int]:
     """Planning-time file pruning for ``col = value``: a live file is
     dropped only when its bloom row PROVES the value absent (some of
     the value's bit positions unset — blooms have no false negatives).
     Files without a bloom row are kept; probing a NULL value keeps
     nothing to prune against (``col = NULL`` matches no row — callers
-    get an empty scan from :func:`pruned_scan_eq`).  Driver-side only:
-    no Spark job."""
+    get an empty scan from :func:`pruned_scan_eq`).  Driver-side (no
+    Spark job) below :data:`SPARK_PRUNE_FILE_THRESHOLD` live files;
+    above it — or with ``spark_side=True`` — the bloom test runs as a
+    Spark job + anti-join (:func:`_prune_files_eq_spark`), so the
+    driver never materializes the bits arrays on a cold probe
+    (identical surviving sets on both paths, pinned by
+    tests/test_layout.py)."""
     live = list_data_files(spark, path)
+    if spark_side or (
+        spark_side is None and len(live) > SPARK_PRUNE_FILE_THRESHOLD
+    ):
+        keep = _prune_files_eq_spark(
+            spark, f"{path}/{FILE_BLOOM_DIR}", live, col, value
+        )
+        if keep is None:
+            return live, len(live)
+        return keep, len(live)
     rows = _read_stats_rows(spark, f"{path}/{FILE_BLOOM_DIR}")
     if rows is None:
         return live, len(live)

@@ -1110,3 +1110,69 @@ def test_read_stats_rows_logs_corruption_at_debug(spark, tmp_path, caplog):
         assert _read_stats_rows(spark, str(root / "_nope")) is None
         assert _read_stats_rows(spark, "file://" + str(root) + "/_nope") is None
     assert not any("failed to read" in r.message for r in caplog.records)
+
+
+def test_prune_files_eq_spark_side_matches_driver_path(spark, tmp_path):
+    """Equality twin of the Spark-side prune parity: forced onto the
+    join path, prune_files_eq must return the identical surviving set
+    as the driver path for present/absent/unverifiable probes, across
+    heterogeneous parts (a fabricated legacy pre-dtype part included)
+    and files without bloom rows."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        FILE_BLOOM_DIR,
+        prune_files_eq,
+        write_file_bloom,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("u"),
+        (F.col("id").cast("double") / 4).alias("d"),
+    ).repartition(4, F.col("k")).write.parquet(path)
+    write_file_bloom(spark, path, ["k", "u", "d"])
+    # a stats-less appended file: kept unconditionally on both paths
+    spark.range(5000, 5100).select(
+        F.col("id").alias("k"),
+        F.lit("u99").alias("u"),
+        F.lit(0.5).alias("d"),
+    ).coalesce(1).write.mode("append").parquet(path)
+    # fabricate a legacy pre-dtype part (plain cast('string') era):
+    # same rows, dtype column dropped -> second schema group
+    bloom = f"{path}/{FILE_BLOOM_DIR}"
+    legacy = (
+        spark.read.parquet(bloom)
+        .filter(F.col("col") == "k")
+        .drop("dtype")
+    )
+    legacy.coalesce(1).write.mode("append").parquet(bloom)
+
+    probes = [
+        ("k", 150),          # present int
+        ("k", 999_999),      # absent int (provable: prunes)
+        ("u", "u7"),         # present string
+        ("u", "zzz"),        # absent string
+        ("d", 0.25),         # double probe (format-verified family)
+        ("d", "not-a-num"),  # unverifiable: no pruning on either path
+        ("k", 5.5),          # fractional probe on int col: unverifiable
+    ]
+    for col, value in probes:
+        keep_drv, tot_drv = prune_files_eq(spark, path, col, value,
+                                           spark_side=False)
+        keep_spk, tot_spk = prune_files_eq(spark, path, col, value,
+                                           spark_side=True)
+        assert tot_drv == tot_spk == 5
+        assert keep_drv == keep_spk, (col, value)
+    # the absent probe really pruned the indexed files, kept the
+    # stats-less one
+    keep, _ = prune_files_eq(spark, path, "k", 999_999, spark_side=True)
+    assert len(keep) == 1 and "5000" not in keep[0]
+
+    # no bloom index at all: both paths keep everything
+    bare = str(tmp_path / "bare")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(bare)
+    a = prune_files_eq(spark, bare, "k", 1, spark_side=True)
+    b = prune_files_eq(spark, bare, "k", 1, spark_side=False)
+    assert a == b

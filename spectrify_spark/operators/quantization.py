@@ -225,6 +225,7 @@ def pq_adc_knn_join(
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     round_digits: int | None = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ADC top-k for MANY query vectors at once — the batched twin of
     :func:`pq_adc_topk` (cf. ``similarity.knn_join_topk``).
@@ -235,12 +236,17 @@ def pq_adc_knn_join(
     the per-query top-k window runs over (corpus x queries) scored
     rows.
 
-    Contract: the QUERY side (with its M x K LUT per row) is
-    broadcast, so it must fit the broadcast budget — batches up to the
-    low millions of queries x small LUTs, not an unbounded table (the
-    same small-side contract as ``similarity.knn_join_topk``).  For a
-    query set too large to broadcast, partition it into batches and
-    union the results."""
+    Contract: with ``broadcast_queries=True`` (default) the QUERY side
+    (with its M x K LUT per row) is broadcast, so it must fit the
+    broadcast budget — batches up to the low millions of queries x
+    small LUTs (the same small-side contract as
+    ``similarity.knn_join_topk``).  ``broadcast_queries=False`` removes
+    the MEMORY ceiling: a plain partitioned cross join scores each
+    (corpus-block, query-block) pair per task — every candidate must
+    still score against every query (that O(|corpus| x |Q|) compute is
+    inherent to INDEX-LESS exact scoring; the scale path for large
+    batches is the indexed :func:`ivfpq_knn_join`, whose shuffle arm
+    prunes by cell)."""
     from pyspark.sql import Window
 
     if not codebooks or not codebooks[0]:
@@ -255,7 +261,8 @@ def pq_adc_knn_join(
     dist = _adc_dist_expr(m, F.col("__lut"), F.col(code_col))
     if round_digits is not None:
         dist = F.round(dist, round_digits)
-    scored = encoded.crossJoin(F.broadcast(q)).select(
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = encoded.crossJoin(q_side).select(
         F.col(query_id), F.col(id_col), dist.alias("adc_dist")
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -784,6 +791,7 @@ def sq_knn_join(
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     round_digits: int | None = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """SQ top-k for MANY query vectors at once — the batched twin of
     :func:`sq_topk`, mirroring :func:`pq_adc_knn_join`'s shape: the
@@ -794,10 +802,13 @@ def sq_knn_join(
     scored rows.
 
     Same small-side contract as ``pq_adc_knn_join``/
-    ``similarity.knn_join_topk``: the query batch must fit the
-    broadcast budget; partition a larger query set into batches and
-    union the results.  Output: one row per (query, candidate) kept,
-    columns ``(query_id, id_col, sq_dist)``."""
+    ``similarity.knn_join_topk``: with ``broadcast_queries=True``
+    (default) the query batch must fit the broadcast budget;
+    ``broadcast_queries=False`` scores via a partitioned cross join
+    instead — no memory ceiling, same inherent O(|corpus| x |Q|)
+    compute (the scale path for large batches is the indexed
+    :func:`ivfsq_knn_join`).  Output: one row per (query, candidate)
+    kept, columns ``(query_id, id_col, sq_dist)``."""
     from pyspark.sql import Window
 
     mf = _sq_model_frame(encoded.sparkSession, model)
@@ -811,9 +822,12 @@ def sq_knn_join(
     dist = _l2_fold(F.col("__recon"), F.col(query_vec).cast("array<double>"))
     if round_digits is not None:
         dist = F.round(dist, round_digits)
-    scored = cand.crossJoin(
-        F.broadcast(queries.select(query_id, query_vec))
-    ).select(F.col(query_id), F.col(id_col), dist.alias("sq_dist"))
+    q_side = queries.select(query_id, query_vec)
+    if broadcast_queries:
+        q_side = F.broadcast(q_side)
+    scored = cand.crossJoin(q_side).select(
+        F.col(query_id), F.col(id_col), dist.alias("sq_dist")
+    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("sq_dist").asc(), F.col(id_col)
     )

@@ -726,3 +726,44 @@ def test_ivfsq_knn_join_shuffle_arm_matches_broadcast(spark, tmp_path):
     assert _nonparam_bnlj(plan) == []
     assert "CartesianProduct" not in plan
     assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+
+def test_indexless_knn_joins_nonbroadcast_arm_matches(spark):
+    """pq_adc_knn_join / sq_knn_join with broadcast_queries=False score
+    via a partitioned cross join (no broadcast-memory ceiling on the
+    batch; the quadratic compute is inherent to index-less exact
+    scoring) and must return rows identical to the broadcast arm."""
+    from pyspark.sql import functions as F
+
+    e = _vecs(spark).filter(F.col("vec_id") < 200)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    enc = Q.pq_encode(e, books)
+    model = Q.sq_train(e)
+    enc_sq = Q.sq_encode(e, model)
+    qs = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    bc_pq = sorted(
+        (r.q_id, r.vec_id, r.adc_dist)
+        for r in Q.pq_adc_knn_join(enc, books, qs, k=5).collect()
+    )
+    nb_pq = sorted(
+        (r.q_id, r.vec_id, r.adc_dist)
+        for r in Q.pq_adc_knn_join(
+            enc, books, qs, k=5, broadcast_queries=False
+        ).collect()
+    )
+    assert bc_pq == nb_pq and len(bc_pq) == 20
+
+    bc_sq = sorted(
+        (r.q_id, r.vec_id, r.sq_dist)
+        for r in Q.sq_knn_join(enc_sq, model, qs, k=5).collect()
+    )
+    nb_sq = sorted(
+        (r.q_id, r.vec_id, r.sq_dist)
+        for r in Q.sq_knn_join(
+            enc_sq, model, qs, k=5, broadcast_queries=False
+        ).collect()
+    )
+    assert bc_sq == nb_sq and len(bc_sq) == 20

@@ -1477,6 +1477,35 @@ def q_sim_ivf_append(spark, sf):
     )
 
 
+def q_publish_index(spark, sf):
+    """Reader-safe ANN index REBUILD via the versioned publish (r14 —
+    catalog/publish.py::publish_dir): write_ivfpq_index targets a live
+    directory with mode('overwrite'), so a probe concurrent with a
+    rebuild could read a half-deleted index; publish_dir lands each
+    build as an immutable v=N and flips the pointer atomically under
+    the readers (an in-flight probe resolved on v=N is undisturbed by
+    the publish of N+1 — pinned in tests/test_publish.py).  Here the
+    index is built as v=1 and REBUILT as v=2 (the rebuild-in-place
+    scenario), then probed through current_path at nprobe=C so the
+    cell tier drops out: the result is the global PQ ADC top-10 the
+    oracle recomputes from the same codebook/query literals."""
+    import tempfile
+
+    from spectrify_spark.catalog.publish import current_path, publish_dir
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
+    work = tempfile.mkdtemp(prefix="q_publish_index_")
+    root = f"{work}/idxroot"
+    build = lambda d: Q.write_ivfpq_index(e, cents, _pq_books(), d)  # noqa: E731
+    publish_dir(root, build)
+    publish_dir(root, build)  # the rebuild: pointer flips to v=2
+    out = Q.ivfpq_topk(spark, current_path(root), _pq_query(), k=10, nprobe=8)
+    return out.orderBy("adc_dist", "vec_id")
+
+
 def q_sim_ivf_recall(spark, sf):
     """Measured ANN quality over a query BATCH (r6 verdict item 5):
     recall@10 of the kmeans-refined IVF probe path (similarity.py
@@ -4794,14 +4823,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r14 (183 keys total: 180 r13 keys + 3 r14-born): slots 1-3
-    = the three r14-born keys (rule 2: q_knn_join_shuffle — the
+    Window r14 (184 keys total: 180 r13 keys + 4 r14-born): slots 1-4
+    = the four r14-born keys (rule 2: q_knn_join_shuffle — the
     shuffle-arm twin of the batched IVF-PQ knn join, VERDICT r13 item
     1; q_stream_curate_publish — the eleventh streaming twin, gate ->
     watermark dedup -> versioned publish, item 7; q_sim_ivf_append —
     incremental IVF append probed at nprobe=C vs full-corpus brute
-    force, item 2 follow-through; all three passed the vanilla sf0.01
-    gate at birth).  Slots 4-13 = rule-(1) changed-code keys:
+    force, item 2 follow-through; q_publish_index — reader-safe ANN
+    index rebuilds through publish_dir's versioned pointer flip; all
+    four passed the vanilla sf0.01 gate at birth).  Slots 5-14 =
+    rule-(1) changed-code keys:
     q_knn_join_ivfpq + q_knn_join_ivfsq (the shared _index_knn_join
     gained the two-arm join + auto policy), q_publish_pruned +
     q_publish_bloom + q_publish_versions + q_stream_publish (publish.py
@@ -4811,16 +4842,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pass-through), q_scan_skipping + q_scan_bloom (layout.py: the
     Spark-side prune arm + threshold branch in prune_files, the
     conservative catch + debug logging in _read_stats_rows).  Slots
-    14-50 = the 37 oldest overdue keys — the r10-greens in their
-    listed order (q_text_bm25 ... q_filter_daterange); q_json_extract,
-    the 38th, did not fit and leads r15.
+    15-50 = the 36 oldest overdue keys — the r10-greens in their
+    listed order (q_text_bm25 ... q_scan_project); q_filter_daterange
+    and q_json_extract, the 37th and 38th, did not fit and lead r15.
 
     Past the window, least-recently-driver-verified first:
-    q_json_extract (r10, the r15 head), the 48 remaining r11-greens
-    (q_graph_pagerank_dangling ... q_asof_tolerance), the 44
-    r12-greens (q_multimodal_arrow ... q_window_analytic), then the 40
-    r13-greens not re-entering (freshest rows: q_knn_join_sq ...
-    q_stream_window).  r15 plan per the rotation rules: slot 1 =
+    q_filter_daterange + q_json_extract (r10, the r15 head), the 48
+    remaining r11-greens (q_graph_pagerank_dangling ...
+    q_asof_tolerance), the 44 r12-greens (q_multimodal_arrow ...
+    q_window_analytic), then the 40 r13-greens not re-entering
+    (freshest rows: q_knn_join_sq ... q_stream_window).  r15 plan per
+    the rotation rules: slots 1-2 = q_filter_daterange +
     q_json_extract, then the oldest r11-greens fill the window, with
     rule-(1)/(2) insertions ahead of them for any r14/r15-born or
     changed-code keys (each new key must pass the vanilla sf0.01 gate
@@ -4832,11 +4864,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout.py's probe cache.)
     """
     return {
-        # -- r14 window, slots 1-3: r14-born keys (rule 2)
+        # -- r14 window, slots 1-4: r14-born keys (rule 2)
         "q_knn_join_shuffle": q_knn_join_shuffle,
         "q_stream_curate_publish": q_stream_curate_publish,
         "q_sim_ivf_append": q_sim_ivf_append,
-        # -- r14 window, slots 4-13: rule-(1) changed-code keys
+        "q_publish_index": q_publish_index,
+        # -- r14 window, slots 5-14: rule-(1) changed-code keys
         "q_knn_join_ivfpq": q_knn_join_ivfpq,
         "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_publish_pruned": q_publish_pruned,
@@ -4847,7 +4880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_curate": q_stream_curate,
         "q_scan_skipping": q_scan_skipping,
         "q_scan_bloom": q_scan_bloom,
-        # -- r14 window, slots 14-50: the 37 oldest r10-green keys
+        # -- r14 window, slots 15-50: the 36 oldest r10-green keys
+        # (q_filter_daterange, listed at the tail below, fell past the
+        # window when q_publish_index was born mid-round)
         "q_text_bm25": q_text_bm25,
         "q_table_diff": q_table_diff,
         "q_corpus_drift": q_corpus_drift,
@@ -4885,7 +4920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_hash": q_agg_hash,
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
-        # -- past the window: the one r10-green that did not fit (r15 head)
+        # -- past the window: the two r10-greens that did not fit
+        # (q_filter_daterange at slot 51, q_json_extract at 52 — the
+        # r15 head)
         "q_json_extract": q_json_extract,
         # -- past the window: the 48 remaining r11-greens
         "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
@@ -5266,6 +5303,21 @@ def _sql_pq() -> str:
         SELECT vec_id, code_0, code_1, code_2, code_3,
                ROUND({adc}, 6) AS adc_dist
         FROM codes ORDER BY vec_id
+    """
+
+
+def _sql_publish_index() -> str:
+    """DuckDB replica of q_publish_index's full (nprobe=C) probe
+    through the published pointer: the global PQ ADC top-10 from the
+    same codebook/query literals — the versioned-publish layer must be
+    invisible to the probe result."""
+    d_cols, code_cols, adc = _pq_sql_parts()
+    return f"""
+        WITH enc AS (SELECT vec_id, {d_cols} FROM embeddings),
+        codes AS (SELECT vec_id, {code_cols} FROM enc)
+        SELECT vec_id, ROUND({adc}, 6) AS adc_dist
+        FROM codes ORDER BY ROUND({adc}, 6), vec_id
+        LIMIT 10
     """
 
 
@@ -6440,6 +6492,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_embed": _sql_dedup_embed(),
         "q_embed_pq": _sql_pq(),
+        "q_publish_index": _sql_publish_index(),
         "q_sim_ivfpq": _sql_ivfpq(),
         "q_sim_ivfpq_rerank": _sql_ivfpq_rerank(),
         "q_scan_skipping": """

@@ -400,6 +400,69 @@ def publish(
     return n
 
 
+def publish_dir(
+    root: str,
+    build_fn,
+    keep_versions: int = 2,
+    spark=None,
+) -> int:
+    """Versioned publish of an ARBITRARY directory payload:
+    ``build_fn(version_dir)`` lands its COMPLETE content into the next
+    ``v=N`` directory (a materialized ANN/band index build, a
+    multi-output job, any writer that targets a directory), then the
+    commit marker and the atomic pointer flip follow — the same
+    write-order protocol as :func:`publish`, without assuming the
+    payload is one DataFrame.
+
+    This is the READER-SAFE REBUILD path for the materialized index
+    family: ``write_ivf_index`` / ``write_ivfpq_index`` /
+    ``write_ivfsq_index`` / ``dedup.write_band_index`` target a LIVE
+    directory with ``mode('overwrite')``, so a probe running
+    concurrently with a rebuild can observe a half-deleted index —
+    only the model SIDECAR replace is atomic, not the data rewrite.
+    Rebuilding through ``publish_dir`` lands the new index as an
+    immutable version and flips the pointer under the readers: probes
+    resolve ``current_path(root)`` FIRST and then scan an immutable
+    directory, so an in-flight probe of v=N is undisturbed by the
+    publish of N+1, and the keep window gives index time travel for
+    free.  All probe functions take a path, so they compose directly::
+
+        publish_dir(root, lambda d: write_ivfpq_index(df, cents, books, d))
+        ivfpq_topk(spark, current_path(root), query_vec, ...)
+
+    Crash safety: a ``build_fn`` that dies leaves an uncommitted
+    partial above the pointer — readers never saw it, the next
+    publish sweeps it, vacuum removes it.  Single-writer per dataset,
+    like :func:`publish`.  ``spark`` is required only for schemed
+    roots (Hadoop FS routing); ``build_fn`` may of course use its own
+    session.  Returns the new version number.
+    """
+    if keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    lp = _local_path(root)
+    if lp is not None:
+        os.makedirs(lp, exist_ok=True)
+    else:
+        from spectrify_spark.operators._sidecar import index_fs
+
+        fs, hpath, _ = index_fs(_require_spark(spark, root, "publish_dir"), root)
+        fs.mkdirs(hpath)
+    _migrate_legacy_markers(root, spark)
+    # single-writer sweep of crashed-publish leftovers past the pointer
+    # (see publish(); no input-DataFrame salvage exception here — the
+    # payload is built fresh by build_fn)
+    cur0 = current_version(root, spark)
+    for v in _versions(root, spark):
+        if cur0 is None or v > cur0:
+            _remove_dir(root, f"v={v}", spark)
+    n = max(_versions(root, spark), default=0) + 1
+    build_fn(_join(root, f"v={n}"))
+    _mark_committed(spark, root, n)
+    _pointer_write(spark, root, n)
+    vacuum(root, keep_versions=keep_versions, spark=spark)
+    return n
+
+
 def current_path(root: str, spark=None) -> str:
     """Path/URI of the pointed version — the value to hand to the
     skipping-index probes (``layout.pruned_scan(spark,

@@ -474,8 +474,10 @@ def compact_ivf_index(spark, src: str, dst: str) -> None:
         read_json_sidecar,
     )
 
-    payload = _read_ivf_sidecar(spark, src) or read_json_sidecar(
-        spark, src, "_spectrify_ivfpq_model.json"
+    payload = (
+        _read_ivf_sidecar(spark, src)
+        or read_json_sidecar(spark, src, "_spectrify_ivfpq_model.json")
+        or read_json_sidecar(spark, src, "_spectrify_ivfsq_model.json")
     )
     cell_col = (payload or {}).get("cell_col", "ivf_cell")
     (

@@ -513,6 +513,10 @@ GOLDEN = {
     # incremental IVF append probe at nprobe=C: partition-pruned index
     # scan + global top-k (TakeOrderedAndProject) — zero shuffles
     "q_sim_ivf_append": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=2),
+    # published-index probe: same ADC top-k shape as q_sim_ivfpq (the
+    # BNLJ is the one-row LUT parameter-table cross join); the publish
+    # layer adds no plan nodes — readers just resolve a path first
+    "q_publish_index": dict(max_exchanges=0, max_scan_cols=2),
 }
 
 

@@ -532,3 +532,73 @@ def test_pruned_scan_time_travel_on_legacy_dataset_is_read_only(spark, tmp_path)
     assert published_pruned_scan_eq(spark, root, "k", 5, version=2).count() == 1
     for v in (1, 2):
         assert not os.path.isfile(os.path.join(root, f"v={v}", COMMITTED))
+
+
+def test_publish_dir_reader_safe_index_rebuild(spark, tmp_path):
+    """publish_dir (r14): materialized-index REBUILDS through the
+    versioned publish are reader-safe — write_ivfpq_index targets a
+    live dir with mode('overwrite'), so a concurrent probe mid-rebuild
+    could see a half-deleted index; through publish_dir each build
+    lands as an immutable v=N and the pointer flips under the readers.
+    Pins: probe-through-current_path correctness, an in-flight probe
+    resolved before a rebuild undisturbed by it, index time travel,
+    and crashed-build sweep."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.catalog.publish import current_path, publish_dir
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = SIM.choose_centroids(e, n_centroids=4)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    root = str(tmp_path / "idxroot")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 7).first().embedding]
+
+    # v1: full corpus
+    v1 = publish_dir(
+        root, lambda d: Q.write_ivfpq_index(e, cents, books, d)
+    )
+    assert v1 == 1
+    full = Q.ivfpq_topk(spark, current_path(root), qv, k=5, nprobe=4)
+    rows_v1 = [(r.vec_id, r.adc_dist) for r in full.collect()]
+    assert rows_v1[0][0] == 7  # finds itself through the published path
+
+    # an in-flight probe resolved on v1 ...
+    probe_v1 = Q.ivfpq_topk(spark, current_path(root), qv, k=5, nprobe=4)
+    # ... survives a REBUILD over a smaller corpus (content change)
+    e_half = e.filter(F.col("vec_id") % 2 == 1)  # 7 still present
+    v2 = publish_dir(
+        root, lambda d: Q.write_ivfpq_index(e_half, cents, books, d)
+    )
+    assert v2 == 2
+    assert [(r.vec_id, r.adc_dist) for r in probe_v1.collect()] == rows_v1
+    # the pointed index reflects the rebuild; time travel reaches v1
+    new_ids = {
+        r.vec_id
+        for r in Q.ivfpq_topk(spark, current_path(root), qv, k=5, nprobe=4)
+        .collect()
+    }
+    assert all(i % 2 == 1 for i in new_ids)
+    assert [
+        (r.vec_id, r.adc_dist)
+        for r in Q.ivfpq_topk(spark, f"{root}/v=1", qv, k=5, nprobe=4).collect()
+    ] == rows_v1
+
+    # crashed build: sweep + no pointer movement
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        publish_dir(root, lambda d: (_ for _ in ()).throw(RuntimeError("boom")))
+    from spectrify_spark.catalog.publish import current_version
+
+    assert current_version(root) == 2
+    v3 = publish_dir(
+        root, lambda d: Q.write_ivfpq_index(e, cents, books, d), keep_versions=1
+    )
+    assert v3 == 3 and current_version(root) == 3
+    with pytest.raises(ValueError, match="keep_versions"):
+        publish_dir(root, lambda d: None, keep_versions=0)

@@ -456,7 +456,14 @@ def publish_dir(
         if cur0 is None or v > cur0:
             _remove_dir(root, f"v={v}", spark)
     n = max(_versions(root, spark), default=0) + 1
-    build_fn(_join(root, f"v={n}"))
+    vdir = _join(root, f"v={n}")
+    build_fn(vdir)
+    if not _dir_exists(root, f"v={n}", spark):
+        raise ValueError(
+            f"publish_dir: build_fn returned without creating {vdir!r} — "
+            "there is nothing to publish (a build that can legitimately "
+            "produce an empty payload should still create the directory)"
+        )
     _mark_committed(spark, root, n)
     _pointer_write(spark, root, n)
     vacuum(root, keep_versions=keep_versions, spark=spark)

@@ -602,3 +602,7 @@ def test_publish_dir_reader_safe_index_rebuild(spark, tmp_path):
     assert v3 == 3 and current_version(root) == 3
     with pytest.raises(ValueError, match="keep_versions"):
         publish_dir(root, lambda d: None, keep_versions=0)
+    # a build_fn that creates nothing fails loud, pointer unmoved
+    with pytest.raises(ValueError, match="nothing to publish"):
+        publish_dir(root, lambda d: None)
+    assert current_version(root) == 3

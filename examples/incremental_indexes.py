@@ -59,6 +59,23 @@ def main(sf_dir: str, work: str) -> None:
     hits = Q.ivfpq_topk(spark, ann_idx, qv, k=5, nprobe=2)
     print("ANN probe (nprobe=2) for an APPENDED vector (450 finds itself):")
     hits.show()
+
+    # ---- periodic FULL REBUILD, reader-safe: write_ivfpq_index
+    # overwrites a live dir (a concurrent probe could catch it
+    # half-deleted), so rebuilds go through the versioned publish —
+    # each build lands as an immutable v=N, probes resolve the
+    # pointer first, and the keep window leaves the previous index
+    # intact for in-flight readers (catalog/publish.py::publish_dir).
+    from spectrify_spark.catalog.publish import current_path, publish_dir
+
+    ann_root = f"{work}/ivfpq_published"
+    cents2 = SIM.kmeans_refine(vecs, SIM.choose_centroids(vecs, 8), iters=1)
+    books2 = Q.pq_train(vecs, 4, 16, iters=1)
+    v = publish_dir(
+        ann_root, lambda d: Q.write_ivfpq_index(vecs, cents2, books2, d)
+    )
+    print(f"published rebuilt index as v={v}; probing through the pointer:")
+    Q.ivfpq_topk(spark, current_path(ann_root), qv, k=5, nprobe=2).show()
     # no spark.stop(): get_spark() returns the process-wide shared
     # session (tests/test_examples.py runs this in-process — stopping
     # the context here killed every test after it in the suite)

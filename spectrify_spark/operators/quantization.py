@@ -1014,12 +1014,16 @@ def _query_cells_col(n_centroids: int, nprobe: int, qcol):
     )
 
 
-#: auto arm-selection bound for the batched index knn joins: query
-#: batches at or below it broadcast (zero corpus movement); above it
-#: the shuffle arm runs (no broadcast-budget ceiling).  Deliberately
-#: conservative — well under Spark's default 8g broadcast hard cap
-#: for any realistic LUT width — and overridable per call.
-KNN_JOIN_BROADCAST_MAX_QUERIES = 1_000_000
+#: auto arm-selection BYTE budget for the batched index knn joins: the
+#: query batch broadcasts while its estimated payload (per-query LUT /
+#: vector doubles x batch size) stays at or below this; above it the
+#: shuffle arm runs (no broadcast ceiling).  A row-count bound would
+#: be wrong here — the PQ LUT is M x K doubles PER QUERY (8 KB at
+#: M=4, K=256), so a fixed 1M-query cap would mean an 8 GB broadcast;
+#: deriving the cap from bytes keeps the broadcast inside executor
+#: budgets for every model shape.  Overridable per call via
+#: ``broadcast_max_queries``.
+KNN_JOIN_BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
 
 
 def _index_knn_join(
@@ -1037,7 +1041,8 @@ def _index_knn_join(
     query_id: str,
     round_digits: "int | None",
     broadcast_queries: "bool | None" = None,
-    broadcast_max_queries: int = KNN_JOIN_BROADCAST_MAX_QUERIES,
+    broadcast_max_queries: "int | None" = None,
+    query_payload_bytes: int = 8,
 ) -> DataFrame:
     """Shared engine of :func:`ivfpq_knn_join` / :func:`ivfsq_knn_join`:
     (1) each query computes its top-``nprobe`` cells JVM-side against
@@ -1068,8 +1073,14 @@ def _index_knn_join(
     ``broadcast_queries=None`` (auto) picks the arm from the batch
     size, measured by the SAME bounded job that computes the probed
     cell union (one ``groupBy`` over |Q|·min(nprobe, C) exploded
-    rows, ≤ C result rows): ≤ ``broadcast_max_queries`` broadcasts,
-    larger batches shuffle.  Explicit True/False forces an arm."""
+    rows, ≤ C result rows): up to ``broadcast_max_queries`` queries
+    broadcast, larger batches shuffle.  When ``broadcast_max_queries``
+    is None it derives from :data:`KNN_JOIN_BROADCAST_BUDGET_BYTES` /
+    ``query_payload_bytes`` (the caller-estimated broadcast bytes PER
+    QUERY — the PQ wrapper passes its M·K-double LUT width, the SQ
+    wrapper its dim-double vector width), so the decision tracks the
+    model shape, not a fixed row count.  Explicit True/False forces an
+    arm."""
     from pyspark.sql import Window
 
     from spectrify_spark.operators.similarity import _centroid_frame
@@ -1100,6 +1111,10 @@ def _index_knn_join(
     )
     probe_cells = sorted(r["__cell"] for r in cell_rows)
     if broadcast_queries is None:
+        if broadcast_max_queries is None:
+            broadcast_max_queries = KNN_JOIN_BROADCAST_BUDGET_BYTES // max(
+                query_payload_bytes, 1
+            )
         per_query = min(nprobe, len(centroids))
         n_queries = sum(r["__n"] for r in cell_rows) // max(per_query, 1)
         broadcast_queries = n_queries <= broadcast_max_queries
@@ -1143,21 +1158,23 @@ def ivfpq_knn_join(
     query_vec: str = "q_vec",
     round_digits: "int | None" = 6,
     broadcast_queries: "bool | None" = None,
-    broadcast_max_queries: int = KNN_JOIN_BROADCAST_MAX_QUERIES,
+    broadcast_max_queries: "int | None" = None,
 ) -> DataFrame:
     """Batched ADC top-k against a MATERIALIZED IVF-PQ index — the
     many-query twin of :func:`ivfpq_topk` (cf. :func:`pq_adc_knn_join`
     for the index-less form).  Each query probes only its own
     ``nprobe`` cells; the scan reads the UNION of probed cells
     (planning-time partition pruning), and candidates are ADC-scored
-    per probing query via the per-query LUTs.  Query batches up to
-    ``broadcast_max_queries`` broadcast (the corpus of codes never
-    moves); larger batches take the shuffle arm — exploded (cell,
-    query) rows equi-joined on the cell key — so the batch size is
-    NOT bound by the broadcast budget (see :func:`_index_knn_join`;
-    ``broadcast_queries`` forces an arm).  Output: ``(query_id, id,
-    adc_dist)``, top-k per query ascending, ties by id — identical on
-    both arms."""
+    per probing query via the per-query LUTs.  Small query batches
+    broadcast (the corpus of codes never moves); batches whose
+    estimated broadcast payload (|Q| x the M·K-double LUT width)
+    exceeds :data:`KNN_JOIN_BROADCAST_BUDGET_BYTES` take the shuffle
+    arm — exploded (cell, query) rows equi-joined on the cell key —
+    so the batch size is NOT bound by the broadcast budget (see
+    :func:`_index_knn_join`; ``broadcast_queries`` forces an arm,
+    ``broadcast_max_queries`` overrides the derived row cap).
+    Output: ``(query_id, id, adc_dist)``, top-k per query ascending,
+    ties by id — identical on both arms."""
     from spectrify_spark.operators._sidecar import read_json_sidecar
 
     payload = read_json_sidecar(spark, path, _IVFPQ_SIDECAR)
@@ -1203,6 +1220,8 @@ def ivfpq_knn_join(
         round_digits,
         broadcast_queries=broadcast_queries,
         broadcast_max_queries=broadcast_max_queries,
+        # per-query broadcast payload: the M x K LUT doubles dominate
+        query_payload_bytes=8 * m * len(codebooks[0]),
     )
 
 
@@ -1216,18 +1235,19 @@ def ivfsq_knn_join(
     query_vec: str = "q_vec",
     round_digits: "int | None" = 6,
     broadcast_queries: "bool | None" = None,
-    broadcast_max_queries: int = KNN_JOIN_BROADCAST_MAX_QUERIES,
+    broadcast_max_queries: "int | None" = None,
 ) -> DataFrame:
     """Batched SQ top-k against a MATERIALIZED IVF-SQ index — the
     many-query twin of :func:`ivfsq_topk` (cf. :func:`sq_knn_join`
     for the index-less form).  Candidates midpoint-reconstruct ONCE
     (model broadcast on the code side, projected away before the
     query join); each query scores only the cells it probed.  Same
-    two-arm join as :func:`ivfpq_knn_join`: batches up to
-    ``broadcast_max_queries`` broadcast, larger ones equi-join on the
-    exploded cell key — the batch size is not bound by the broadcast
-    budget.  Output: ``(query_id, id, sq_dist)``, top-k per query
-    ascending, ties by id — identical on both arms."""
+    two-arm join as :func:`ivfpq_knn_join`, with the per-query
+    broadcast payload estimated from the dim-double query vector:
+    small batches broadcast, larger ones equi-join on the exploded
+    cell key — the batch size is not bound by the broadcast budget.
+    Output: ``(query_id, id, sq_dist)``, top-k per query ascending,
+    ties by id — identical on both arms."""
     from spectrify_spark.operators._sidecar import read_json_sidecar
 
     payload = read_json_sidecar(spark, path, _IVFSQ_SIDECAR)
@@ -1265,6 +1285,8 @@ def ivfsq_knn_join(
         round_digits,
         broadcast_queries=broadcast_queries,
         broadcast_max_queries=broadcast_max_queries,
+        # per-query broadcast payload: the dim-double query vector
+        query_payload_bytes=8 * len(payload["mins"]),
     )
 
 

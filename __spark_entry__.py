@@ -3446,6 +3446,49 @@ def q_scan_skipping(spark, sf):
     )
 
 
+def q_scan_prune_spark(spark, sf):
+    """The r14 join-based prune arm, driver-verified end-to-end: the
+    SAME layout + range probe as q_scan_skipping, with the
+    disjointness test FORCED onto the Spark path
+    (layout.prune_files/pruned_scan spark_side=True — the 10^6-file
+    cold-probe regime, where the stats table must be evaluated as a
+    job + anti-join rather than materialized driver-side; identical
+    surviving sets on both arms are pinned in tests/test_layout.py).
+    The arm switch may cost pruning I/O only, never rows: output must
+    hash-match the plain SQL range filter, and the measured
+    pruned_lt_total boolean proves the Spark arm still actually
+    pruned."""
+    import tempfile
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    work = tempfile.mkdtemp(prefix="q_scan_spark_") + "/ds"
+    (
+        li.repartitionByRange(4, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(work)
+    )
+    write_file_stats(spark, work, ["l_orderkey"])
+    keep, total = prune_files(
+        spark, work, "l_orderkey", 100, 500, spark_side=True
+    )
+    return pruned_scan(
+        spark, work, "l_orderkey", 100, 500, spark_side=True
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.lit(len(keep) < total).alias("pruned_lt_total"),
+    )
+
+
 def q_scan_bloom(spark, sf):
     """Per-file bloom index for point lookups (layout.write_file_bloom
     / pruned_scan_eq — new r11): the complement of q_scan_skipping's
@@ -4823,16 +4866,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r14 (184 keys total: 180 r13 keys + 4 r14-born): slots 1-4
-    = the four r14-born keys (rule 2: q_knn_join_shuffle — the
+    Window r14 (185 keys total: 180 r13 keys + 5 r14-born): slots 1-5
+    = the five r14-born keys (rule 2: q_knn_join_shuffle — the
     shuffle-arm twin of the batched IVF-PQ knn join, VERDICT r13 item
     1; q_stream_curate_publish — the eleventh streaming twin, gate ->
     watermark dedup -> versioned publish, item 7; q_sim_ivf_append —
     incremental IVF append probed at nprobe=C vs full-corpus brute
     force, item 2 follow-through; q_publish_index — reader-safe ANN
-    index rebuilds through publish_dir's versioned pointer flip; all
-    four passed the vanilla sf0.01 gate at birth).  Slots 5-14 =
-    rule-(1) changed-code keys:
+    index rebuilds through publish_dir's versioned pointer flip;
+    q_scan_prune_spark — the join-based prune arm forced end-to-end,
+    item 5; all five passed the vanilla sf0.01 gate at birth).
+    Slots 6-15 = rule-(1) changed-code keys:
     q_knn_join_ivfpq + q_knn_join_ivfsq (the shared _index_knn_join
     gained the two-arm join + auto policy), q_publish_pruned +
     q_publish_bloom + q_publish_versions + q_stream_publish (publish.py
@@ -4842,21 +4886,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pass-through), q_scan_skipping + q_scan_bloom (layout.py: the
     Spark-side prune arm + threshold branch in prune_files, the
     conservative catch + debug logging in _read_stats_rows).  Slots
-    15-50 = the 36 oldest overdue keys — the r10-greens in their
-    listed order (q_text_bm25 ... q_scan_project); q_filter_daterange
-    and q_json_extract, the 37th and 38th, did not fit and lead r15.
+    16-50 = the 35 oldest overdue keys — the r10-greens in their
+    listed order (q_text_bm25 ... q_agg_hash); q_scan_project,
+    q_filter_daterange and q_json_extract — the 36th-38th, the first
+    displaced by the mid-round birth of q_scan_prune_spark — did not
+    fit and lead r15.
 
     Past the window, least-recently-driver-verified first:
-    q_filter_daterange + q_json_extract (r10, the r15 head), the 48
-    remaining r11-greens (q_graph_pagerank_dangling ...
+    q_scan_project, q_filter_daterange, q_json_extract (r10, the r15
+    head), the 48 remaining r11-greens (q_graph_pagerank_dangling ...
     q_asof_tolerance), the 44 r12-greens (q_multimodal_arrow ...
     q_window_analytic), then the 40 r13-greens not re-entering
     (freshest rows: q_knn_join_sq ... q_stream_window).  r15 plan per
-    the rotation rules: slots 1-2 = q_filter_daterange +
-    q_json_extract, then the oldest r11-greens fill the window, with
-    rule-(1)/(2) insertions ahead of them for any r14/r15-born or
-    changed-code keys (each new key must pass the vanilla sf0.01 gate
-    at birth).
+    the rotation rules: slots 1-3 = the three r10-greens above, then
+    the oldest r11-greens fill the window, with rule-(1)/(2)
+    insertions ahead of them for any r14/r15-born or changed-code keys
+    (each new key must pass the vanilla sf0.01 gate at birth).
 
     (Historical note, kept for the record: the r12 docstring claimed
     two changes that had not landed; r13 landed both and carried an
@@ -4864,12 +4909,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout.py's probe cache.)
     """
     return {
-        # -- r14 window, slots 1-4: r14-born keys (rule 2)
+        # -- r14 window, slots 1-5: r14-born keys (rule 2)
         "q_knn_join_shuffle": q_knn_join_shuffle,
         "q_stream_curate_publish": q_stream_curate_publish,
         "q_sim_ivf_append": q_sim_ivf_append,
         "q_publish_index": q_publish_index,
-        # -- r14 window, slots 5-14: rule-(1) changed-code keys
+        "q_scan_prune_spark": q_scan_prune_spark,
+        # -- r14 window, slots 6-15: rule-(1) changed-code keys
         "q_knn_join_ivfpq": q_knn_join_ivfpq,
         "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_publish_pruned": q_publish_pruned,
@@ -4880,9 +4926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_curate": q_stream_curate,
         "q_scan_skipping": q_scan_skipping,
         "q_scan_bloom": q_scan_bloom,
-        # -- r14 window, slots 15-50: the 36 oldest r10-green keys
-        # (q_filter_daterange, listed at the tail below, fell past the
-        # window when q_publish_index was born mid-round)
+        # -- r14 window, slots 16-50: the 35 oldest r10-green keys
+        # (q_scan_project and q_filter_daterange, listed at the tail
+        # below, fell past the window as q_publish_index and
+        # q_scan_prune_spark were born mid-round)
         "q_text_bm25": q_text_bm25,
         "q_table_diff": q_table_diff,
         "q_corpus_drift": q_corpus_drift,
@@ -4920,8 +4967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_hash": q_agg_hash,
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
-        # -- past the window: the two r10-greens that did not fit
-        # (q_filter_daterange at slot 51, q_json_extract at 52 — the
+        # -- past the window: the three r10-greens that did not fit
+        # (q_scan_project, q_filter_daterange, q_json_extract — the
         # r15 head)
         "q_json_extract": q_json_extract,
         # -- past the window: the 48 remaining r11-greens
@@ -6496,6 +6543,14 @@ def oracle_sql() -> dict[str, str]:
         "q_sim_ivfpq": _sql_ivfpq(),
         "q_sim_ivfpq_rerank": _sql_ivfpq_rerank(),
         "q_scan_skipping": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   TRUE AS pruned_lt_total
+            FROM lineitem
+            WHERE l_orderkey >= 100 AND l_orderkey < 500
+        """,
+        # arm-invariant twin: the Spark-side (join-based) prune must
+        # keep the identical row set as the driver-side arm
+        "q_scan_prune_spark": """
             SELECT l_orderkey, l_linenumber, l_extendedprice,
                    TRUE AS pruned_lt_total
             FROM lineitem

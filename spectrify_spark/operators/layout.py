@@ -618,15 +618,17 @@ def pruned_scan(
     lower=None,
     upper=None,
     ranges: "dict | None" = None,
+    spark_side: "bool | None" = None,
 ) -> DataFrame:
     """Stats-pruned scan: read ONLY the files :func:`prune_files`
     keeps for the range (or conjunction of ranges), then apply the
     residual filter (which Catalyst additionally pushes into the
     surviving files' row groups).  With no prunable file or no stats
     table this degrades to a plain filtered scan — same rows either
-    way, the stats only remove I/O."""
+    way, the stats only remove I/O.  ``spark_side`` passes through to
+    :func:`prune_files` (None = the file-count threshold decides)."""
     rgs = _as_ranges(col, lower, upper, ranges)
-    keep, _total = prune_files(spark, path, ranges=rgs)
+    keep, _total = prune_files(spark, path, ranges=rgs, spark_side=spark_side)
     if not keep:
         return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.option("basePath", path).parquet(*keep)
@@ -1061,15 +1063,18 @@ def pruned_scan_eq(
     path: str,
     col: str,
     value,
+    spark_side: "bool | None" = None,
 ) -> DataFrame:
     """Bloom-pruned point lookup: read only the files whose bloom
     cannot rule the value out, then apply the equality filter (pushed
     into the surviving row groups by Catalyst).  Degrades to a plain
     filtered scan without an index; NULL probes return the empty
-    result directly (SQL equality never matches NULL)."""
+    result directly (SQL equality never matches NULL).  ``spark_side``
+    passes through to :func:`prune_files_eq` (None = the file-count
+    threshold decides)."""
     if value is None:
         return spark.read.parquet(path).filter(F.lit(False))
-    keep, _total = prune_files_eq(spark, path, col, value)
+    keep, _total = prune_files_eq(spark, path, col, value, spark_side=spark_side)
     if not keep:
         return spark.read.parquet(path).filter(F.lit(False))
     return (

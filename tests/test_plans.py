@@ -517,6 +517,9 @@ GOLDEN = {
     # BNLJ is the one-row LUT parameter-table cross join); the publish
     # layer adds no plan nodes — readers just resolve a path first
     "q_publish_index": dict(max_exchanges=0, max_scan_cols=2),
+    # spark-side prune arm: the RETURNED scan is identical in shape to
+    # q_scan_skipping's (the prune jobs run before the plan exists)
+    "q_scan_prune_spark": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
 }
 
 

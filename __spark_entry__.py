@@ -3461,7 +3461,7 @@ def q_scan_prune_spark(spark, sf):
     import tempfile
 
     from spectrify_spark.operators.layout import (
-        prune_files,
+        list_data_files,
         pruned_scan,
         write_file_stats,
     )
@@ -3476,16 +3476,17 @@ def q_scan_prune_spark(spark, sf):
         .write.parquet(work)
     )
     write_file_stats(spark, work, ["l_orderkey"])
-    keep, total = prune_files(
-        spark, work, "l_orderkey", 100, 500, spark_side=True
-    )
-    return pruned_scan(
-        spark, work, "l_orderkey", 100, 500, spark_side=True
-    ).select(
+    out = pruned_scan(spark, work, "l_orderkey", 100, 500, spark_side=True)
+    # ONE prune pass: the Spark arm has no _STATS_CACHE, so a separate
+    # prune_files call would re-run every prune job — measure the
+    # files-read invariant from the scan pruned_scan already planned
+    n_read = len({f for f in out.inputFiles()})
+    total = len(list_data_files(spark, work))
+    return out.select(
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
-        F.lit(len(keep) < total).alias("pruned_lt_total"),
+        F.lit(n_read < total).alias("pruned_lt_total"),
     )
 
 

@@ -402,13 +402,10 @@ def _read_stats_rows(spark, stats_path: str) -> "list[dict] | None":
         # O(#appends) jobs on a cold probe.  Parts sharing a column
         # set (the overwhelmingly common case: every append indexing
         # the same cols) read together; schema probing itself is a
-        # driver-side footer read, not a job.
-        by_schema: dict = {}
-        for p in parts:
-            sch = spark.read.parquet(p).schema
-            by_schema.setdefault(sch.json(), (sch, []))[1].append(p)
+        # driver-side footer read, not a job.  Same grouping helper as
+        # the Spark-side prune arms (_group_parts_by_schema).
         rows = []
-        for sch, group in by_schema.values():
+        for sch, group in _group_parts_by_schema(spark, parts):
             rows.extend(
                 r.asDict()
                 for r in spark.read.schema(sch).parquet(*group).collect()
@@ -440,15 +437,26 @@ def _read_stats_rows(spark, stats_path: str) -> "list[dict] | None":
 SPARK_PRUNE_FILE_THRESHOLD = 100_000
 
 
-def _stats_part_groups(spark, stats_path: str):
-    """The stats table's parquet parts grouped by footer schema —
-    ``[(schema, [part, ...]), ...]`` or None when no parts exist.
-    Grouping preserves the column-absent-vs-all-NULL distinction
+def _group_parts_by_schema(spark, parts: list):
+    """Group parquet part paths by footer schema —
+    ``[(schema, [part, ...]), ...]``.  Shared by the schemed
+    :func:`_read_stats_rows` branch and the Spark-side prune arms:
+    grouping preserves the column-absent-vs-all-NULL distinction
     (append-built parts can index different column sets; a merged
     read would fill the missing ``min_<col>`` cells with NULL —
     indistinguishable from a genuine all-NULL column).  Part count is
     bounded by the number of index builds/appends (each writes
     ``repartition(1)``), so the per-part footer probes are cheap."""
+    by_schema: dict = {}
+    for p in parts:
+        sch = spark.read.parquet(p).schema
+        by_schema.setdefault(sch.json(), (sch, []))[1].append(p)
+    return list(by_schema.values())
+
+
+def _stats_part_groups(spark, stats_path: str):
+    """The stats table's parquet parts grouped by footer schema
+    (:func:`_group_parts_by_schema`), or None when no parts exist."""
     import glob as _glob
 
     local = _norm_file(stats_path)
@@ -467,11 +475,7 @@ def _stats_part_groups(spark, stats_path: str):
         )
     if not parts:
         return None
-    by_schema: dict = {}
-    for p in parts:
-        sch = spark.read.parquet(p).schema
-        by_schema.setdefault(sch.json(), (sch, []))[1].append(p)
-    return list(by_schema.values())
+    return _group_parts_by_schema(spark, parts)
 
 
 def _prune_files_spark(
@@ -487,30 +491,43 @@ def _prune_files_spark(
     by the answer, not the index.  Conservative under SQL null
     semantics: a comparison that nulls out (type-mismatched probe)
     fails the ``where`` and the file is KEPT.  Returns None when no
-    stats exist (callers keep everything)."""
-    groups = _stats_part_groups(spark, stats_path)
-    if groups is None:
+    stats exist OR when the index fails to read (the same
+    except->None contract as :func:`_read_stats_rows` — a corrupt
+    part must degrade to no pruning on THIS arm too, not crash the
+    probe; logged at debug like the driver path).  Callers keep
+    everything on None."""
+    try:
+        groups = _stats_part_groups(spark, stats_path)
+        if groups is None:
+            return None
+        pruned = None
+        for sch, parts in groups:
+            fields = set(sch.fieldNames())
+            cond = F.lit(False)
+            for c, (lo, hi) in ranges.items():
+                if f"min_{c}" not in fields:
+                    # column never indexed in this part group: its stats
+                    # prove NOTHING — contribute no disjointness proof
+                    continue
+                cdis = F.col(f"min_{c}").isNull()  # all-NULL: no match
+                if lo is not None:
+                    cdis = cdis | (F.col(f"max_{c}") < F.lit(lo))
+                if hi is not None:
+                    cdis = cdis | (F.col(f"min_{c}") >= F.lit(hi))
+                cond = cond | cdis
+            g = spark.read.schema(sch).parquet(*parts).where(cond).select("file")
+            pruned = g if pruned is None else pruned.unionByName(g)
+        live_df = spark.createDataFrame([(f,) for f in live], "file string")
+        keep_rows = live_df.join(pruned, "file", "left_anti").collect()
+        return sorted(r["file"] for r in keep_rows)
+    except Exception:
+        logger.debug(
+            "stats index at %s exists but failed to read on the "
+            "Spark-side prune arm — treating as absent (no pruning)",
+            stats_path,
+            exc_info=True,
+        )
         return None
-    pruned = None
-    for sch, parts in groups:
-        fields = set(sch.fieldNames())
-        cond = F.lit(False)
-        for c, (lo, hi) in ranges.items():
-            if f"min_{c}" not in fields:
-                # column never indexed in this part group: its stats
-                # prove NOTHING — contribute no disjointness proof
-                continue
-            cdis = F.col(f"min_{c}").isNull()  # all-NULL: no range match
-            if lo is not None:
-                cdis = cdis | (F.col(f"max_{c}") < F.lit(lo))
-            if hi is not None:
-                cdis = cdis | (F.col(f"min_{c}") >= F.lit(hi))
-            cond = cond | cdis
-        g = spark.read.schema(sch).parquet(*parts).where(cond).select("file")
-        pruned = g if pruned is None else pruned.unionByName(g)
-    live_df = spark.createDataFrame([(f,) for f in live], "file string")
-    keep_rows = live_df.join(pruned, "file", "left_anti").collect()
-    return sorted(r["file"] for r in keep_rows)
 
 
 def prune_files(
@@ -952,53 +969,67 @@ def _prune_files_eq_spark(
     set is the live list anti-joined against the pruned names — only
     NAMES return to the driver, never the bits arrays (the heaviest
     index rows this module stores).  Returns None when no bloom index
-    exists."""
-    groups = _stats_part_groups(spark, bloom_path)
-    if groups is None:
-        return None
-    pruned = None
-    for sch, parts in groups:
-        fields = set(sch.fieldNames())
-        sdf = spark.read.schema(sch).parquet(*parts).filter(F.col("col") == col)
-        # legacy pre-dtype parts hashed plain cast('string') keys —
-        # same "" convention as the driver path
-        dtype_col = F.col("dtype") if "dtype" in fields else F.lit("")
-        fams = (
-            sdf.select(
-                F.col("m_bits"), F.col("k_hashes"), dtype_col.alias("dtype")
+    exists OR when it fails to read (same conservative except->None
+    contract as :func:`_prune_files_spark` and the driver path)."""
+    try:
+        groups = _stats_part_groups(spark, bloom_path)
+        if groups is None:
+            return None
+        pruned = None
+        for sch, parts in groups:
+            fields = set(sch.fieldNames())
+            sdf = (
+                spark.read.schema(sch)
+                .parquet(*parts)
+                .filter(F.col("col") == col)
             )
-            .distinct()
-            .collect()
+            # legacy pre-dtype parts hashed plain cast('string') keys —
+            # same "" convention as the driver path
+            dtype_col = F.col("dtype") if "dtype" in fields else F.lit("")
+            fams = (
+                sdf.select(
+                    F.col("m_bits"), F.col("k_hashes"), dtype_col.alias("dtype")
+                )
+                .distinct()
+                .collect()
+            )
+            cond = None
+            for fr in fams:
+                pos = _bloom_positions_py(
+                    value,
+                    int(fr["m_bits"]),
+                    int(fr["k_hashes"]),
+                    dtype=fr["dtype"] or "",
+                )
+                if pos is None:
+                    continue  # unverifiable canonicalization: keep files
+                fam_match = (
+                    (F.col("m_bits") == F.lit(int(fr["m_bits"])))
+                    & (F.col("k_hashes") == F.lit(int(fr["k_hashes"])))
+                    & (dtype_col == F.lit(fr["dtype"] or ""))
+                )
+                missing = F.lit(False)
+                for p in pos:
+                    missing = missing | ~F.array_contains(F.col("bits"), int(p))
+                c = fam_match & missing
+                cond = c if cond is None else (cond | c)
+            if cond is None:
+                continue  # no provable family in this group
+            g = sdf.where(cond).select("file")
+            pruned = g if pruned is None else pruned.unionByName(g)
+        if pruned is None:
+            return list(live)  # bloom exists but proves nothing: keep all
+        live_df = spark.createDataFrame([(f,) for f in live], "file string")
+        keep_rows = live_df.join(pruned, "file", "left_anti").collect()
+        return sorted(r["file"] for r in keep_rows)
+    except Exception:
+        logger.debug(
+            "bloom index at %s exists but failed to read on the "
+            "Spark-side prune arm — treating as absent (no pruning)",
+            bloom_path,
+            exc_info=True,
         )
-        cond = None
-        for fr in fams:
-            pos = _bloom_positions_py(
-                value,
-                int(fr["m_bits"]),
-                int(fr["k_hashes"]),
-                dtype=fr["dtype"] or "",
-            )
-            if pos is None:
-                continue  # unverifiable canonicalization: keep the files
-            fam_match = (
-                (F.col("m_bits") == F.lit(int(fr["m_bits"])))
-                & (F.col("k_hashes") == F.lit(int(fr["k_hashes"])))
-                & (dtype_col == F.lit(fr["dtype"] or ""))
-            )
-            missing = F.lit(False)
-            for p in pos:
-                missing = missing | ~F.array_contains(F.col("bits"), int(p))
-            c = fam_match & missing
-            cond = c if cond is None else (cond | c)
-        if cond is None:
-            continue  # no provable family in this group
-        g = sdf.where(cond).select("file")
-        pruned = g if pruned is None else pruned.unionByName(g)
-    if pruned is None:
-        return list(live)  # bloom exists but proves nothing: keep all
-    live_df = spark.createDataFrame([(f,) for f in live], "file string")
-    keep_rows = live_df.join(pruned, "file", "left_anti").collect()
-    return sorted(r["file"] for r in keep_rows)
+        return None
 
 
 def prune_files_eq(

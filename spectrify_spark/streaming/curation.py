@@ -136,8 +136,6 @@ def stream_curate_dedup_publish(
     corpus sizes raise the trigger interval or fold the stream into
     periodic batch compactions.
     """
-    from pyspark.sql import functions as F
-
     from spectrify_spark.catalog.publish import (
         current_version,
         publish,

@@ -1176,3 +1176,43 @@ def test_prune_files_eq_spark_side_matches_driver_path(spark, tmp_path):
     a = prune_files_eq(spark, bare, "k", 1, spark_side=True)
     b = prune_files_eq(spark, bare, "k", 1, spark_side=False)
     assert a == b
+
+
+def test_spark_side_prune_degrades_on_corrupt_index(spark, tmp_path, caplog):
+    """r14 self-review finding: the Spark-side prune arms must honor
+    the same conservative except->keep-all contract as the driver path
+    — a corrupt index part degrades to no pruning (debug-logged),
+    never crashes the probe."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        FILE_BLOOM_DIR,
+        FILE_STATS_DIR,
+        prune_files,
+        prune_files_eq,
+        write_file_bloom,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 100).select(F.col("id").alias("k")).repartition(
+        2, F.col("k")
+    ).write.parquet(path)
+    write_file_stats(spark, path, ["k"])
+    write_file_bloom(spark, path, ["k"])
+    for d in (FILE_STATS_DIR, FILE_BLOOM_DIR):
+        (tmp_path / "ds" / d / "part-zzz-corrupt.parquet").write_bytes(
+            b"not parquet"
+        )
+
+    with caplog.at_level(logging.DEBUG, logger="spectrify_spark.operators.layout"):
+        keep, total = prune_files(spark, path, "k", 0, 10, spark_side=True)
+        keep_eq, total_eq = prune_files_eq(spark, path, "k", 5, spark_side=True)
+    # conservative: everything kept, nothing raised
+    assert len(keep) == total == 2
+    assert len(keep_eq) == total_eq == 2
+    assert any(
+        "Spark-side prune arm" in r.message for r in caplog.records
+    )

@@ -1455,9 +1455,12 @@ def q_sim_ivf_append(spark, sf):
     hash-fails.  (Append == from-scratch-rebuild ROW identity is
     additionally pinned in tests/test_similarity.py and
     tests/test_quantization.py for all three index families.)  The
-    probe takes unrounded top-20 from the index then re-ranks rounded
+    probe takes unrounded top-50 from the index then re-ranks rounded
     to 4dp for the oracle comparison — the same rounding rule as
-    brute_force_topk."""
+    brute_force_topk; the 5x pool over k=10 absorbs any 4dp tie
+    straddling the pool boundary (at 10x replica scale every
+    embedding repeats 10x with EXACT cos ties, so the pool must span
+    multiple whole tie groups)."""
     import tempfile
 
     e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -1469,7 +1472,7 @@ def q_sim_ivf_append(spark, sf):
     SIM.append_ivf_index(delta, f"{work}/idx")
     qv = _query_vec(spark, sf, 0)
     idx = SIM.read_ivf_index(spark, f"{work}/idx")
-    cand = SIM.ivf_topk(idx, cents, qv, k=20, nprobe=8)
+    cand = SIM.ivf_topk(idx, cents, qv, k=50, nprobe=8)
     return (
         cand.select("vec_id", F.round(F.col("cos"), 4).alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")

@@ -350,50 +350,82 @@ def publish(
                     "next to the source would corrupt it; publish to a "
                     "sibling path"
                 )
-    if root_lp is not None:
-        os.makedirs(root_lp, exist_ok=True)
+    def land(vdir: str) -> None:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(vdir)
+        if stats_cols:
+            from spectrify_spark.operators.layout import write_file_stats
+
+            write_file_stats(spark, vdir, stats_cols)
+            _write_version_rollup(spark, vdir, stats_cols)
+        if bloom_cols:
+            from spectrify_spark.operators.layout import write_file_bloom
+
+            write_file_bloom(spark, vdir, bloom_cols)
+            _write_version_bloom_rollup(spark, vdir, bloom_cols)
+
+    # sweep exception: a leftover dir the INPUT DataFrame reads from (a
+    # caller salvaging a crashed partial by republishing it) must
+    # survive until the end-of-publish vacuum — deleting it at start
+    # would pull the source out from under the lazy write.
+    def keep_leftover(v: int) -> bool:
+        vcand = f"{root_cmp}/v={v}"
+        return any(d == vcand or d.startswith(vcand + "/") for d in src_dirs)
+
+    return _publish_version(
+        root, spark, land, keep_versions, keep_leftover=keep_leftover,
+        caller="publish",
+    )
+
+
+def _publish_version(
+    root: str,
+    spark,
+    land_fn,
+    keep_versions: int,
+    keep_leftover=None,
+    caller: str = "publish",
+) -> int:
+    """The shared protocol tail of :func:`publish` / :func:`publish_dir`
+    (ONE implementation so the write order cannot diverge between the
+    DataFrame and directory-payload forms): ensure the root exists,
+    grandfather legacy markers (writer path — stamping is allowed
+    here), sweep crashed-publish leftovers PAST the pointer
+    (single-writer: the pointer never named those dirs; the
+    COMMITTED-but-unflipped leftover is the dangerous one — once the
+    pointer advances past it, vacuum could no longer tell it from a
+    published version, so it would consume a retention slot;
+    ``keep_leftover(v)`` exempts dirs the caller still reads from),
+    allocate the next version number, ``land_fn(version_dir)``, verify
+    the directory exists, commit-mark, flip the pointer atomically,
+    vacuum the retention window.  Returns the new version number."""
+    lp = _local_path(root)
+    if lp is not None:
+        os.makedirs(lp, exist_ok=True)
     else:
         from spectrify_spark.operators._sidecar import index_fs
 
-        fs, hpath, _ = index_fs(spark, root)
+        fs, hpath, _ = index_fs(_require_spark(spark, root, caller), root)
         fs.mkdirs(hpath)
     _migrate_legacy_markers(root, spark)
-    # single-writer cleanup: any version dir numbered PAST the pointer
-    # at publish start is a crashed publish's leftover — we are the
-    # only publish in flight and the pointer never named those dirs.
-    # The COMMITTED-but-unflipped leftover (died between marker and
-    # flip) is the dangerous one: once this publish advances the
-    # pointer past it, vacuum could no longer tell it from a published
-    # version — it would consume a retention slot and evict the
-    # genuinely just-superseded version.
-    # ... except a dir the INPUT DataFrame reads from (a caller
-    # salvaging a crashed partial by republishing it): deleting it
-    # here would pull the source out from under the lazy write.  It
-    # is left for the end-of-publish vacuum, which runs after the
-    # write has fully consumed it.
     cur0 = current_version(root, spark)
     for v in _versions(root, spark):
-        vcand = f"{root_cmp}/v={v}"
-        if (cur0 is None or v > cur0) and not any(
-            d == vcand or d.startswith(vcand + "/") for d in src_dirs
+        if (cur0 is None or v > cur0) and not (
+            keep_leftover is not None and keep_leftover(v)
         ):
             _remove_dir(root, f"v={v}", spark)
     n = max(_versions(root, spark), default=0) + 1
     vdir = _join(root, f"v={n}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(vdir)
-    if stats_cols:
-        from spectrify_spark.operators.layout import write_file_stats
-
-        write_file_stats(spark, vdir, stats_cols)
-        _write_version_rollup(spark, vdir, stats_cols)
-    if bloom_cols:
-        from spectrify_spark.operators.layout import write_file_bloom
-
-        write_file_bloom(spark, vdir, bloom_cols)
-        _write_version_bloom_rollup(spark, vdir, bloom_cols)
+    land_fn(vdir)
+    if not _dir_exists(root, f"v={n}", spark):
+        raise ValueError(
+            f"{caller}: the landing step returned without creating "
+            f"{vdir!r} — there is nothing to publish (a build that can "
+            "legitimately produce an empty payload should still create "
+            "the directory)"
+        )
     _mark_committed(spark, root, n)
     _pointer_write(spark, root, n)
     vacuum(root, keep_versions=keep_versions, spark=spark)
@@ -439,35 +471,11 @@ def publish_dir(
     """
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
-    lp = _local_path(root)
-    if lp is not None:
-        os.makedirs(lp, exist_ok=True)
-    else:
-        from spectrify_spark.operators._sidecar import index_fs
-
-        fs, hpath, _ = index_fs(_require_spark(spark, root, "publish_dir"), root)
-        fs.mkdirs(hpath)
-    _migrate_legacy_markers(root, spark)
-    # single-writer sweep of crashed-publish leftovers past the pointer
-    # (see publish(); no input-DataFrame salvage exception here — the
-    # payload is built fresh by build_fn)
-    cur0 = current_version(root, spark)
-    for v in _versions(root, spark):
-        if cur0 is None or v > cur0:
-            _remove_dir(root, f"v={v}", spark)
-    n = max(_versions(root, spark), default=0) + 1
-    vdir = _join(root, f"v={n}")
-    build_fn(vdir)
-    if not _dir_exists(root, f"v={n}", spark):
-        raise ValueError(
-            f"publish_dir: build_fn returned without creating {vdir!r} — "
-            "there is nothing to publish (a build that can legitimately "
-            "produce an empty payload should still create the directory)"
-        )
-    _mark_committed(spark, root, n)
-    _pointer_write(spark, root, n)
-    vacuum(root, keep_versions=keep_versions, spark=spark)
-    return n
+    # the shared protocol tail; no leftover-sweep exception here — the
+    # payload is built fresh by build_fn, never read from a leftover
+    return _publish_version(
+        root, spark, build_fn, keep_versions, caller="publish_dir"
+    )
 
 
 def current_path(root: str, spark=None) -> str:
@@ -487,22 +495,16 @@ def read_published(spark, root: str, version: int | None = None) -> DataFrame:
     v = current_version(root, spark) if version is None else int(version)
     if v is None:
         raise FileNotFoundError(f"read_published: nothing published at {root!r}")
-    if not _dir_exists(root, f"v={v}", spark):
+    if version is not None:
+        # explicit time travel: dir-exists + READ-ONLY committed guard
+        # (crashed partials refused; legacy pre-marker datasets read
+        # without requiring write permission) — the same shared guard
+        # the pruned-scan readers run
+        _check_time_travel_target("read_published", root, v, spark)
+    elif not _dir_exists(root, f"v={v}", spark):
         raise FileNotFoundError(
             f"read_published: version {v} not found at {root!r} "
             f"(have {_versions(root, spark)}; it may have been vacuumed)"
-        )
-    if version is not None and not _is_committed_or_legacy(root, v, spark):
-        # the directory exists but its publish never completed: a
-        # crashed partial must not be readable as a snapshot (the
-        # pointer path never resolves here — a pointed version is
-        # committed by write order).  The check is READ-ONLY
-        # (_is_committed_or_legacy): time travel on a legacy
-        # pre-marker dataset must not require write permission.
-        raise FileNotFoundError(
-            f"read_published: version {v} at {root!r} exists but was "
-            "never committed (crashed publish) — it is not a readable "
-            "snapshot and the next vacuum will remove it"
         )
     return spark.read.parquet(_join(root, f"v={v}"))
 

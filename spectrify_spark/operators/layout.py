@@ -706,21 +706,30 @@ def _bloom_key_py(value, dtype: str) -> "str | None":
     results."""
     if dtype == "boolean":
         return "true" if value else "false"
-    if dtype == "float":
-        import numpy as np
+    if dtype in ("float", "double"):
+        import math
 
         try:
-            return "%.9e" % float(np.float32(value))
+            f = (
+                float(__import__("numpy").float32(value))
+                if dtype == "float"
+                else float(value)
+            )
         except (TypeError, ValueError):
             # unconvertible probe (e.g. a non-numeric string): no
             # provable rendering — skip pruning, same contract as the
             # integral/decimal branches (the residual filter decides)
             return None
-    if dtype == "double":
-        try:
-            return "%.9e" % float(value)
-        except (TypeError, ValueError):
+        if not math.isfinite(f):
+            # Java's Formatter prints 'Infinity'/'NaN' where Python's
+            # %-format prints 'inf'/'nan' — the build hashed the Java
+            # text, so a non-finite probe has NO provable rendering
+            # here: pruning on the Python text would be a silent false
+            # negative (Spark double equality DOES match Infinity, and
+            # NaN = NaN is true under Spark's NaN semantics).  Skip
+            # pruning; the residual filter decides.
             return None
+        return "%.9e" % f
     if dtype in _INTEGRAL_DTYPES:
         if isinstance(value, bool):
             # Python bool IS an int, but an int column stores 0/1

@@ -1216,3 +1216,90 @@ def test_spark_side_prune_degrades_on_corrupt_index(spark, tmp_path, caplog):
     assert any(
         "Spark-side prune arm" in r.message for r in caplog.records
     )
+
+
+def test_prune_auto_threshold_switches_arms(spark, tmp_path, monkeypatch):
+    """The spark_side=None auto branch itself (untested before r14's
+    second self-review): above SPARK_PRUNE_FILE_THRESHOLD live files
+    the Spark arm runs, below it the driver arm does — observed via
+    spies, results identical either way."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import layout as L
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 400).select(F.col("id").alias("k")).repartitionByRange(
+        4, F.col("k")
+    ).sortWithinPartitions("k").write.parquet(path)
+    L.write_file_stats(spark, path, ["k"])
+    L.write_file_bloom(spark, path, ["k"])
+
+    calls = {"spark": 0, "spark_eq": 0}
+    orig, orig_eq = L._prune_files_spark, L._prune_files_eq_spark
+
+    def spy(*a, **kw):
+        calls["spark"] += 1
+        return orig(*a, **kw)
+
+    def spy_eq(*a, **kw):
+        calls["spark_eq"] += 1
+        return orig_eq(*a, **kw)
+
+    monkeypatch.setattr(L, "_prune_files_spark", spy)
+    monkeypatch.setattr(L, "_prune_files_eq_spark", spy_eq)
+
+    # below the (real, huge) threshold: auto keeps the driver arm
+    keep_drv, _ = L.prune_files(spark, path, "k", 0, 100)
+    keep_drv_eq, _ = L.prune_files_eq(spark, path, "k", 50)
+    assert calls == {"spark": 0, "spark_eq": 0}
+
+    # force the threshold under the live count: auto takes the Spark arm
+    monkeypatch.setattr(L, "SPARK_PRUNE_FILE_THRESHOLD", 2)
+    keep_auto, _ = L.prune_files(spark, path, "k", 0, 100)
+    keep_auto_eq, _ = L.prune_files_eq(spark, path, "k", 50)
+    assert calls == {"spark": 1, "spark_eq": 1}
+    assert keep_auto == keep_drv and keep_auto_eq == keep_drv_eq
+    # ... and explicit False still forces the driver arm regardless
+    keep_f, _ = L.prune_files(spark, path, "k", 0, 100, spark_side=False)
+    assert calls["spark"] == 1 and keep_f == keep_drv
+
+
+def test_bloom_nonfinite_probes_never_false_negative(spark, tmp_path):
+    """Second self-review finding (r14): Java's Formatter prints
+    'Infinity'/'NaN' where Python prints 'inf'/'nan' — a non-finite
+    float/double probe must return None from the key canonicalization
+    (skip pruning) rather than hash the mismatched Python text and
+    silently prune files whose rows DO match (Spark double equality
+    matches Infinity, and NaN = NaN is true under Spark semantics)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        _bloom_key_py,
+        prune_files_eq,
+        pruned_scan_eq,
+        write_file_bloom,
+    )
+
+    for v in (float("inf"), float("-inf"), float("nan")):
+        assert _bloom_key_py(v, "double") is None
+        assert _bloom_key_py(v, "float") is None
+
+    path = str(tmp_path / "ds")
+    spark.sql(
+        "SELECT id AS k, CASE WHEN id = 7 THEN double('Infinity') "
+        "WHEN id = 8 THEN double('NaN') ELSE CAST(id AS DOUBLE) END AS d "
+        "FROM range(100)"
+    ).repartition(2, F.col("k")).write.parquet(path)
+    write_file_bloom(spark, path, ["d"])
+
+    for probe, want_k in ((float("inf"), 7), (float("nan"), 8)):
+        for arm in (False, True):
+            keep, total = prune_files_eq(spark, path, "d", probe,
+                                         spark_side=arm)
+            assert len(keep) == total == 2, (probe, arm)  # nothing pruned
+        rows = pruned_scan_eq(spark, path, "d", probe).collect()
+        assert [r.k for r in rows] == [want_k], probe
+        got = rows[0].d
+        assert (math.isnan(got) if want_k == 8 else got == probe)

@@ -47,11 +47,14 @@ reference's overwrite-in-place, minus the data loss).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
 
 from pyspark.sql import DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
 
 #: underscore prefix keeps the pointer invisible to any parquet scan
 CURRENT_POINTER = "_spectrify_current.json"
@@ -187,12 +190,34 @@ def _migrate_legacy_markers(root: str, spark=None) -> None:
     a reader without write permission, time travel on a legacy dataset
     would fail with a WRITE error instead of returning rows.  Read
     paths use the read-only twin :func:`_is_committed_or_legacy`,
-    which applies the same pointed-but-unmarked rule without
-    writing."""
+    which applies the same no-marker-anywhere rule without writing.
+
+    MARKER LOSS vs LEGACY (r14 ADVICE): legacy status requires that NO
+    version anywhere in the dataset carries a marker.  A dataset where
+    SOME version is marked but the pointed one is not can only mean
+    the pointed version's marker was lost out-of-band (manual
+    deletion, partial restore) — stamping everything <= cur there
+    would re-certify genuine crashed partials sight-unseen, so the
+    migration logs a WARNING and leaves the markers alone.  Recovery:
+    restore the missing ``COMMITTED`` file from backup (it is an empty
+    sentinel — recreating it re-certifies the version), or republish;
+    unmarked versions stay refused for explicit time travel until
+    then, while pointer-path reads (version=None) are unaffected."""
     cur = current_version(root, spark)
     if cur is None or _is_committed(root, cur, spark):
         return
-    for v in _versions(root, spark):
+    vs = _versions(root, spark)
+    if any(_is_committed(root, v, spark) for v in vs):
+        logger.warning(
+            "publish dataset at %s: pointed version v=%d has no "
+            "COMMITTED marker but other versions do — out-of-band "
+            "marker loss, NOT a legacy dataset; refusing to stamp "
+            "(restore the marker file from backup or republish)",
+            root,
+            cur,
+        )
+        return
+    for v in vs:
         if v <= cur:
             _mark_committed(spark, root, v)
 
@@ -200,20 +225,34 @@ def _migrate_legacy_markers(root: str, spark=None) -> None:
 def _is_committed_or_legacy(root: str, n: int, spark=None) -> bool:
     """READ-ONLY committed check for reader paths: a version counts as
     committed if it carries the marker, OR if the dataset is a legacy
-    (pre-marker) one — the POINTED version has no marker, which
+    (pre-marker) one — NO version anywhere carries a marker, which
     new-code publishes cannot produce — and ``n`` is at or below the
     pointer (exactly the set :func:`_migrate_legacy_markers` would
     stamp).  Never writes, so time travel works on read-only storage;
     the first writer-path operation (publish/vacuum) stamps the
-    markers durably."""
+    markers durably.
+
+    The no-marker-ANYWHERE requirement (r14 ADVICE hardening): if any
+    version is marked, the dataset went through the marker protocol,
+    so a pointed-but-unmarked version means out-of-band marker loss —
+    granting legacy status there would make every uncommitted crashed
+    partial at or below the pointer readable via explicit-version
+    time travel.  Refusing is the conservative direction (a refusal,
+    never wrong rows); see :func:`_migrate_legacy_markers` for the
+    documented recovery.  The extra cost — one marker existence check
+    per version — lands only on the rare path where the requested
+    version itself is unmarked."""
     if _is_committed(root, n, spark):
         return True
     cur = current_version(root, spark)
     if cur is None or n > cur:
         return False
-    # pointed-but-unmarked == legacy dataset: every v <= cur was
-    # published by pre-marker code
-    return not _is_committed(root, cur, spark)
+    # legacy (pre-marker) dataset == zero markers anywhere; the pointed
+    # version is one of the checked set, so the old pointed-unmarked
+    # condition is subsumed
+    return not any(
+        _is_committed(root, v, spark) for v in _versions(root, spark)
+    )
 
 
 def _pointer_write(spark, root: str, n: int) -> None:
@@ -630,6 +669,7 @@ def published_pruned_scan(
     upper=None,
     ranges: "dict | None" = None,
     version: int | None = None,
+    spark_side: "bool | None" = None,
 ) -> DataFrame:
     """Range scan over a published version with TWO pruning tiers:
     (1) the version-level rollup — if every row of the version is
@@ -640,7 +680,12 @@ def published_pruned_scan(
     (:func:`spectrify_spark.operators.layout.pruned_scan`).  Same
     conservative contract as every skipping tier: a version/file is
     skipped only when stats PROVE disjointness, so a missing or
-    partial rollup only costs pruning, never rows."""
+    partial rollup only costs pruning, never rows.  ``spark_side``
+    passes through to the per-file tier (r14 VERDICT item 6 — the
+    automatic 100k-file threshold always engaged, but the explicit
+    override the unpublished API offers was not reachable here):
+    None = the file-count threshold decides, True forces the
+    Spark-job + anti-join arm, False forces the driver-side probe."""
     from spectrify_spark.operators._sidecar import read_json_sidecar
     from spectrify_spark.operators.layout import _as_ranges, pruned_scan
 
@@ -673,7 +718,7 @@ def published_pruned_scan(
                 continue
             if disjoint:
                 return spark.read.parquet(vdir).filter(F.lit(False))
-    return pruned_scan(spark, vdir, ranges=rgs)
+    return pruned_scan(spark, vdir, ranges=rgs, spark_side=spark_side)
 
 
 def _write_version_bloom_rollup(spark, vdir: str, cols: list[str]) -> None:
@@ -723,6 +768,7 @@ def published_pruned_scan_eq(
     col: str,
     value,
     version: int | None = None,
+    spark_side: "bool | None" = None,
 ) -> DataFrame:
     """Point lookup over a published version with TWO pruning tiers:
     (1) the version-level bloom rollup — if the probe's bit positions
@@ -735,7 +781,10 @@ def published_pruned_scan_eq(
     conservative contract as every skipping tier: an unverifiable
     probe canonicalization or a missing rollup only costs pruning,
     never rows; NULL probes return the empty result directly (SQL
-    equality never matches NULL)."""
+    equality never matches NULL).  ``spark_side`` passes through to
+    the per-file tier exactly as on :func:`published_pruned_scan`
+    (None = file-count threshold, True = forced Spark arm, False =
+    forced driver arm)."""
     from spectrify_spark.operators._sidecar import read_json_sidecar
     from spectrify_spark.operators.layout import (
         _bloom_positions_py,
@@ -768,4 +817,4 @@ def published_pruned_scan_eq(
         bits = set(s["bits"])
         if pos is not None and any(p not in bits for p in pos):
             return spark.read.parquet(vdir).filter(F.lit(False))
-    return pruned_scan_eq(spark, vdir, col, value)
+    return pruned_scan_eq(spark, vdir, col, value, spark_side=spark_side)

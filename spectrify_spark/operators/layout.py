@@ -478,6 +478,65 @@ def _stats_part_groups(spark, stats_path: str):
     return _group_parts_by_schema(spark, parts)
 
 
+def _range_bound_lit(bound, dtype) -> "F.Column | None":
+    """Literal builder for the Spark prune arm's comparisons, gating on
+    BOUND-vs-STATS-TYPE comparability.  Returns None when the pair is
+    not provably comparable — the caller skips that bound's clause,
+    which is exactly what the driver arm does when the same pair
+    raises TypeError in Python (r14 ADVICE: without this gate the two
+    arms diverged on type-mismatched probes — the driver crashed on
+    the Python comparison while the Spark arm either aborted the whole
+    job under ANSI cast errors or, worse, implicit-cast numeric-text
+    stats and pruned where the driver kept).  The matrix mirrors
+    Python value comparability per Spark stats type: numeric stats
+    accept int/float/Decimal (bool normalized to int — Python compares
+    bools as ints, Spark under ANSI does not), string accepts str,
+    date accepts date-not-datetime, timestamps accept datetime (ntz
+    only naive — an aware bound has no provable wall-clock rendering),
+    boolean accepts bool.  No numeric literal is ever cast to the
+    column type (a 10.5 bound truncated to 10 would change the
+    predicate); Spark's numeric promotion handles widening."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.BooleanType):
+        return F.lit(bound) if isinstance(bound, bool) else None
+    if isinstance(
+        dtype,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    ):
+        if isinstance(bound, bool):
+            return F.lit(int(bound))
+        if isinstance(bound, (int, float, decimal.Decimal)):
+            return F.lit(bound)
+        return None
+    if isinstance(dtype, T.StringType):
+        return F.lit(bound) if isinstance(bound, str) else None
+    if isinstance(dtype, T.DateType):
+        if isinstance(bound, datetime.date) and not isinstance(
+            bound, datetime.datetime
+        ):
+            return F.lit(bound)
+        return None
+    if isinstance(dtype, T.TimestampType):
+        return F.lit(bound) if isinstance(bound, datetime.datetime) else None
+    if isinstance(dtype, T.TimestampNTZType):
+        if isinstance(bound, datetime.datetime) and bound.tzinfo is None:
+            return F.lit(bound).cast(dtype)
+        return None
+    return None
+
+
 def _prune_files_spark(
     spark, stats_path: str, live: list[str], ranges: dict
 ) -> "list[str] | None":
@@ -488,14 +547,17 @@ def _prune_files_spark(
     surviving set is the live list anti-joined against the pruned
     names.  Only file NAMES that survive return to the driver — never
     the stats rows themselves — so cold-probe driver memory is bounded
-    by the answer, not the index.  Conservative under SQL null
-    semantics: a comparison that nulls out (type-mismatched probe)
-    fails the ``where`` and the file is KEPT.  Returns None when no
-    stats exist OR when the index fails to read (the same
+    by the answer, not the index.  Type-mismatched probes degrade
+    exactly like the driver arm's TypeError->keep (r14 ADVICE): each
+    bound's clause is emitted only when :func:`_range_bound_lit`
+    proves the pair comparable, and — mirroring the driver's
+    lower-then-upper evaluation order, where a TypeError on the lower
+    bound skips the upper comparison too — the upper clause is also
+    dropped when a GIVEN lower bound is incomparable.  Returns None
+    when no stats exist OR when the index fails to read (the same
     except->None contract as :func:`_read_stats_rows` — a corrupt
     part must degrade to no pruning on THIS arm too, not crash the
-    probe; logged at debug like the driver path).  Callers keep
-    everything on None."""
+    probe).  Callers keep everything on None."""
     try:
         groups = _stats_part_groups(spark, stats_path)
         if groups is None:
@@ -509,11 +571,14 @@ def _prune_files_spark(
                     # column never indexed in this part group: its stats
                     # prove NOTHING — contribute no disjointness proof
                     continue
+                ftype = sch[f"min_{c}"].dataType
+                lo_lit = None if lo is None else _range_bound_lit(lo, ftype)
+                hi_lit = None if hi is None else _range_bound_lit(hi, ftype)
                 cdis = F.col(f"min_{c}").isNull()  # all-NULL: no match
-                if lo is not None:
-                    cdis = cdis | (F.col(f"max_{c}") < F.lit(lo))
-                if hi is not None:
-                    cdis = cdis | (F.col(f"min_{c}") >= F.lit(hi))
+                if lo_lit is not None:
+                    cdis = cdis | (F.col(f"max_{c}") < lo_lit)
+                if hi_lit is not None and (lo is None or lo_lit is not None):
+                    cdis = cdis | (F.col(f"min_{c}") >= hi_lit)
                 cond = cond | cdis
             g = spark.read.schema(sch).parquet(*parts).where(cond).select("file")
             pruned = g if pruned is None else pruned.unionByName(g)
@@ -521,9 +586,15 @@ def _prune_files_spark(
         keep_rows = live_df.join(pruned, "file", "left_anti").collect()
         return sorted(r["file"] for r in keep_rows)
     except Exception:
-        logger.debug(
+        # WARNING, not debug: results stay correct (caller scans every
+        # live file) but in the 10^6-file regime this arm targets, a
+        # transient job failure (executor loss, OOM) silently turning
+        # a pruned scan into a full scan is a perf cliff an operator
+        # must be able to see without enabling debug logging
+        logger.warning(
             "stats index at %s exists but failed to read on the "
-            "Spark-side prune arm — treating as absent (no pruning)",
+            "Spark-side prune arm — treating as absent (no pruning; "
+            "the scan falls back to ALL live files)",
             stats_path,
             exc_info=True,
         )
@@ -587,10 +658,22 @@ def prune_files(
             mn, mx = row[f"min_{c}"], row[f"max_{c}"]
             if mn is None:  # all-NULL column: no row can match a range
                 return True
-            if lo is not None and mx < lo:
-                return True
-            if hi is not None and mn >= hi:
-                return True
+            try:
+                if lo is not None and mx < lo:
+                    return True
+                if hi is not None and mn >= hi:
+                    return True
+            except TypeError:
+                # probe type not comparable to the stats type (e.g. an
+                # int probe against string stats): this column proves
+                # nothing — keep the file.  The Spark arm skips the
+                # same bounds via _range_bound_lit's schema-level
+                # comparability gate (a TypeError on the lower bound
+                # lands here before the upper comparison runs, which
+                # the gate mirrors), so both arms degrade identically
+                # instead of flipping crash/keep at the file-count
+                # threshold (r14 ADVICE)
+                continue
         return False
 
     pruned = {r["file"] for r in rows if _disjoint(r)}
@@ -1015,7 +1098,14 @@ def _prune_files_eq_spark(
                 fam_match = (
                     (F.col("m_bits") == F.lit(int(fr["m_bits"])))
                     & (F.col("k_hashes") == F.lit(int(fr["k_hashes"])))
-                    & (dtype_col == F.lit(fr["dtype"] or ""))
+                    # null-safe: a NULL dtype inside a dtype-bearing
+                    # schema group must match the "" family exactly as
+                    # the driver path's r.get("dtype","") or "" does —
+                    # a bare == nulls out and the file is never pruned
+                    & (
+                        F.coalesce(dtype_col, F.lit(""))
+                        == F.lit(fr["dtype"] or "")
+                    )
                 )
                 missing = F.lit(False)
                 for p in pos:
@@ -1032,9 +1122,13 @@ def _prune_files_eq_spark(
         keep_rows = live_df.join(pruned, "file", "left_anti").collect()
         return sorted(r["file"] for r in keep_rows)
     except Exception:
-        logger.debug(
+        # WARNING for the same reason as the stats-arm twin above: the
+        # fallback is correct but the invisible full-scan perf cliff
+        # at 10^6 files must surface without debug logging
+        logger.warning(
             "bloom index at %s exists but failed to read on the "
-            "Spark-side prune arm — treating as absent (no pruning)",
+            "Spark-side prune arm — treating as absent (no pruning; "
+            "the scan falls back to ALL live files)",
             bloom_path,
             exc_info=True,
         )

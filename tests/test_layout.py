@@ -1213,9 +1213,14 @@ def test_spark_side_prune_degrades_on_corrupt_index(spark, tmp_path, caplog):
     # conservative: everything kept, nothing raised
     assert len(keep) == total == 2
     assert len(keep_eq) == total_eq == 2
-    assert any(
-        "Spark-side prune arm" in r.message for r in caplog.records
-    )
+    # r14 ADVICE: the Spark-arm fallback is a silent full-scan perf
+    # cliff in the 10^6-file regime — it must surface at WARNING, not
+    # debug (the driver-arm sidecar reads stay at debug)
+    arm_records = [
+        r for r in caplog.records if "Spark-side prune arm" in r.message
+    ]
+    assert arm_records
+    assert all(r.levelno == logging.WARNING for r in arm_records)
 
 
 def test_prune_auto_threshold_switches_arms(spark, tmp_path, monkeypatch):
@@ -1303,3 +1308,123 @@ def test_bloom_nonfinite_probes_never_false_negative(spark, tmp_path):
         assert [r.k for r in rows] == [want_k], probe
         got = rows[0].d
         assert (math.isnan(got) if want_k == 8 else got == probe)
+
+
+def test_type_mismatched_range_probe_arms_degrade_identically(spark, tmp_path):
+    """r14 ADVICE: an int probe against STRING stats used to raise
+    TypeError on the driver arm's Python comparison while the Spark
+    arm's SQL comparison nulled out and kept the file — the same call
+    flipped between crash and keep at the file-count threshold.  Both
+    arms must now degrade identically: the mismatched column proves
+    nothing, every file survives, no exception."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name-"), F.col("id")).alias("s"),
+    ).repartition(2, F.col("k")).write.parquet(path)
+    write_file_stats(spark, path, ["k", "s"])
+
+    for probe in (
+        dict(ranges={"s": (10, 20)}),          # int range on string stats
+        dict(ranges={"k": (0, 50), "s": (10, None)}),  # mixed conjunction
+    ):
+        keep_drv, tot_drv = prune_files(spark, path, spark_side=False, **probe)
+        keep_spk, tot_spk = prune_files(spark, path, spark_side=True, **probe)
+        assert tot_drv == tot_spk == 2
+        assert keep_drv == keep_spk, probe
+    # the mismatched column alone never prunes on either arm
+    assert prune_files(spark, path, ranges={"s": (10, 20)},
+                       spark_side=True)[0] == \
+        prune_files(spark, path, ranges={"s": (10, 20)}, spark_side=False)[0]
+    assert len(prune_files(spark, path, ranges={"s": (10, 20)})[0]) == 2
+    # the well-typed column of a mixed conjunction still prunes/scans
+    # correctly on both arms (the mismatched one contributes nothing;
+    # its residual filter is the caller's own ANSI problem and is not
+    # evaluated here)
+    for arm in (False, True):
+        keep, _ = prune_files(
+            spark, path, ranges={"k": (0, 50), "s": (10, None)},
+            spark_side=arm,
+        )
+        got = sorted(
+            r.k
+            for r in pruned_scan(
+                spark, path, "k", 0, 50, spark_side=arm
+            ).collect()
+        )
+        assert got == list(range(0, 50)), arm
+
+
+def test_bloom_null_dtype_row_prunes_on_both_arms(spark, tmp_path):
+    """r14 ADVICE: a NULL dtype value inside a dtype-bearing bloom
+    schema group nulled out the Spark arm's ``dtype_col == lit(...)``
+    family match — the file was (conservatively) never pruned, while
+    the driver path maps NULL dtype to "" and can prune: a violation
+    of the identical-surviving-sets invariant.  The Spark arm now
+    compares null-safely.  Fixture: a real bloom index over a STRING
+    column (whose "" legacy canonicalization is byte-identical to the
+    'string' one) with the dtype column rewritten to NULL."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        FILE_BLOOM_DIR,
+        prune_files_eq,
+        pruned_scan_eq,
+        write_file_bloom,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("tag-"), F.col("id")).alias("s"),
+    ).repartition(2, F.col("k")).write.parquet(path)
+    write_file_bloom(spark, path, ["s"])
+
+    # null out the dtype column in every index part (the schema keeps
+    # the field — this is the dtype-bearing-group-with-NULL edge state)
+    for part in glob.glob(f"{path}/{FILE_BLOOM_DIR}/*.parquet"):
+        t = pq.read_table(part)
+        idx = t.schema.get_field_index("dtype")
+        import pyarrow as pa
+
+        field = t.schema.field(idx).with_nullable(True)
+        nulls = pa.nulls(len(t), type=field.type)
+        # drop the embedded Spark row metadata too — it still claims
+        # the field non-nullable and Spark's reader would trust it
+        t = t.set_column(idx, field, nulls).replace_schema_metadata({})
+        pq.write_table(t, part)
+        # the rewrite invalidates Hadoop's .crc sidecar — drop it or
+        # the Spark arm fails on ChecksumException instead of reading
+        d, b = os.path.split(part)
+        crc = os.path.join(d, f".{b}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # a value present in no file: both arms prune everything
+    for arm in (False, True):
+        keep, total = prune_files_eq(
+            spark, path, "s", "tag-absent", spark_side=arm
+        )
+        assert total == 2 and keep == [], arm
+    # a value present in one file: both arms keep exactly that file,
+    # and the scan still returns the row (no false negative)
+    sets = {
+        arm: prune_files_eq(spark, path, "s", "tag-42", spark_side=arm)[0]
+        for arm in (False, True)
+    }
+    assert sets[False] == sets[True] and len(sets[False]) >= 1
+    rows = pruned_scan_eq(spark, path, "s", "tag-42").collect()
+    assert [(r.k, r.s) for r in rows] == [(42, "tag-42")]

@@ -606,3 +606,100 @@ def test_publish_dir_reader_safe_index_rebuild(spark, tmp_path):
     with pytest.raises(ValueError, match="nothing to publish"):
         publish_dir(root, lambda d: None)
     assert current_version(root) == 3
+
+
+def test_marker_loss_is_not_legacy(spark, tmp_path, caplog):
+    """r14 ADVICE hardening: legacy status requires NO marker anywhere.
+    A dataset where some versions carry markers but the pointed one
+    does not can only mean out-of-band marker loss — granting legacy
+    status there would make every crashed partial at or below the
+    pointer readable via explicit time travel, and the writer-path
+    migration would re-certify them sight-unseen.  Both paths must
+    refuse: reads raise, the migration warns and stamps nothing.
+    Recovery = restoring the COMMITTED sentinel (it is content-free)."""
+    import logging
+
+    from spectrify_spark.catalog.publish import (
+        COMMITTED,
+        published_pruned_scan,
+        published_pruned_scan_eq,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=3,
+            stats_cols=["k"], bloom_cols=["k"])
+    publish(_df(spark, 20, "b"), root, keep_versions=3,
+            stats_cols=["k"], bloom_cols=["k"])
+    # a genuine crashed partial below the pointer would be unmarked,
+    # exactly like the marker-loss victim — build the dangerous state:
+    # v=2 pointed, v=2's marker lost, v=1 still marked
+    os.remove(os.path.join(root, "v=2", COMMITTED))
+
+    # read paths: explicit time travel to the unmarked version refuses
+    # (marked versions and the pointer path keep working)
+    for fn in (
+        lambda: read_published(spark, root, version=2),
+        lambda: published_pruned_scan(spark, root, "k", 0, 5, version=2),
+        lambda: published_pruned_scan_eq(spark, root, "k", 3, version=2),
+    ):
+        with pytest.raises(FileNotFoundError, match="never\\s+committed"):
+            fn()
+    assert read_published(spark, root, version=1).count() == 10
+    assert read_published(spark, root).count() == 20  # pointer path
+
+    # writer path: vacuum's migration warns and does NOT stamp
+    with caplog.at_level(
+        logging.WARNING, logger="spectrify_spark.catalog.publish"
+    ):
+        vacuum(root, keep_versions=3)
+    assert any("marker loss" in r.message for r in caplog.records)
+    assert not os.path.isfile(os.path.join(root, "v=2", COMMITTED))
+    # the pointed dir itself is never vacuumed (the {cur} keep-slot)
+    assert read_published(spark, root).count() == 20
+    # restoring the sentinel recovers the version for time travel
+    open(os.path.join(root, "v=2", COMMITTED), "w").close()
+    assert read_published(spark, root, version=2).count() == 20
+
+
+def test_published_pruned_scan_spark_side_passthrough(spark, tmp_path):
+    """r14 VERDICT item 6: published_pruned_scan(_eq) forward
+    ``spark_side=`` to the per-file tier, so the explicit arm override
+    the unpublished API offers is reachable through the published
+    path.  Both arms forced through the rollup-missing route must
+    return identical rows."""
+    from spectrify_spark.catalog.publish import (
+        VERSION_BLOOM,
+        VERSION_STATS,
+        published_pruned_scan,
+        published_pruned_scan_eq,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 100, "a"), root, stats_cols=["k"], bloom_cols=["k"])
+    # remove the version rollups so the per-file tier (where the arms
+    # diverge) actually runs
+    for sidecar in (VERSION_STATS, VERSION_BLOOM):
+        p = os.path.join(root, "v=1", sidecar)
+        if os.path.exists(p):
+            os.remove(p)
+
+    rng = {
+        arm: sorted(
+            r.k
+            for r in published_pruned_scan(
+                spark, root, "k", 10, 20, spark_side=arm
+            ).collect()
+        )
+        for arm in (False, True)
+    }
+    assert rng[False] == rng[True] == list(range(10, 20))
+    eq = {
+        arm: [
+            (r.k, r.tag)
+            for r in published_pruned_scan_eq(
+                spark, root, "k", 42, spark_side=arm
+            ).collect()
+        ]
+        for arm in (False, True)
+    }
+    assert eq[False] == eq[True] == [(42, "a")]

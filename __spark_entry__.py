@@ -1480,6 +1480,90 @@ def q_sim_ivf_append(spark, sf):
     )
 
 
+def q_sim_append_recall(spark, sf):
+    """Post-append ANN recall gate (r15 — VERDICT r14 item 1): the
+    question q_sim_ivf_append leaves open is what happens at realistic
+    nprobe < C once a frozen-model index has absorbed appends.  Build
+    the materialized IVF index over HALF the corpus (even vec_ids,
+    kmeans-refined C=8 centroids — similarity.write_ivf_index, which
+    since r15 stamps build-time drift baselines into the sidecar),
+    append the odd half with the stored centroids (append_ivf_index),
+    then (a) probe the appended index at nprobe=6 < C for 16 queries
+    and measure recall@10 against the exact kNN join over the FULL
+    corpus, and (b) run similarity.ann_drift_report against the build
+    baselines.  SELF-VALIDATING single row, the q_sim_ivf_recall
+    pattern extended with genuinely cross-checked drift numbers:
+    base_n / delta_n / delta_fraction / rebuild_recommended are
+    MEASURED from the written index's footer counts + sidecar stats
+    Spark-side and recomputed by the oracle from the table's even/odd
+    counts (a row lost or double-appended flips them), brute_pairs is
+    the oracle's own window SQL, and the two quality bounds surface
+    as literal-TRUE booleans: recall_ge_080 (measured 0.89 sf0.001 /
+    0.93 sf0.01 at nprobe=6 — same data-supported bound as
+    q_sim_ivf_recall; rehearsal table recall-vs-delta in
+    BENCH_NOTES.md r15) and residual_ratio_lt_125 (same-distribution
+    append: measured 1.08 / 1.07 — under the 1.25 rebuild trigger;
+    the delta_fraction trigger is the one that fires here, TRUE on
+    both engines because delta == base size).  The documented rebuild
+    response is the q_publish_index pointer flip
+    (similarity.ann_drift_report docstring)."""
+    import tempfile
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+    seed = SIM.choose_centroids(base, n_centroids=8)
+    cents = SIM.kmeans_refine(base, seed, iters=2)
+    work = tempfile.mkdtemp(prefix="q_sim_append_recall_")
+    SIM.write_ivf_index(base, cents, f"{work}/idx")
+    SIM.append_ivf_index(delta, f"{work}/idx")
+    rep = SIM.ann_drift_report(spark, f"{work}/idx")
+
+    qs = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    idx = SIM.read_ivf_index(spark, f"{work}/idx")
+    stored = SIM.read_ivf_centroids(spark, f"{work}/idx")
+    ivf = SIM.ivf_knn_join(idx, stored, qs, k=10, nprobe=6).select(
+        F.col("q_id").alias("iq"), F.col("vec_id").alias("ivf_id")
+    )
+    brute = SIM.knn_join_topk(e, qs, k=10).select("q_id", "vec_id")
+    n_brute = brute.agg(F.count(F.lit(1)).alias("brute_pairs"))
+    n_q = qs.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    hits = brute.join(
+        ivf,
+        (brute["q_id"] == ivf["iq"]) & (brute["vec_id"] == ivf["ivf_id"]),
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    return (
+        n_brute.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "n_queries",
+            F.lit(10).cast("bigint").alias("k"),
+            "brute_pairs",
+            F.lit(int(rep["build_n"])).cast("bigint").alias("base_n"),
+            F.lit(int(rep["appended_n"])).cast("bigint").alias("delta_n"),
+            F.round(
+                F.lit(int(rep["appended_n"]))
+                / F.lit(float(rep["build_n"])),
+                4,
+            ).alias("delta_fraction"),
+            F.lit(bool(rep["rebuild_recommended"])).alias(
+                "rebuild_recommended"
+            ),
+            (
+                F.col("__hits").cast("double")
+                / F.col("brute_pairs").cast("double")
+                >= 0.8
+            ).alias("recall_ge_080"),
+            F.lit(
+                rep["residual_ratio"] is not None
+                and rep["residual_ratio"] < 1.25
+            ).alias("residual_ratio_lt_125"),
+        )
+    )
+
+
 def q_publish_index(spark, sf):
     """Reader-safe ANN index REBUILD via the versioned publish (r14 —
     catalog/publish.py::publish_dir): write_ivfpq_index targets a live
@@ -4913,6 +4997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout.py's probe cache.)
     """
     return {
+        # -- r15-born keys (rule 2)
+        "q_sim_append_recall": q_sim_append_recall,
         # -- r14 window, slots 1-5: r14-born keys (rule 2)
         "q_knn_join_shuffle": q_knn_join_shuffle,
         "q_stream_curate_publish": q_stream_curate_publish,
@@ -6595,6 +6681,31 @@ def oracle_sql() -> dict[str, str]:
         # incremental IVF append probed at nprobe=C == brute force over
         # the FULL (base + appended) corpus — rounding rule matches
         # brute_force_topk (4dp, ties by vec_id)
+        "q_sim_append_recall": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 16),
+            r AS (SELECT q.q_id, c.vec_id,
+                         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                q.qv) AS cos
+                  FROM embeddings c, q
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                             ORDER BY cos DESC, c.vec_id) <= 10),
+            n AS (SELECT COUNT(*) FILTER (vec_id % 2 = 0) AS base_n,
+                         COUNT(*) FILTER (vec_id % 2 = 1) AS delta_n
+                  FROM embeddings)
+            SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+                   CAST(10 AS BIGINT) AS k,
+                   (SELECT COUNT(*) FROM r) AS brute_pairs,
+                   CAST(n.base_n AS BIGINT) AS base_n,
+                   CAST(n.delta_n AS BIGINT) AS delta_n,
+                   ROUND(CAST(n.delta_n AS DOUBLE) / n.base_n, 4)
+                       AS delta_fraction,
+                   (CAST(n.delta_n AS DOUBLE) / n.base_n) > 0.5
+                       AS rebuild_recommended,
+                   TRUE AS recall_ge_080,
+                   TRUE AS residual_ratio_lt_125
+            FROM n
+        """,
         "q_sim_ivf_append": """
             SELECT vec_id, cos FROM (
               SELECT vec_id,

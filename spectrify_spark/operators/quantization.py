@@ -462,6 +462,12 @@ def write_ivfpq_index(
     )
     # atomic replace: a rebuild targets a LIVE index dir — a concurrent
     # probe must never read a partially-written model sidecar
+    from spectrify_spark.operators.similarity import _index_cell_counts
+
+    # mass-tier drift baselines (r15, see similarity.ann_drift_report):
+    # the index stores codes, not vectors, so only the count tier is
+    # measurable here — near-free (partition dirs + parquet footers)
+    sizes = _index_cell_counts(df.sparkSession, path, cell_col)
     replace_json_sidecar(
         df.sparkSession,
         path,
@@ -475,6 +481,11 @@ def write_ivfpq_index(
             "codebooks": [
                 [[float(x) for x in code] for code in sub] for sub in codebooks
             ],
+            "stats": {
+                "build_n": int(sum(sizes.values())),
+                "build_cell_sizes": sizes,
+                "build_residual_mean": None,
+            },
         },
     )
 
@@ -883,6 +894,10 @@ def write_ivfsq_index(
     )
     # atomic replace: a rebuild targets a LIVE index dir — a concurrent
     # probe must never read a partially-written model sidecar
+    from spectrify_spark.operators.similarity import _index_cell_counts
+
+    # mass-tier drift baselines (r15, see similarity.ann_drift_report)
+    sizes = _index_cell_counts(df.sparkSession, path, cell_col)
     replace_json_sidecar(
         df.sparkSession,
         path,
@@ -895,6 +910,11 @@ def write_ivfsq_index(
             ],
             "mins": [float(x) for x in model["mins"]],
             "maxs": [float(x) for x in model["maxs"]],
+            "stats": {
+                "build_n": int(sum(sizes.values())),
+                "build_cell_sizes": sizes,
+                "build_residual_mean": None,
+            },
         },
     )
 

@@ -184,3 +184,134 @@ def test_compact_ivf_index_rejects_overlapping_paths(spark, tmp_path):
     for dst in (src, src + "/sub", str(tmp_path / "idx")):
         with pytest.raises(ValueError, match="overlap"):
             compact_ivf_index(spark, src, dst)
+
+
+def test_ann_drift_report_baselines_and_triggers(spark, sf_dir, tmp_path):
+    """r15 (VERDICT r14 item 1): write_ivf_index stamps build-time
+    drift baselines (count, per-cell sizes, mean assigned-cell
+    residual) into the sidecar; appends carry them through untouched;
+    ann_drift_report compares the CURRENT index state against them and
+    recommends the publish_dir rebuild when a trigger fires.  Pins:
+    fresh build -> no rebuild; same-distribution 100% append -> the
+    delta_fraction trigger (and ONLY it: share ~1/C, residual_ratio
+    ~1.08 on isotropic data); shifted append -> the hot-cell share
+    trigger; threshold params honored; legacy sidecar (no stats) ->
+    conservative rebuild_recommended."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.operators._sidecar import (
+        read_json_sidecar,
+        replace_json_sidecar,
+    )
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+    cents = SIM.kmeans_refine(
+        base, SIM.choose_centroids(base, n_centroids=8), iters=2
+    )
+    path = str(tmp_path / "idx")
+    SIM.write_ivf_index(base, cents, path)
+
+    # build baselines stamped and self-consistent
+    sc = read_json_sidecar(spark, path, SIM._IVF_SIDECAR)
+    st = sc["stats"]
+    assert st["build_n"] == base.count()
+    assert sum(st["build_cell_sizes"].values()) == st["build_n"]
+    assert 0.0 < st["build_residual_mean"] < 1.0
+
+    fresh = SIM.ann_drift_report(spark, path)
+    assert fresh["rebuild_recommended"] is False
+    assert fresh["delta_fraction"] == 0.0
+    assert abs(fresh["residual_ratio"] - 1.0) < 1e-9
+
+    # same-distribution 100% append: only the delta_fraction trigger
+    SIM.append_ivf_index(delta, path)
+    sc2 = read_json_sidecar(spark, path, SIM._IVF_SIDECAR)
+    assert sc2["stats"] == st  # appends never touch the baselines
+    rep = SIM.ann_drift_report(spark, path)
+    assert rep["appended_n"] == delta.count()
+    assert rep["delta_fraction"] > 0.5
+    assert rep["rebuild_recommended"] is True
+    assert len(rep["reasons"]) == 1 and "delta_fraction" in rep["reasons"][0]
+    assert rep["max_cell_appended_share"] < 0.5  # spreads ~1/C
+    assert rep["residual_ratio"] < 1.25
+    # thresholds are parameters: raising the delta bound silences it
+    assert (
+        SIM.ann_drift_report(spark, path, max_delta_fraction=2.0)[
+            "rebuild_recommended"
+        ]
+        is False
+    )
+
+    # shifted append: all mass lands in the offset direction's cell ->
+    # the hot-cell share trigger fires even with the delta bound raised
+    shifted = delta.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x + F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    path2 = str(tmp_path / "idx2")
+    SIM.write_ivf_index(base, cents, path2)
+    SIM.append_ivf_index(shifted, path2)
+    rep2 = SIM.ann_drift_report(spark, path2, max_delta_fraction=2.0)
+    assert rep2["max_cell_appended_share"] > 0.5
+    assert rep2["rebuild_recommended"] is True
+    assert any("hot cell" in r or "concentrates" in r for r in rep2["reasons"])
+
+    # legacy sidecar without stats: unmeasurable -> conservative rebuild
+    sc3 = {k: v for k, v in sc2.items() if k != "stats"}
+    replace_json_sidecar(spark, path2, SIM._IVF_SIDECAR, sc3)
+    rep3 = SIM.ann_drift_report(spark, path2)
+    assert rep3["rebuild_recommended"] is True
+    assert any("unmeasurable" in r for r in rep3["reasons"])
+    assert rep3["delta_fraction"] is None
+
+    # no sidecar at all: loud, not a guess
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        SIM.ann_drift_report(spark, str(tmp_path / "nope"))
+
+
+def test_ann_drift_report_reads_pq_and_sq_sidecars(spark, sf_dir, tmp_path):
+    """The report works against the IVF-PQ / IVF-SQ model sidecars too:
+    count-tier baselines are stamped at build (the code-only indexes
+    cannot measure residuals — residual fields stay None) and the
+    delta_fraction trigger fires after an append."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import quantization as Q
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+    cents = SIM.choose_centroids(base, n_centroids=4)
+
+    pq_path = str(tmp_path / "ivfpq")
+    books = Q.deterministic_codebooks(4, 16, 16)
+    Q.write_ivfpq_index(base, cents, books, pq_path)
+    fresh = SIM.ann_drift_report(spark, pq_path)
+    assert fresh["build_n"] == base.count()
+    assert fresh["rebuild_recommended"] is False
+    assert fresh["residual_ratio"] is None  # codes, not vectors
+    Q.append_ivfpq_index(delta, pq_path)
+    rep = SIM.ann_drift_report(spark, pq_path)
+    assert rep["appended_n"] == delta.count()
+    assert rep["rebuild_recommended"] is True
+
+    sq_path = str(tmp_path / "ivfsq")
+    Q.write_ivfsq_index(base, cents, Q.sq_train(base), sq_path)
+    Q.append_ivfsq_index(delta, sq_path)
+    rep2 = SIM.ann_drift_report(spark, sq_path)
+    assert rep2["delta_fraction"] > 0.5
+    assert rep2["rebuild_recommended"] is True

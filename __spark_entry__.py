@@ -1593,6 +1593,63 @@ def q_publish_index(spark, sf):
     return out.orderBy("adc_dist", "vec_id")
 
 
+def q_snapshot_publish(spark, sf):
+    """Cross-dataset atomic snapshot (r15 — VERDICT r14 item 2/3:
+    publish/publish_dir flip one pointer PER dataset, so a pipeline
+    writing corpus + derived index as separate datasets exposes a
+    mixed-version window between flips;
+    catalog/publish.py::publish_snapshot commits a manifest of
+    component (root, version) pins behind ONE pointer flip, and
+    readers resolve that single pointer then scan immutable component
+    version dirs — all-old or all-new, never a mix).  Here: docs
+    (even doc_ids) + their per-lang counts publish as two datasets,
+    snapshot generation 1 pins both; then BOTH components re-publish
+    generation 2 (the full table) but the writer 'crashes' before the
+    second snapshot flip.  A reader through the snapshot must see the
+    generation-1 pair CONSISTENTLY: the per-lang count recomputed
+    from the pinned docs component must equal the pinned counts
+    component row-for-row — full-value checked against the oracle's
+    own even-doc aggregate, plus the measured cross-component
+    equality as the ``consistent`` column (a reader that mixed
+    generations would break both).  Crash-window + pointer-atomicity
+    hammers: tests/test_publish.py::test_publish_snapshot_*."""
+    import tempfile
+
+    from spectrify_spark.catalog.publish import (
+        publish,
+        publish_snapshot,
+        read_snapshot_table,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    gen1 = d.filter(F.col("doc_id") % 2 == 0)
+    work = tempfile.mkdtemp(prefix="q_snapshot_")
+    droot, croot, snap = f"{work}/docs", f"{work}/counts", f"{work}/snap"
+    publish(gen1, droot)
+    publish(gen1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")), croot)
+    publish_snapshot(snap, {"docs": droot, "counts": croot})
+    # generation 2 lands in BOTH components; no second snapshot flip —
+    # the mixed-version window the snapshot closes
+    publish(d, droot)
+    publish(d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")), croot)
+    docs = read_snapshot_table(spark, snap, "docs")
+    counts = read_snapshot_table(spark, snap, "counts").select(
+        "lang", F.col("n").alias("n_pinned")
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(counts, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_pinned",
+            (F.col("n_docs") == F.col("n_pinned")).alias("consistent"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_sim_ivf_recall(spark, sf):
     """Measured ANN quality over a query BATCH (r6 verdict item 5):
     recall@10 of the kmeans-refined IVF probe path (similarity.py
@@ -4999,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r15-born keys (rule 2)
         "q_sim_append_recall": q_sim_append_recall,
+        "q_snapshot_publish": q_snapshot_publish,
         # -- r14 window, slots 1-5: r14-born keys (rule 2)
         "q_knn_join_shuffle": q_knn_join_shuffle,
         "q_stream_curate_publish": q_stream_curate_publish,
@@ -6681,6 +6739,12 @@ def oracle_sql() -> dict[str, str]:
         # incremental IVF append probed at nprobe=C == brute force over
         # the FULL (base + appended) corpus — rounding rule matches
         # brute_force_topk (4dp, ties by vec_id)
+        "q_snapshot_publish": """
+            SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_pinned,
+                   TRUE AS consistent
+            FROM documents WHERE doc_id % 2 = 0
+            GROUP BY lang ORDER BY lang
+        """,
         "q_sim_append_recall": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 16),

@@ -818,3 +818,172 @@ def published_pruned_scan_eq(
         if pos is not None and any(p not in bits for p in pos):
             return spark.read.parquet(vdir).filter(F.lit(False))
     return pruned_scan_eq(spark, vdir, col, value, spark_side=spark_side)
+
+
+# --------------------------------------------------- snapshot publish
+
+#: per-version manifest of a snapshot dataset: the component pins
+SNAPSHOT_MANIFEST = "_spectrify_snapshot.json"
+
+
+def publish_snapshot(
+    root: str,
+    components: dict,
+    keep_versions: int = 2,
+    spark=None,
+) -> int:
+    """Atomic CROSS-DATASET publish (r14 VERDICT item 3): commit N
+    component versions — a curated corpus, its band index, its ANN
+    index — behind ONE pointer flip, so a pipeline consumer never
+    reads mixed versions.  ``components`` maps a component name to
+    either a dataset root (pins that dataset's CURRENT version) or a
+    ``(root, version)`` pair; the manifest of pins lands as an
+    immutable snapshot version through :func:`publish_dir`'s
+    write-order protocol (manifest -> COMMITTED -> pointer flip).
+
+    Consistency argument: a reader resolves the SNAPSHOT pointer once
+    (:func:`read_snapshot_manifest`) and then reads immutable
+    ``v=K`` component directories named by that manifest — the
+    individual component pointers are never consulted, so component
+    publishes happening between (or during) snapshot flips are
+    invisible until the NEXT snapshot commits.  All-old or all-new,
+    by the same single-pointer argument as :func:`publish`; the
+    crash-injection test (tests/test_publish.py) kills the writer
+    between component publishes and asserts snapshot readers still
+    see the previous consistent set.
+
+    Every pinned version must exist and be committed at publish time
+    (crashed component partials are refused with the shared
+    time-travel guard).  RETENTION CONTRACT: a component vacuum only
+    respects its own keep window — it does not know about snapshot
+    pins.  Operators must size the components' ``keep_versions`` to
+    cover snapshot retention, and can audit with
+    :func:`snapshot_pinned_versions` (the set a vacuum must not
+    evict) before vacuuming a component.  Single writer per snapshot
+    root, like every publish."""
+    if not components:
+        raise ValueError("publish_snapshot: components must be non-empty")
+    resolved: dict = {}
+    for name, spec in components.items():
+        if isinstance(spec, str):
+            droot, ver = spec, None
+        else:
+            droot, ver = spec
+        v = current_version(droot, spark) if ver is None else int(ver)
+        if v is None:
+            raise FileNotFoundError(
+                f"publish_snapshot: component {name!r} has nothing "
+                f"published at {droot!r}"
+            )
+        # exists + committed (read-only legacy-aware): pinning a
+        # crashed partial would bake an unreadable version into every
+        # future read of this snapshot
+        _check_time_travel_target(f"publish_snapshot[{name}]", droot, v, spark)
+        resolved[name] = {"root": droot, "version": v}
+    payload = {"components": resolved}
+
+    def build(vdir: str) -> None:
+        _write_snapshot_manifest(vdir, payload, spark)
+
+    return publish_dir(root, build, keep_versions=keep_versions, spark=spark)
+
+
+def _write_snapshot_manifest(vdir: str, payload: dict, spark) -> None:
+    lp = _local_path(vdir)
+    if lp is not None:
+        os.makedirs(lp, exist_ok=True)
+        with open(os.path.join(lp, SNAPSHOT_MANIFEST), "w") as fh:
+            json.dump(payload, fh, sort_keys=True)
+        return
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+
+    write_json_sidecar(
+        _require_spark(spark, vdir, "publish_snapshot"),
+        vdir,
+        SNAPSHOT_MANIFEST,
+        payload,
+    )
+
+
+def read_snapshot_manifest(
+    root: str, version: int | None = None, spark=None
+) -> dict:
+    """The pinned-component manifest of a snapshot version (default:
+    the pointed one).  Resolving this ONCE and then reading the named
+    immutable component dirs is what makes snapshot readers immune to
+    concurrent component publishes."""
+    v = current_version(root, spark) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(
+            f"read_snapshot_manifest: nothing published at {root!r}"
+        )
+    if version is not None:
+        _check_time_travel_target("read_snapshot_manifest", root, v, spark)
+    vdir = _join(root, f"v={v}")
+    lp = _local_path(vdir)
+    if lp is not None:
+        p = os.path.join(lp, SNAPSHOT_MANIFEST)
+        if not os.path.isfile(p):
+            raise FileNotFoundError(
+                f"read_snapshot_manifest: {root!r} v={v} carries no "
+                f"{SNAPSHOT_MANIFEST} — not a snapshot dataset"
+            )
+        with open(p) as fh:
+            return json.load(fh)
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    m = read_json_sidecar(
+        _require_spark(spark, vdir, "read_snapshot_manifest"),
+        vdir,
+        SNAPSHOT_MANIFEST,
+    )
+    if m is None:
+        raise FileNotFoundError(
+            f"read_snapshot_manifest: {root!r} v={v} carries no "
+            f"{SNAPSHOT_MANIFEST} — not a snapshot dataset"
+        )
+    return m
+
+
+def snapshot_component_path(
+    root: str, name: str, version: int | None = None, spark=None
+) -> str:
+    """Path of the component's PINNED version directory — hand it to
+    any path-taking reader (``spark.read.parquet``, the ANN probe
+    functions, ``layout.pruned_scan``)."""
+    m = read_snapshot_manifest(root, version=version, spark=spark)
+    comp = (m.get("components") or {}).get(name)
+    if comp is None:
+        raise KeyError(
+            f"snapshot_component_path: no component {name!r} in snapshot "
+            f"{root!r} (have {sorted(m.get('components') or {})})"
+        )
+    return _join(comp["root"], f"v={int(comp['version'])}")
+
+
+def read_snapshot_table(
+    spark, root: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Scan a parquet component through the snapshot's pin."""
+    return spark.read.parquet(
+        snapshot_component_path(root, name, version=version, spark=spark)
+    )
+
+
+def snapshot_pinned_versions(root: str, spark=None) -> dict:
+    """component dataset root -> set of version numbers pinned by ANY
+    retained committed snapshot version: the set a component vacuum
+    must not evict (see the retention contract on
+    :func:`publish_snapshot`).  Bounded work: versions x components,
+    all driver-side JSON reads."""
+    out: dict = {}
+    for v in _versions(root, spark):
+        if not _is_committed_or_legacy(root, v, spark):
+            continue
+        try:
+            m = read_snapshot_manifest(root, version=v, spark=spark)
+        except FileNotFoundError:
+            continue
+        for comp in (m.get("components") or {}).values():
+            out.setdefault(comp["root"], set()).add(int(comp["version"]))
+    return out

@@ -250,6 +250,21 @@ def main(argv: list[str] | None = None) -> int:
         "the version before the flip",
     )
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="atomically pin N published dataset roots behind ONE "
+        "pointer flip (publish_snapshot): component spec is "
+        "name=root (pins the current version) or name=root@version; "
+        "pipeline readers resolving the snapshot never see mixed "
+        "component versions",
+    )
+    sn.add_argument("root", help="snapshot dataset root")
+    sn.add_argument(
+        "components", nargs="+", metavar="NAME=ROOT[@V]",
+        help="component pins, e.g. docs=/data/docs ann=/data/ann@3",
+    )
+    sn.add_argument("--keep-versions", type=int, default=2)
+
     ist = sub.add_parser(
         "index-stats",
         help="build (or incrementally extend with --append) the "
@@ -609,6 +624,25 @@ def main(argv: list[str] | None = None) -> int:
             keep_versions=args.keep_versions,
             stats_cols=args.stats,
             bloom_cols=args.bloom,
+        )
+        print(v)
+    elif args.cmd == "snapshot":
+        from spectrify_spark.catalog.publish import publish_snapshot
+
+        comps: dict = {}
+        for spec in args.components:
+            if "=" not in spec:
+                raise SystemExit(
+                    f"snapshot: component {spec!r} is not NAME=ROOT[@V]"
+                )
+            name, rootspec = spec.split("=", 1)
+            if "@" in rootspec:
+                droot, _, vtxt = rootspec.rpartition("@")
+                comps[name] = (droot, int(vtxt))
+            else:
+                comps[name] = rootspec
+        v = publish_snapshot(
+            args.root, comps, keep_versions=args.keep_versions, spark=spark
         )
         print(v)
     elif args.cmd == "index-stats":

@@ -703,3 +703,170 @@ def test_published_pruned_scan_spark_side_passthrough(spark, tmp_path):
         for arm in (False, True)
     }
     assert eq[False] == eq[True] == [(42, "a")]
+
+
+def test_publish_snapshot_all_old_or_all_new(spark, tmp_path):
+    """r14 VERDICT item 3 (cross-dataset atomic publish), the crash
+    hammer: a pipeline writes corpus + counts + ANN index as separate
+    datasets; a writer crashing ANYWHERE between component publishes
+    (or before the snapshot flip) must leave snapshot readers on the
+    previous CONSISTENT set — never a mix.  Drives the writer step by
+    step, asserting the reader view after every step."""
+    import pytest
+
+    from spectrify_spark.catalog.publish import (
+        publish_snapshot,
+        read_snapshot_manifest,
+        read_snapshot_table,
+        snapshot_component_path,
+        snapshot_pinned_versions,
+    )
+    from spectrify_spark.operators import similarity as SIM
+
+    droot = str(tmp_path / "docs")
+    croot = str(tmp_path / "counts")
+    snap = str(tmp_path / "snap")
+
+    def counts_of(df):
+        return df.groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+    def snapshot_view():
+        docs = read_snapshot_table(spark, snap, "docs")
+        counts = read_snapshot_table(spark, snap, "counts")
+        got = {
+            (r.tag, r.n)
+            for r in docs.groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        want = {(r.tag, r.n) for r in counts.collect()}
+        return got, want
+
+    gen1 = _df(spark, 10, "a")
+    publish(gen1, droot)
+    publish(counts_of(gen1), croot)
+    v = publish_snapshot(snap, {"docs": droot, "counts": croot})
+    assert v == 1
+    got, want = snapshot_view()
+    assert got == want == {("a", 10)}
+
+    # --- generation 2, crash after the FIRST component publish ---
+    gen2 = _df(spark, 25, "b")
+    publish(gen2, droot)  # docs now v2; counts still gen1; NO snapshot
+    got, want = snapshot_view()
+    assert got == want == {("a", 10)}  # reader pinned to gen1, consistent
+
+    # --- crash after the second component, BEFORE the snapshot flip ---
+    publish(counts_of(gen2), croot)
+    got, want = snapshot_view()
+    assert got == want == {("a", 10)}  # still all-old
+
+    # --- the flip commits generation 2 in one pointer write ---
+    v2 = publish_snapshot(snap, {"docs": droot, "counts": croot})
+    assert v2 == 2
+    got, want = snapshot_view()
+    assert got == want == {("b", 25)}  # all-new
+    # time travel to the old snapshot still yields the old consistent set
+    assert read_snapshot_table(spark, snap, "docs", version=1).count() == 10
+
+    # pinning audit: both snapshot generations' component versions
+    pins = snapshot_pinned_versions(snap)
+    assert pins[droot] == {1, 2} and pins[croot] == {1, 2}
+
+    # explicit (root, version) pins + a non-parquet component path
+    iroot = str(tmp_path / "ann")
+    from spectrify_spark.catalog.publish import publish_dir
+
+    e = gen1.select(
+        F.col("k").alias("vec_id"),
+        F.array(
+            (F.col("k") % 3).cast("float"), (F.col("k") % 5).cast("float")
+        ).alias("embedding"),
+    )
+    cents = SIM.choose_centroids(e, n_centroids=2)
+    publish_dir(iroot, lambda d: SIM.write_ivf_index(e, cents, d))
+    v3 = publish_snapshot(
+        snap, {"docs": (droot, 1), "counts": (croot, 1), "ann": iroot}
+    )
+    m = read_snapshot_manifest(snap)
+    assert m["components"]["docs"]["version"] == 1
+    idx_path = snapshot_component_path(snap, "ann")
+    assert SIM.read_ivf_centroids(spark, idx_path) is not None
+    got, want = snapshot_view()
+    assert got == want == {("a", 10)}  # explicit pins resurface gen1
+
+    # refusals: crashed component partial, missing component, not a
+    # snapshot dataset
+    os.makedirs(os.path.join(droot, "v=9"))
+    with pytest.raises(FileNotFoundError, match="never\\s+committed"):
+        publish_snapshot(snap, {"docs": (droot, 9)})
+    with pytest.raises(FileNotFoundError, match="nothing"):
+        publish_snapshot(snap, {"docs": str(tmp_path / "nope")})
+    with pytest.raises(KeyError, match="no component"):
+        snapshot_component_path(snap, "bogus")
+    with pytest.raises(FileNotFoundError, match="not a snapshot"):
+        read_snapshot_manifest(droot)
+    with pytest.raises(ValueError, match="non-empty"):
+        publish_snapshot(snap, {})
+
+
+def test_publish_snapshot_pointer_crash_window(spark, tmp_path):
+    """The remaining crash window — the snapshot's own publish dying
+    between its manifest write and its pointer flip — must leave the
+    manifest as an uncommitted partial the next snapshot sweeps, with
+    readers still on the old pointer (the publish_dir protocol,
+    exercised through the snapshot layer)."""
+    from spectrify_spark.catalog.publish import (
+        SNAPSHOT_MANIFEST,
+        _write_snapshot_manifest,
+        publish_snapshot,
+        read_snapshot_manifest,
+    )
+
+    droot = str(tmp_path / "docs")
+    snap = str(tmp_path / "snap")
+    publish(_df(spark, 10, "a"), droot)
+    publish_snapshot(snap, {"docs": droot})
+    publish(_df(spark, 20, "b"), droot)
+
+    # simulate the crash: manifest for generation 2 lands in v=2 but
+    # no COMMITTED marker, no pointer flip
+    _write_snapshot_manifest(
+        os.path.join(snap, "v=2"),
+        {"components": {"docs": {"root": droot, "version": 2}}},
+        spark,
+    )
+    m = read_snapshot_manifest(snap)  # pointer path: still generation 1
+    assert m["components"]["docs"]["version"] == 1
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="never\\s+committed"):
+        read_snapshot_manifest(snap, version=2)
+
+    # the next snapshot sweeps the partial and takes its slot
+    v = publish_snapshot(snap, {"docs": droot})
+    assert v == 2
+    assert read_snapshot_manifest(snap)["components"]["docs"]["version"] == 2
+    assert os.path.isfile(os.path.join(snap, "v=2", SNAPSHOT_MANIFEST))
+
+
+def test_snapshot_cli(spark, tmp_path, capsys):
+    """CLI surface for the cross-dataset snapshot: NAME=ROOT pins the
+    current version, NAME=ROOT@V pins explicitly; malformed specs exit
+    loud."""
+    import pytest
+
+    from spectrify_spark import cli
+    from spectrify_spark.catalog.publish import read_snapshot_manifest
+
+    droot = str(tmp_path / "docs")
+    publish(_df(spark, 10, "a"), droot)
+    publish(_df(spark, 20, "b"), droot)
+    snap = str(tmp_path / "snap")
+    assert cli.main(["snapshot", snap, f"docs={droot}", f"old={droot}@1"]) == 0
+    m = read_snapshot_manifest(snap)
+    assert m["components"]["docs"]["version"] == 2
+    assert m["components"]["old"]["version"] == 1
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(["snapshot", snap, "notaspec"])

@@ -5011,42 +5011,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r14 (185 keys total: 180 r13 keys + 5 r14-born): slots 1-5
-    = the five r14-born keys (rule 2: q_knn_join_shuffle — the
-    shuffle-arm twin of the batched IVF-PQ knn join, VERDICT r13 item
-    1; q_stream_curate_publish — the eleventh streaming twin, gate ->
-    watermark dedup -> versioned publish, item 7; q_sim_ivf_append —
-    incremental IVF append probed at nprobe=C vs full-corpus brute
-    force, item 2 follow-through; q_publish_index — reader-safe ANN
-    index rebuilds through publish_dir's versioned pointer flip;
-    q_scan_prune_spark — the join-based prune arm forced end-to-end,
-    item 5; all five passed the vanilla sf0.01 gate at birth).
-    Slots 6-15 = rule-(1) changed-code keys:
-    q_knn_join_ivfpq + q_knn_join_ivfsq (the shared _index_knn_join
-    gained the two-arm join + auto policy), q_publish_pruned +
-    q_publish_bloom + q_publish_versions + q_stream_publish (publish.py
-    reader paths: explicit-version committed guard on the pruned
-    scans, read-only legacy check, bits-set hoist), q_pipeline_curate
-    + q_stream_curate (annotate_gate/stream_curate carry_cols
-    pass-through), q_scan_skipping + q_scan_bloom (layout.py: the
-    Spark-side prune arm + threshold branch in prune_files, the
-    conservative catch + debug logging in _read_stats_rows).  Slots
-    16-50 = the 35 oldest overdue keys — the r10-greens in their
-    listed order (q_text_bm25 ... q_agg_hash); q_scan_project,
-    q_filter_daterange and q_json_extract — the 36th-38th, the first
-    displaced by the mid-round birth of q_scan_prune_spark — did not
-    fit and lead r15.
+    Window r15 (187 keys total: 185 r14 keys + 2 r15-born): slots 1-2
+    = the r15-born keys (rule 2: q_sim_append_recall — post-append
+    recall at nprobe<C plus the ann_drift_report rebuild trigger,
+    VERDICT r14 item 1; q_snapshot_publish — cross-dataset atomic
+    snapshot via publish_snapshot's manifest-of-pins, item 3; both
+    passed the vanilla sf0.01 gate at birth).  Slots 3-18 = rule-(1)
+    changed-code keys: q_scan_skipping + q_scan_bloom +
+    q_scan_prune_spark (layout.py: TypeError catch in _disjoint, the
+    _range_bound_lit comparability gate on the Spark arm, null-safe
+    bloom dtype match, WARNING-level arm-failure logs);
+    q_publish_pruned + q_publish_bloom + q_publish_versions +
+    q_stream_publish + q_publish_index + q_stream_curate_publish
+    (publish.py: no-marker-anywhere legacy rule, spark_side=
+    passthrough on the published pruned reads, snapshot machinery in
+    the shared module); q_sim_ivf_append (similarity.py: build-stats
+    sidecar + model-keys-only append compare); q_sim_ivfpq +
+    q_sim_ivfpq_rerank + q_sim_ivfsq_rerank + q_knn_join_ivfpq +
+    q_knn_join_ivfsq + q_knn_join_shuffle (quantization.py: stats
+    sidecar + _cell_shard_partitioning on the index writers).  Slots
+    19-50 = the 32 oldest overdue keys: the three r10-greens
+    (q_scan_project, q_filter_daterange, q_json_extract — overdue
+    since r10, the promised r15 head) then the 29 oldest r11-greens
+    in their listed order (q_graph_pagerank_dangling ...
+    q_dedup_exact).
 
-    Past the window, least-recently-driver-verified first:
-    q_scan_project, q_filter_daterange, q_json_extract (r10, the r15
-    head), the 48 remaining r11-greens (q_graph_pagerank_dangling ...
-    q_asof_tolerance), the 44 r12-greens (q_multimodal_arrow ...
-    q_window_analytic), then the 40 r13-greens not re-entering
-    (freshest rows: q_knn_join_sq ... q_stream_window).  r15 plan per
-    the rotation rules: slots 1-3 = the three r10-greens above, then
-    the oldest r11-greens fill the window, with rule-(1)/(2)
-    insertions ahead of them for any r14/r15-born or changed-code keys
-    (each new key must pass the vanilla sf0.01 gate at birth).
+    Past the window, least-recently-driver-verified first: the 19
+    remaining r11-greens (q_text_wordcount ... q_asof_tolerance), the
+    44 r12-greens (q_multimodal_arrow ... q_window_analytic), the 37
+    r13-greens not re-entering (q_knn_join_sq ... q_stream_window),
+    then the 37 r14-greens not re-entering (q_pipeline_curate ...
+    q_agg_hash — the freshest rows).  r16 plan per the rotation rules:
+    the 19 r11-greens above lead, then the oldest r12-greens fill the
+    window, with rule-(1)/(2) insertions ahead of them for any
+    r15/r16-born or changed-code keys (each new key must pass the
+    vanilla sf0.01 gate at birth).
 
     (Historical note, kept for the record: the r12 docstring claimed
     two changes that had not landed; r13 landed both and carried an
@@ -5054,72 +5053,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout.py's probe cache.)
     """
     return {
-        # -- r15-born keys (rule 2)
+        # -- r15 window, slots 1-2: r15-born keys (rule 2)
         "q_sim_append_recall": q_sim_append_recall,
         "q_snapshot_publish": q_snapshot_publish,
-        # -- r14 window, slots 1-5: r14-born keys (rule 2)
-        "q_knn_join_shuffle": q_knn_join_shuffle,
-        "q_stream_curate_publish": q_stream_curate_publish,
-        "q_sim_ivf_append": q_sim_ivf_append,
-        "q_publish_index": q_publish_index,
+        # -- r15 window, slots 3-18: rule-(1) changed-code keys (layout
+        # prune arms; publish legacy/spark_side/snapshot module; IVF /
+        # PQ / SQ index writers incl. _cell_shard_partitioning)
+        "q_scan_skipping": q_scan_skipping,
+        "q_scan_bloom": q_scan_bloom,
         "q_scan_prune_spark": q_scan_prune_spark,
-        # -- r14 window, slots 6-15: rule-(1) changed-code keys
-        "q_knn_join_ivfpq": q_knn_join_ivfpq,
-        "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_publish_pruned": q_publish_pruned,
         "q_publish_bloom": q_publish_bloom,
         "q_publish_versions": q_publish_versions,
         "q_stream_publish": q_stream_publish,
-        "q_pipeline_curate": q_pipeline_curate,
-        "q_stream_curate": q_stream_curate,
-        "q_scan_skipping": q_scan_skipping,
-        "q_scan_bloom": q_scan_bloom,
-        # -- r14 window, slots 16-50: the 35 oldest r10-green keys
-        # (q_scan_project and q_filter_daterange, listed at the tail
-        # below, fell past the window as q_publish_index and
-        # q_scan_prune_spark were born mid-round)
-        "q_text_bm25": q_text_bm25,
-        "q_table_diff": q_table_diff,
-        "q_corpus_drift": q_corpus_drift,
-        "q_zscore_robust": q_zscore_robust,
-        "q_text_pii": q_text_pii,
-        "q_text_entropy": q_text_entropy,
-        "q_dedup_lines": q_dedup_lines,
-        "q_stream_dedup": q_stream_dedup,
-        "q_top_revenue_supplier": q_top_revenue_supplier,
-        "q_large_orders": q_large_orders,
-        "q_promo_ratio": q_promo_ratio,
-        "q_single_fault_supplier": q_single_fault_supplier,
-        "q_stream_join": q_stream_join,
-        "q_quantile_bins": q_quantile_bins,
-        "q_skew_report": q_skew_report,
-        "q_stream_cdc": q_stream_cdc,
-        "q_quality_checks": q_quality_checks,
-        "q_funnel": q_funnel,
-        "q_retention": q_retention,
-        "q_stream_stateful": q_stream_stateful,
-        "q_asof_nearest": q_asof_nearest,
-        "q_stream_convert": q_stream_convert,
-        "q_forecast_revenue": q_forecast_revenue,
-        "q_profit_by_nation": q_profit_by_nation,
-        "q_min_price_supplier": q_min_price_supplier,
-        "q_market_share": q_market_share,
-        "q_important_parts": q_important_parts,
-        "q_excess_suppliers": q_excess_suppliers,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_mixture_rebalance": q_mixture_rebalance,
-        "q_ewma": q_ewma,
-        "q_trend_fit": q_trend_fit,
-        "q_transition_matrix": q_transition_matrix,
-        "q_text_readability": q_text_readability,
-        "q_agg_hash": q_agg_hash,
+        "q_publish_index": q_publish_index,
+        "q_stream_curate_publish": q_stream_curate_publish,
+        "q_sim_ivf_append": q_sim_ivf_append,
+        "q_sim_ivfpq": q_sim_ivfpq,
+        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
+        "q_knn_join_ivfpq": q_knn_join_ivfpq,
+        "q_knn_join_ivfsq": q_knn_join_ivfsq,
+        "q_knn_join_shuffle": q_knn_join_shuffle,
+        # -- r15 window, slots 19-50: the 32 oldest overdue keys (the
+        # three r10-greens, then the oldest r11-greens in order)
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
-        # -- past the window: the three r10-greens that did not fit
-        # (q_scan_project, q_filter_daterange, q_json_extract — the
-        # r15 head)
         "q_json_extract": q_json_extract,
-        # -- past the window: the 48 remaining r11-greens
         "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
         "q_embed_pq": q_embed_pq,
         "q_stream_enrich": q_stream_enrich,
@@ -5149,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_join": q_interval_join,
         "q_embed_centroid": q_embed_centroid,
         "q_dedup_exact": q_dedup_exact,
+        # -- past the window: the 19 remaining r11-greens
         "q_text_wordcount": q_text_wordcount,
         "q_text_ngram": q_text_ngram,
         "q_dedup_fingerprint": q_dedup_fingerprint,
@@ -5213,11 +5174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_having": q_agg_having,
         "q_window_ntile": q_window_ntile,
         "q_window_analytic": q_window_analytic,
-        # -- past the window: the 40 r13-greens (freshest rows)
+        # -- past the window: the 37 r13-greens not re-entering
         "q_knn_join_sq": q_knn_join_sq,
-        "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
-        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
-        "q_sim_ivfpq": q_sim_ivfpq,
         "q_embed_sq": q_embed_sq,
         "q_graph_components": q_graph_components,
         "q_graph_lpa": q_graph_lpa,
@@ -5254,6 +5212,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_sample_weighted": q_sample_weighted,
         "q_stream_window": q_stream_window,
+        # -- past the window: the 37 r14-greens not re-entering
+        "q_pipeline_curate": q_pipeline_curate,
+        "q_stream_curate": q_stream_curate,
+        "q_text_bm25": q_text_bm25,
+        "q_table_diff": q_table_diff,
+        "q_corpus_drift": q_corpus_drift,
+        "q_zscore_robust": q_zscore_robust,
+        "q_text_pii": q_text_pii,
+        "q_text_entropy": q_text_entropy,
+        "q_dedup_lines": q_dedup_lines,
+        "q_stream_dedup": q_stream_dedup,
+        "q_top_revenue_supplier": q_top_revenue_supplier,
+        "q_large_orders": q_large_orders,
+        "q_promo_ratio": q_promo_ratio,
+        "q_single_fault_supplier": q_single_fault_supplier,
+        "q_stream_join": q_stream_join,
+        "q_quantile_bins": q_quantile_bins,
+        "q_skew_report": q_skew_report,
+        "q_stream_cdc": q_stream_cdc,
+        "q_quality_checks": q_quality_checks,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_stream_stateful": q_stream_stateful,
+        "q_asof_nearest": q_asof_nearest,
+        "q_stream_convert": q_stream_convert,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_profit_by_nation": q_profit_by_nation,
+        "q_min_price_supplier": q_min_price_supplier,
+        "q_market_share": q_market_share,
+        "q_important_parts": q_important_parts,
+        "q_excess_suppliers": q_excess_suppliers,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_mixture_rebalance": q_mixture_rebalance,
+        "q_ewma": q_ewma,
+        "q_trend_fit": q_trend_fit,
+        "q_transition_matrix": q_transition_matrix,
+        "q_text_readability": q_text_readability,
+        "q_agg_hash": q_agg_hash,
     }
 
 

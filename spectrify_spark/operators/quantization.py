@@ -424,6 +424,35 @@ def reconstruction_mse(
 _IVFPQ_SIDECAR = "_spectrify_ivfpq_model.json"
 
 
+def _cell_shard_partitioning(
+    enc, cell_col: str, id_col: str, shards: int, n_cells: int
+):
+    """Partitioning for the cell-partitioned index write.  The default
+    (1) collapses each cell into one shuffle task — compact output,
+    but on a SKEWED build one task writes the hot cell's entire mass
+    (the straggler), and downstream the single file means ONE mapper
+    feeds the hot cell's shuffle partition, so AQE's skew split (which
+    chunks by mapper ranges) has nothing to split.  ``shards > 1``
+    adds a deterministic id-hash shard key so a hot cell spreads over
+    ~``shards`` write tasks/files — the lever for skewed or huge
+    builds (plain ``write_ivf_index`` never repartitions, so it
+    already preserves input parallelism).  The shard arm passes an
+    EXPLICIT partition count (``shards * n_cells``): a column-only
+    ``repartition`` is coalescible by AQE, which at small scale merges
+    every (cell, shard) combo back into one task — silently undoing
+    the very spread the caller asked for (measured: 120k rows, 16
+    shards requested, ONE file written)."""
+    if shards < 1:
+        raise ValueError(f"shards_per_cell must be >= 1, got {shards}")
+    if shards == 1:
+        return enc.repartition(F.col(cell_col))
+    return enc.repartition(
+        shards * max(n_cells, 1),
+        F.col(cell_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)),
+    )
+
+
 def write_ivfpq_index(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -432,6 +461,7 @@ def write_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    shards_per_cell: int = 1,
 ) -> None:
     """Materialize an IVF-PQ index: coarse-quantize every vector to its
     nearest centroid cell (``similarity.assign_partitions``), PQ-encode
@@ -447,15 +477,26 @@ def write_ivfpq_index(
 
     Cell assignment is by cosine, ADC ranking by squared L2 — the two
     agree for L2-normalized embeddings; see the metric contract in
-    :func:`ivfpq_topk` (normalize at ingest, or re-rank)."""
+    :func:`ivfpq_topk` (normalize at ingest, or re-rank).
+
+    ``shards_per_cell`` (default 1 = one file per cell) spreads each
+    cell over ~N deterministic id-hash shards — set it on SKEWED or
+    huge builds so the hot cell neither serializes into one write
+    task nor collapses into a single mapper that AQE's skew split
+    cannot subdivide (see :func:`_cell_shard_partitioning`)."""
     from spectrify_spark.operators._sidecar import replace_json_sidecar
     from spectrify_spark.operators.similarity import assign_partitions
 
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
     enc = pq_encode(assigned, codebooks, vec_col=vec_col, out_col="pq_code")
     (
-        enc.select(id_col, cell_col, "pq_code")
-        .repartition(F.col(cell_col))
+        _cell_shard_partitioning(
+            enc.select(id_col, cell_col, "pq_code"),
+            cell_col,
+            id_col,
+            shards_per_cell,
+            len(centroids),
+        )
         .write.mode("overwrite")
         .partitionBy(cell_col)
         .parquet(path)
@@ -494,11 +535,13 @@ def append_ivfpq_index(
     df: DataFrame,
     path: str,
     vec_col: str = "embedding",
+    shards_per_cell: int = 1,
 ) -> None:
     """Append a vector delta into an existing IVF-PQ index, assigning
     cells and encoding codes with the index's OWN stored model — the
     increment path that cannot drift from the build (same contract as
-    ``similarity.append_ivf_index`` / the banded-dedup append)."""
+    ``similarity.append_ivf_index`` / the banded-dedup append).
+    ``shards_per_cell`` as on :func:`write_ivfpq_index`."""
     from spectrify_spark.operators._sidecar import read_json_sidecar
     from spectrify_spark.operators.similarity import assign_partitions
 
@@ -515,8 +558,13 @@ def append_ivfpq_index(
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
     enc = pq_encode(assigned, codebooks, vec_col=vec_col, out_col="pq_code")
     (
-        enc.select(id_col, cell_col, "pq_code")
-        .repartition(F.col(cell_col))
+        _cell_shard_partitioning(
+            enc.select(id_col, cell_col, "pq_code"),
+            cell_col,
+            id_col,
+            shards_per_cell,
+            len(centroids),
+        )
         .write.mode("append")
         .partitionBy(cell_col)
         .parquet(path)
@@ -865,6 +913,7 @@ def write_ivfsq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    shards_per_cell: int = 1,
 ) -> None:
     """Materialize an IVF-SQ index: coarse-quantize every vector to its
     nearest centroid cell (``similarity.assign_partitions``),
@@ -886,8 +935,13 @@ def write_ivfsq_index(
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
     enc = sq_encode(assigned, model, vec_col=vec_col, out_col="sq_code")
     (
-        enc.select(id_col, cell_col, "sq_code")
-        .repartition(F.col(cell_col))
+        _cell_shard_partitioning(
+            enc.select(id_col, cell_col, "sq_code"),
+            cell_col,
+            id_col,
+            shards_per_cell,
+            len(centroids),
+        )
         .write.mode("overwrite")
         .partitionBy(cell_col)
         .parquet(path)
@@ -923,11 +977,13 @@ def append_ivfsq_index(
     df: DataFrame,
     path: str,
     vec_col: str = "embedding",
+    shards_per_cell: int = 1,
 ) -> None:
     """Append a vector delta into an existing IVF-SQ index, assigning
     cells and encoding codes with the index's OWN stored model — the
     increment path that cannot drift from the build (same contract as
-    :func:`append_ivfpq_index`)."""
+    :func:`append_ivfpq_index`).  ``shards_per_cell`` as on
+    :func:`write_ivfsq_index`."""
     from spectrify_spark.operators._sidecar import read_json_sidecar
     from spectrify_spark.operators.similarity import assign_partitions
 
@@ -944,8 +1000,13 @@ def append_ivfsq_index(
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
     enc = sq_encode(assigned, model, vec_col=vec_col, out_col="sq_code")
     (
-        enc.select(id_col, cell_col, "sq_code")
-        .repartition(F.col(cell_col))
+        _cell_shard_partitioning(
+            enc.select(id_col, cell_col, "sq_code"),
+            cell_col,
+            id_col,
+            shards_per_cell,
+            len(centroids),
+        )
         .write.mode("append")
         .partitionBy(cell_col)
         .parquet(path)

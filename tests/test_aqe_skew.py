@@ -75,3 +75,133 @@ def test_aqe_splits_planted_hot_key(spark, skew_confs):
         .collect()[0]
     )
     assert (got.n, got.s, got.p) == (ref.n, ref.s, ref.p)
+
+
+def _hot_cell_corpus(spark, n_rows=120_000, hot_share=0.9, dim=8):
+    """Synthetic corpus with a PATHOLOGICAL IVF cell distribution:
+    ``hot_share`` of the vectors sit in a tight cluster around e0 (one
+    centroid cell), the rest spread over the remaining directions.
+    Per-row hash noise keeps pq codes varied (incompressible shuffle
+    bytes — a constant hot partition would compress under the skew
+    threshold and hide the very condition under test)."""
+    noise = [
+        (
+            (F.xxhash64(F.col("id"), F.lit(j)) % 1000).cast("double") / 5000.0
+        ).cast("float")
+        for j in range(dim)
+    ]
+    hot = F.array(
+        *[
+            (F.lit(1.0 if j == 0 else 0.0) + noise[j]).cast("float")
+            for j in range(dim)
+        ]
+    )
+    cold_dir = (F.col("id") % (dim - 1) + 1).cast("int")
+    cold = F.array(
+        *[
+            (
+                F.when(cold_dir == j, F.lit(1.0)).otherwise(F.lit(0.0))
+                + noise[j]
+            ).cast("float")
+            for j in range(dim)
+        ]
+    )
+    return spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            (F.col("id") % 100) < int(hot_share * 100), hot
+        ).otherwise(cold).alias("embedding"),
+    )
+
+
+def _basis_centroids(dim=8):
+    return [
+        (c, [1.0 if j == c else 0.0 for j in range(dim)]) for c in range(dim)
+    ]
+
+
+def test_knn_shuffle_arm_skew_split(spark, skew_confs, tmp_path):
+    """r14 VERDICT item 4: the shuffle arm's (cell, query) equi-join
+    inherits IVF cell imbalance — with ~90% of the corpus in ONE cell,
+    the hot cell is one shuffle partition and one straggler task.
+    Pins that AQE's skew machinery actually engages on THIS join shape
+    (SortMergeJoin(skew=true) in the final adaptive plan — the window
+    that follows partitions by query_id, not the join key, so the
+    split is allowed), and that the skew-split results stay identical
+    to the broadcast arm's.
+
+    Two make-or-break preconditions, both discovered by this test
+    failing without them (they are the production lessons):
+    - AQE splits a skewed reduce partition by MAPPER ranges, so a hot
+      cell written as ONE file (the writers' old fixed
+      repartition(cell)) is one mapper and cannot be split at all —
+      the index must be built with ``shards_per_cell`` > 1 on skewed
+      distributions (at 100 TB the hot cell spans many files anyway;
+      the single-file collapse is the small-scale artifact);
+    - the scan must not re-merge those files into one input task
+      (files.maxPartitionBytes small enough here; at real scale file
+      sizes exceed it naturally)."""
+    from spectrify_spark.operators import quantization as Q
+
+    files_confs = {
+        "spark.sql.files.maxPartitionBytes": "32KB",
+        "spark.sql.files.openCostInBytes": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in files_confs}
+    for k, v in files_confs.items():
+        spark.conf.set(k, v)
+    try:
+        _run_knn_skew_probe(spark, tmp_path, Q)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _run_knn_skew_probe(spark, tmp_path, Q):
+    corpus = _hot_cell_corpus(spark)
+    cents = _basis_centroids()
+    books = Q.deterministic_codebooks(2, 16, 4)
+    path = str(tmp_path / "ivfpq")
+    Q.write_ivfpq_index(corpus, cents, books, path, shards_per_cell=16)
+
+    # sanity: the distribution IS pathological (>= 90% in cell 0)
+    sizes = {
+        int(r.ivf_cell): r.n
+        for r in spark.read.parquet(path)
+        .groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sizes[0] / sum(sizes.values()) >= 0.9
+
+    # 8 queries all probing the hot cell (plus one cold neighbour)
+    queries = spark.range(8).select(
+        F.col("id").alias("q_id"),
+        F.array(
+            *[
+                (F.lit(1.0 if j == 0 else 0.01)).cast("float")
+                for j in range(8)
+            ]
+        ).alias("q_vec"),
+    )
+    shuf = Q.ivfpq_knn_join(
+        spark, path, queries, k=5, nprobe=2, broadcast_queries=False
+    )
+    rows_shuf = sorted(
+        (r.q_id, r.vec_id, r.adc_dist) for r in shuf.collect()
+    )
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "skew=true" in plan, (
+        "AQE did not split the hot IVF cell on the shuffle knn arm:\n"
+        + plan[:2000]
+    )
+
+    bro = Q.ivfpq_knn_join(
+        spark, path, queries, k=5, nprobe=2, broadcast_queries=True
+    )
+    rows_bro = sorted((r.q_id, r.vec_id, r.adc_dist) for r in bro.collect())
+    assert rows_shuf == rows_bro

@@ -507,8 +507,14 @@ def write_ivfpq_index(
 
     # mass-tier drift baselines (r15, see similarity.ann_drift_report):
     # the index stores codes, not vectors, so only the count tier is
-    # measurable here — near-free (partition dirs + parquet footers)
-    sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+    # measurable here — near-free (partition dirs + parquet footers).
+    # An EMPTY build writes no files and the read-back cannot infer a
+    # schema: record no baselines (ann_drift_report is conservative on
+    # missing ones) rather than fail the write
+    try:
+        sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+    except Exception:
+        sizes = {}
     replace_json_sidecar(
         df.sparkSession,
         path,
@@ -950,8 +956,12 @@ def write_ivfsq_index(
     # probe must never read a partially-written model sidecar
     from spectrify_spark.operators.similarity import _index_cell_counts
 
-    # mass-tier drift baselines (r15, see similarity.ann_drift_report)
-    sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+    # mass-tier drift baselines (r15, see similarity.ann_drift_report;
+    # empty-build read-back degrades to no baselines, see the PQ twin)
+    try:
+        sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+    except Exception:
+        sizes = {}
     replace_json_sidecar(
         df.sparkSession,
         path,

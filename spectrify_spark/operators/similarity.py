@@ -17,10 +17,14 @@ Centroids are chosen deterministically from the corpus (seeded sample)
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spectrify_spark.functions.vectors import cosine, dot, norm
+
+logger = logging.getLogger(__name__)
 
 
 def brute_force_topk(
@@ -512,8 +516,29 @@ def _build_stats(
     :func:`write_ivf_index` (overwrite mode): total row count, per-cell
     sizes, and the mean assigned-cell cosine residual.  Computed from
     the freshly WRITTEN index so the input plan is not re-evaluated."""
-    sizes = _index_cell_counts(spark, path, cell_col)
-    n, resid = _index_residual_mean(spark, path, centroids, vec_col, cell_col)
+    try:
+        sizes = _index_cell_counts(spark, path, cell_col)
+        n, resid = _index_residual_mean(
+            spark, path, centroids, vec_col, cell_col
+        )
+    except Exception:
+        # an EMPTY build writes no parquet files, so the read-back
+        # cannot even infer a schema — record no baselines (build_n 0)
+        # rather than fail the write; ann_drift_report treats missing
+        # baselines conservatively (rebuild_recommended)
+        logger.debug(
+            "write_ivf_index: stats read-back at %s failed (empty "
+            "build?) — recording no drift baselines",
+            path,
+            exc_info=True,
+        )
+        return {
+            "vec_col": vec_col,
+            "build_n": 0,
+            "build_cell_sizes": {},
+            "build_residual_mean": None,
+            "residual_n": 0,
+        }
     return {
         "vec_col": vec_col,
         "build_n": int(sum(sizes.values())),
@@ -689,16 +714,30 @@ def append_ivf_index(
     )
 
 
-def compact_ivf_index(spark, src: str, dst: str) -> None:
-    """Fold an appended-to IVF or IVF-PQ index into one file per cell
-    partition (same maintenance contract as
-    ``dedup.compact_band_index``); rewrite to a sibling and swap.
+def compact_ivf_index(
+    spark,
+    src: str,
+    dst: str,
+    shards_per_cell: int = 1,
+    id_col: "str | None" = None,
+) -> None:
+    """Fold an appended-to IVF / IVF-PQ / IVF-SQ index into
+    ``shards_per_cell`` files per cell partition (same maintenance
+    contract as ``dedup.compact_band_index``); rewrite to a sibling
+    and swap.
 
     ALL ``_spectrify_*.json`` sidecars are carried to ``dst``
     (``_sidecar.copy_sidecars``), so compacting an IVF-PQ index keeps
     its PQ model, not just the centroid sidecar this module owns; the
     cell column is resolved from whichever model sidecar is present.
-    """
+
+    ``shards_per_cell`` (default 1 = maximally compact) matters on
+    SKEWED indexes: a default compaction collapses a hot cell back
+    into one file — one write-straggler task now, and one mapper that
+    AQE's skew split cannot subdivide on later shuffle-arm probes
+    (exactly the spread ``write_ivfpq_index(shards_per_cell=...)``
+    bought at build time).  The shard key hashes ``id_col`` (resolved
+    from the model sidecar, falling back to ``vec_id``)."""
     import os
 
     src_abs = os.path.realpath(src)
@@ -724,10 +763,31 @@ def compact_ivf_index(spark, src: str, dst: str) -> None:
         or read_json_sidecar(spark, src, "_spectrify_ivfsq_model.json")
     )
     cell_col = (payload or {}).get("cell_col", "ivf_cell")
+    df = spark.read.parquet(src)
+    if shards_per_cell < 1:
+        raise ValueError(
+            f"shards_per_cell must be >= 1, got {shards_per_cell}"
+        )
+    if shards_per_cell == 1:
+        df = df.repartition(F.col(cell_col))
+    else:
+        key = id_col or (payload or {}).get("id_col") or "vec_id"
+        if key not in df.columns:
+            raise ValueError(
+                f"compact_ivf_index: shard id column {key!r} not in the "
+                f"index (have {df.columns}); pass id_col="
+            )
+        # explicit partition count: a column-only repartition is
+        # AQE-coalescible, which would silently undo the spread (the
+        # write_ivfpq_index shard-arm lesson)
+        n_cells = len((payload or {}).get("centroids") or []) or 8
+        df = df.repartition(
+            shards_per_cell * n_cells,
+            F.col(cell_col),
+            F.pmod(F.xxhash64(F.col(key)), F.lit(shards_per_cell)),
+        )
     (
-        spark.read.parquet(src)
-        .repartition(F.col(cell_col))
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .partitionBy(cell_col)
         .parquet(dst)
     )

@@ -520,6 +520,26 @@ GOLDEN = {
     # spark-side prune arm: the RETURNED scan is identical in shape to
     # q_scan_skipping's (the prune jobs run before the plan exists)
     "q_scan_prune_spark": dict(max_exchanges=0, ban_bnlj=True, max_scan_cols=3),
+    # ------------------------------------------------------------------
+    # r15 keys
+    # post-append recall gate: brute kNN (query broadcast, window) +
+    # IVF probe (partition-pruned index scan) + three tiny aggregates
+    # cross-joined; the BNLJ is the one-row centroid parameter-table
+    # cross join (same exception as q_publish_index), the real joins
+    # are hash-family.  Pre-AQE ceiling 8 (the hits join and the
+    # single-row agg joins plan as SMJ pairs before AQE broadcasts
+    # them); the executed audit reads 4 (PLANS.md)
+    "q_sim_append_recall": dict(
+        max_exchanges=8, joins=["BroadcastHashJoin"], max_scan_cols=2,
+    ),
+    # snapshot reader: two pinned component scans, per-lang agg + a
+    # broadcastable join of two tiny aggregates — no wide scan, no BNLJ
+    "q_snapshot_publish": dict(
+        max_exchanges=2,
+        joins=["BroadcastHashJoin"],
+        ban_bnlj=True,
+        max_scan_cols=2,
+    ),
 }
 
 

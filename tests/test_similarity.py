@@ -315,3 +315,73 @@ def test_ann_drift_report_reads_pq_and_sq_sidecars(spark, sf_dir, tmp_path):
     rep2 = SIM.ann_drift_report(spark, sq_path)
     assert rep2["delta_fraction"] > 0.5
     assert rep2["rebuild_recommended"] is True
+
+
+def test_compact_ivf_index_sharded(spark, sf_dir, tmp_path):
+    """compact_ivf_index(shards_per_cell>1): a skewed index compacted
+    with the default would collapse its hot cell back into one file
+    (one write straggler, one unsplittable mapper for later shuffle-arm
+    probes); the shard arm spreads each cell over ~N id-hash files and
+    preserves rows + sidecars exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = SIM.choose_centroids(e, n_centroids=2)
+    src = str(tmp_path / "src")
+    SIM.write_ivf_index(e, cents, src)
+    SIM.append_ivf_index(e.limit(0), src)  # no-op append keeps sidecar
+
+    dst = str(tmp_path / "dst")
+    SIM.compact_ivf_index(spark, src, dst, shards_per_cell=4)
+    cells = glob.glob(f"{dst}/ivf_cell=*")
+    assert cells
+    # at least one cell fans out past a single file
+    assert any(
+        len(glob.glob(f"{c}/*.parquet")) > 1 for c in cells
+    ), [glob.glob(f"{c}/*.parquet") for c in cells]
+    # rows identical, sidecar carried
+    src_rows = {r.vec_id for r in spark.read.parquet(src).collect()}
+    dst_rows = {r.vec_id for r in spark.read.parquet(dst).collect()}
+    assert src_rows == dst_rows
+    assert SIM.read_ivf_centroids(spark, dst) == [
+        (c, [float(x) for x in v]) for c, v in cents
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="shards_per_cell"):
+        SIM.compact_ivf_index(spark, src, str(tmp_path / "d2"),
+                              shards_per_cell=0)
+    with pytest.raises(ValueError, match="shard id column"):
+        SIM.compact_ivf_index(spark, src, str(tmp_path / "d3"),
+                              shards_per_cell=2, id_col="nope")
+
+
+def test_empty_index_build_records_no_baselines(spark, tmp_path):
+    """An EMPTY build writes no parquet files, so the r15 stats
+    read-back cannot infer a schema — the write must still succeed,
+    recording no baselines, and ann_drift_report must degrade to the
+    conservative rebuild recommendation (the same contract as a legacy
+    no-stats sidecar)."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators import similarity as SIM
+
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    path = str(tmp_path / "empty")
+    SIM.write_ivf_index(e, cents, path)  # must not raise
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    st = read_json_sidecar(spark, path, SIM._IVF_SIDECAR)["stats"]
+    assert st["build_n"] == 0 and st["build_residual_mean"] is None
+    rep = SIM.ann_drift_report(spark, path)
+    assert rep["rebuild_recommended"] is True
+    assert any("unmeasurable" in r for r in rep["reasons"])

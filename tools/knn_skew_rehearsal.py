@@ -79,7 +79,7 @@ def main() -> None:
         (c, [1.0 if j == c else 0.0 for j in range(DIM)]) for c in range(DIM)
     ]
     books = Q.deterministic_codebooks(2, 16, 4)
-    queries = spark.range(64).select(
+    queries = spark.range(32).select(
         F.col("id").alias("q_id"),
         F.array(
             *[
@@ -92,7 +92,21 @@ def main() -> None:
         ).alias("q_vec"),
     )
 
-    print(f"# n_rows={n_rows} C={DIM} nprobe=2 queries=64 runs={runs} (median)")
+    # The skew threshold must be SCALE-REPRESENTATIVE: at the default
+    # 256MB the 2M-row hot cell's ~tens-of-MB shuffle partition never
+    # qualifies and skewJoin=on silently runs the same single-straggler
+    # plan as off (measured: 411s either way).  At 100 TB the hot cell
+    # exceeds any sane threshold by orders of magnitude; lowering the
+    # threshold here emulates that regime — the same reasoning as the
+    # file-split confs in tests/test_aqe_skew.py.
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+
+    print(f"# n_rows={n_rows} C={DIM} nprobe=2 queries=32 runs={runs} (median)")
+    print("# skew threshold 8MB / advisory 2MB (scale-representative; at")
+    print("# the 256MB default the hot cell never qualifies at this scale)")
     print("| corpus | skewJoin | wall (s) | skew=true in plan |")
     print("|---|---|---|---|")
     for label, hot_share in (("balanced", 1.0 / DIM), ("pathological", 0.9)):
@@ -116,7 +130,14 @@ def main() -> None:
                     broadcast_queries=False,
                 )
                 t0 = time.perf_counter()
-                j.count()
+                # collect, not count: count() executes a DIFFERENT
+                # query (groupBy().count() over j), leaving j's own
+                # adaptive plan unexecuted — its toString() then shows
+                # the initial plan with no query stages and the
+                # skew=true marker can never appear (the bug that made
+                # this column read False while the walls showed a 12x
+                # on/off split).  The result is 32*k rows — tiny.
+                j.collect()
                 times.append(time.perf_counter() - t0)
                 plan = (
                     j._jdf.queryExecution().executedPlan().toString()
@@ -125,7 +146,8 @@ def main() -> None:
                 split = split or ("skew=true" in plan)
             print(
                 f"| {label} | {'on' if skew_on else 'off'} | "
-                f"{statistics.median(times):.2f} | {split} |"
+                f"{statistics.median(times):.2f} | {split} |",
+                flush=True,
             )
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 

@@ -246,10 +246,18 @@ def main() -> None:
         for k, v in timings.items()
         if k in HEADLINE or isinstance(v, dict)
     }
-    # 2dp in the compact line: the stdout capture window is ~2,000
-    # chars and two 34-key dicts at 3dp would brush against it
+    # The stdout capture window is ~2,000 chars; a second full 34-key
+    # dict would overflow it (measured 1,980+), so the compact line
+    # carries the normalized column as a PARALLEL ARRAY in the exact
+    # iteration order of compact["queries"]'s non-error entries (2dp;
+    # the keyed full-precision dict lives in BENCH_RESULT.json)
     compact["queries_normalized"] = {
-        k: round(v, 2) for k, v in normalized.items() if k in HEADLINE
+        "order": "queries",
+        "vals": [
+            round(normalized[k], 2)
+            for k in compact["queries"]
+            if k in normalized
+        ],
     }
     compact["full_record"] = "BENCH_RESULT.json"
     line = json.dumps(compact)

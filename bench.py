@@ -84,6 +84,12 @@ RUNS_HEADLINE = 5
 RUNS_EXTENDED = 3
 RUNS_CALIBRATION = 5
 
+#: calibration workload size — ONE constant shared by _calibration and
+#: the record's calibration_rows field, so resizing the workload can
+#: never ship records that attribute the new regime to the old size
+#: (the field exists precisely to let ratio consumers segment regimes)
+CALIBRATION_ROWS = 150_000_000
+
 
 def _time_once(fn) -> float:
     t0 = time.perf_counter()
@@ -128,7 +134,7 @@ def _calibration(spark) -> float:
         from pyspark.sql import functions as F
 
         (
-            spark.range(150_000_000)
+            spark.range(CALIBRATION_ROWS)
             .groupBy((F.col("id") % 1000).alias("k"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
             .orderBy("k")
@@ -223,7 +229,7 @@ def main() -> None:
         # 150M rows, reported raw) — record the size so time-series
         # consumers can segment baseline_ratio by calibration regime
         # instead of inferring the r13/r14 boundary from BENCH_NOTES
-        "calibration_rows": 150_000_000,
+        "calibration_rows": CALIBRATION_ROWS,
         "overhead_sec": overhead,
         "baseline_ratio": round(totals["headline"] / calibration, 3)
         if calibration

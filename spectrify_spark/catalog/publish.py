@@ -79,6 +79,59 @@ VERSION_BLOOM = "_spectrify_version_bloom.json"
 #: half-written directory.
 COMMITTED = "_spectrify_committed.json"
 
+#: root-level INTENT sentinel of the legacy-marker migration: present
+#: only between the migration's first and last stamp, so a crash
+#: mid-stamp (which creates the same markers-present/pointed-unmarked
+#: shape as out-of-band marker loss) stays distinguishable and the
+#: next writer RESUMES stamping instead of refusing forever.
+MIGRATION_SENTINEL = "_spectrify_legacy_migration.json"
+
+
+def _migration_sentinel_present(root: str, spark=None) -> bool:
+    lp = _local_path(root)
+    if lp is not None:
+        return os.path.isfile(os.path.join(lp, MIGRATION_SENTINEL))
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    return (
+        read_json_sidecar(
+            _require_spark(spark, root, "read"), root, MIGRATION_SENTINEL
+        )
+        is not None
+    )
+
+
+def _write_migration_sentinel(root: str, spark=None) -> None:
+    lp = _local_path(root)
+    if lp is not None:
+        with open(os.path.join(lp, MIGRATION_SENTINEL), "w") as fh:
+            json.dump({"migrating": True}, fh)
+        return
+    from spectrify_spark.operators._sidecar import write_json_sidecar
+
+    write_json_sidecar(
+        _require_spark(spark, root, "migrate"),
+        root,
+        MIGRATION_SENTINEL,
+        {"migrating": True},
+    )
+
+
+def _remove_migration_sentinel(root: str, spark=None) -> None:
+    lp = _local_path(root)
+    if lp is not None:
+        try:
+            os.remove(os.path.join(lp, MIGRATION_SENTINEL))
+        except FileNotFoundError:
+            pass
+        return
+    from spectrify_spark.operators._sidecar import index_fs
+
+    fs, _, jvm = index_fs(_require_spark(spark, root, "migrate"), root)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(_join(root, MIGRATION_SENTINEL)), False
+    )
+
 
 def _local_path(root: str) -> "str | None":
     """The plain local filesystem path for an UNSCHEMED root, else
@@ -199,27 +252,48 @@ def _migrate_legacy_markers(root: str, spark=None) -> None:
     deletion, partial restore) — stamping everything <= cur there
     would re-certify genuine crashed partials sight-unseen, so the
     migration logs a WARNING and leaves the markers alone.  Recovery:
-    restore the missing ``COMMITTED`` file from backup (it is an empty
-    sentinel — recreating it re-certifies the version), or republish;
-    unmarked versions stay refused for explicit time travel until
-    then, while pointer-path reads (version=None) are unaffected."""
+    restore the missing ``COMMITTED`` file from backup (it is a tiny
+    JSON sentinel — recreating it re-certifies the version), or
+    republish; unmarked versions stay refused for explicit time
+    travel until then, while pointer-path reads (version=None) are
+    unaffected.  :func:`vacuum` QUARANTINES (never removes) unmarked
+    below-pointer versions so the recovery window stays open.
+
+    CRASH SAFETY (r15 self-review): partial stamping would be
+    indistinguishable from marker loss under the rule above — a crash
+    after the first ``_mark_committed`` would strand the remaining
+    legacy versions refused forever.  The migration therefore writes
+    an INTENT sentinel (:data:`MIGRATION_SENTINEL`) at the dataset
+    root before the first stamp and removes it after the last: a
+    pointed-but-unmarked dataset WITH the sentinel is a crashed
+    migration and resumes stamping (readers likewise honor the
+    sentinel as legacy status); without it, markers-present means
+    marker loss and the migration refuses."""
     cur = current_version(root, spark)
     if cur is None or _is_committed(root, cur, spark):
+        # a crash between the last stamp and the sentinel removal
+        # leaves a stale sentinel on a fully-migrated dataset
+        if cur is not None and _migration_sentinel_present(root, spark):
+            _remove_migration_sentinel(root, spark)
         return
     vs = _versions(root, spark)
-    if any(_is_committed(root, v, spark) for v in vs):
+    resuming = _migration_sentinel_present(root, spark)
+    if not resuming and any(_is_committed(root, v, spark) for v in vs):
         logger.warning(
             "publish dataset at %s: pointed version v=%d has no "
             "COMMITTED marker but other versions do — out-of-band "
             "marker loss, NOT a legacy dataset; refusing to stamp "
-            "(restore the marker file from backup or republish)",
+            "(restore the marker file from backup or republish; "
+            "vacuum quarantines the unmarked versions meanwhile)",
             root,
             cur,
         )
         return
+    _write_migration_sentinel(root, spark)
     for v in vs:
         if v <= cur:
             _mark_committed(spark, root, v)
+    _remove_migration_sentinel(root, spark)
 
 
 def _is_committed_or_legacy(root: str, n: int, spark=None) -> bool:
@@ -247,6 +321,11 @@ def _is_committed_or_legacy(root: str, n: int, spark=None) -> bool:
     cur = current_version(root, spark)
     if cur is None or n > cur:
         return False
+    # a crashed migration (intent sentinel present) is legacy by
+    # construction — partial stamping must not flip readers to refusal
+    # between two writer runs
+    if _migration_sentinel_present(root, spark):
+        return True
     # legacy (pre-marker) dataset == zero markers anywhere; the pointed
     # version is one of the checked set, so the old pointed-unmarked
     # condition is subsumed
@@ -450,11 +529,13 @@ def _publish_version(
         fs.mkdirs(hpath)
     _migrate_legacy_markers(root, spark)
     cur0 = current_version(root, spark)
+    salvaged: list[int] = []
     for v in _versions(root, spark):
-        if (cur0 is None or v > cur0) and not (
-            keep_leftover is not None and keep_leftover(v)
-        ):
-            _remove_dir(root, f"v={v}", spark)
+        if cur0 is None or v > cur0:
+            if keep_leftover is not None and keep_leftover(v):
+                salvaged.append(v)
+            else:
+                _remove_dir(root, f"v={v}", spark)
     n = max(_versions(root, spark), default=0) + 1
     vdir = _join(root, f"v={n}")
     land_fn(vdir)
@@ -467,6 +548,14 @@ def _publish_version(
         )
     _mark_committed(spark, root, n)
     _pointer_write(spark, root, n)
+    # sweep-exempt leftovers NOW sit below the new pointer, where the
+    # generic vacuum quarantines unmarked dirs (they are
+    # indistinguishable from marker-loss victims there) — remove them
+    # here instead: the landing step has fully materialized the new
+    # version, so the lazy reads that justified the exemption are done
+    for v in salvaged:
+        if not _is_committed(root, v, spark):
+            _remove_dir(root, f"v={v}", spark)
     vacuum(root, keep_versions=keep_versions, spark=spark)
     return n
 
@@ -587,6 +676,12 @@ def vacuum(root: str, keep_versions: int = 2, spark=None) -> list[int]:
     the single-writer contract means no publish is concurrently
     landing one when vacuum runs); a COMMITTED dir past the pointer
     is a publish between its marker and its flip — never touched.
+    BELOW the pointer an uncommitted dir is never removed either —
+    after the legacy migration has run, it can only mean out-of-band
+    marker loss (every below-pointer version was once pointed, hence
+    once marked), and deleting it would destroy the data the
+    documented recovery (restoring the ``COMMITTED`` sentinel) exists
+    to save; it is quarantined with a WARNING instead.
     (Publish start additionally sweeps ALL above-pointer leftovers
     under the single-writer guarantee, so a committed-unflipped crash
     cannot survive into a later pointer regime and masquerade as
@@ -607,6 +702,26 @@ def vacuum(root: str, keep_versions: int = 2, spark=None) -> list[int]:
         if (cur is None or v > cur) and _is_committed(root, v, spark):
             continue  # committed, flip imminent: belongs to the writer
         if v in keep:
+            continue
+        if cur is not None and v <= cur and not _is_committed(root, v, spark):
+            # QUARANTINE, not removal (r15 self-review): the migration
+            # above stamps genuine legacy versions, so an unmarked
+            # below-pointer dir here can only be out-of-band marker
+            # loss — by write order every below-pointer version was
+            # once pointed, hence once marked.  Deleting it would
+            # destroy the very data the documented recovery (restore
+            # the COMMITTED sentinel) exists to save; above-pointer
+            # unmarked dirs remain true crashed partials and are
+            # removed as before.
+            logger.warning(
+                "vacuum at %s: v=%d sits below the pointer with no "
+                "COMMITTED marker (out-of-band marker loss?) — "
+                "quarantined, not removed; restore its %s file to "
+                "re-certify, or remove the directory manually",
+                root,
+                v,
+                COMMITTED,
+            )
             continue
         _remove_dir(root, f"v={v}", spark)
         removed.append(v)

@@ -636,8 +636,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"snapshot: component {spec!r} is not NAME=ROOT[@V]"
                 )
             name, rootspec = spec.split("=", 1)
-            if "@" in rootspec:
-                droot, _, vtxt = rootspec.rpartition("@")
+            # '@' is a version separator only when the suffix is all
+            # digits — roots may legitimately contain '@' ('/exp@2024/',
+            # 'hdfs://user@host/...'), and those must pin at the
+            # current version rather than crash on int()
+            droot, sep, vtxt = rootspec.rpartition("@")
+            if sep and vtxt.isdigit():
                 comps[name] = (droot, int(vtxt))
             else:
                 comps[name] = rootspec

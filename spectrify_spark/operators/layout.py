@@ -478,24 +478,42 @@ def _stats_part_groups(spark, stats_path: str):
     return _group_parts_by_schema(spark, parts)
 
 
+#: doubles hold integers exactly only up to 2^53 — the bound past
+#: which Spark's numeric promotion to double silently rounds a
+#: long/decimal comparison and a pruning decision stops being PROOF
+_DOUBLE_EXACT_INT = 2**53
+
+
 def _range_bound_lit(bound, dtype) -> "F.Column | None":
     """Literal builder for the Spark prune arm's comparisons, gating on
     BOUND-vs-STATS-TYPE comparability.  Returns None when the pair is
-    not provably comparable — the caller skips that bound's clause,
-    which is exactly what the driver arm does when the same pair
-    raises TypeError in Python (r14 ADVICE: without this gate the two
-    arms diverged on type-mismatched probes — the driver crashed on
-    the Python comparison while the Spark arm either aborted the whole
-    job under ANSI cast errors or, worse, implicit-cast numeric-text
-    stats and pruned where the driver kept).  The matrix mirrors
-    Python value comparability per Spark stats type: numeric stats
-    accept int/float/Decimal (bool normalized to int — Python compares
-    bools as ints, Spark under ANSI does not), string accepts str,
-    date accepts date-not-datetime, timestamps accept datetime (ntz
-    only naive — an aware bound has no provable wall-clock rendering),
-    boolean accepts bool.  No numeric literal is ever cast to the
-    column type (a 10.5 bound truncated to 10 would change the
-    predicate); Spark's numeric promotion handles widening."""
+    not PROVABLY EXACTLY comparable — the caller skips that bound's
+    clause, and the driver arm skips the same pairs value-wise
+    (:func:`_py_bound_skip`), so both arms keep identical surviving
+    sets (r14 ADVICE: without the gate the arms diverged on
+    type-mismatched probes — the driver crashed on the Python
+    comparison while the Spark arm either aborted the whole job under
+    ANSI cast errors or implicit-cast numeric-text stats and pruned
+    where the driver kept).
+
+    Exactness, not just comparability (r15 self-review): Spark
+    promotes long/decimal-vs-double comparisons to DOUBLE, which
+    rounds above 2^53 — a float(2^60) upper bound against bigint
+    stats with min = 2^60-1 would prune a file whose rows ARE in
+    range (silent row loss), while Python compares the same pair
+    exactly and keeps it.  So cross-domain numeric pairs are admitted
+    only where the comparison is provably exact on BOTH arms:
+    integral stats take int (int64-range) and bool bounds; float
+    stats take float, bool, and |int| <= 2^53 bounds; decimal stats
+    take int/Decimal bounds that quantize EXACTLY to the stats scale
+    inside :func:`_decimal_bound_exact`'s promotion-safe envelope;
+    everything else — float-vs-integral, Decimal-vs-double,
+    oversized ints — contributes no proof on either arm (the residual
+    filter still decides the rows).  boolean stats accept only bool
+    (Python compares bool-vs-int, Spark under ANSI does not — the
+    driver skips the pair too); string accepts str, date accepts
+    date-not-datetime, timestamps accept datetime (ntz only naive —
+    an aware bound has no provable wall-clock rendering)."""
     import datetime
     import decimal
 
@@ -504,22 +522,29 @@ def _range_bound_lit(bound, dtype) -> "F.Column | None":
     if isinstance(dtype, T.BooleanType):
         return F.lit(bound) if isinstance(bound, bool) else None
     if isinstance(
-        dtype,
-        (
-            T.ByteType,
-            T.ShortType,
-            T.IntegerType,
-            T.LongType,
-            T.FloatType,
-            T.DoubleType,
-            T.DecimalType,
-        ),
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):
         if isinstance(bound, bool):
             return F.lit(int(bound))
-        if isinstance(bound, (int, float, decimal.Decimal)):
+        if isinstance(bound, int) and -(2**63) <= bound < 2**63:
             return F.lit(bound)
         return None
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        if isinstance(bound, bool):
+            return F.lit(int(bound))
+        if isinstance(bound, float):
+            return F.lit(bound)
+        if isinstance(bound, int) and abs(bound) <= _DOUBLE_EXACT_INT:
+            return F.lit(bound)
+        return None
+    if isinstance(dtype, T.DecimalType):
+        q = _decimal_bound_exact(bound, dtype.scale)
+        if q is None:
+            return None
+        # lit at the quantized scale: common comparison type is at most
+        # decimal(20+s, s) <= 38 under the s<=18 guard — promoted
+        # EXACTLY, never through double
+        return F.lit(q)
     if isinstance(dtype, T.StringType):
         return F.lit(bound) if isinstance(bound, str) else None
     if isinstance(dtype, T.DateType):
@@ -535,6 +560,84 @@ def _range_bound_lit(bound, dtype) -> "F.Column | None":
             return F.lit(bound).cast(dtype)
         return None
     return None
+
+
+def _decimal_bound_exact(bound, scale: int):
+    """Shared decimal-stats gate of the two prune arms: the bound (int
+    or Decimal) quantized EXACTLY to the stats column's scale, or None
+    when the pair has no provably exact comparison.  Guards: exact
+    quantize (a 0.005 bound against scale-2 stats has no
+    direction-safe rounding for a range proof), scale <= 18 and
+    |q| < 10^20 so the Spark arm's decimal promotion (common type <=
+    decimal(20+s, s)) stays inside 38 digits — past that Spark reduces
+    scale and the comparison stops being exact.  The driver arm
+    derives ``scale`` from the stats VALUE's exponent (parquet decimal
+    columns are fixed-scale, so every row agrees with the schema)."""
+    import decimal
+
+    if isinstance(bound, bool) or not isinstance(
+        bound, (int, decimal.Decimal)
+    ):
+        return None
+    d = decimal.Decimal(bound)
+    if not d.is_finite() or scale > 18:
+        return None
+    try:
+        q = d.quantize(decimal.Decimal(1).scaleb(-scale))
+    except decimal.InvalidOperation:
+        return None
+    if q != d or abs(q) >= decimal.Decimal(10) ** 20:
+        return None
+    return q
+
+
+def _py_bound_skip(bound, value) -> bool:
+    """Driver-arm twin of :func:`_range_bound_lit`'s gate, decided per
+    STATS VALUE (the driver loop has rows, not a schema): True means
+    this (bound, stats) pair contributes no disjointness proof.  The
+    two functions MUST agree pair-for-pair or the arms diverge at the
+    file-count threshold — Python would happily compare bool-vs-int or
+    float-vs-int exactly where the Spark arm skips (or, worse, rounds
+    through double); the pinned invariant is identical surviving sets,
+    so the driver skips the same pairs.  Value is never None here (the
+    all-NULL proof fires first)."""
+    import datetime
+    import decimal
+
+    if isinstance(value, bool):
+        return not isinstance(bound, bool)
+    if isinstance(bound, bool):
+        # normalized to int on the Spark arm for integral/float stats
+        # (decimal stats reject bool on both arms — the promotion-safe
+        # envelope check needs a scale the bool branch doesn't have)
+        return not isinstance(value, (int, float))
+    if isinstance(value, int):  # integral stats
+        return not (
+            isinstance(bound, int) and -(2**63) <= bound < 2**63
+        )
+    if isinstance(value, float):
+        if isinstance(bound, float):
+            return False
+        if isinstance(bound, int):
+            return abs(bound) > _DOUBLE_EXACT_INT
+        return True
+    if isinstance(value, decimal.Decimal):
+        # parquet decimals are fixed-scale: the value's exponent IS the
+        # column scale, so the driver can apply the same exactness
+        # gate the Spark arm applies from the schema
+        exp = value.as_tuple().exponent
+        scale = -exp if isinstance(exp, int) and exp < 0 else 0
+        return _decimal_bound_exact(bound, scale) is None
+    if isinstance(value, str):
+        return not isinstance(bound, str)
+    if isinstance(value, datetime.datetime):
+        return not isinstance(bound, datetime.datetime)
+    if isinstance(value, datetime.date):
+        return not (
+            isinstance(bound, datetime.date)
+            and not isinstance(bound, datetime.datetime)
+        )
+    return True  # unknown stats domain: prove nothing
 
 
 def _prune_files_spark(
@@ -659,20 +762,26 @@ def prune_files(
             if mn is None:  # all-NULL column: no row can match a range
                 return True
             try:
+                # _py_bound_skip mirrors the Spark arm's
+                # _range_bound_lit gate value-wise, including the
+                # exactness rules (a float bound against bigint stats
+                # compares exactly in Python but rounds through double
+                # on the Spark arm — BOTH arms must skip it or the
+                # surviving sets diverge at the file-count threshold);
+                # a skipped LOWER bound drops the upper comparison too,
+                # matching the gate's evaluation-order mirror
+                if lo is not None and _py_bound_skip(lo, mn):
+                    continue
                 if lo is not None and mx < lo:
                     return True
+                if hi is not None and _py_bound_skip(hi, mn):
+                    continue
                 if hi is not None and mn >= hi:
                     return True
             except TypeError:
-                # probe type not comparable to the stats type (e.g. an
-                # int probe against string stats): this column proves
-                # nothing — keep the file.  The Spark arm skips the
-                # same bounds via _range_bound_lit's schema-level
-                # comparability gate (a TypeError on the lower bound
-                # lands here before the upper comparison runs, which
-                # the gate mirrors), so both arms degrade identically
-                # instead of flipping crash/keep at the file-count
-                # threshold (r14 ADVICE)
+                # backstop for pairs the matrix admits but Python
+                # still refuses (e.g. aware-vs-naive datetimes): this
+                # column proves nothing — keep the file (r14 ADVICE)
                 continue
         return False
 

@@ -360,6 +360,7 @@ def write_ivf_index(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
     mode: str = "overwrite",
+    stats_sample_fraction: "float | None" = None,
 ) -> None:
     """Materialize the IVF index as parquet partitioned by cell.
 
@@ -414,11 +415,14 @@ def write_ivf_index(
         # index is read BACK for the stats, so the input plan is never
         # re-evaluated — cell sizes cost only partition dirs + parquet
         # footers, the residual mean is one narrow (cell, vec) scan of
-        # data just written.  Appends leave the stats untouched (the
-        # increment path stays one pass); ann_drift_report compares
-        # the CURRENT index state against these at diagnosis time.
+        # data just written (pass stats_sample_fraction to bound it on
+        # huge builds — r15 self-review).  Appends leave the stats
+        # untouched (the increment path stays one pass);
+        # ann_drift_report compares the CURRENT index state against
+        # these at diagnosis time.
         payload["stats"] = _build_stats(
-            spark, path, centroids, vec_col, cell_col
+            spark, path, centroids, vec_col, cell_col,
+            sample_fraction=stats_sample_fraction,
         )
     else:
         payload["stats"] = stored.get("stats")
@@ -511,15 +515,19 @@ def _build_stats(
     centroids: list[tuple[int, list[float]]],
     vec_col: str,
     cell_col: str,
+    sample_fraction: "float | None" = None,
 ) -> dict:
     """Build-time drift baselines stamped into the index sidecar by
     :func:`write_ivf_index` (overwrite mode): total row count, per-cell
     sizes, and the mean assigned-cell cosine residual.  Computed from
-    the freshly WRITTEN index so the input plan is not re-evaluated."""
+    the freshly WRITTEN index so the input plan is not re-evaluated;
+    ``sample_fraction`` bounds the residual scan on huge builds (the
+    counts stay exact — they are footer-only)."""
     try:
         sizes = _index_cell_counts(spark, path, cell_col)
         n, resid = _index_residual_mean(
-            spark, path, centroids, vec_col, cell_col
+            spark, path, centroids, vec_col, cell_col,
+            sample_fraction=sample_fraction,
         )
     except Exception:
         # an EMPTY build writes no parquet files, so the read-back
@@ -666,7 +674,10 @@ def ann_drift_report(
             "centroid fit"
         )
 
-    if stats.get("build_residual_mean"):
+    # `is not None`, not truthiness (r15 self-review): a legitimate
+    # 0.0 baseline — every build vector coincident with its centroid —
+    # must not silently disable residual drift detection
+    if stats.get("build_residual_mean") is not None:
         centroids = [
             (int(cid), [float(x) for x in vec])
             for cid, vec in payload["centroids"]
@@ -681,7 +692,13 @@ def ann_drift_report(
         )
         report["current_residual_mean"] = cur_resid
         if cur_resid is not None:
-            ratio = cur_resid / stats["build_residual_mean"]
+            base = stats["build_residual_mean"]
+            if base > 0:
+                ratio = cur_resid / base
+            else:
+                # zero baseline: ANY nonzero current residual is pure
+                # drift — report an infinite ratio so the trigger fires
+                ratio = float("inf") if cur_resid > 1e-12 else 1.0
             report["residual_ratio"] = ratio
             if ratio > max_residual_ratio:
                 report["rebuild_recommended"] = True
@@ -764,28 +781,23 @@ def compact_ivf_index(
     )
     cell_col = (payload or {}).get("cell_col", "ivf_cell")
     df = spark.read.parquet(src)
-    if shards_per_cell < 1:
+    key = id_col or (payload or {}).get("id_col") or "vec_id"
+    if shards_per_cell > 1 and key not in df.columns:
         raise ValueError(
-            f"shards_per_cell must be >= 1, got {shards_per_cell}"
+            f"compact_ivf_index: shard id column {key!r} not in the "
+            f"index (have {df.columns}); pass id_col="
         )
-    if shards_per_cell == 1:
-        df = df.repartition(F.col(cell_col))
-    else:
-        key = id_col or (payload or {}).get("id_col") or "vec_id"
-        if key not in df.columns:
-            raise ValueError(
-                f"compact_ivf_index: shard id column {key!r} not in the "
-                f"index (have {df.columns}); pass id_col="
-            )
-        # explicit partition count: a column-only repartition is
-        # AQE-coalescible, which would silently undo the spread (the
-        # write_ivfpq_index shard-arm lesson)
-        n_cells = len((payload or {}).get("centroids") or []) or 8
-        df = df.repartition(
-            shards_per_cell * n_cells,
-            F.col(cell_col),
-            F.pmod(F.xxhash64(F.col(key)), F.lit(shards_per_cell)),
-        )
+    # ONE implementation of the shard spread (the writers' — explicit
+    # partition count, AQE-coalescibility lesson and all); lazy import,
+    # quantization already imports this module lazily the other way
+    from spectrify_spark.operators.quantization import (
+        _cell_shard_partitioning,
+    )
+
+    n_cells = len((payload or {}).get("centroids") or []) or 8
+    df = _cell_shard_partitioning(
+        df, cell_col, key, shards_per_cell, n_cells
+    )
     (
         df.write.mode("overwrite")
         .partitionBy(cell_col)

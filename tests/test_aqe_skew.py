@@ -77,41 +77,32 @@ def test_aqe_splits_planted_hot_key(spark, skew_confs):
     assert (got.n, got.s, got.p) == (ref.n, ref.s, ref.p)
 
 
-def _hot_cell_corpus(spark, n_rows=120_000, hot_share=0.9, dim=8):
-    """Synthetic corpus with a PATHOLOGICAL IVF cell distribution:
-    ``hot_share`` of the vectors sit in a tight cluster around e0 (one
-    centroid cell), the rest spread over the remaining directions.
-    Per-row hash noise keeps pq codes varied (incompressible shuffle
-    bytes — a constant hot partition would compress under the skew
-    threshold and hide the very condition under test)."""
-    noise = [
-        (
-            (F.xxhash64(F.col("id"), F.lit(j)) % 1000).cast("double") / 5000.0
-        ).cast("float")
-        for j in range(dim)
-    ]
-    hot = F.array(
-        *[
-            (F.lit(1.0 if j == 0 else 0.0) + noise[j]).cast("float")
-            for j in range(dim)
-        ]
+def _skew_rehearsal_module():
+    """The rehearsal tool and this regression test MUST exercise the
+    same pathological distribution, or a fixture tweak silently
+    decouples the BENCH_NOTES tables from what the test pins — so the
+    corpus builder has ONE home (tools/knn_skew_rehearsal.py) and the
+    test imports it (tools/ is not a package; importlib loads the
+    file directly)."""
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parent.parent / (
+        "tools/knn_skew_rehearsal.py"
     )
-    cold_dir = (F.col("id") % (dim - 1) + 1).cast("int")
-    cold = F.array(
-        *[
-            (
-                F.when(cold_dir == j, F.lit(1.0)).otherwise(F.lit(0.0))
-                + noise[j]
-            ).cast("float")
-            for j in range(dim)
-        ]
-    )
-    return spark.range(n_rows).select(
-        F.col("id").alias("vec_id"),
-        F.when(
-            (F.col("id") % 100) < int(hot_share * 100), hot
-        ).otherwise(cold).alias("embedding"),
-    )
+    spec = importlib.util.spec_from_file_location("knn_skew_rehearsal", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _hot_cell_corpus(spark, n_rows=120_000, hot_share=0.9):
+    """Pathological IVF cell distribution — ``hot_share`` of the
+    vectors in one centroid cell, per-row hash noise keeping pq codes
+    varied (a constant hot partition would compress under the skew
+    threshold and hide the very condition under test).  Shared with
+    the rehearsal tool; see :func:`_skew_rehearsal_module`."""
+    return _skew_rehearsal_module().corpus(spark, n_rows, hot_share)
 
 
 def _basis_centroids(dim=8):

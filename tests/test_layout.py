@@ -1428,3 +1428,143 @@ def test_bloom_null_dtype_row_prunes_on_both_arms(spark, tmp_path):
     assert sets[False] == sets[True] and len(sets[False]) >= 1
     rows = pruned_scan_eq(spark, path, "s", "tag-42").collect()
     assert [(r.k, r.s) for r in rows] == [(42, "tag-42")]
+
+
+def test_lossy_numeric_bounds_never_prune_and_arms_agree(spark, tmp_path):
+    """r15 self-review (the one wrong-results finding): Spark promotes
+    long/decimal-vs-double comparisons to DOUBLE, which rounds above
+    2^53 — a float(2^60) upper bound against bigint stats with
+    min = 2^60-1 would have PRUNED a file whose rows are in range
+    (silent row loss), while the driver compared exactly and kept it.
+    Cross-domain numeric pairs are now admitted only where both arms
+    compare exactly; everything else contributes no proof on EITHER
+    arm.  Pins: the boundary file survives both arms and the scan
+    still returns its rows; exact int bounds at the same magnitude DO
+    prune on both arms; bool-stats numeric probes skip on both arms
+    (Python would compare bool-as-int where Spark cannot)."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    big = 2**60  # 1152921504606846976; big-1 is NOT representable in double
+    path = str(tmp_path / "big")
+    # two appends -> two files with known stats (a hash repartition can
+    # collide both rows into one file and leave an empty part)
+    spark.range(1).select(
+        F.lit(big - 1).alias("k"), F.lit(True).alias("b")
+    ).coalesce(1).write.parquet(path)
+    spark.range(1).select(
+        F.lit(0).cast("long").alias("k"), F.lit(False).alias("b")
+    ).coalesce(1).write.mode("append").parquet(path)
+    write_file_stats(spark, path, ["k", "b"])
+
+    # float bound vs bigint stats: float(big) == big exactly, and
+    # big-1 rounds UP to it in double — the Spark arm would prune the
+    # boundary file; both arms must skip instead
+    for arm in (False, True):
+        keep, total = prune_files(
+            spark, path, ranges={"k": (None, float(big))}, spark_side=arm
+        )
+        assert total == 2 and len(keep) == 2, (arm, keep)
+    rows = sorted(
+        r.k
+        for r in pruned_scan(
+            spark, path, ranges={"k": (0, big)}, spark_side=False
+        ).collect()
+    )
+    assert rows == [0, big - 1]  # exact int bounds: correct rows
+
+    # the SAME magnitude as an exact int bound prunes on both arms
+    # (upper = big-1 excludes the boundary file: min >= hi)
+    sets = {
+        arm: prune_files(
+            spark, path, ranges={"k": (None, big - 1)}, spark_side=arm
+        )[0]
+        for arm in (False, True)
+    }
+    assert sets[False] == sets[True] and len(sets[False]) == 1
+
+    # bool stats, int bound: Python compares bool-as-int, Spark under
+    # ANSI cannot — both arms must skip (keep everything)
+    for arm in (False, True):
+        keep, total = prune_files(
+            spark, path, ranges={"b": (1, None)}, spark_side=arm
+        )
+        assert len(keep) == total == 2, arm
+    # ... while a genuine bool bound prunes identically on both arms
+    sets_b = {
+        arm: prune_files(
+            spark, path, ranges={"b": (True, None)}, spark_side=arm
+        )[0]
+        for arm in (False, True)
+    }
+    assert sets_b[False] == sets_b[True] and len(sets_b[False]) == 1
+
+
+def test_decimal_range_bounds_exact_quantize_gate(spark, tmp_path):
+    """Decimal stats: bounds are admitted only when they quantize
+    EXACTLY to the stats scale inside the promotion-safe envelope —
+    exact Decimal/int bounds prune identically on both arms, a
+    finer-scale bound (0.005 on scale-2 stats) skips on both, and a
+    float bound (double coercion) skips on both."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import (
+        prune_files,
+        pruned_scan,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "dec")
+    spark.range(100).select(
+        F.col("id").alias("i"),
+        (F.col("id").cast("decimal(12,2)") / 4).alias("d"),
+    ).repartitionByRange(4, F.col("i")).sortWithinPartitions("i").write.parquet(
+        path
+    )
+    write_file_stats(spark, path, ["d"])
+
+    # exact Decimal bounds: prune and return correct rows on both arms
+    probes = [
+        (Decimal("5.00"), Decimal("10.00")),
+        (2, 6),  # ints quantize exactly to scale 2
+    ]
+    for lo, hi in probes:
+        sets = {
+            arm: prune_files(
+                spark, path, ranges={"d": (lo, hi)}, spark_side=arm
+            )[0]
+            for arm in (False, True)
+        }
+        assert sets[False] == sets[True], (lo, hi)
+        assert 1 <= len(sets[False]) < 4, (lo, hi, sets)
+    got = sorted(
+        r.i
+        for r in pruned_scan(
+            spark, path, ranges={"d": (Decimal("5.00"), Decimal("10.00"))}
+        ).collect()
+    )
+    want = sorted(
+        r.i
+        for r in spark.read.parquet(path)
+        .filter(
+            (F.col("d") >= F.lit(Decimal("5.00")))
+            & (F.col("d") < F.lit(Decimal("10.00")))
+        )
+        .collect()
+    )
+    assert got == want and got  # rows identical to the plain scan
+
+    # finer-scale and float bounds: no proof, both arms keep all
+    for bad_lo in (Decimal("0.005"), 5.0):
+        for arm in (False, True):
+            keep, total = prune_files(
+                spark, path, ranges={"d": (bad_lo, None)}, spark_side=arm
+            )
+            assert len(keep) == total == 4, (bad_lo, arm)

@@ -870,3 +870,81 @@ def test_snapshot_cli(spark, tmp_path, capsys):
     capsys.readouterr()
     with pytest.raises(SystemExit):
         cli.main(["snapshot", snap, "notaspec"])
+
+
+def test_legacy_migration_crash_resumes_and_never_bricks(spark, tmp_path):
+    """r15 self-review (top finding): a crash mid legacy-marker
+    migration leaves SOME markers — the exact shape the
+    no-marker-anywhere rule reads as marker loss — which would have
+    stranded the remaining legacy versions refused forever (and
+    vacuum-deleted).  The migration now writes an intent sentinel
+    before the first stamp and removes it after the last: a crashed
+    migration (a) keeps READ-side legacy status via the sentinel and
+    (b) RESUMES stamping on the next writer op."""
+    from spectrify_spark.catalog.publish import (
+        COMMITTED,
+        MIGRATION_SENTINEL,
+        _mark_committed,
+        _write_migration_sentinel,
+    )
+
+    root = str(tmp_path / "ds")
+    for tag, n in (("a", 10), ("b", 20), ("c", 30)):
+        publish(_df(spark, n, tag), root, keep_versions=5)
+    # strip to the legacy (pre-marker) shape
+    for v in (1, 2, 3):
+        os.remove(os.path.join(root, f"v={v}", COMMITTED))
+    # simulate the crash: sentinel written, ONLY v=1 stamped
+    _write_migration_sentinel(root)
+    _mark_committed(None, root, 1)
+
+    # reads: all legacy versions stay readable through the sentinel
+    for v, n in ((1, 10), (2, 20), (3, 30)):
+        assert read_published(spark, root, version=v).count() == n
+
+    # next writer op resumes the migration instead of refusing
+    assert vacuum(root, keep_versions=5) == []
+    for v in (1, 2, 3):
+        assert os.path.isfile(os.path.join(root, f"v={v}", COMMITTED)), v
+    assert not os.path.isfile(os.path.join(root, MIGRATION_SENTINEL))
+    assert read_published(spark, root, version=2).count() == 20
+
+    # a stale sentinel on a fully-migrated dataset is swept on the
+    # next writer op (crash between last stamp and sentinel removal)
+    _write_migration_sentinel(root)
+    vacuum(root, keep_versions=5)
+    assert not os.path.isfile(os.path.join(root, MIGRATION_SENTINEL))
+
+
+def test_vacuum_quarantines_marker_loss_victims(spark, tmp_path, caplog):
+    """r15 self-review: vacuum used to delete an unmarked below-pointer
+    version as a crashed partial — destroying the very data the
+    documented marker-loss recovery (restore the COMMITTED sentinel)
+    needs.  Such versions are now quarantined with a WARNING; restoring
+    the marker re-certifies them, and genuine above-pointer crashed
+    partials are still removed."""
+    import logging
+
+    from spectrify_spark.catalog.publish import COMMITTED
+
+    root = str(tmp_path / "ds")
+    for tag, n in (("a", 10), ("b", 20), ("c", 30)):
+        publish(_df(spark, n, tag), root, keep_versions=5)
+    # marker loss on v=1 (below the pointer, outside nothing — it is
+    # retained under keep_versions=5); plus a genuine crashed partial
+    # above the pointer
+    os.remove(os.path.join(root, "v=1", COMMITTED))
+    os.makedirs(os.path.join(root, "v=9"))
+    with caplog.at_level(
+        logging.WARNING, logger="spectrify_spark.catalog.publish"
+    ):
+        removed = vacuum(root, keep_versions=5)
+    assert removed == [9]  # the partial went, the victim stayed
+    assert os.path.isdir(os.path.join(root, "v=1"))
+    assert any("quarantined" in r.message for r in caplog.records)
+    # recovery: restore the sentinel, the version reads again and a
+    # later vacuum treats it as published
+    with open(os.path.join(root, "v=1", COMMITTED), "w") as fh:
+        fh.write('{"version": 1}')
+    assert read_published(spark, root, version=1).count() == 10
+    assert vacuum(root, keep_versions=5) == []

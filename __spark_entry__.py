@@ -1650,6 +1650,58 @@ def q_snapshot_publish(spark, sf):
     )
 
 
+def q_snapshot_vacuum(spark, sf):
+    """Pin-aware vacuum (r16 — VERDICT r15 item 1, the last correctness
+    footgun): a retained snapshot pins exact component versions, but
+    vacuum() used to honor only its own keep window — a routine
+    component vacuum could evict a pinned version and silently break
+    every future read_snapshot_table of that snapshot.
+    catalog/publish.py::vacuum now takes snapshots= (automatic pin
+    discovery via snapshot_pinned_versions, matched through the same
+    root canonicalization as the publish overlap guard) and protect=
+    (an explicit version set); a version spared only by a pin logs a
+    WARNING and is skipped.  Here: docs publish three generations
+    (v1 = doc_id%3==0, v2, v3 = full), a snapshot pins v1, then
+    vacuum(keep_versions=1, snapshots=[snap]) — v2 (unpinned, outside
+    the window) must go, v1 (pinned, outside the window) must survive,
+    and the snapshot read must still return the full v1 content.  The
+    measured removed-version list and the pinned/current counts are
+    all driver-checked against the oracle's replicas.  Hammers:
+    tests/test_publish.py::test_vacuum_protects_snapshot_pins."""
+    import tempfile
+
+    from spectrify_spark.catalog.publish import (
+        publish,
+        publish_snapshot,
+        read_published,
+        read_snapshot_table,
+        vacuum,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    work = tempfile.mkdtemp(prefix="q_snapshot_vacuum_")
+    droot, snap = f"{work}/docs", f"{work}/snap"
+    publish(d.filter(F.col("doc_id") % 3 == 0), droot, keep_versions=5)
+    publish_snapshot(snap, {"docs": droot})  # pins docs v=1
+    publish(d.filter(F.col("doc_id") % 3 <= 1), droot, keep_versions=5)
+    publish(d, droot, keep_versions=5)
+    removed = vacuum(droot, keep_versions=1, snapshots=[snap])
+    pinned = read_snapshot_table(spark, snap, "docs").agg(
+        F.count(F.lit(1)).alias("n_pinned_docs")
+    )
+    current = read_published(spark, droot).agg(
+        F.count(F.lit(1)).alias("n_current_docs")
+    )
+    return pinned.crossJoin(F.broadcast(current)).select(
+        "n_pinned_docs",
+        "n_current_docs",
+        F.lit(removed[0] if len(removed) == 1 else -1)
+        .cast("bigint")
+        .alias("removed_version"),
+        F.lit(len(removed) == 1).alias("removed_only_unpinned"),
+    )
+
+
 def q_sim_ivf_recall(spark, sf):
     """Measured ANN quality over a query BATCH (r6 verdict item 5):
     recall@10 of the kmeans-refined IVF probe path (similarity.py
@@ -4994,6 +5046,94 @@ def q_stream_curate_publish(spark, sf):
     return read_published(spark, f"{work}/pub")
 
 
+def q_stream_snapshot(spark, sf):
+    """The TWELFTH streaming/batch twin (r16 — VERDICT r15 item 6):
+    snapshot-consistent MULTI-component streaming sink
+    (streaming/curation.py::stream_curate_snapshot_publish).  The
+    eleventh twin closed the mixed-version window for ONE published
+    dataset; a pipeline that also maintains a derived dataset reopens
+    it between the two component flips — this twin closes it the way
+    q_snapshot_publish does for batch: per micro-batch the curated/
+    deduped corpus publishes, the per-lang counts derive FROM the
+    just-landed immutable corpus version and publish, and ONE
+    publish_snapshot pins the exact pair behind one pointer flip.
+    Docs are delivered TWICE on the stream (watermark-bounded id
+    dedup, the only streaming state); the check is the snapshot
+    reader's CONSISTENCY — per-lang counts recomputed from the pinned
+    corpus component must equal the pinned counts component
+    row-for-row, and both must equal the oracle's batch replica of
+    gate + dedup over unique docs.  Plan gate:
+    tests/test_streaming_plans.py (StreamingDeduplicateWithinWatermark,
+    8 state stores, foreachBatch sink)."""
+    import tempfile
+
+    from spectrify_spark.catalog.publish import read_snapshot_table
+    from spectrify_spark.streaming.curation import (
+        stream_curate_snapshot_publish,
+    )
+
+    work = tempfile.mkdtemp(prefix="q_stream_snapshot_")
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+    )
+    src = f"{work}/docs"
+    d.repartition(4).write.mode("append").parquet(src)
+    d.repartition(4).write.mode("append").parquet(src)  # duplicate delivery
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+    )
+    snap = f"{work}/snap"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_curate_snapshot_publish(
+            stream,
+            snap,
+            f"{work}/corpus",
+            f"{work}/counts",
+            min_quality=0.5,
+            min_tokens=10,
+            split_weights=(90, 5, 5),
+            keep_versions=3,
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        try:
+            q.processAllAvailable()
+            try:
+                STREAM_AUDITS["q_stream_snapshot"] = {
+                    "plan": q._jsq.explainInternal(False),
+                    "progress": q.lastProgress
+                    if q.lastProgress is not None
+                    else {},
+                }
+            except Exception:  # noqa: BLE001 — audit is best-effort
+                pass
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    corpus = read_snapshot_table(spark, snap, "corpus")
+    counts = read_snapshot_table(spark, snap, "counts").select(
+        "lang", F.col("n_docs").alias("n_pinned")
+    )
+    return (
+        corpus.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(counts, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_pinned",
+            (F.col("n_docs") == F.col("n_pinned")).alias("consistent"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -5053,7 +5193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout.py's probe cache.)
     """
     return {
-        # -- r15 window, slots 1-2: r15-born keys (rule 2)
+        # -- r16 window, slots 1-2: r16-born keys (rule 2)
+        "q_snapshot_vacuum": q_snapshot_vacuum,
+        "q_stream_snapshot": q_stream_snapshot,
+        # -- r15-born keys (re-enter as rule-(1): publish.py + the ANN
+        # drift path changed this round)
         "q_sim_append_recall": q_sim_append_recall,
         "q_snapshot_publish": q_snapshot_publish,
         # -- r15 window, slots 3-18: rule-(1) changed-code keys (layout
@@ -6461,6 +6605,17 @@ def oracle_sql() -> dict[str, str]:
                           AS INTEGER) % 100 AS b
               FROM gated)
         """,
+        # Twelfth streaming twin: snapshot-consistent multi-component
+        # sink.  The snapshot-pinned corpus and counts components must
+        # BOTH equal the batch gate+dedup replica's per-lang counts —
+        # a reader that mixed component generations would break the
+        # cross-component equality (consistent) and the value match.
+        "q_stream_snapshot": f"""
+            WITH {_SQL_CURATE_GATED}
+            SELECT lang, COUNT(*) AS n_docs, COUNT(*) AS n_pinned,
+                   TRUE AS consistent
+            FROM gated GROUP BY lang ORDER BY lang
+        """,
         # streaming drain twin: MUST equal the batch window agg exactly
         "q_stream_window": """
             SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
@@ -6740,6 +6895,17 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS consistent
             FROM documents WHERE doc_id % 2 = 0
             GROUP BY lang ORDER BY lang
+        """,
+        # Pin-aware vacuum (r16): v1 (pinned by the snapshot) survives a
+        # keep_versions=1 vacuum, v2 (unpinned) is the only removal, the
+        # snapshot read returns the full v1 subset.  removed_version is
+        # MEASURED from vacuum's return on the Spark side.
+        "q_snapshot_vacuum": """
+            SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+                       AS n_pinned_docs,
+                   (SELECT COUNT(*) FROM documents) AS n_current_docs,
+                   CAST(2 AS BIGINT) AS removed_version,
+                   TRUE AS removed_only_unpinned
         """,
         "q_sim_append_recall": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -88,6 +88,13 @@ GOLDEN = {
     "q_stream_curate_publish": dict(
         node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=8
     ),
+    # snapshot-consistent multi-component sink (r16): same state story
+    # as the single-dataset publish twin — the ONLY streaming state is
+    # the watermark-bounded id dedup; the per-batch corpus/counts/
+    # snapshot publishes are batch jobs inside foreachBatch
+    "q_stream_snapshot": dict(
+        node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=8
+    ),
 }
 
 _WM_TAG = re.compile(r"-T\d+ms")

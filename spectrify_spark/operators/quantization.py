@@ -424,6 +424,67 @@ def reconstruction_mse(
 _IVFPQ_SIDECAR = "_spectrify_ivfpq_model.json"
 
 
+def _pq_recon_expr(code_col):
+    """Reconstruct an ``array<double>`` vector from a PQ code array —
+    requires the broadcast ``__cb`` codebook column in scope
+    (:func:`_codebook_frame`): subspace i's code c picks codeword
+    ``__cb[i+1][c+1]``, concatenated in subspace order.  Row-local
+    ``transform`` + ``flatten``, no shuffle."""
+    return F.flatten(
+        F.transform(
+            code_col,
+            lambda c, i: F.element_at(
+                F.element_at(F.col("__cb"), (i + F.lit(1)).cast("int")),
+                (c + F.lit(1)).cast("int"),
+            ),
+        )
+    )
+
+
+def _compressed_residual_mean(
+    spark, path: str, payload: dict, sample_fraction: "float | None" = None
+) -> "tuple[int, float | None]":
+    """(n, mean assigned-cell cosine residual) for an IVF-PQ or IVF-SQ
+    index, with vectors RECONSTRUCTED from their stored codes (r15
+    VERDICT item 5): compressed indexes store codes, not raw vectors,
+    so the drift residual uses the codebook / scalar-model
+    reconstruction (PQ: codeword concat; SQ: cell midpoints).  The
+    SAME estimator runs at build time (the sidecar baseline) and at
+    diagnosis time (``ann_drift_report``), so the reconstruction error
+    is common-mode and largely cancels in the ratio — what moves it is
+    appended vectors whose codes reconstruct far from the centroid
+    they were assigned to (a shifted append distribution).  One narrow
+    (cell, code) partition scan; ``sample_fraction`` bounds it on huge
+    indexes (seeded — repeated reports are comparable)."""
+    from spectrify_spark.operators.similarity import _frame_residual_mean
+
+    cell_col = payload.get("cell_col", "ivf_cell")
+    centroids = [
+        (int(c), [float(x) for x in v]) for c, v in payload["centroids"]
+    ]
+    if "codebooks" in payload:
+        idx = spark.read.parquet(path).select(cell_col, "pq_code")
+        cb = _codebook_frame(spark, payload["codebooks"])
+        frame = idx.crossJoin(F.broadcast(cb)).withColumn(
+            "__recon", _pq_recon_expr(F.col("pq_code"))
+        )
+    else:
+        idx = spark.read.parquet(path).select(cell_col, "sq_code")
+        mf = _sq_model_frame(
+            spark, {"mins": payload["mins"], "maxs": payload["maxs"]}
+        )
+        frame = idx.crossJoin(F.broadcast(mf)).withColumn(
+            "__recon", _sq_midpoint_recon(F.col("sq_code"))
+        )
+    return _frame_residual_mean(
+        frame.select(cell_col, "__recon"),
+        centroids,
+        "__recon",
+        cell_col,
+        sample_fraction=sample_fraction,
+    )
+
+
 def _cell_shard_partitioning(
     enc, cell_col: str, id_col: str, shards: int, n_cells: int
 ):
@@ -462,6 +523,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
     shards_per_cell: int = 1,
+    stats_sample_fraction: "float | None" = None,
 ) -> None:
     """Materialize an IVF-PQ index: coarse-quantize every vector to its
     nearest centroid cell (``similarity.assign_partitions``), PQ-encode
@@ -505,36 +567,43 @@ def write_ivfpq_index(
     # probe must never read a partially-written model sidecar
     from spectrify_spark.operators.similarity import _index_cell_counts
 
-    # mass-tier drift baselines (r15, see similarity.ann_drift_report):
-    # the index stores codes, not vectors, so only the count tier is
-    # measurable here — near-free (partition dirs + parquet footers).
-    # An EMPTY build writes no files and the read-back cannot infer a
-    # schema: record no baselines (ann_drift_report is conservative on
-    # missing ones) rather than fail the write
+    # drift baselines (r15 counts + r16 reconstruction residual, see
+    # similarity.ann_drift_report): counts are near-free (partition
+    # dirs + parquet footers); the residual tier reconstructs each
+    # written code through the codebooks (_compressed_residual_mean) —
+    # one narrow (cell, code) scan of data just written, boundable
+    # with stats_sample_fraction on huge builds.  An EMPTY build
+    # writes no files and the read-back cannot infer a schema: record
+    # no baselines (ann_drift_report is conservative on missing ones)
+    # rather than fail the write
+    model_payload = {
+        "cell_col": cell_col,
+        "id_col": id_col,
+        "centroids": [
+            [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+        ],
+        "codebooks": [
+            [[float(x) for x in code] for code in sub] for sub in codebooks
+        ],
+    }
     try:
         sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+        r_n, resid = _compressed_residual_mean(
+            df.sparkSession,
+            path,
+            model_payload,
+            sample_fraction=stats_sample_fraction,
+        )
     except Exception:
-        sizes = {}
-    replace_json_sidecar(
-        df.sparkSession,
-        path,
-        _IVFPQ_SIDECAR,
-        {
-            "cell_col": cell_col,
-            "id_col": id_col,
-            "centroids": [
-                [int(cid), [float(x) for x in vec]] for cid, vec in centroids
-            ],
-            "codebooks": [
-                [[float(x) for x in code] for code in sub] for sub in codebooks
-            ],
-            "stats": {
-                "build_n": int(sum(sizes.values())),
-                "build_cell_sizes": sizes,
-                "build_residual_mean": None,
-            },
-        },
-    )
+        sizes, r_n, resid = {}, 0, None
+    model_payload["stats"] = {
+        "build_n": int(sum(sizes.values())),
+        "build_cell_sizes": sizes,
+        "build_residual_mean": resid,
+        "residual_n": r_n,
+        "residual_estimator": "adc_reconstruction",
+    }
+    replace_json_sidecar(df.sparkSession, path, _IVFPQ_SIDECAR, model_payload)
 
 
 def append_ivfpq_index(
@@ -920,6 +989,7 @@ def write_ivfsq_index(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
     shards_per_cell: int = 1,
+    stats_sample_fraction: "float | None" = None,
 ) -> None:
     """Materialize an IVF-SQ index: coarse-quantize every vector to its
     nearest centroid cell (``similarity.assign_partitions``),
@@ -956,31 +1026,36 @@ def write_ivfsq_index(
     # probe must never read a partially-written model sidecar
     from spectrify_spark.operators.similarity import _index_cell_counts
 
-    # mass-tier drift baselines (r15, see similarity.ann_drift_report;
-    # empty-build read-back degrades to no baselines, see the PQ twin)
+    # drift baselines (r15 counts + r16 midpoint-reconstruction
+    # residual, see similarity.ann_drift_report; empty-build read-back
+    # degrades to no baselines, see the PQ twin)
+    model_payload = {
+        "cell_col": cell_col,
+        "id_col": id_col,
+        "centroids": [
+            [int(cid), [float(x) for x in vec]] for cid, vec in centroids
+        ],
+        "mins": [float(x) for x in model["mins"]],
+        "maxs": [float(x) for x in model["maxs"]],
+    }
     try:
         sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+        r_n, resid = _compressed_residual_mean(
+            df.sparkSession,
+            path,
+            model_payload,
+            sample_fraction=stats_sample_fraction,
+        )
     except Exception:
-        sizes = {}
-    replace_json_sidecar(
-        df.sparkSession,
-        path,
-        _IVFSQ_SIDECAR,
-        {
-            "cell_col": cell_col,
-            "id_col": id_col,
-            "centroids": [
-                [int(cid), [float(x) for x in vec]] for cid, vec in centroids
-            ],
-            "mins": [float(x) for x in model["mins"]],
-            "maxs": [float(x) for x in model["maxs"]],
-            "stats": {
-                "build_n": int(sum(sizes.values())),
-                "build_cell_sizes": sizes,
-                "build_residual_mean": None,
-            },
-        },
-    )
+        sizes, r_n, resid = {}, 0, None
+    model_payload["stats"] = {
+        "build_n": int(sum(sizes.values())),
+        "build_cell_sizes": sizes,
+        "build_residual_mean": resid,
+        "residual_n": r_n,
+        "residual_estimator": "adc_reconstruction",
+    }
+    replace_json_sidecar(df.sparkSession, path, _IVFSQ_SIDECAR, model_payload)
 
 
 def append_ivfsq_index(

@@ -482,6 +482,24 @@ def _index_residual_mean(
     reports are comparable).  Returns (0, None) when the index is
     empty or holds only NULL-assigned rows."""
     idx = spark.read.parquet(path).select(cell_col, vec_col)
+    return _frame_residual_mean(
+        idx, centroids, vec_col, cell_col, sample_fraction=sample_fraction
+    )
+
+
+def _frame_residual_mean(
+    idx: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    cell_col: str,
+    sample_fraction: "float | None" = None,
+) -> "tuple[int, float | None]":
+    """The frame-based core of :func:`_index_residual_mean`, shared
+    with the compressed-family estimators (quantization.py reconstructs
+    vectors from PQ/SQ codes and hands the frame here — r15 VERDICT
+    item 5): mean(1 - cos(vec, assigned centroid)) over whatever
+    ``vec_col`` the caller supplies."""
+    spark = idx.sparkSession
     if sample_fraction is not None:
         idx = idx.sample(fraction=sample_fraction, seed=7)
     cent = _centroid_frame(spark, centroids)
@@ -546,6 +564,7 @@ def _build_stats(
             "build_cell_sizes": {},
             "build_residual_mean": None,
             "residual_n": 0,
+            "residual_estimator": "raw_vectors",
         }
     return {
         "vec_col": vec_col,
@@ -553,6 +572,7 @@ def _build_stats(
         "build_cell_sizes": sizes,
         "build_residual_mean": resid,
         "residual_n": n,
+        "residual_estimator": "raw_vectors",
     }
 
 
@@ -586,14 +606,26 @@ def ann_drift_report(
       hot cell is ALSO the probe-time straggler, so this fires for
       both drift and balance reasons.
     - ``residual_ratio`` = current mean assigned-cell cosine residual
-      / build mean (plain IVF only — the index must store raw
-      vectors; IVF-PQ/SQ report None and rely on the count tiers).
-      On clustered production embeddings a shifted append raises this
-      sharply; on the isotropic test corpus the baseline residual is
-      already ~0.70 (random vectors are near-orthogonal to every
-      centroid) so the ratio moves little (~1.08 measured for a
-      fully-shifted append) — which is exactly why the share metric
-      above exists.  One narrow (cell, vec) scan; pass
+      / build mean — covered by ALL THREE families (r16): plain IVF
+      measures it on the stored raw vectors; IVF-PQ/IVF-SQ indexes
+      store only codes, so both ends of the ratio use the SAME
+      code-reconstruction estimator (PQ codeword concat / SQ cell
+      midpoints — ``quantization._compressed_residual_mean``), making
+      reconstruction error common-mode; ``residual_estimator`` in the
+      report says which estimator produced the numbers.  On clustered
+      production embeddings a shifted append raises this sharply; on
+      the isotropic test corpus the baseline residual is already ~0.70
+      (random vectors are near-orthogonal to every centroid) so the
+      ratio moves little (~1.08 measured for a fully-shifted append)
+      — which is exactly why the share metric above exists.  Measured
+      per-family sensitivity (tools/adc_residual_rehearsal.py,
+      clustered corpus, spread-out 6x-noise append that leaves share
+      and delta silent): raw IVF and IVF-SQ carry the signal almost
+      identically (ratio ~10.8 — SQ's 256-level midpoints track raw
+      vectors closely), while IVF-PQ's codeword projection de-noises
+      the drift (ratio 1.15-1.23 for K=32-256): for IVF-PQ pass a
+      tighter ``max_residual_ratio`` (~1.1) or lean on the count
+      tiers.  One narrow (cell, vec-or-code) scan; pass
       ``residual_sample_fraction`` to bound it on huge indexes
       (seeded sample — reports stay comparable).
 
@@ -609,8 +641,10 @@ def ann_drift_report(
             publish_dir(root, lambda d: write_ivf_index(corpus, cents, d))
 
     (reader-safe pointer flip — the q_publish_index pattern).  Works
-    against any of the three index families' sidecars; only plain IVF
-    carries residual baselines."""
+    against any of the three index families' sidecars; all three carry
+    residual baselines (compressed ones since r16 — pre-r16 compressed
+    sidecars have ``build_residual_mean: null`` and degrade to the
+    count tiers exactly as before)."""
     payload = _read_ivf_sidecar(spark, path)
     if payload is None:
         from spectrify_spark.operators._sidecar import read_json_sidecar
@@ -631,6 +665,7 @@ def ann_drift_report(
         "build_residual_mean": stats.get("build_residual_mean"),
         "current_residual_mean": None,
         "residual_ratio": None,
+        "residual_estimator": None,
         "max_cell_appended_share": None,
         "rebuild_recommended": False,
         "reasons": [],
@@ -678,17 +713,37 @@ def ann_drift_report(
     # 0.0 baseline — every build vector coincident with its centroid —
     # must not silently disable residual drift detection
     if stats.get("build_residual_mean") is not None:
-        centroids = [
-            (int(cid), [float(x) for x in vec])
-            for cid, vec in payload["centroids"]
-        ]
-        _, cur_resid = _index_residual_mean(
-            spark,
-            path,
-            centroids,
-            stats.get("vec_col", "embedding"),
-            cell_col,
-            sample_fraction=residual_sample_fraction,
+        if "codebooks" in payload or "mins" in payload:
+            # compressed family (IVF-PQ / IVF-SQ, r16): the index
+            # stores codes, so current residual uses the SAME
+            # code-reconstruction estimator the build baseline was
+            # stamped with — reconstruction error is common-mode and
+            # cancels in the ratio
+            from spectrify_spark.operators.quantization import (
+                _compressed_residual_mean,
+            )
+
+            _, cur_resid = _compressed_residual_mean(
+                spark,
+                path,
+                payload,
+                sample_fraction=residual_sample_fraction,
+            )
+        else:
+            centroids = [
+                (int(cid), [float(x) for x in vec])
+                for cid, vec in payload["centroids"]
+            ]
+            _, cur_resid = _index_residual_mean(
+                spark,
+                path,
+                centroids,
+                stats.get("vec_col", "embedding"),
+                cell_col,
+                sample_fraction=residual_sample_fraction,
+            )
+        report["residual_estimator"] = stats.get(
+            "residual_estimator", "raw_vectors"
         )
         report["current_residual_mean"] = cur_resid
         if cur_resid is not None:

@@ -261,7 +261,10 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("root", help="snapshot dataset root")
     sn.add_argument(
         "components", nargs="+", metavar="NAME=ROOT[@V]",
-        help="component pins, e.g. docs=/data/docs ann=/data/ann@3",
+        help="component pins, e.g. docs=/data/docs ann=/data/ann@3; a "
+        "ROOT that literally ends in '@<digits>' (docs=/data/exp@2024) "
+        "would parse as a version pin — append a trailing slash "
+        "(docs=/data/exp@2024/) to pin such a root's CURRENT version",
     )
     sn.add_argument("--keep-versions", type=int, default=2)
 
@@ -637,12 +640,24 @@ def main(argv: list[str] | None = None) -> int:
                 )
             name, rootspec = spec.split("=", 1)
             # '@' is a version separator only when the suffix is all
-            # digits — roots may legitimately contain '@' ('/exp@2024/',
-            # 'hdfs://user@host/...'), and those must pin at the
-            # current version rather than crash on int()
+            # digits (which also puts it after the last path separator)
+            # — roots may legitimately contain '@' ('/exp@2024/',
+            # 'hdfs://user@host/…'), and those must pin at the current
+            # version rather than crash on int().  The one irreducible
+            # ambiguity (r15 ADVICE): a root that literally ENDS in
+            # '@<digits>' ('/data/exp@2024') parses as a pin — the
+            # documented escape is a trailing slash ('/data/exp@2024/'),
+            # and every parsed pin is echoed to stderr so a misdirected
+            # pin is visible instead of silent.
             droot, sep, vtxt = rootspec.rpartition("@")
             if sep and vtxt.isdigit():
                 comps[name] = (droot, int(vtxt))
+                print(
+                    f"snapshot: pinning {name}={droot} at v={vtxt} "
+                    f"(for a literal root ending in '@{vtxt}', append "
+                    "a trailing slash)",
+                    file=sys.stderr,
+                )
             else:
                 comps[name] = rootspec
         v = publish_snapshot(

@@ -554,7 +554,19 @@ def _range_bound_lit(bound, dtype) -> "F.Column | None":
             return F.lit(bound)
         return None
     if isinstance(dtype, T.TimestampType):
-        return F.lit(bound) if isinstance(bound, datetime.datetime) else None
+        # naive only (r15 ADVICE): an AWARE bound is a valid
+        # instant-exact literal on the Spark arm, but the driver arm
+        # reads stats as NAIVE session-tz datetimes and Python's
+        # aware-vs-naive comparison raises — _py_bound_skip keeps the
+        # pair via its datetime-vs-datetime rule either way, so the
+        # Spark arm pruning while the driver arm kept violated the
+        # pinned identical-surviving-sets invariant across the
+        # file-count threshold.  Both arms now skip aware bounds;
+        # callers who want the prune convert to the session timezone
+        # and pass the naive rendering.
+        if isinstance(bound, datetime.datetime) and bound.tzinfo is None:
+            return F.lit(bound)
+        return None
     if isinstance(dtype, T.TimestampNTZType):
         if isinstance(bound, datetime.datetime) and bound.tzinfo is None:
             return F.lit(bound).cast(dtype)
@@ -631,7 +643,12 @@ def _py_bound_skip(bound, value) -> bool:
     if isinstance(value, str):
         return not isinstance(bound, str)
     if isinstance(value, datetime.datetime):
-        return not isinstance(bound, datetime.datetime)
+        # stats values are NAIVE session-tz renderings; an aware bound
+        # is skipped by decision (not by the TypeError backstop), the
+        # exact mirror of _range_bound_lit's TimestampType gate
+        return not (
+            isinstance(bound, datetime.datetime) and bound.tzinfo is None
+        )
     if isinstance(value, datetime.date):
         return not (
             isinstance(bound, datetime.date)

@@ -1568,3 +1568,59 @@ def test_decimal_range_bounds_exact_quantize_gate(spark, tmp_path):
                 spark, path, ranges={"d": (bad_lo, None)}, spark_side=arm
             )
             assert len(keep) == total == 4, (bad_lo, arm)
+
+
+def test_prune_timestamp_aware_bound_arm_parity(spark, tmp_path):
+    """r15 ADVICE: a tz-AWARE datetime bound against TimestampType (LTZ)
+    stats used to prune on the Spark arm (F.lit on an aware datetime is
+    a valid instant-exact literal) while the driver arm's aware-vs-naive
+    Python comparison hit TypeError and kept via the backstop —
+    violating the identical-surviving-sets invariant across the
+    file-count threshold.  Both arms now SKIP aware bounds by decision;
+    the equivalent naive (session-tz) rendering still prunes on both."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators.layout import prune_files, write_file_stats
+
+    path = str(tmp_path / "ts_ds")
+    (
+        spark.range(0, 200)
+        .select(
+            F.col("id").alias("k"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(days=F.col("id").cast("int"))
+            ).alias("ts"),
+        )
+        .repartitionByRange(4, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.parquet(path)
+    )
+    write_file_stats(spark, path, ["ts"])
+
+    naive_lo = datetime.datetime(2024, 6, 1)
+    aware_lo = naive_lo.replace(tzinfo=datetime.timezone.utc)
+
+    # naive bound: a real prune, identical on both arms
+    keep_n_drv, tot = prune_files(
+        spark, path, ranges={"ts": (naive_lo, None)}, spark_side=False
+    )
+    keep_n_spk, _ = prune_files(
+        spark, path, ranges={"ts": (naive_lo, None)}, spark_side=True
+    )
+    assert tot == 4
+    assert keep_n_drv == keep_n_spk
+    assert len(keep_n_drv) < 4  # the early files are provably out
+
+    # aware bound: SKIPPED by decision on both arms — everything kept,
+    # identical sets (previously: Spark arm pruned, driver arm kept)
+    keep_a_drv, _ = prune_files(
+        spark, path, ranges={"ts": (aware_lo, None)}, spark_side=False
+    )
+    keep_a_spk, _ = prune_files(
+        spark, path, ranges={"ts": (aware_lo, None)}, spark_side=True
+    )
+    assert keep_a_drv == keep_a_spk
+    assert len(keep_a_drv) == 4

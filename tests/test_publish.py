@@ -867,9 +867,23 @@ def test_snapshot_cli(spark, tmp_path, capsys):
     m = read_snapshot_manifest(snap)
     assert m["components"]["docs"]["version"] == 2
     assert m["components"]["old"]["version"] == 1
-    capsys.readouterr()
+    # every parsed pin is echoed to stderr (r15 ADVICE: a root that
+    # literally ends in '@<digits>' silently parsed as a pin)
+    assert "pinning old=" in capsys.readouterr().err
     with pytest.raises(SystemExit):
         cli.main(["snapshot", snap, "notaspec"])
+    capsys.readouterr()
+
+    # the ambiguous root: literal '/...@<digits>' directory — the
+    # trailing-slash escape pins its CURRENT version instead
+    at_root = str(tmp_path / "exp@2024")
+    publish(_df(spark, 5, "x"), at_root)
+    snap2 = str(tmp_path / "snap2")
+    assert cli.main(["snapshot", snap2, f"docs={at_root}/"]) == 0
+    m2 = read_snapshot_manifest(snap2)
+    assert m2["components"]["docs"]["root"].rstrip("/") == at_root
+    assert m2["components"]["docs"]["version"] == 1
+    assert "pinning" not in capsys.readouterr().err
 
 
 def test_legacy_migration_crash_resumes_and_never_bricks(spark, tmp_path):

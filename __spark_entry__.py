@@ -5151,41 +5151,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r15 (187 keys total: 185 r14 keys + 2 r15-born): slots 1-2
-    = the r15-born keys (rule 2: q_sim_append_recall — post-append
-    recall at nprobe<C plus the ann_drift_report rebuild trigger,
-    VERDICT r14 item 1; q_snapshot_publish — cross-dataset atomic
-    snapshot via publish_snapshot's manifest-of-pins, item 3; both
-    passed the vanilla sf0.01 gate at birth).  Slots 3-18 = rule-(1)
-    changed-code keys: q_scan_skipping + q_scan_bloom +
-    q_scan_prune_spark (layout.py: TypeError catch in _disjoint, the
-    _range_bound_lit comparability gate on the Spark arm, null-safe
-    bloom dtype match, WARNING-level arm-failure logs);
-    q_publish_pruned + q_publish_bloom + q_publish_versions +
-    q_stream_publish + q_publish_index + q_stream_curate_publish
-    (publish.py: no-marker-anywhere legacy rule, spark_side=
-    passthrough on the published pruned reads, snapshot machinery in
-    the shared module); q_sim_ivf_append (similarity.py: build-stats
-    sidecar + model-keys-only append compare); q_sim_ivfpq +
-    q_sim_ivfpq_rerank + q_sim_ivfsq_rerank + q_knn_join_ivfpq +
-    q_knn_join_ivfsq + q_knn_join_shuffle (quantization.py: stats
-    sidecar + _cell_shard_partitioning on the index writers).  Slots
-    19-50 = the 32 oldest overdue keys: the three r10-greens
-    (q_scan_project, q_filter_daterange, q_json_extract — overdue
-    since r10, the promised r15 head) then the 29 oldest r11-greens
-    in their listed order (q_graph_pagerank_dangling ...
-    q_dedup_exact).
+    Window r16 (189 keys total: 187 r15 keys + 2 r16-born): slots 1-2
+    = the r16-born keys (rule 2: q_snapshot_vacuum — pin-aware vacuum,
+    VERDICT r15 item 1; q_stream_snapshot — the twelfth streaming
+    twin, snapshot-consistent multi-component sink, item 6; both
+    passed the vanilla sf0.01 gate at birth).  Slots 3-19 = rule-(1)
+    changed-code keys: the 7 publish-machinery keys
+    (q_sim_append_recall, q_snapshot_publish, q_publish_versions,
+    q_publish_pruned, q_publish_bloom, q_stream_publish,
+    q_publish_index, q_stream_curate_publish — publish.py gained the
+    optimistic-concurrency flip guard and the pin-aware vacuum, both
+    on every publish tail); the 8 ANN keys whose build or diagnosis
+    path gained the ADC-reconstruction residual (q_sim_ivf_append,
+    q_sim_ivfpq, q_sim_ivfpq_rerank, q_sim_ivfsq_rerank,
+    q_knn_join_ivfpq, q_knn_join_ivfsq, q_knn_join_shuffle —
+    write_ivfpq/ivfsq stamp build residuals, write_ivf_index routes
+    through the refactored _frame_residual_mean); and the 2 prune-arm
+    keys (q_scan_skipping, q_scan_prune_spark — _range_bound_lit /
+    _py_bound_skip gained the tz-aware decision gate).  Slots 20-38 =
+    the 19 r11-greens (most overdue: q_text_wordcount ...
+    q_asof_tolerance, exactly the r15-promised head).  Slots 39-50 =
+    the 12 oldest r12-greens (q_multimodal_arrow ...
+    q_window_navigation).
 
-    Past the window, least-recently-driver-verified first: the 19
-    remaining r11-greens (q_text_wordcount ... q_asof_tolerance), the
-    44 r12-greens (q_multimodal_arrow ... q_window_analytic), the 37
-    r13-greens not re-entering (q_knn_join_sq ... q_stream_window),
-    then the 37 r14-greens not re-entering (q_pipeline_curate ...
-    q_agg_hash — the freshest rows).  r16 plan per the rotation rules:
-    the 19 r11-greens above lead, then the oldest r12-greens fill the
-    window, with rule-(1)/(2) insertions ahead of them for any
-    r15/r16-born or changed-code keys (each new key must pass the
-    vanilla sf0.01 gate at birth).
+    Past the window, least-recently-driver-verified first: the 32
+    remaining r12-greens (q_quantile_sketch ... q_window_analytic),
+    the 37 r13-greens (q_knn_join_sq ... q_stream_window), the 37
+    r14-greens (q_pipeline_curate ... q_agg_hash), then the 33
+    r15-greens not re-entering (q_scan_bloom ... q_dedup_exact — the
+    freshest rows).  r17 plan per the rotation rules: the 32
+    remaining r12-greens lead, then the oldest r13-greens fill the
+    window, with rule-(1)/(2) insertions ahead of them (each new key
+    must pass the vanilla sf0.01 gate at birth).
 
     (Historical note, kept for the record: the r12 docstring claimed
     two changes that had not landed; r13 landed both and carried an
@@ -5196,19 +5193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r16 window, slots 1-2: r16-born keys (rule 2)
         "q_snapshot_vacuum": q_snapshot_vacuum,
         "q_stream_snapshot": q_stream_snapshot,
-        # -- r15-born keys (re-enter as rule-(1): publish.py + the ANN
-        # drift path changed this round)
+        # -- r16 window, slots 3-19: rule-(1) changed-code keys (publish
+        # CAS guard + pin-aware vacuum run on every publish tail;
+        # IVF/PQ/SQ writers + ann_drift_report gained the ADC
+        # residual; layout prune arms gained the tz-aware gate)
         "q_sim_append_recall": q_sim_append_recall,
         "q_snapshot_publish": q_snapshot_publish,
-        # -- r15 window, slots 3-18: rule-(1) changed-code keys (layout
-        # prune arms; publish legacy/spark_side/snapshot module; IVF /
-        # PQ / SQ index writers incl. _cell_shard_partitioning)
-        "q_scan_skipping": q_scan_skipping,
-        "q_scan_bloom": q_scan_bloom,
-        "q_scan_prune_spark": q_scan_prune_spark,
+        "q_publish_versions": q_publish_versions,
         "q_publish_pruned": q_publish_pruned,
         "q_publish_bloom": q_publish_bloom,
-        "q_publish_versions": q_publish_versions,
         "q_stream_publish": q_stream_publish,
         "q_publish_index": q_publish_index,
         "q_stream_curate_publish": q_stream_curate_publish,
@@ -5219,41 +5212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_join_ivfpq": q_knn_join_ivfpq,
         "q_knn_join_ivfsq": q_knn_join_ivfsq,
         "q_knn_join_shuffle": q_knn_join_shuffle,
-        # -- r15 window, slots 19-50: the 32 oldest overdue keys (the
-        # three r10-greens, then the oldest r11-greens in order)
-        "q_scan_project": q_scan_project,
-        "q_filter_daterange": q_filter_daterange,
-        "q_json_extract": q_json_extract,
-        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
-        "q_embed_pq": q_embed_pq,
-        "q_stream_enrich": q_stream_enrich,
-        "q_dedup_spans": q_dedup_spans,
-        "q_array_slice": q_array_slice,
-        "q_unpivot": q_unpivot,
-        "q_join_multi": q_join_multi,
-        "q_join_star": q_join_star,
-        "q_join_two_dims": q_join_two_dims,
-        "q_topk_customers": q_topk_customers,
-        "q_asof_join": q_asof_join,
-        "q_grouping_sets": q_grouping_sets,
-        "q_winsorize_grouped": q_winsorize_grouped,
-        "q_embed_standardize": q_embed_standardize,
-        "q_multimodal_decode": q_multimodal_decode,
-        "q_shipmode_priority": q_shipmode_priority,
-        "q_sim_ivf_recall": q_sim_ivf_recall,
-        "q_resample_ffill": q_resample_ffill,
-        "q_agg_median": q_agg_median,
-        "q_histogram": q_histogram,
-        "q_agg_approx": q_agg_approx,
-        "q_rollup": q_rollup,
-        "q_cube": q_cube,
-        "q_pivot": q_pivot,
-        "q_window_range": q_window_range,
-        "q_row_number_global": q_row_number_global,
-        "q_interval_join": q_interval_join,
-        "q_embed_centroid": q_embed_centroid,
-        "q_dedup_exact": q_dedup_exact,
-        # -- past the window: the 19 remaining r11-greens
+        "q_scan_skipping": q_scan_skipping,
+        "q_scan_prune_spark": q_scan_prune_spark,
+        # -- r16 window, slots 20-38: the 19 r11-greens (most overdue)
         "q_text_wordcount": q_text_wordcount,
         "q_text_ngram": q_text_ngram,
         "q_dedup_fingerprint": q_dedup_fingerprint,
@@ -5273,7 +5234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
         "q_asof_tolerance": q_asof_tolerance,
-        # -- past the window: the 44 r12-greens
+        # -- r16 window, slots 39-50: the 12 oldest r12-greens
         "q_multimodal_arrow": q_multimodal_arrow,
         "q_asof_forward": q_asof_forward,
         "q_stream_sessionize": q_stream_sessionize,
@@ -5286,6 +5247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_dates": q_scalar_dates,
         "q_scd2": q_scd2,
         "q_window_navigation": q_window_navigation,
+        # -- past the window: the 32 remaining r12-greens
         "q_quantile_sketch": q_quantile_sketch,
         "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
@@ -5318,7 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_having": q_agg_having,
         "q_window_ntile": q_window_ntile,
         "q_window_analytic": q_window_analytic,
-        # -- past the window: the 37 r13-greens not re-entering
+        # -- past the window: the 37 r13-greens
         "q_knn_join_sq": q_knn_join_sq,
         "q_embed_sq": q_embed_sq,
         "q_graph_components": q_graph_components,
@@ -5356,7 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_sample_weighted": q_sample_weighted,
         "q_stream_window": q_stream_window,
-        # -- past the window: the 37 r14-greens not re-entering
+        # -- past the window: the 37 r14-greens
         "q_pipeline_curate": q_pipeline_curate,
         "q_stream_curate": q_stream_curate,
         "q_text_bm25": q_text_bm25,
@@ -5394,6 +5356,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transition_matrix": q_transition_matrix,
         "q_text_readability": q_text_readability,
         "q_agg_hash": q_agg_hash,
+        # -- past the window: the 33 r15-greens not re-entering
+        "q_scan_bloom": q_scan_bloom,
+        "q_scan_project": q_scan_project,
+        "q_filter_daterange": q_filter_daterange,
+        "q_json_extract": q_json_extract,
+        "q_graph_pagerank_dangling": q_graph_pagerank_dangling,
+        "q_embed_pq": q_embed_pq,
+        "q_stream_enrich": q_stream_enrich,
+        "q_dedup_spans": q_dedup_spans,
+        "q_array_slice": q_array_slice,
+        "q_unpivot": q_unpivot,
+        "q_join_multi": q_join_multi,
+        "q_join_star": q_join_star,
+        "q_join_two_dims": q_join_two_dims,
+        "q_topk_customers": q_topk_customers,
+        "q_asof_join": q_asof_join,
+        "q_grouping_sets": q_grouping_sets,
+        "q_winsorize_grouped": q_winsorize_grouped,
+        "q_embed_standardize": q_embed_standardize,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_sim_ivf_recall": q_sim_ivf_recall,
+        "q_resample_ffill": q_resample_ffill,
+        "q_agg_median": q_agg_median,
+        "q_histogram": q_histogram,
+        "q_agg_approx": q_agg_approx,
+        "q_rollup": q_rollup,
+        "q_cube": q_cube,
+        "q_pivot": q_pivot,
+        "q_window_range": q_window_range,
+        "q_row_number_global": q_row_number_global,
+        "q_interval_join": q_interval_join,
+        "q_embed_centroid": q_embed_centroid,
+        "q_dedup_exact": q_dedup_exact,
     }
 
 

@@ -268,6 +268,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     sn.add_argument("--keep-versions", type=int, default=2)
 
+    vc = sub.add_parser(
+        "vacuum",
+        help="remove published versions outside the retention window "
+        "(never the pointed one); --snapshots makes it PIN-AWARE — "
+        "versions pinned by any retained snapshot at those roots are "
+        "skipped with a warning instead of evicted",
+    )
+    vc.add_argument("root", help="published dataset root")
+    vc.add_argument("--keep-versions", type=int, default=2)
+    vc.add_argument(
+        "--protect", nargs="*", type=int, default=None, metavar="V",
+        help="explicit version numbers never removed",
+    )
+    vc.add_argument(
+        "--snapshots", nargs="*", default=None, metavar="SNAP_ROOT",
+        help="snapshot dataset roots whose pins on ROOT must survive",
+    )
+
     ist = sub.add_parser(
         "index-stats",
         help="build (or incrementally extend with --append) the "
@@ -664,6 +682,17 @@ def main(argv: list[str] | None = None) -> int:
             args.root, comps, keep_versions=args.keep_versions, spark=spark
         )
         print(v)
+    elif args.cmd == "vacuum":
+        from spectrify_spark.catalog.publish import vacuum as do_vacuum
+
+        removed = do_vacuum(
+            args.root,
+            keep_versions=args.keep_versions,
+            spark=spark,
+            protect=set(args.protect) if args.protect else None,
+            snapshots=args.snapshots,
+        )
+        print(json.dumps({"removed": removed}))
     elif args.cmd == "index-stats":
         from spectrify_spark.operators.layout import write_file_stats
 

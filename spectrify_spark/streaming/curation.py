@@ -14,6 +14,13 @@ downstream on the gated stream: exact/near dedup via
 watermark-bounded state) or as periodic batch compactions committed
 through the versioned publish (streaming/cdc.py).
 
+:func:`stream_curate_snapshot_publish` (r16) extends the loop to a
+MULTI-component pipeline: per micro-batch the corpus and its derived
+per-lang counts publish as separate datasets and ONE
+``publish_snapshot`` pins the exact pair — a snapshot reader can never
+observe a corpus/aggregate generation mix, the streaming analog of the
+batch q_snapshot_publish guarantee.
+
 :func:`stream_curate_dedup_publish` (r14) closes that loop end-to-end:
 gate at the edge (stateless) -> watermark-bounded exact dedup on the
 doc id (state bounded by the redelivery horizon, never the corpus) ->

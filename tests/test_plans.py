@@ -540,6 +540,25 @@ GOLDEN = {
         ban_bnlj=True,
         max_scan_cols=2,
     ),
+    # ------------------------------------------------------------------
+    # r16 keys
+    # pin-aware vacuum reader: two count aggregates over pinned/current
+    # published scans (1 exchange each), cross-joined as one-row frames
+    # — the BNLJ is that one-row parameter-table cross join (the
+    # q_publish_index exception); count(1) prunes the scans to ZERO
+    # columns (scan_cols=[] — no max_scan_cols golden: the gate's
+    # assert requires a non-empty ReadSchema list)
+    "q_snapshot_vacuum": dict(max_exchanges=2),
+    # streaming snapshot reader: per-lang agg over the pinned corpus
+    # component (1 exchange) joined to the pinned counts component
+    # (broadcast at this scale; the join-key exchange is the 2nd
+    # pre-AQE) — no BNLJ, narrow scans
+    "q_stream_snapshot": dict(
+        max_exchanges=2,
+        joins=["BroadcastHashJoin"],
+        ban_bnlj=True,
+        max_scan_cols=2,
+    ),
 }
 
 

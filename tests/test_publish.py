@@ -1122,3 +1122,33 @@ def test_concurrent_publish_orphan_removed_on_distinct_numbers(
     vdir = os.path.join(root2, f"v={cur}")
     assert os.path.isfile(os.path.join(vdir, COMMITTED))
     assert any(nm.startswith("part-") for nm in os.listdir(vdir))
+
+
+def test_vacuum_cli_pin_aware(spark, tmp_path, capsys):
+    """CLI surface for the pin-aware vacuum: --snapshots protects the
+    pinned version, the removed list prints as JSON."""
+    import json as _json
+
+    from spectrify_spark import cli
+    from spectrify_spark.catalog.publish import publish_snapshot
+
+    droot = str(tmp_path / "docs")
+    snap = str(tmp_path / "snap")
+    publish(_df(spark, 10, "a"), droot, keep_versions=5)
+    publish_snapshot(snap, {"docs": droot})
+    publish(_df(spark, 20, "b"), droot, keep_versions=5)
+    publish(_df(spark, 30, "c"), droot, keep_versions=5)
+    assert (
+        cli.main(
+            ["vacuum", droot, "--keep-versions", "1", "--snapshots", snap]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out) == {"removed": [2]}
+    assert os.path.isdir(os.path.join(droot, "v=1"))
+    # --protect alone
+    assert cli.main(["vacuum", droot, "--keep-versions", "1",
+                     "--protect", "1"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out) == {"removed": []}

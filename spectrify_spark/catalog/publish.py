@@ -1195,6 +1195,49 @@ def read_snapshot_table(
     )
 
 
+def vacuum_pipeline(
+    snap_root: str,
+    keep_versions: int = 2,
+    spark=None,
+    component_keep: "int | None" = None,
+    snapshots: "list[str] | None" = None,
+) -> dict:
+    """One-call pin-aware retirement of a snapshot PIPELINE (r16): the
+    operational loop every multi-component pipeline needs is "retire
+    old snapshot generations, then reclaim the component versions
+    nothing pins anymore" — two steps whose ORDER matters (vacuuming
+    the snapshot root first releases its pins, so the component pass
+    reclaims more).  This helper runs them in that order:
+
+    1. ``vacuum(snap_root, keep_versions)`` — old snapshot generations
+       (and their manifests) go; their pins die with them;
+    2. every component root referenced by any REMAINING snapshot
+       generation is vacuumed with ``snapshots=[snap_root, *snapshots]``
+       — retained pins survive whatever ``component_keep`` (default:
+       ``keep_versions``) says, unpinned history outside the window is
+       reclaimed.
+
+    ``snapshots`` lists ADDITIONAL snapshot roots whose pins on these
+    components must also survive (a corpus shared by two pipelines).
+    Components never referenced by any remaining snapshot are not
+    touched — this helper only knows the roots the manifests name.
+    Returns ``{root: [removed versions]}`` including the snapshot root
+    itself.  Same single-writer contract as every vacuum."""
+    out: dict = {}
+    out[snap_root] = vacuum(snap_root, keep_versions=keep_versions, spark=spark)
+    snaps = [snap_root, *(snapshots or ())]
+    for comp_root in sorted(snapshot_pinned_versions(snap_root, spark)):
+        out[comp_root] = vacuum(
+            comp_root,
+            keep_versions=component_keep
+            if component_keep is not None
+            else keep_versions,
+            spark=spark,
+            snapshots=snaps,
+        )
+    return out
+
+
 def snapshot_pinned_versions(root: str, spark=None) -> dict:
     """component dataset root -> set of version numbers pinned by ANY
     retained committed snapshot version: the set a component vacuum

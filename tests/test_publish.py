@@ -1152,3 +1152,49 @@ def test_vacuum_cli_pin_aware(spark, tmp_path, capsys):
                      "--protect", "1"]) == 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert _json.loads(out) == {"removed": []}
+
+
+def test_vacuum_pipeline_retires_generations_then_components(spark, tmp_path):
+    """r16: vacuum_pipeline runs the two retirement steps in the order
+    that matters — snapshot generations first (their pins die with
+    them), then each referenced component pin-aware.  Three snapshot
+    generations over an advancing docs component; keep_versions=2 on
+    the pipeline must drop generation 1 AND reclaim the component
+    version only generation 1 pinned, while generations 2-3's pins
+    survive a keep window that excludes them."""
+    from spectrify_spark.catalog.publish import (
+        publish_snapshot,
+        read_snapshot_table,
+        vacuum_pipeline,
+    )
+
+    droot = str(tmp_path / "docs")
+    snap = str(tmp_path / "snap")
+    for i, tag in enumerate(("a", "b", "c"), start=1):
+        publish(_df(spark, 10 * i, tag), droot, keep_versions=9)
+        publish_snapshot(snap, {"docs": droot}, keep_versions=9)
+
+    removed = vacuum_pipeline(snap, keep_versions=2, component_keep=1)
+    # generation 1 went; docs v=1 (pinned only by it) was reclaimed;
+    # v=2 survives ONLY via generation 2's pin (outside component_keep=1)
+    assert removed[snap] == [1]
+    assert removed[droot] == [1]
+    assert sorted(
+        int(d[2:]) for d in os.listdir(droot) if d.startswith("v=")
+    ) == [2, 3]
+    assert read_snapshot_table(spark, snap, "docs", version=2).count() == 20
+    assert read_snapshot_table(spark, snap, "docs").count() == 30
+
+    # an extra snapshot root pinning the same component is respected
+    snap2 = str(tmp_path / "snap2")
+    publish_snapshot(snap2, {"docs": (droot, 2)}, keep_versions=9)
+    removed2 = vacuum_pipeline(
+        snap, keep_versions=1, component_keep=1, snapshots=[snap2]
+    )
+    assert removed2[snap] == [2]
+    # docs v=2: generation-2 pin died with snapshot v=2, but snap2
+    # still pins it — survives
+    assert sorted(
+        int(d[2:]) for d in os.listdir(droot) if d.startswith("v=")
+    ) == [2, 3]
+    assert read_snapshot_table(spark, snap2, "docs").count() == 20

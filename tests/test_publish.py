@@ -1104,7 +1104,7 @@ def test_concurrent_publish_orphan_removed_on_distinct_numbers(
 
         try:
             publish_dir(root2, build2, keep_versions=9)
-        except ConcurrentPublishError as e:
+        except Exception as e:  # noqa: BLE001 — classified below
             errs.append(e)
 
     ts = [threading.Thread(target=writer, args=(t,)) for t in ("x", "y")]
@@ -1113,10 +1113,18 @@ def test_concurrent_publish_orphan_removed_on_distinct_numbers(
     for t in ts:
         t.join(timeout=120)
     # either both slipped through the documented check-then-act window
-    # (same-number collision before either flips) or the loser raised
-    # cleanly — in every outcome the pointer names a committed dir
-    # with at least one landed payload file
+    # (same-number collision before either flips) or the loser failed
+    # CLEANLY — as ConcurrentPublishError (pointer moved) or as the
+    # landing refusal (the winner's end-vacuum swept the loser's
+    # in-flight uncommitted dir, so its existence check fails) — never
+    # silently, never more than one loser; in every outcome the
+    # pointer names a committed dir with at least one payload file
     assert len(errs) <= 1
+    for e in errs:
+        # OSError covers the marker write landing in a just-swept dir
+        assert isinstance(
+            e, (ConcurrentPublishError, ValueError, OSError)
+        ), e
     cur = current_version(root2)
     assert cur is not None
     vdir = os.path.join(root2, f"v={cur}")

@@ -337,11 +337,29 @@ def _is_committed_or_legacy(root: str, n: int, spark=None) -> bool:
 def _pointer_write(spark, root: str, n: int) -> None:
     lp = _local_path(root)
     if lp is not None:
-        # POSIX rename-over: atomic on every local filesystem
-        tmp = os.path.join(lp, f".{CURRENT_POINTER}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"version": n}, fh)
-        os.replace(tmp, os.path.join(lp, CURRENT_POINTER))
+        # POSIX rename-over: atomic on every local filesystem.  The
+        # temp name is UNIQUE per write (r16, found by the two-writer
+        # hammer): with a fixed shared name, two racing writers
+        # truncate each other's temp and one can atomically publish an
+        # EMPTY pointer — crashing every later reader with
+        # JSONDecodeError, a strictly worse failure than the losing
+        # writer's own error.  Unique temps make the final replace
+        # last-writer-wins over two COMPLETE documents.
+        import uuid
+
+        tmp = os.path.join(
+            lp, f".{CURRENT_POINTER}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        try:
+            with open(tmp, "w") as fh:
+                json.dump({"version": n}, fh)
+            os.replace(tmp, os.path.join(lp, CURRENT_POINTER))
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         return
     # schemed storage: os.replace for file: URIs, temp object +
     # FileContext rename-OVERWRITE on HDFS, single-object

@@ -83,20 +83,42 @@ def replace_json_sidecar(spark, path: str, filename: str, payload) -> None:
         crc = os.path.join(
             os.path.dirname(local), "." + os.path.basename(local) + ".crc"
         )
+        # UNIQUE temp per write (r16): a fixed shared temp name lets
+        # two racing writers truncate each other's in-progress temp,
+        # atomically publishing an EMPTY document that crashes every
+        # later reader — unique temps keep the final replace
+        # last-writer-wins over two complete documents
+        import uuid
+
         tmp_local = os.path.join(
-            os.path.dirname(local), "." + os.path.basename(local) + ".tmp"
+            os.path.dirname(local),
+            "." + os.path.basename(local)
+            + f".{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp",
         )
-        with open(tmp_local, "w") as fh:
-            json.dump(payload, fh, sort_keys=True)
-        if os.path.exists(crc):
-            os.remove(crc)
-        os.replace(tmp_local, local)
+        try:
+            with open(tmp_local, "w") as fh:
+                json.dump(payload, fh, sort_keys=True)
+            if os.path.exists(crc):
+                os.remove(crc)
+            os.replace(tmp_local, local)
+        except BaseException:
+            try:
+                os.remove(tmp_local)
+            except OSError:
+                pass
+            raise
         return
     if scheme not in _RENAME_ATOMIC_SCHEMES:
         write_json_sidecar(spark, path, filename, payload)
         return
     data = bytearray(json.dumps(payload, sort_keys=True).encode())
-    tmp = jvm.org.apache.hadoop.fs.Path(path, f".{filename}.tmp")
+    # unique temp per write — same two-writer truncation hazard as the
+    # local arm above
+    import uuid
+
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path, f".{filename}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    )
     try:
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             dst.toUri(), spark._jsc.hadoopConfiguration()

@@ -1122,6 +1122,21 @@ def publish_snapshot(
         # crashed partial would bake an unreadable version into every
         # future read of this snapshot
         _check_time_travel_target(f"publish_snapshot[{name}]", droot, v, spark)
+        # ... and POINTER-RESOLVABLE (r16 self-review): a committed but
+        # never-flipped version above the pointer passes the committed
+        # check, yet it belongs to an in-flight (or crashed) publish —
+        # the component's NEXT publish sweeps it by design, silently
+        # breaking every future read of this snapshot.  Only history
+        # the pointer has named is a stable pin target.
+        cur = current_version(droot, spark)
+        if cur is None or v > cur:
+            raise ValueError(
+                f"publish_snapshot[{name}]: version {v} at {droot!r} is "
+                f"committed but ABOVE the pointer (current {cur}) — it "
+                "belongs to an in-flight or crashed publish and the "
+                "component's next publish sweeps it; pin a version the "
+                "pointer has named"
+            )
         resolved[name] = {"root": droot, "version": v}
     payload = {"components": resolved}
 

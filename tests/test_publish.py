@@ -1206,3 +1206,25 @@ def test_vacuum_pipeline_retires_generations_then_components(spark, tmp_path):
         int(d[2:]) for d in os.listdir(droot) if d.startswith("v=")
     ) == [2, 3]
     assert read_snapshot_table(spark, snap2, "docs").count() == 20
+
+
+def test_publish_snapshot_refuses_above_pointer_pin(spark, tmp_path):
+    """r16 self-review: a committed-but-never-flipped version above the
+    pointer passes the committed check, but it belongs to an in-flight
+    (or crashed) publish and the component's NEXT publish sweeps it by
+    design — pinning it would bake a doomed reference into the
+    snapshot.  publish_snapshot now refuses explicit pins above the
+    pointer."""
+    from spectrify_spark.catalog.publish import COMMITTED, publish_snapshot
+
+    droot = str(tmp_path / "docs")
+    snap = str(tmp_path / "snap")
+    publish(_df(spark, 10, "a"), droot)
+    # simulate the crashed writer: v=2 landed AND committed, no flip
+    _df(spark, 99, "crash").write.parquet(os.path.join(droot, "v=2"))
+    with open(os.path.join(droot, "v=2", COMMITTED), "w") as fh:
+        fh.write('{"version": 2}')
+    with pytest.raises(ValueError, match="ABOVE the pointer"):
+        publish_snapshot(snap, {"docs": (droot, 2)})
+    # the pointed version pins fine
+    assert publish_snapshot(snap, {"docs": (droot, 1)}) == 1

@@ -1702,6 +1702,68 @@ def q_snapshot_vacuum(spark, sf):
     )
 
 
+def q_incr_rollup(spark, sf):
+    """Incremental aggregate-view maintenance (r16 —
+    operators/incremental.py): the derived views a 100 TB pipeline
+    keeps next to its corpus cannot be rebuilt by rescanning
+    everything per delta; count/sum/min/max are SELF-MAINTAINABLE
+    under inserts, so the published rollup is a persisted partial
+    aggregate and a refresh costs one delta scan + one |groups|-sized
+    merge shuffle (maintain_published_rollup — rollup_delta partials
+    merged into the POINTED rollup version, landed behind the atomic
+    pointer flip).  Here: per-priority order stats built in TWO
+    refreshes (orders before/from 1996-01-01) over a published rollup
+    root; the merged result must hash-match the oracle's one-shot full
+    recompute — the delta-sized-cost property itself is pinned by
+    tests/test_incremental.py::test_refresh_cost_is_delta_sized (the
+    base corpus parquet never appears among the merge's input files).
+    Sum rides DECIMAL(18,2) on both engines (the q_stream_window
+    float-sum determinism rule)."""
+    import tempfile
+
+    from spectrify_spark.catalog.publish import read_published
+    from spectrify_spark.operators.incremental import (
+        maintain_published_rollup,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+    )
+    cut = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    specs = {
+        "n_orders": ("count", None),
+        "sum_price": ("sum", "price"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    root = tempfile.mkdtemp(prefix="q_incr_rollup_") + "/rollup"
+    maintain_published_rollup(
+        spark, root, o.filter(F.col("o_orderdate") < cut),
+        ["o_orderpriority"], specs,
+    )
+    maintain_published_rollup(
+        spark, root, o.filter(F.col("o_orderdate") >= cut),
+        ["o_orderpriority"], specs,
+    )
+    return (
+        read_published(spark, root)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("sum_price")
+            .cast("decimal(38,2)")
+            .cast("string")
+            .cast("double")
+            .alias("sum_price"),
+            "first_order",
+            "last_order",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_sim_ivf_recall(spark, sf):
     """Measured ANN quality over a query BATCH (r6 verdict item 5):
     recall@10 of the kmeans-refined IVF probe path (similarity.py
@@ -5151,11 +5213,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r16 (189 keys total: 187 r15 keys + 2 r16-born): slots 1-2
+    Window r16 (190 keys total: 187 r15 keys + 3 r16-born): slots 1-3
     = the r16-born keys (rule 2: q_snapshot_vacuum — pin-aware vacuum,
     VERDICT r15 item 1; q_stream_snapshot — the twelfth streaming
-    twin, snapshot-consistent multi-component sink, item 6; both
-    passed the vanilla sf0.01 gate at birth).  Slots 3-19 = rule-(1)
+    twin, snapshot-consistent multi-component sink, item 6;
+    q_incr_rollup — incremental aggregate-view maintenance, merge of
+    self-maintainable partials into the published rollup; all three
+    passed the vanilla sf0.01 gate at birth).  Slots 4-20 = rule-(1)
     changed-code keys: the 7 publish-machinery keys
     (q_sim_append_recall, q_snapshot_publish, q_publish_versions,
     q_publish_pruned, q_publish_bloom, q_stream_publish,
@@ -5168,21 +5232,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     write_ivfpq/ivfsq stamp build residuals, write_ivf_index routes
     through the refactored _frame_residual_mean); and the 2 prune-arm
     keys (q_scan_skipping, q_scan_prune_spark — _range_bound_lit /
-    _py_bound_skip gained the tz-aware decision gate).  Slots 20-38 =
+    _py_bound_skip gained the tz-aware decision gate).  Slots 21-39 =
     the 19 r11-greens (most overdue: q_text_wordcount ...
-    q_asof_tolerance, exactly the r15-promised head).  Slots 39-50 =
-    the 12 oldest r12-greens (q_multimodal_arrow ...
-    q_window_navigation).
+    q_asof_tolerance, exactly the r15-promised head).  Slots 40-50 =
+    the 11 oldest r12-greens (q_multimodal_arrow ... q_scd2).
 
-    Past the window, least-recently-driver-verified first: the 32
-    remaining r12-greens (q_quantile_sketch ... q_window_analytic),
-    the 37 r13-greens (q_knn_join_sq ... q_stream_window), the 37
+    Past the window, least-recently-driver-verified first:
+    q_window_navigation (the 12th-oldest r12-green, displaced from the
+    window by the late-round q_incr_rollup birth) and the 32 remaining
+    r12-greens (q_quantile_sketch ... q_window_analytic), the 37
+    r13-greens (q_knn_join_sq ... q_stream_window), the 37
     r14-greens (q_pipeline_curate ... q_agg_hash), then the 33
     r15-greens not re-entering (q_scan_bloom ... q_dedup_exact — the
-    freshest rows).  r17 plan per the rotation rules: the 32
-    remaining r12-greens lead, then the oldest r13-greens fill the
-    window, with rule-(1)/(2) insertions ahead of them (each new key
-    must pass the vanilla sf0.01 gate at birth).
+    freshest rows).  r17 plan per the rotation rules: the 33
+    remaining r12-greens lead (q_window_navigation first), then the
+    oldest r13-greens fill the window, with rule-(1)/(2) insertions
+    ahead of them (each new key must pass the vanilla sf0.01 gate at
+    birth).
 
     (Historical note, kept for the record: the r12 docstring claimed
     two changes that had not landed; r13 landed both and carried an
@@ -5190,10 +5256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout.py's probe cache.)
     """
     return {
-        # -- r16 window, slots 1-2: r16-born keys (rule 2)
+        # -- r16 window, slots 1-3: r16-born keys (rule 2)
         "q_snapshot_vacuum": q_snapshot_vacuum,
         "q_stream_snapshot": q_stream_snapshot,
-        # -- r16 window, slots 3-19: rule-(1) changed-code keys (publish
+        "q_incr_rollup": q_incr_rollup,
+        # -- r16 window, slots 4-20: rule-(1) changed-code keys (publish
         # CAS guard + pin-aware vacuum run on every publish tail;
         # IVF/PQ/SQ writers + ann_drift_report gained the ADC
         # residual; layout prune arms gained the tz-aware gate)
@@ -5214,7 +5281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_join_shuffle": q_knn_join_shuffle,
         "q_scan_skipping": q_scan_skipping,
         "q_scan_prune_spark": q_scan_prune_spark,
-        # -- r16 window, slots 20-38: the 19 r11-greens (most overdue)
+        # -- r16 window, slots 21-39: the 19 r11-greens (most overdue)
         "q_text_wordcount": q_text_wordcount,
         "q_text_ngram": q_text_ngram,
         "q_dedup_fingerprint": q_dedup_fingerprint,
@@ -5234,7 +5301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_threshold": q_sim_threshold,
         "q_events_sessionize": q_events_sessionize,
         "q_asof_tolerance": q_asof_tolerance,
-        # -- r16 window, slots 39-50: the 12 oldest r12-greens
+        # -- r16 window, slots 40-50: the 11 oldest r12-greens
+        # (q_window_navigation, the 12th, was displaced past the window
+        # by the late-round q_incr_rollup birth — it leads the r17 plan)
         "q_multimodal_arrow": q_multimodal_arrow,
         "q_asof_forward": q_asof_forward,
         "q_stream_sessionize": q_stream_sessionize,
@@ -6891,6 +6960,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS consistent
             FROM documents WHERE doc_id % 2 = 0
             GROUP BY lang ORDER BY lang
+        """,
+        # Incremental rollup maintenance (r16): two published refreshes
+        # (pre/post the 1996 cut) merged over the rollup root must
+        # equal the one-shot full recompute; sum rides DECIMAL(18,2)
+        # on both engines (the q_stream_window determinism rule)
+        "q_incr_rollup": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price,
+                   MIN(o_orderdate) AS first_order,
+                   MAX(o_orderdate) AS last_order
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         # Pin-aware vacuum (r16): v1 (pinned by the snapshot) survives a
         # keep_versions=1 vacuum, v2 (unpinned) is the only removal, the

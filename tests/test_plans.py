@@ -549,6 +549,11 @@ GOLDEN = {
     # columns (scan_cols=[] — no max_scan_cols golden: the gate's
     # assert requires a non-empty ReadSchema list)
     "q_snapshot_vacuum": dict(max_exchanges=2),
+    # incremental-rollup reader: a plain scan of the pointer-resolved
+    # published rollup (|groups| rows) + the ordering sort — the merge
+    # shuffles happened at refresh time, the read pays none of them
+    # (scan_cols=[] on the executed audit: no max_scan_cols golden)
+    "q_incr_rollup": dict(max_exchanges=1, ban_bnlj=True),
     # streaming snapshot reader: per-lang agg over the pinned corpus
     # component (1 exchange) joined to the pinned counts component
     # (broadcast at this scale; the join-key exchange is the 2nd

@@ -27,6 +27,37 @@ def _load_schema(schema_json: str):
         return schema_from_columns([tuple(x) for x in json.load(fh)])
 
 
+def _parse_measure_specs(measures: list) -> dict:
+    """``OUT=KIND[:SRC[:P]]`` CLI specs -> the incremental-rollup specs
+    dict (operators/incremental.py).  Validation of kinds/arity happens
+    in ``_check_specs`` — here only the syntax is parsed."""
+    specs: dict = {}
+    for m in measures:
+        if "=" not in m:
+            raise SystemExit(
+                f"rollup: measure {m!r} is not OUT=KIND[:SRC[:P]]"
+            )
+        out, rhs = m.split("=", 1)
+        parts = rhs.split(":")
+        if len(parts) == 1:
+            specs[out] = (parts[0], None)
+        elif len(parts) == 2:
+            specs[out] = (parts[0], parts[1])
+        elif len(parts) == 3:
+            try:
+                prob = float(parts[2])
+            except ValueError:
+                raise SystemExit(
+                    f"rollup: measure {m!r}: P must be a probability"
+                ) from None
+            specs[out] = (parts[0], parts[1], prob)
+        else:
+            raise SystemExit(
+                f"rollup: measure {m!r} is not OUT=KIND[:SRC[:P]]"
+            )
+    return specs
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="spectrify-spark")
     p.add_argument(
@@ -285,6 +316,38 @@ def main(argv: list[str] | None = None) -> int:
         "--snapshots", nargs="*", default=None, metavar="SNAP_ROOT",
         help="snapshot dataset roots whose pins on ROOT must survive",
     )
+
+    rr = sub.add_parser(
+        "rollup-refresh",
+        help="incrementally refresh a published rollup with a delta "
+        "parquet (operators/incremental.py): the delta "
+        "partial-aggregates and merges into the pointed rollup "
+        "version behind the atomic flip — the corpus is never "
+        "rescanned; measures are OUT=KIND[:SRC[:P]] with KIND in "
+        "count|sum|min|max|avg|approx_distinct|quantile (P = the "
+        "quantile probability)",
+    )
+    rr.add_argument("delta", help="delta parquet path")
+    rr.add_argument("root", help="published rollup root")
+    rr.add_argument("--keys", nargs="+", required=True, metavar="COL")
+    rr.add_argument(
+        "--measures", nargs="+", required=True, metavar="OUT=KIND[:SRC[:P]]",
+        help="e.g. n=count total=sum:price p95=quantile:len:0.95",
+    )
+    rr.add_argument("--keep-versions", type=int, default=2)
+
+    rd = sub.add_parser(
+        "rollup-read",
+        help="print the FINALIZED published rollup as JSON lines (avg "
+        "quotients and sketch estimates derived from the persisted "
+        "partial schema; same --measures spec as rollup-refresh)",
+    )
+    rd.add_argument("root")
+    rd.add_argument("--keys", nargs="+", required=True, metavar="COL")
+    rd.add_argument(
+        "--measures", nargs="+", required=True, metavar="OUT=KIND[:SRC[:P]]"
+    )
+    rd.add_argument("--limit", type=int, default=20)
 
     ist = sub.add_parser(
         "index-stats",
@@ -693,6 +756,28 @@ def main(argv: list[str] | None = None) -> int:
             snapshots=args.snapshots,
         )
         print(json.dumps({"removed": removed}))
+    elif args.cmd == "rollup-refresh":
+        from spectrify_spark.operators.incremental import (
+            maintain_published_rollup,
+        )
+
+        v = maintain_published_rollup(
+            spark,
+            args.root,
+            spark.read.parquet(args.delta),
+            args.keys,
+            _parse_measure_specs(args.measures),
+            keep_versions=args.keep_versions,
+        )
+        print(v)
+    elif args.cmd == "rollup-read":
+        from spectrify_spark.operators.incremental import read_rollup
+
+        df = read_rollup(
+            spark, args.root, args.keys, _parse_measure_specs(args.measures)
+        ).orderBy(*args.keys)
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "index-stats":
         from spectrify_spark.operators.layout import write_file_stats
 

@@ -95,6 +95,14 @@ GOLDEN = {
     "q_stream_snapshot": dict(
         node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=8
     ),
+    # streaming incremental-rollup maintenance (r17): STATELESS by
+    # design — the stream side is a bare file-source projection into
+    # foreachBatch (the partial-agg + merge are per-batch batch jobs);
+    # the scale property pinned is the ABSENCE of state stores (no
+    # watermark, nothing corpus-sized), plus the parquet source node
+    "q_stream_rollup": dict(
+        node="Scan parquet", wm_tag=False, stores=None, stateless=True
+    ),
 }
 
 _WM_TAG = re.compile(r"-T\d+ms")

@@ -1083,9 +1083,10 @@ def test_concurrent_publish_orphan_removed_on_distinct_numbers(
     assert not os.path.isdir(os.path.join(root, "v=2"))  # orphan cleaned
     assert current_version(root) == 5
     assert read_published(spark, root).count() == 50
-    # two-thread hammer: racing publishes both complete or one fails
-    # cleanly — the pointer always names a committed, fully-landed
-    # version (check-then-act caveat documented on _publish_version)
+    # two-thread hammer (r17 — VERDICT r16 item 4): on local storage
+    # the O_EXCL writer lock SERIALIZES racing publishes — both
+    # succeed as consecutive versions, zero ConcurrentPublishError
+    # losers, and the lock file is gone afterwards
     import threading
 
     root2 = str(tmp_path / "ds2")
@@ -1095,7 +1096,6 @@ def test_concurrent_publish_orphan_removed_on_distinct_numbers(
 
     def writer(tag):
         def build2(vdir):
-            barrier.wait(timeout=30)
             os.makedirs(vdir, exist_ok=True)
             # plain-file payload with a per-writer name: the hammer
             # targets the PROTOCOL race, not Spark's overwrite job
@@ -1103,6 +1103,7 @@ def test_concurrent_publish_orphan_removed_on_distinct_numbers(
                 fh.write(tag)
 
         try:
+            barrier.wait(timeout=30)  # maximal contention at entry
             publish_dir(root2, build2, keep_versions=9)
         except Exception as e:  # noqa: BLE001 — classified below
             errs.append(e)
@@ -1112,24 +1113,107 @@ def test_concurrent_publish_orphan_removed_on_distinct_numbers(
         t.start()
     for t in ts:
         t.join(timeout=120)
-    # either both slipped through the documented check-then-act window
-    # (same-number collision before either flips) or the loser failed
-    # CLEANLY — as ConcurrentPublishError (pointer moved) or as the
-    # landing refusal (the winner's end-vacuum swept the loser's
-    # in-flight uncommitted dir, so its existence check fails) — never
-    # silently, never more than one loser; in every outcome the
-    # pointer names a committed dir with at least one payload file
-    assert len(errs) <= 1
-    for e in errs:
-        # OSError covers the marker write landing in a just-swept dir
-        assert isinstance(
-            e, (ConcurrentPublishError, ValueError, OSError)
-        ), e
-    cur = current_version(root2)
-    assert cur is not None
-    vdir = os.path.join(root2, f"v={cur}")
-    assert os.path.isfile(os.path.join(vdir, COMMITTED))
-    assert any(nm.startswith("part-") for nm in os.listdir(vdir))
+    assert errs == [], errs
+    # both publishes landed, serialized: seed v=1 + two more
+    assert current_version(root2) == 3
+    tags = set()
+    for v in (2, 3):
+        vdir = os.path.join(root2, f"v={v}")
+        assert os.path.isfile(os.path.join(vdir, COMMITTED))
+        tags.update(
+            nm for nm in os.listdir(vdir) if nm.startswith("part-")
+        )
+    assert tags == {"part-x.txt", "part-y.txt"}
+    from spectrify_spark.catalog.publish import PUBLISH_LOCK
+
+    assert not os.path.exists(os.path.join(root2, PUBLISH_LOCK))
+
+
+def test_publish_lock_stale_takeover_and_release(spark, tmp_path, caplog):
+    """A lock left by a crashed writer (old mtime) is taken over with
+    a WARNING and the publish proceeds; a FRESH foreign lock makes a
+    zero-wait publish time out instead of clobbering it."""
+    import logging as _logging
+
+    from spectrify_spark.catalog.publish import (
+        LOCK_STALE_SECONDS,
+        PUBLISH_LOCK,
+        publish,
+        read_published,
+    )
+
+    root = str(tmp_path / "ds")
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, PUBLISH_LOCK)
+    with open(lock, "w") as fh:
+        fh.write('{"pid": 0, "token": "dead"}')
+    old = __import__("time").time() - LOCK_STALE_SECONDS - 60
+    os.utime(lock, (old, old))
+    with caplog.at_level(_logging.WARNING):
+        publish(_df(spark, 5, "a"), root, keep_versions=2)
+    assert any("stale" in r.message for r in caplog.records)
+    assert read_published(spark, root).count() == 5
+    assert not os.path.exists(lock)  # released after the flip
+
+    # fresh foreign lock: a bounded wait gives up cleanly
+    with open(lock, "w") as fh:
+        fh.write('{"pid": 0, "token": "alive"}')
+    from spectrify_spark.catalog.publish import _acquire_publish_lock
+
+    with pytest.raises(TimeoutError, match="writer lock"):
+        _acquire_publish_lock(root, wait=0.2)
+    os.remove(lock)
+
+
+def test_publish_lock_reentrant_same_thread(spark, tmp_path):
+    """A publish issued from inside another publish's land_fn on the
+    SAME root re-enters the thread-local lock instead of deadlocking —
+    and the flip-time re-read guard still adjudicates the interleave
+    (this is exactly the loser-fails-cleanly scenario, re-pinned here
+    with the lock active)."""
+    from spectrify_spark.catalog.publish import (
+        ConcurrentPublishError,
+        PUBLISH_LOCK,
+        publish_dir,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 10, "a"), root, keep_versions=5)
+
+    def nesting_build(vdir):
+        os.makedirs(vdir, exist_ok=True)
+        _df(spark, 99, "loser").write.mode("overwrite").parquet(vdir)
+        publish(_df(spark, 20, "winner"), root, keep_versions=5)
+
+    with pytest.raises(ConcurrentPublishError, match="moved"):
+        publish_dir(root, nesting_build, keep_versions=5)
+    assert current_version(root) == 2
+    # fully unwound: no lock file left behind
+    assert not os.path.exists(os.path.join(root, PUBLISH_LOCK))
+
+
+def test_vacuum_sweeps_stale_pointer_tmp(spark, tmp_path):
+    """r16 ADVICE: pointer-temp files leaked by a SIGKILL'd writer are
+    reclaimed by vacuum once old; a FRESH temp (an in-flight pointer
+    write) is left alone."""
+    from spectrify_spark.catalog.publish import (
+        TMP_SWEEP_SECONDS,
+        vacuum,
+    )
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 3, "a"), root, keep_versions=2)
+    stale = os.path.join(root, "._spectrify_current.json.123.dead.tmp")
+    fresh = os.path.join(root, "._spectrify_current.json.456.live.tmp")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    old = __import__("time").time() - TMP_SWEEP_SECONDS - 60
+    os.utime(stale, (old, old))
+    vacuum(root, keep_versions=2)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    os.remove(fresh)
 
 
 def test_vacuum_cli_pin_aware(spark, tmp_path, capsys):
@@ -1228,3 +1312,72 @@ def test_publish_snapshot_refuses_above_pointer_pin(spark, tmp_path):
         publish_snapshot(snap, {"docs": (droot, 2)})
     # the pointed version pins fine
     assert publish_snapshot(snap, {"docs": (droot, 1)}) == 1
+
+
+def test_schema_evolution_contract(spark, tmp_path):
+    """r17 (VERDICT r16 item 6): refuse-by-default schema changes —
+    additive needs allow_added_columns=True, dropped/retyped always
+    refused; time travel across an allowed addition returns each
+    version's OWN schema."""
+    from spectrify_spark.catalog.publish import SchemaEvolutionError
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 5, "a"), root, keep_versions=9)
+
+    wider = _df(spark, 5, "b").withColumn("extra", F.lit(1))
+    with pytest.raises(SchemaEvolutionError, match="ADDS columns"):
+        publish(wider, root, keep_versions=9)
+    assert current_version(root) == 1  # the refusal landed nothing
+
+    v2 = publish(wider, root, keep_versions=9, allow_added_columns=True)
+    assert v2 == 2
+    # pointer path sees the new column; time travel to v1 does not
+    assert set(read_published(spark, root).columns) == {"k", "tag", "extra"}
+    assert set(read_published(spark, root, version=1).columns) == {"k", "tag"}
+
+    # dropped column: refused even with the additive flag
+    with pytest.raises(SchemaEvolutionError, match="DROP columns"):
+        publish(
+            _df(spark, 5, "c"), root, keep_versions=9,
+            allow_added_columns=True,
+        )
+    # retyped column: refused
+    retyped = wider.withColumn("extra", F.lit("s"))
+    with pytest.raises(SchemaEvolutionError, match="RETYPE columns"):
+        publish(retyped, root, keep_versions=9, allow_added_columns=True)
+
+    # identical schema (column order shuffled, values new): steady state
+    v3 = publish(
+        wider.select("extra", "tag", "k"), root, keep_versions=9
+    )
+    assert v3 == 3
+
+
+def test_schema_contract_skips_pre_recording_datasets(spark, tmp_path):
+    """A dataset whose pointed version predates the schema recording
+    (marker without a schema key) is not checked — the contract
+    engages from its next publish on."""
+    from spectrify_spark.catalog.publish import COMMITTED
+
+    root = str(tmp_path / "ds")
+    publish(_df(spark, 3, "a"), root, keep_versions=9)
+    # simulate a pre-r17 marker: strip the schema key
+    mpath = os.path.join(root, "v=1", COMMITTED)
+    with open(mpath) as fh:
+        payload = json.load(fh)
+    payload.pop("schema", None)
+    with open(mpath, "w") as fh:
+        json.dump(payload, fh)
+    # a breaking change sails through (legacy dataset)...
+    publish(
+        _df(spark, 3, "b").drop("tag"), root, keep_versions=9
+    )
+    # ...and from now on the contract holds (v2 recorded its schema)
+    from spectrify_spark.catalog.publish import SchemaEvolutionError
+
+    with pytest.raises(SchemaEvolutionError):
+        publish(
+            _df(spark, 3, "c").select("k", F.lit(1).alias("other")),
+            root,
+            keep_versions=9,
+        )

@@ -226,19 +226,29 @@ def stream_curate_snapshot_publish(
     redelivery horizon, never the corpus); the publish steps are
     per-batch batch jobs inside ``foreachBatch``.
 
-    RETENTION: components and snapshot advance in LOCKSTEP (one
-    version each per non-empty micro-batch), so equal
-    ``keep_versions`` everywhere keeps every retained snapshot's pins
-    alive — the publish-tail vacuum never evicts a pinned version.
-    Out-of-band maintenance vacuums should still pass
-    ``snapshots=[snap_root]`` (the r16 pin-aware vacuum) as the
-    belt-and-braces guard.  Single writer per dataset, as every
-    publish.  Returns the started StreamingQuery."""
+    RETENTION (r17 — fixed off-by-one, r16 ADVICE): components and
+    snapshot advance in lockstep, but WITHIN a batch the component
+    publish runs BEFORE ``publish_snapshot`` retires the oldest
+    snapshot generation — with equal ``keep_versions`` everywhere the
+    component's pin-UNAWARE publish-tail vacuum would evict the
+    version still pinned by the outgoing oldest snapshot, and a crash
+    between the two steps would make that breakage durable (a
+    retained snapshot whose ``read_snapshot_table`` permanently
+    fails).  The sink therefore publishes components with
+    ``keep_versions + 1`` (the extra slot covers the pre-retirement
+    window, crash included) and, after the snapshot flip, runs a
+    PIN-AWARE ``vacuum(comp_root, keep_versions, snapshots=
+    [snap_root])`` to tighten each component back to ``keep_versions``
+    without ever evicting a retained pin.  Out-of-band maintenance
+    vacuums should pass ``snapshots=[snap_root]`` all the same.
+    Single writer per dataset, as every publish.  Returns the started
+    StreamingQuery."""
     from spectrify_spark.catalog.publish import (
         current_version,
         publish,
         publish_snapshot,
         read_published,
+        vacuum,
     )
     from spectrify_spark.operators.relational import merge_changes
 
@@ -268,7 +278,13 @@ def stream_curate_snapshot_publish(
         else:
             base = spark.createDataFrame([], base_schema)
         nxt = merge_changes(base, changes, "id", op_col="op", delete_op="D")
-        cv = publish(nxt, corpus_root, keep_versions=keep_versions)
+        # keep_versions + 1 on the components: the oldest retained
+        # snapshot still pins its component versions until
+        # publish_snapshot below retires it, so the pin-unaware
+        # publish-tail vacuum here must keep one extra slot (r16
+        # ADVICE off-by-one — durable if the stream crashes between
+        # these publishes and the snapshot flip)
+        cv = publish(nxt, corpus_root, keep_versions=keep_versions + 1)
         # derive from the WRITTEN immutable version (one parquet read,
         # no merge-plan recompute) — the pinned pair cannot diverge
         counts = (
@@ -279,12 +295,22 @@ def stream_curate_snapshot_publish(
                 F.sum("n_tokens").alias("total_tokens"),
             )
         )
-        av = publish(counts, counts_root, keep_versions=keep_versions)
+        av = publish(counts, counts_root, keep_versions=keep_versions + 1)
         publish_snapshot(
             snap_root,
             {"corpus": (corpus_root, cv), "counts": (counts_root, av)},
             keep_versions=keep_versions,
         )
+        # the old snapshot generation is retired now — tighten the
+        # components back to keep_versions PIN-AWARE, so a version
+        # outside the window survives iff a retained snapshot pins it
+        for comp_root in (corpus_root, counts_root):
+            vacuum(
+                comp_root,
+                keep_versions=keep_versions,
+                spark=spark,
+                snapshots=[snap_root],
+            )
 
     writer = deduped.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

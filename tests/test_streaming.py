@@ -528,3 +528,20 @@ def test_stream_curate_snapshot_publish_end_to_end(spark, tmp_path):
         (r["lang"], r["n_docs"])
         for r in read_snapshot_table(spark, snap, "counts").collect()
     } == want
+
+    # r17 (r16 ADVICE off-by-one): EVERY retained snapshot generation
+    # stays readable even in the crash window between a component
+    # publish and the snapshot flip.  Simulate the durable crash state
+    # by running the NEXT batch's corpus-publish step exactly as the
+    # sink does (keep_versions + 1) and stopping before any snapshot
+    # flip — under the old equal-keep tail vacuum this evicted the
+    # version pinned by the oldest retained generation.
+    from spectrify_spark.catalog.publish import _is_committed, _versions, publish
+
+    publish(corpus2, corpus_root, keep_versions=3)
+    for g in [v for v in _versions(snap) if _is_committed(snap, v)]:
+        for comp in ("corpus", "counts"):
+            assert (
+                read_snapshot_table(spark, snap, comp, version=g).count()
+                > 0
+            ), f"snapshot gen {g} component {comp} lost its pin"

@@ -586,8 +586,15 @@ def write_ivfpq_index(
             [[float(x) for x in code] for code in sub] for sub in codebooks
         ],
     }
+    # two INDEPENDENT try blocks (r16 ADVICE): a residual-estimator
+    # failure (e.g. one malformed code row) must not discard the
+    # already-computed cell counts — the count drift tiers survived on
+    # their own before the residual tier existed and still should
     try:
         sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+    except Exception:
+        sizes = {}
+    try:
         r_n, resid = _compressed_residual_mean(
             df.sparkSession,
             path,
@@ -595,7 +602,7 @@ def write_ivfpq_index(
             sample_fraction=stats_sample_fraction,
         )
     except Exception:
-        sizes, r_n, resid = {}, 0, None
+        r_n, resid = 0, None
     model_payload["stats"] = {
         "build_n": int(sum(sizes.values())),
         "build_cell_sizes": sizes,
@@ -1038,8 +1045,13 @@ def write_ivfsq_index(
         "mins": [float(x) for x in model["mins"]],
         "maxs": [float(x) for x in model["maxs"]],
     }
+    # two INDEPENDENT try blocks (r16 ADVICE) — see the PQ twin: a
+    # residual failure must not take the count drift tiers down too
     try:
         sizes = _index_cell_counts(df.sparkSession, path, cell_col)
+    except Exception:
+        sizes = {}
+    try:
         r_n, resid = _compressed_residual_mean(
             df.sparkSession,
             path,
@@ -1047,7 +1059,7 @@ def write_ivfsq_index(
             sample_fraction=stats_sample_fraction,
         )
     except Exception:
-        sizes, r_n, resid = {}, 0, None
+        r_n, resid = 0, None
     model_payload["stats"] = {
         "build_n": int(sum(sizes.values())),
         "build_cell_sizes": sizes,

@@ -767,3 +767,33 @@ def test_indexless_knn_joins_nonbroadcast_arm_matches(spark):
         ).collect()
     )
     assert bc_sq == nb_sq and len(bc_sq) == 20
+
+
+def test_residual_failure_keeps_count_baselines(spark, tmp_path, monkeypatch):
+    """r16 ADVICE: the build stats are computed in two independent try
+    blocks — a residual-estimator failure records
+    build_residual_mean=None but KEEPS build_n / build_cell_sizes, so
+    the count drift tiers survive on their own."""
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    e = _vecs(spark).limit(64)
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, 4), iters=1)
+    books = Q.deterministic_codebooks(4, 16, 16)
+
+    def boom(*a, **k):
+        raise RuntimeError("malformed code row")
+
+    monkeypatch.setattr(Q, "_compressed_residual_mean", boom)
+    idx = str(tmp_path / "ivfpq")
+    Q.write_ivfpq_index(e, cents, books, idx)
+    stats = read_json_sidecar(spark, idx, Q._IVFPQ_SIDECAR)["stats"]
+    assert stats["build_n"] > 0 and stats["build_cell_sizes"]
+    assert stats["build_residual_mean"] is None
+
+    model = Q.sq_train(e)
+    idx2 = str(tmp_path / "ivfsq")
+    Q.write_ivfsq_index(e, cents, model, idx2)
+    stats2 = read_json_sidecar(spark, idx2, Q._IVFSQ_SIDECAR)["stats"]
+    assert stats2["build_n"] > 0 and stats2["build_cell_sizes"]
+    assert stats2["build_residual_mean"] is None

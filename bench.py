@@ -37,6 +37,20 @@ r16 noise hardening (VERDICT r15 item 2 — the r15 record regressed
   (>0.13s): the heaviest keys get one more full median-of-N and the
   official number is the min of the two medians — a phase-window
   stall cannot own a key's record; the verdict lands in the JSON.
+
+SENTINEL POLICY (r17, stated so the record cannot read as
+cherry-picking — r16 ADVICE): min-of-two-medians is an ASYMMETRIC
+rule — it can only lower a key's official number, never raise it (a
+slower re-run keeps the first median, as q_publish_index's r16 re-run
+did).  That bias is deliberate (the sentinel exists to strip
+phase-window stalls, which only ever ADD time) and bounded (it
+engages only for the SENTINEL_HEAVY_KEYS slowest keys, only when the
+overhead probe proves the host noisy, and both medians are preserved
+in noise_sentinel.reran).  So time-series consumers can compare like
+with like, the record carries the UNADJUSTED totals alongside the
+official ones (headline_total_unadjusted / extended_total_unadjusted
+= the same sums with every key at its FIRST median); when the
+sentinel did not fire the pairs are equal.
 """
 
 from __future__ import annotations
@@ -291,10 +305,15 @@ def main() -> None:
             )
 
     totals = {"headline": 0.0, "extended": 0.0}
+    totals_unadj = {"headline": 0.0, "extended": 0.0}
     for name, fam in family_of.items():
         v = timings[name]
         if isinstance(v, (int, float)):
             totals[fam] += v
+            # unadjusted twin: the pre-sentinel (first) median — equal
+            # to the official number unless the sentinel lowered it
+            first = sentinel["reran"].get(name, {}).get("first", v)
+            totals_unadj[fam] += first
 
     # ETL convert benchmark: the reference's core operation.
     try:
@@ -345,6 +364,12 @@ def main() -> None:
         "queries_spread": spreads,
         "noise_sentinel": sentinel,
         "extended_total": round(totals["extended"], 3),
+        # unadjusted totals (r17 — the stated sentinel policy): every
+        # key at its FIRST median, before any min-of-medians
+        # replacement; equal to the official totals when the sentinel
+        # did not fire
+        "headline_total_unadjusted": round(totals_unadj["headline"], 3),
+        "extended_total_unadjusted": round(totals_unadj["extended"], 3),
         "extended_stat": f"median_of_{RUNS_EXTENDED}",
         "calibration_sec": calibration,
         # r14 ADVICE: the calibration workload tripled at r14 (50M ->

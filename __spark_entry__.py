@@ -1764,6 +1764,239 @@ def q_incr_rollup(spark, sf):
     )
 
 
+def q_incr_distinct(spark, sf):
+    """Mergeable-SKETCH measures for the incremental rollup (r17 —
+    VERDICT r16 item 2): count/sum/min/max cover the additive views,
+    but a training pipeline's "unique doc ids per source per day" or
+    "p95 doc length per shard" view needs distinct-count and quantile
+    measures that merge — operators/incremental.py now persists an
+    (sum, cnt) pair for ``avg`` (avg of avgs is NOT avg — the spec
+    kind exists so users don't hand-roll it wrong), a theta sketch for
+    ``approx_distinct`` (union-mergeable, EXACT below 2^lgk
+    distincts — the operators/sketches.py algebra), and a KLL sketch
+    for ``quantile``; ``finalize_rollup``/``read_rollup`` derive the
+    presentation columns.  Here: per-priority order stats built in TWO
+    refreshes (orders before/from 1996-01-01) — n_orders and
+    avg_price must hash-match the oracle's one-shot recompute
+    exactly; n_custs (theta, exact mode at gate cardinalities) must
+    equal COUNT(DISTINCT o_custkey) AND the one-shot sketch build
+    (n_custs_merge_eq — merge-vs-recompute parity, measured);
+    p50_price's empirical rank is measured within 0.02 of 0.5 (the
+    q_kll_rollup inversion: KLL quantiles are rank-exact only while
+    small, so the rank bound is the honest check).  avg divides the
+    exact DECIMAL sum by the exact count in DOUBLE on both engines —
+    identical inputs, identical IEEE quotient."""
+    import tempfile
+
+    from spectrify_spark.operators.incremental import (
+        finalize_rollup,
+        maintain_published_rollup,
+        read_rollup,
+        rollup_delta,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+        "o_custkey",
+        "o_orderdate",
+    )
+    cut = F.to_timestamp(F.lit("1996-01-01 00:00:00"))
+    keys = ["o_orderpriority"]
+    specs = {
+        "n_orders": ("count", None),
+        "avg_price": ("avg", "price"),
+        "n_custs": ("approx_distinct", "o_custkey"),
+        "p50_price": ("quantile", "price", 0.5),
+    }
+    root = tempfile.mkdtemp(prefix="q_incr_distinct_") + "/rollup"
+    maintain_published_rollup(
+        spark, root, o.filter(F.col("o_orderdate") < cut), keys, specs
+    )
+    maintain_published_rollup(
+        spark, root, o.filter(F.col("o_orderdate") >= cut), keys, specs
+    )
+    roll = read_rollup(spark, root, keys, specs)
+    oneshot = finalize_rollup(rollup_delta(o, keys, specs), keys, specs).select(
+        "o_orderpriority", F.col("n_custs").alias("__nc1")
+    )
+    rank = (
+        o.join(
+            F.broadcast(roll.select("o_orderpriority", "p50_price")),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.avg(
+                (F.col("price") <= F.col("p50_price")).cast("double")
+            ).alias("__r50")
+        )
+    )
+    return (
+        roll.join(oneshot, "o_orderpriority")
+        .join(rank, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("avg_price", 6).alias("avg_price"),
+            "n_custs",
+            (F.col("n_custs") == F.col("__nc1")).alias("n_custs_merge_eq"),
+            (F.abs(F.col("__r50") - 0.5) <= 0.02).alias("p50_rank_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_incr_recompute(spark, sf):
+    """The RETRACTION story of the insert-only rollup contract (r17 —
+    VERDICT r16 item 5): deletes are not self-maintainable (removing
+    the current minimum needs the runner-up only base data holds), so
+    operators/incremental.py::recompute_partitions refreshes a
+    published rollup after a retraction by recomputing ONLY the
+    touched key-groups from the corrected base (broadcast semi-join —
+    the predicate reaches the base scan, so a key-partitioned base
+    reads only the touched partitions) and passing every other group
+    through from the published rollup UNTOUCHED (broadcast anti-join
+    over |groups| rows).  Here: the full per-priority rollup
+    publishes, then every even-keyed '1-URGENT' order is retracted;
+    the recomputed rollup (1 touched group recomputed + 4 passed
+    through) must hash-match the oracle's full recompute over the
+    corrected base.  Hammers:
+    tests/test_incremental.py::test_recompute_partitions_*."""
+    import tempfile
+
+    from spectrify_spark.operators.incremental import (
+        maintain_published_rollup,
+        read_rollup,
+        recompute_partitions,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    keys = ["o_orderpriority"]
+    specs = {
+        "n_orders": ("count", None),
+        "sum_price": ("sum", "price"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    root = tempfile.mkdtemp(prefix="q_incr_recompute_") + "/rollup"
+    maintain_published_rollup(spark, root, o, keys, specs)
+    retract = (F.col("o_orderpriority") == "1-URGENT") & (
+        F.col("o_orderkey") % 2 == 0
+    )
+    base1 = o.filter(~retract)
+    touched = spark.createDataFrame([("1-URGENT",)], "o_orderpriority string")
+    recompute_partitions(spark, root, base1, touched, keys, specs)
+    return (
+        read_rollup(spark, root, keys, specs)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("sum_price")
+            .cast(DEC2_OUT)
+            .cast("string")
+            .cast("double")
+            .alias("sum_price"),
+            "first_order",
+            "last_order",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_stream_rollup(spark, sf):
+    """The THIRTEENTH streaming/batch twin (r17 — VERDICT r16 item 3):
+    incremental-rollup maintenance in foreachBatch
+    (streaming/rollup.py::stream_rollup_publish) — each micro-batch
+    partial-aggregates and merges through the SAME algebra as the
+    batch maintain_published_rollup, so the streamed drain must equal
+    the one-shot batch aggregate.  Unlike the idempotent upsert twins
+    a rollup merge double-counts under replay, so exactly-once rides
+    the publish protocol itself: the merged rollup and a batch-id
+    marker land in ONE immutable version behind the atomic pointer
+    flip, and a replayed batch id is skipped (hammered in
+    tests/test_stream_rollup.py).  STATELESS on the stream side by
+    design — no state store, no watermark; per-batch cost is
+    |batch| + |groups|, never the corpus.  The sketch measures (avg,
+    theta distinct) merge across micro-batches exactly at gate
+    cardinalities.  Plan gate: tests/test_streaming_plans.py (no
+    stateOperators, parquet file source)."""
+    import tempfile
+
+    from spectrify_spark.operators.incremental import read_rollup
+    from spectrify_spark.streaming.rollup import stream_rollup_publish
+
+    work = tempfile.mkdtemp(prefix="q_stream_rollup_")
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+        "o_custkey",
+    )
+    src = f"{work}/orders"
+    o.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            f"o_orderpriority string, price {DEC2}, o_custkey bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    keys = ["o_orderpriority"]
+    specs = {
+        "n_orders": ("count", None),
+        "sum_price": ("sum", "price"),
+        "avg_price": ("avg", "price"),
+        "n_custs": ("approx_distinct", "o_custkey"),
+    }
+    root = f"{work}/rollup"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_rollup_publish(
+            stream,
+            root,
+            keys,
+            specs,
+            keep_versions=2,
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        try:
+            q.processAllAvailable()
+            try:
+                STREAM_AUDITS["q_stream_rollup"] = {
+                    "plan": q._jsq.explainInternal(False),
+                    "progress": q.lastProgress
+                    if q.lastProgress is not None
+                    else {},
+                }
+            except Exception:  # noqa: BLE001 — audit is best-effort
+                pass
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        read_rollup(spark, root, keys, specs)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("sum_price")
+            .cast(DEC2_OUT)
+            .cast("string")
+            .cast("double")
+            .alias("sum_price"),
+            F.round("avg_price", 6).alias("avg_price"),
+            "n_custs",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_sim_ivf_recall(spark, sf):
     """Measured ANN quality over a query BATCH (r6 verdict item 5):
     recall@10 of the kmeans-refined IVF probe path (similarity.py
@@ -5213,42 +5446,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sf0.001 on every pytest run, so "past the window" never means
     "unverified since last code change" (the r3 stale-green gap).
 
-    Window r16 (190 keys total: 187 r15 keys + 3 r16-born): slots 1-3
-    = the r16-born keys (rule 2: q_snapshot_vacuum — pin-aware vacuum,
-    VERDICT r15 item 1; q_stream_snapshot — the twelfth streaming
-    twin, snapshot-consistent multi-component sink, item 6;
-    q_incr_rollup — incremental aggregate-view maintenance, merge of
-    self-maintainable partials into the published rollup; all three
-    passed the vanilla sf0.01 gate at birth).  Slots 4-20 = rule-(1)
-    changed-code keys: the 7 publish-machinery keys
-    (q_sim_append_recall, q_snapshot_publish, q_publish_versions,
-    q_publish_pruned, q_publish_bloom, q_stream_publish,
-    q_publish_index, q_stream_curate_publish — publish.py gained the
-    optimistic-concurrency flip guard and the pin-aware vacuum, both
-    on every publish tail); the 8 ANN keys whose build or diagnosis
-    path gained the ADC-reconstruction residual (q_sim_ivf_append,
-    q_sim_ivfpq, q_sim_ivfpq_rerank, q_sim_ivfsq_rerank,
-    q_knn_join_ivfpq, q_knn_join_ivfsq, q_knn_join_shuffle —
-    write_ivfpq/ivfsq stamp build residuals, write_ivf_index routes
-    through the refactored _frame_residual_mean); and the 2 prune-arm
-    keys (q_scan_skipping, q_scan_prune_spark — _range_bound_lit /
-    _py_bound_skip gained the tz-aware decision gate).  Slots 21-39 =
-    the 19 r11-greens (most overdue: q_text_wordcount ...
-    q_asof_tolerance, exactly the r15-promised head).  Slots 40-50 =
-    the 11 oldest r12-greens (q_multimodal_arrow ... q_scd2).
+    Window r17 (193 keys total: 190 r16 keys + 3 r17-born): slots 1-3
+    = the r17-born keys (rule 2: q_incr_distinct — mergeable-sketch
+    rollup measures avg/approx_distinct/quantile, VERDICT r16 item 2;
+    q_incr_recompute — the retraction recompute_partitions helper,
+    item 5; q_stream_rollup — the thirteenth streaming twin,
+    foreachBatch rollup maintenance with the atomic batch-id marker,
+    item 3; all three passed the sf0.001 oracle sweep at birth).
+    Slots 4-36 = the r12-cohort DRAIN (VERDICT r16 item 1, the whole
+    point of this window): q_window_navigation leads (the key the r16
+    docstring promised first), then the 32 remaining r12-greens
+    (q_quantile_sketch ... q_window_analytic) — after this round no
+    key's latest driver row is older than r13.  Slots 37-50 =
+    rule-(1) changed-code keys: q_incr_rollup (incremental.py's
+    partial aggs gained the decimal-stable sum cast); the 9
+    publish-machinery keys (q_snapshot_vacuum, q_stream_snapshot,
+    q_snapshot_publish, q_publish_versions, q_publish_pruned,
+    q_publish_bloom, q_stream_publish, q_publish_index,
+    q_stream_curate_publish — every publish tail gained the O_EXCL
+    writer lock, the schema-evolution contract, and vacuum's
+    stale-tmp sweep; the snapshot stream sink additionally gained the
+    lockstep-retention fix); q_sim_append_recall + the 3 IVF-PQ/SQ
+    writer keys (q_sim_ivfpq, q_sim_ivfpq_rerank, q_sim_ivfsq_rerank
+    — the build-stats try-block split).
 
-    Past the window, least-recently-driver-verified first:
-    q_window_navigation (the 12th-oldest r12-green, displaced from the
-    window by the late-round q_incr_rollup birth) and the 32 remaining
-    r12-greens (q_quantile_sketch ... q_window_analytic), the 37
-    r13-greens (q_knn_join_sq ... q_stream_window), the 37
-    r14-greens (q_pipeline_curate ... q_agg_hash), then the 33
-    r15-greens not re-entering (q_scan_bloom ... q_dedup_exact — the
-    freshest rows).  r17 plan per the rotation rules: the 33
-    remaining r12-greens lead (q_window_navigation first), then the
-    oldest r13-greens fill the window, with rule-(1)/(2) insertions
-    ahead of them (each new key must pass the vanilla sf0.01 gate at
-    birth).
+    Past the window, least-recently-driver-verified first: the 37
+    r13-greens (q_knn_join_sq ... q_stream_window), the 37 r14-greens
+    (q_pipeline_curate ... q_agg_hash), the 33 r15-greens
+    (q_scan_bloom ... q_dedup_exact), then the 36 r16-greens not
+    re-entering (q_sim_ivf_append ... q_scd2 — the freshest rows).
+    r18 plan per the rotation rules: the oldest r13-greens lead and
+    fill the window, with rule-(1)/(2) insertions ahead of them (each
+    new key must pass the vanilla sf0.01 gate at birth).
 
     (Historical note, kept for the record: the r12 docstring claimed
     two changes that had not landed; r13 landed both and carried an
@@ -5256,67 +5485,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     layout.py's probe cache.)
     """
     return {
-        # -- r16 window, slots 1-3: r16-born keys (rule 2)
-        "q_snapshot_vacuum": q_snapshot_vacuum,
-        "q_stream_snapshot": q_stream_snapshot,
-        "q_incr_rollup": q_incr_rollup,
-        # -- r16 window, slots 4-20: rule-(1) changed-code keys (publish
-        # CAS guard + pin-aware vacuum run on every publish tail;
-        # IVF/PQ/SQ writers + ann_drift_report gained the ADC
-        # residual; layout prune arms gained the tz-aware gate)
-        "q_sim_append_recall": q_sim_append_recall,
-        "q_snapshot_publish": q_snapshot_publish,
-        "q_publish_versions": q_publish_versions,
-        "q_publish_pruned": q_publish_pruned,
-        "q_publish_bloom": q_publish_bloom,
-        "q_stream_publish": q_stream_publish,
-        "q_publish_index": q_publish_index,
-        "q_stream_curate_publish": q_stream_curate_publish,
-        "q_sim_ivf_append": q_sim_ivf_append,
-        "q_sim_ivfpq": q_sim_ivfpq,
-        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
-        "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
-        "q_knn_join_ivfpq": q_knn_join_ivfpq,
-        "q_knn_join_ivfsq": q_knn_join_ivfsq,
-        "q_knn_join_shuffle": q_knn_join_shuffle,
-        "q_scan_skipping": q_scan_skipping,
-        "q_scan_prune_spark": q_scan_prune_spark,
-        # -- r16 window, slots 21-39: the 19 r11-greens (most overdue)
-        "q_text_wordcount": q_text_wordcount,
-        "q_text_ngram": q_text_ngram,
-        "q_dedup_fingerprint": q_dedup_fingerprint,
-        "q_null_handling": q_null_handling,
-        "q_anti_blacklist": q_anti_blacklist,
-        "q_scalar_subquery_global": q_scalar_subquery_global,
-        "q_dedup_latest": q_dedup_latest,
-        "q_split_train_test": q_split_train_test,
-        "q_sim_topk": q_sim_topk,
-        "q_sim_knn": q_sim_knn,
-        "q_text_stats": q_text_stats,
-        "q_text_tokens": q_text_tokens,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_multimodal_cols": q_multimodal_cols,
-        "q_events_window": q_events_window,
-        "q_events_sliding": q_events_sliding,
-        "q_sim_threshold": q_sim_threshold,
-        "q_events_sessionize": q_events_sessionize,
-        "q_asof_tolerance": q_asof_tolerance,
-        # -- r16 window, slots 40-50: the 11 oldest r12-greens
-        # (q_window_navigation, the 12th, was displaced past the window
-        # by the late-round q_incr_rollup birth — it leads the r17 plan)
-        "q_multimodal_arrow": q_multimodal_arrow,
-        "q_asof_forward": q_asof_forward,
-        "q_stream_sessionize": q_stream_sessionize,
-        "q_chunk_documents": q_chunk_documents,
-        "q_merge_upsert": q_merge_upsert,
-        "q_text_ulm": q_text_ulm,
-        "q_winsorize": q_winsorize,
-        "q_sample_fixed_n": q_sample_fixed_n,
-        "q_cast_types": q_cast_types,
-        "q_scalar_dates": q_scalar_dates,
-        "q_scd2": q_scd2,
+        # -- r17 window, slots 1-3: r17-born keys (rule 2)
+        "q_incr_distinct": q_incr_distinct,
+        "q_incr_recompute": q_incr_recompute,
+        "q_stream_rollup": q_stream_rollup,
+        # -- r17 window, slots 4-36: the r12-cohort DRAIN (VERDICT
+        # r16 item 1) — q_window_navigation (displaced from the r16
+        # window by the late q_incr_rollup birth) leads, then the 32
+        # remaining r12-greens in their rotation order; after this
+        # round no key's latest driver row is older than r13
         "q_window_navigation": q_window_navigation,
-        # -- past the window: the 32 remaining r12-greens
         "q_quantile_sketch": q_quantile_sketch,
         "q_profile_table": q_profile_table,
         "q_nullify_empty": q_nullify_empty,
@@ -5349,7 +5527,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_having": q_agg_having,
         "q_window_ntile": q_window_ntile,
         "q_window_analytic": q_window_analytic,
-        # -- past the window: the 37 r13-greens
+        # -- r17 window, slots 37-50: rule-(1) changed-code keys —
+        # every publish tail gained the O_EXCL writer lock, the
+        # schema-evolution contract, and the stale-tmp sweep
+        # (publish.py); incremental.py's partial aggs gained the
+        # decimal-stable sum (q_incr_rollup); curation.py's snapshot
+        # sink gained the lockstep-retention fix (q_stream_snapshot,
+        # q_stream_curate_publish); the IVF-PQ/SQ writers split their
+        # stats try-blocks (q_sim_ivfpq*, q_sim_ivfsq_rerank)
+        "q_incr_rollup": q_incr_rollup,
+        "q_snapshot_vacuum": q_snapshot_vacuum,
+        "q_stream_snapshot": q_stream_snapshot,
+        "q_snapshot_publish": q_snapshot_publish,
+        "q_publish_versions": q_publish_versions,
+        "q_publish_pruned": q_publish_pruned,
+        "q_publish_bloom": q_publish_bloom,
+        "q_stream_publish": q_stream_publish,
+        "q_publish_index": q_publish_index,
+        "q_stream_curate_publish": q_stream_curate_publish,
+        "q_sim_append_recall": q_sim_append_recall,
+        "q_sim_ivfpq": q_sim_ivfpq,
+        "q_sim_ivfpq_rerank": q_sim_ivfpq_rerank,
+        "q_sim_ivfsq_rerank": q_sim_ivfsq_rerank,
+        # -- past the window, least-recently-driver-verified first:
+        # the 37 r13-greens, 37 r14-greens, 33 r15-greens, then the
+        # 36 r16-greens not re-entering (freshest rows)
         "q_knn_join_sq": q_knn_join_sq,
         "q_embed_sq": q_embed_sq,
         "q_graph_components": q_graph_components,
@@ -5387,7 +5589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_sample_weighted": q_sample_weighted,
         "q_stream_window": q_stream_window,
-        # -- past the window: the 37 r14-greens
         "q_pipeline_curate": q_pipeline_curate,
         "q_stream_curate": q_stream_curate,
         "q_text_bm25": q_text_bm25,
@@ -5425,7 +5626,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transition_matrix": q_transition_matrix,
         "q_text_readability": q_text_readability,
         "q_agg_hash": q_agg_hash,
-        # -- past the window: the 33 r15-greens not re-entering
         "q_scan_bloom": q_scan_bloom,
         "q_scan_project": q_scan_project,
         "q_filter_daterange": q_filter_daterange,
@@ -5459,6 +5659,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_join": q_interval_join,
         "q_embed_centroid": q_embed_centroid,
         "q_dedup_exact": q_dedup_exact,
+        "q_sim_ivf_append": q_sim_ivf_append,
+        "q_knn_join_ivfpq": q_knn_join_ivfpq,
+        "q_knn_join_ivfsq": q_knn_join_ivfsq,
+        "q_knn_join_shuffle": q_knn_join_shuffle,
+        "q_scan_skipping": q_scan_skipping,
+        "q_scan_prune_spark": q_scan_prune_spark,
+        "q_text_wordcount": q_text_wordcount,
+        "q_text_ngram": q_text_ngram,
+        "q_dedup_fingerprint": q_dedup_fingerprint,
+        "q_null_handling": q_null_handling,
+        "q_anti_blacklist": q_anti_blacklist,
+        "q_scalar_subquery_global": q_scalar_subquery_global,
+        "q_dedup_latest": q_dedup_latest,
+        "q_split_train_test": q_split_train_test,
+        "q_sim_topk": q_sim_topk,
+        "q_sim_knn": q_sim_knn,
+        "q_text_stats": q_text_stats,
+        "q_text_tokens": q_text_tokens,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_multimodal_cols": q_multimodal_cols,
+        "q_events_window": q_events_window,
+        "q_events_sliding": q_events_sliding,
+        "q_sim_threshold": q_sim_threshold,
+        "q_events_sessionize": q_events_sessionize,
+        "q_asof_tolerance": q_asof_tolerance,
+        "q_multimodal_arrow": q_multimodal_arrow,
+        "q_asof_forward": q_asof_forward,
+        "q_stream_sessionize": q_stream_sessionize,
+        "q_chunk_documents": q_chunk_documents,
+        "q_merge_upsert": q_merge_upsert,
+        "q_text_ulm": q_text_ulm,
+        "q_winsorize": q_winsorize,
+        "q_sample_fixed_n": q_sample_fixed_n,
+        "q_cast_types": q_cast_types,
+        "q_scalar_dates": q_scalar_dates,
+        "q_scd2": q_scd2,
     }
 
 
@@ -6972,6 +7208,51 @@ def oracle_sql() -> dict[str, str]:
                         AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price,
                    MIN(o_orderdate) AS first_order,
                    MAX(o_orderdate) AS last_order
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        # Mergeable-sketch rollup measures (r17): two published
+        # refreshes merged; n_orders/avg_price exact (avg = exact
+        # DECIMAL sum / exact count in identical IEEE double),
+        # n_custs via theta in exact mode equals COUNT(DISTINCT);
+        # merge-vs-recompute parity and the KLL p50 rank bound are
+        # MEASURED on the Spark side and surface as literal-TRUE bools
+        "q_incr_distinct": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / COUNT(o_totalprice), 6)
+                       AS avg_price,
+                   COUNT(DISTINCT o_custkey) AS n_custs,
+                   TRUE AS n_custs_merge_eq,
+                   TRUE AS p50_rank_ok
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        # Retraction recompute (r17): every even-keyed 1-URGENT order
+        # retracted; the partition-recomputed rollup (1 group rebuilt
+        # from base, 4 passed through) equals the full recompute over
+        # the corrected base
+        "q_incr_recompute": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price,
+                   MIN(o_orderdate) AS first_order,
+                   MAX(o_orderdate) AS last_order
+            FROM orders
+            WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Streaming rollup twin (r17): the micro-batch-merged published
+        # rollup equals the one-shot batch aggregate
+        "q_stream_rollup": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / COUNT(o_totalprice), 6)
+                       AS avg_price,
+                   COUNT(DISTINCT o_custkey) AS n_custs
             FROM orders GROUP BY 1 ORDER BY 1
         """,
         # Pin-aware vacuum (r16): v1 (pinned by the snapshot) survives a

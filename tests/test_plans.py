@@ -564,6 +564,22 @@ GOLDEN = {
         ban_bnlj=True,
         max_scan_cols=2,
     ),
+    # ------------------------------------------------------------------
+    # r17 keys
+    # sketch-measure rollup reader: published-rollup scan (row-local
+    # finalize) + the one-shot parity recompute (1 agg exchange) + the
+    # rank measurement (broadcast join + 1 agg exchange) + final sort —
+    # the refresh-time merge shuffles are not on the read path
+    "q_incr_distinct": dict(
+        max_exchanges=3, joins=["BroadcastHashJoin"], ban_bnlj=True,
+        pushed=True,
+    ),
+    # retraction-recomputed rollup reader: plain pointer-resolved scan
+    # + ordering sort — recompute cost was paid at refresh time
+    "q_incr_recompute": dict(max_exchanges=1, ban_bnlj=True),
+    # streaming rollup reader: same shape — the micro-batch merges
+    # happened in foreachBatch, the read is scan + sort
+    "q_stream_rollup": dict(max_exchanges=1, ban_bnlj=True),
 }
 
 

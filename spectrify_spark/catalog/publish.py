@@ -27,7 +27,11 @@ protocol table formats use under the hood:
   version N is undisturbed by the publish of N+1;
 - old versions are vacuumed only after ``keep_versions`` newer ones
   exist, giving in-flight readers a grace window plus free time
-  travel (``read_published(version=...)``).
+  travel (``read_published(version=...)``);
+- schema changes are refused by default (r17): additive evolution
+  needs an explicit ``allow_added_columns=True``, dropped/retyped
+  columns always need a fresh root — :class:`SchemaEvolutionError`
+  states the full contract and the time-travel semantics.
 
 Storage routing: every directory/pointer/vacuum operation goes
 through the same Hadoop FileSystem helper the index sidecars use
@@ -1136,10 +1140,19 @@ def vacuum(
     below the pointer would otherwise evict the just-superseded
     version an in-flight reader is still scanning.
 
+    WRITER LOCK (r17): vacuum acquires the same exclusive-create lock
+    as publish (thread-local reentrant, so the publish-tail vacuum
+    re-enters), turning the assumption below — that no publish is
+    concurrently landing while vacuum runs — into an enforced
+    property on local/HDFS storage: an out-of-band vacuum cannot
+    sweep the above-pointer directory an in-flight publish is
+    actively landing.
+
     Past the pointer: an UNCOMMITTED dir is a crashed-publish partial
     and is removed outright (it was never visible to any reader, and
-    the single-writer contract means no publish is concurrently
-    landing one when vacuum runs); a COMMITTED dir past the pointer
+    the single-writer contract — lock-enforced where storage allows —
+    means no publish is concurrently landing one when vacuum runs); a
+    COMMITTED dir past the pointer
     is a publish between its marker and its flip — never touched.
     BELOW the pointer an uncommitted dir is never removed either —
     after the legacy migration has run, it can only mean out-of-band
@@ -1151,6 +1164,22 @@ def vacuum(
     under the single-writer guarantee, so a committed-unflipped crash
     cannot survive into a later pointer regime and masquerade as
     published.)"""
+    lock = _acquire_publish_lock(root, spark)
+    try:
+        return _vacuum_locked(
+            root, keep_versions, spark, protect, snapshots
+        )
+    finally:
+        _release_publish_lock(root, lock, spark)
+
+
+def _vacuum_locked(
+    root: str,
+    keep_versions: int,
+    spark,
+    protect: "set[int] | None",
+    snapshots: "list[str] | None",
+) -> list[int]:
     _migrate_legacy_markers(root, spark)
     pinned: set[int] = {int(v) for v in (protect or ())}
     for sroot in snapshots or ():

@@ -1214,6 +1214,10 @@ def test_vacuum_sweeps_stale_pointer_tmp(spark, tmp_path):
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)
     os.remove(fresh)
+    # r17: vacuum takes and releases the writer lock itself
+    from spectrify_spark.catalog.publish import PUBLISH_LOCK
+
+    assert not os.path.exists(os.path.join(root, PUBLISH_LOCK))
 
 
 def test_vacuum_cli_pin_aware(spark, tmp_path, capsys):

@@ -1806,7 +1806,10 @@ def q_incr_distinct(spark, sf):
     specs = {
         "n_orders": ("count", None),
         "avg_price": ("avg", "price"),
-        "n_custs": ("approx_distinct", "o_custkey"),
+        # lgk=18 keeps theta in EXACT mode through the 10x (/tmp/sf1)
+        # rehearsal (~129k distinct custs/priority); production rollups
+        # use the default lgk=14 where estimates carry ~0.8% RSE
+        "n_custs": ("approx_distinct", "o_custkey", 18),
         "p50_price": ("quantile", "price", 0.5),
     }
     root = tempfile.mkdtemp(prefix="q_incr_distinct_") + "/rollup"
@@ -1951,7 +1954,8 @@ def q_stream_rollup(spark, sf):
         "n_orders": ("count", None),
         "sum_price": ("sum", "price"),
         "avg_price": ("avg", "price"),
-        "n_custs": ("approx_distinct", "o_custkey"),
+        # lgk=18: exact through the 10x rehearsal (see q_incr_distinct)
+        "n_custs": ("approx_distinct", "o_custkey", 18),
     }
     root = f"{work}/rollup"
     prev = spark.conf.get("spark.sql.shuffle.partitions", "200")

@@ -179,7 +179,14 @@ def _merge_aggs(specs: dict) -> list:
             aggs.append(F.sum(F.col(f"{out}__sum")).alias(f"{out}__sum"))
             aggs.append(F.sum(F.col(f"{out}__cnt")).alias(f"{out}__cnt"))
         elif kind == "approx_distinct":
-            aggs.append(F.expr(f"theta_union_agg(`{out}`)").alias(out))
+            # the union must carry the sketches' own lgk: a
+            # smaller-k union downsamples exact-mode sketches into
+            # estimation mode, silently losing the below-2^lgk
+            # exactness the spec's lgk bought
+            lgk = int(_param_of(spec, _DEFAULT_LGK))
+            aggs.append(
+                F.expr(f"theta_union_agg(`{out}`, {lgk})").alias(out)
+            )
         else:  # quantile
             aggs.append(F.expr(f"kll_merge_agg_double(`{out}`)").alias(out))
     return aggs

@@ -411,3 +411,32 @@ def test_rollup_cli_refresh_and_read(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="OUT=KIND"):
         cli.main(["rollup-refresh", d1, root, "--keys", "k",
                   "--measures", "bogus"])
+
+
+def test_theta_union_carries_spec_lgk(spark):
+    """r17 10x-rehearsal find: theta_union_agg's DEFAULT nominal k is
+    smaller than the sketches' lgk — merging two exact-mode sketches
+    through it DOWNSAMPLED them into estimation mode, so the merged
+    distinct went approximate while the one-shot recompute stayed
+    exact (q_incr_distinct's merge-parity boolean caught it at
+    /tmp/sf1).  The merge now passes the spec's lgk through: at 9000
+    distincts (> the default union's k, < 2^14) the merged estimate
+    must equal the exact count."""
+    specs = {"nd": ("approx_distinct", "v")}
+    d1 = spark.range(6000).select(
+        F.lit("a").alias("k"), F.col("id").alias("v")
+    )
+    d2 = spark.range(3000, 9000).select(
+        F.lit("a").alias("k"), F.col("id").alias("v")
+    )
+    merged = finalize_rollup(
+        merge_rollup(
+            rollup_delta(d1, ["k"], specs),
+            rollup_delta(d2, ["k"], specs),
+            ["k"],
+            specs,
+        ),
+        ["k"],
+        specs,
+    )
+    assert merged.collect()[0]["nd"] == 9000

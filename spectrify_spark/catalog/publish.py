@@ -385,11 +385,44 @@ def _is_committed_or_legacy(root: str, n: int, spark=None) -> bool:
 
 
 def _lock_payload() -> dict:
+    import socket
+
     return {
         "pid": os.getpid(),
+        "host": socket.gethostname(),
         "token": uuid.uuid4().hex,
         "acquired_at": time.time(),
     }
+
+
+def _lock_holder_dead(lock_path: str) -> bool:
+    """Whether the LOCAL lock file's recorded holder is provably dead:
+    same hostname as us AND its pid no longer exists.  This is the
+    fast crash-recovery path (r17 self-review): without it, a writer
+    SIGKILL'd mid-publish blocks every later publish on this root for
+    the full :data:`LOCK_STALE_SECONDS` age gate — a restarted
+    streaming job would stall an hour on its own dead lock.  A
+    different host (or an unreadable payload) proves nothing and falls
+    back to the age gate."""
+    import socket
+
+    try:
+        with open(lock_path) as fh:
+            payload = json.load(fh)
+        if payload.get("host") != socket.gethostname():
+            return False
+        pid = int(payload["pid"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return False
+    if pid <= 0 or pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive, owned by someone else
+    return False
 
 
 #: thread-local reentrancy table {canonical root: depth} — a publish
@@ -463,20 +496,25 @@ def _acquire_publish_lock(
                     st = os.stat(lock_path)
                 except FileNotFoundError:
                     continue  # released between create-fail and stat
-                if time.time() - st.st_mtime > stale:
+                aged_out = time.time() - st.st_mtime > stale
+                # fast crash recovery: a same-host holder whose pid is
+                # gone is dead NOW — no need to wait out the age gate
+                if aged_out or _lock_holder_dead(lock_path):
                     grab = f"{lock_path}.stale.{uuid.uuid4().hex[:8]}"
                     try:
-                        # re-stat immediately before the rename so the
-                        # capture window is stat->rename, not the whole
-                        # wait loop
-                        if time.time() - os.stat(lock_path).st_mtime > stale:
+                        # re-check immediately before the rename so the
+                        # capture window is check->rename, not the
+                        # whole wait loop
+                        if (
+                            time.time() - os.stat(lock_path).st_mtime
+                            > stale
+                        ) or _lock_holder_dead(lock_path):
                             os.rename(lock_path, grab)
                             logger.warning(
-                                "publish lock at %s: took over a stale "
-                                "lock (age > %.0fs — writer presumed "
-                                "dead)",
+                                "publish lock at %s: took over a %s "
+                                "lock (writer presumed dead)",
                                 root,
-                                stale,
+                                "stale" if aged_out else "dead-holder",
                             )
                             os.remove(grab)
                     except (FileNotFoundError, OSError):
@@ -808,7 +846,6 @@ def publish(
     if keep_versions < 1:
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     spark = df.sparkSession
-    _check_schema_evolution(spark, root, df.schema, allow_added_columns)
     # overlap guard (the compact_* lesson): publishing a dataset INTO a
     # directory it is being read from would land v=N inside the source
     # — every later plain scan discovers v=N as a partition and returns
@@ -885,6 +922,13 @@ def publish(
     return _publish_version(
         root, spark, land, keep_versions, keep_leftover=keep_leftover,
         caller="publish", marker_extra={"schema": df.schema.jsonValue()},
+        # the evolution check runs UNDER the writer lock (r17
+        # self-review): a pre-flight check could read the pointed
+        # schema, lose the lock race to a publisher that evolves it,
+        # and then land a now-breaking schema unchecked
+        pre_land=lambda: _check_schema_evolution(
+            spark, root, df.schema, allow_added_columns
+        ),
     )
 
 
@@ -896,6 +940,7 @@ def _publish_version(
     keep_leftover=None,
     caller: str = "publish",
     marker_extra: "dict | None" = None,
+    pre_land=None,
 ) -> int:
     """The shared protocol tail of :func:`publish` / :func:`publish_dir`
     (ONE implementation so the write order cannot diverge between the
@@ -952,6 +997,8 @@ def _publish_version(
     # best-effort and the re-read guard stays the operative check.
     lock = _acquire_publish_lock(root, spark)
     try:
+        if pre_land is not None:
+            pre_land()  # e.g. the schema-evolution check, under the lock
         _migrate_legacy_markers(root, spark)
         cur0 = current_version(root, spark)
         salvaged: list[int] = []

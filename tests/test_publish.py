@@ -1385,3 +1385,43 @@ def test_schema_contract_skips_pre_recording_datasets(spark, tmp_path):
             root,
             keep_versions=9,
         )
+
+
+def test_publish_lock_dead_holder_immediate_takeover(spark, tmp_path, caplog):
+    """r17 self-review: a writer SIGKILL'd mid-publish leaves a FRESH
+    lock — without pid-liveness, every later publish on this root
+    would wait out the full hour-long age gate (a restarted streaming
+    job stalling on its own dead lock).  A same-host lock whose pid is
+    gone is taken over immediately; the age gate stays the fallback
+    for other-host locks."""
+    import logging as _logging
+    import socket
+    import subprocess
+
+    from spectrify_spark.catalog.publish import PUBLISH_LOCK, read_published
+
+    root = str(tmp_path / "ds")
+    os.makedirs(root, exist_ok=True)
+    # a real pid that has exited: spawn-and-wait a child
+    child = subprocess.Popen(["true"])
+    child.wait()
+    lock = os.path.join(root, PUBLISH_LOCK)
+    with open(lock, "w") as fh:
+        json.dump(
+            {"pid": child.pid, "host": socket.gethostname(), "token": "dead"},
+            fh,
+        )
+    with caplog.at_level(_logging.WARNING):
+        publish(_df(spark, 4, "a"), root, keep_versions=2)  # no hour wait
+    assert any("dead-holder" in r.message for r in caplog.records)
+    assert read_published(spark, root).count() == 4
+    assert not os.path.exists(lock)
+
+    # an OTHER-host fresh lock is NOT taken over (age gate governs)
+    with open(lock, "w") as fh:
+        json.dump({"pid": 1, "host": "elsewhere.invalid", "token": "x"}, fh)
+    from spectrify_spark.catalog.publish import _acquire_publish_lock
+
+    with pytest.raises(TimeoutError):
+        _acquire_publish_lock(root, wait=0.2)
+    os.remove(lock)

@@ -1302,15 +1302,22 @@ def _sweep_stale_tmp(root: str, spark=None) -> None:
     ending in ``.tmp`` older than :data:`TMP_SWEEP_SECONDS`; the age
     gate keeps a concurrent writer's in-flight temp (sub-second
     lifetime) safe.  Stale-lock capture leftovers
-    (``.spectrify_publish.lock.stale.*``) match the same pattern via
-    their own suffix check.  Best-effort: a sweep failure never fails
+    (``.spectrify_publish.lock.stale.<hex>`` — orphaned only by a
+    crash between the takeover rename and its remove) are swept by
+    the same age gate.  Best-effort: a sweep failure never fails
     the vacuum."""
+
+    def _sweepable(nm: str) -> bool:
+        return nm.startswith(".") and (
+            nm.endswith(".tmp") or f"{PUBLISH_LOCK}.stale." in nm
+        )
+
     now = time.time()
     lp = _local_path(root)
     try:
         if lp is not None:
             for nm in os.listdir(lp):
-                if not (nm.startswith(".") and nm.endswith(".tmp")):
+                if not _sweepable(nm):
                     continue
                 p = os.path.join(lp, nm)
                 try:
@@ -1328,7 +1335,7 @@ def _sweep_stale_tmp(root: str, spark=None) -> None:
             return
         for st in fs.listStatus(hpath):
             nm = st.getPath().getName()
-            if not (nm.startswith(".") and nm.endswith(".tmp")):
+            if not _sweepable(nm):
                 continue
             if st.isFile() and now - st.getModificationTime() / 1000.0 > TMP_SWEEP_SECONDS:
                 fs.delete(st.getPath(), False)

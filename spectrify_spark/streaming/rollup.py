@@ -17,7 +17,11 @@ merged in" commits atomically with the data.  On restart,
 reads the pointed version's marker first and SKIPS any batch id it
 already covers — no double merge, no lost batch.  (Batch ids are
 per-checkpoint: keep one checkpoint dir per rollup root, as with
-every streaming sink.)
+every streaming sink — and do not interleave batch
+``maintain_published_rollup`` refreshes into a LIVE stream's root: a
+batch-path version carries no marker, so a stream replay landing
+right after one cannot prove its batch was already merged.  Batch
+backfills belong before the stream starts or after it stops.)
 
 State story: the stream side holds NO state at all — each micro-batch
 partial-aggregates (|batch-groups| rows) and merges against the

@@ -1210,13 +1210,20 @@ def test_vacuum_sweeps_stale_pointer_tmp(spark, tmp_path):
             fh.write("{}")
     old = __import__("time").time() - TMP_SWEEP_SECONDS - 60
     os.utime(stale, (old, old))
+    # an orphaned stale-lock capture (crash between takeover rename
+    # and remove) is swept by the same age gate
+    from spectrify_spark.catalog.publish import PUBLISH_LOCK
+
+    grab = os.path.join(root, f"{PUBLISH_LOCK}.stale.deadbeef")
+    with open(grab, "w") as fh:
+        fh.write("{}")
+    os.utime(grab, (old, old))
     vacuum(root, keep_versions=2)
     assert not os.path.exists(stale)
+    assert not os.path.exists(grab)
     assert os.path.exists(fresh)
     os.remove(fresh)
     # r17: vacuum takes and releases the writer lock itself
-    from spectrify_spark.catalog.publish import PUBLISH_LOCK
-
     assert not os.path.exists(os.path.join(root, PUBLISH_LOCK))
 
 

@@ -26,8 +26,8 @@ however old.
 Layout::
 
     root/v=3/_spectrify_cow_manifest.json   # part key -> "v=1|v=3"
-    root/v=3/p=<enc>/part-*.parquet         # only CHANGED partitions
-    root/v=1/p=<enc>/part-*.parquet         # still referenced by v=3
+    root/v=3/__p=<enc>/part-*.parquet       # only CHANGED partitions
+    root/v=1/__p=<enc>/part-*.parquet       # still referenced by v=3
 
 The partition column's VALUE stays in the parquet rows (no Hive
 directory encoding, no re-attach on read); the directory name is an
@@ -156,13 +156,29 @@ def publish_cow_update(
 
     def build(vdir: str) -> None:
         vname = vdir.rstrip("/").rsplit("/", 1)[-1]  # "v=N"
-        for value in touched:
-            enc = _enc_part(value)
-            pdf = updates.filter(
-                F.col(part_col).eqNullSafe(F.lit(value))
+        if touched:
+            # ONE write job for all touched partitions: partitionBy on
+            # a driver-computed encoding column (a when-chain over the
+            # bounded touched list — no UDF, no per-partition job
+            # loop; the original part_col VALUE stays in the rows, the
+            # __p directory token is addressing only)
+            enc_expr = None
+            for value in touched:
+                cond = F.col(part_col).eqNullSafe(F.lit(value))
+                branch = F.lit(_enc_part(value))
+                enc_expr = (
+                    F.when(cond, branch)
+                    if enc_expr is None
+                    else enc_expr.when(cond, branch)
+                )
+            (
+                updates.withColumn("__p", enc_expr)
+                .write.mode("overwrite")
+                .partitionBy("__p")
+                .parquet(vdir)
             )
-            pdf.write.mode("overwrite").parquet(f"{vdir}/p={enc}")
-            parts[enc] = vname
+            for value in touched:
+                parts[_enc_part(value)] = vname
         write_json_sidecar(
             spark,
             vdir,
@@ -200,7 +216,7 @@ def read_published_cow(
     if partitions is not None:
         want = {_enc_part(v) for v in partitions}
         parts = {e: vd for e, vd in parts.items() if e in want}
-    dirs = [_join(root, f"{vd}/p={e}") for e, vd in sorted(parts.items())]
+    dirs = [_join(root, f"{vd}/__p={e}") for e, vd in sorted(parts.items())]
     if not dirs:
         schema = StructType.fromJson(m["schema"]) if m["schema"] else None
         if schema is None:
@@ -222,21 +238,61 @@ def cow_partitions(spark, root: str, version: "int | None" = None) -> list:
     )
 
 
+def cow_partition_versions(
+    spark, root: str, version: "int | None" = None
+) -> dict:
+    """partition VALUE -> the version number whose directory holds its
+    current data — the audit view of copy-on-write reuse (a refresh
+    that touched one partition leaves every other entry pointing at an
+    older version)."""
+    m = _read_manifest(spark, root, version=version)
+    return {
+        _dec_part(e): int(vd[2:]) for e, vd in m["parts"].items()
+    }
+
+
+def _window_versions(root: str, keep_versions: int, spark=None) -> list:
+    """The manifest versions the ordinary keep window retains — the
+    newest ``keep_versions`` COMMITTED versions at or below the
+    pointer, plus the pointed one (the same window
+    :func:`catalog.publish.vacuum` computes)."""
+    from spectrify_spark.catalog.publish import (
+        _is_committed,
+        _versions,
+        current_version,
+    )
+
+    cur = current_version(root, spark)
+    if cur is None:
+        return []
+    published = [
+        v
+        for v in _versions(root, spark)
+        if v <= cur and _is_committed(root, v, spark)
+    ]
+    return sorted(set(published[-keep_versions:]) | {cur})
+
+
 def cow_referenced_versions(
-    spark, root: str, retained_only: bool = True
+    spark, root: str, manifest_versions: "list | None" = None
 ) -> "set[int]":
-    """Version numbers any (retained) manifest still references — the
-    set a vacuum must not evict.  Driver-side JSON reads, bounded by
+    """Version numbers the given manifests (default: every committed
+    one) still reference — the set a vacuum of those manifests'
+    survivors must not evict.  Driver-side JSON reads, bounded by
     |versions| x |partitions|."""
     from spectrify_spark.catalog.publish import (
         _is_committed_or_legacy,
         _versions,
     )
 
+    if manifest_versions is None:
+        manifest_versions = [
+            v
+            for v in _versions(root, spark)
+            if _is_committed_or_legacy(root, v, spark)
+        ]
     refs: set[int] = set()
-    for v in _versions(root, spark):
-        if retained_only and not _is_committed_or_legacy(root, v, spark):
-            continue
+    for v in manifest_versions:
         try:
             m = _read_manifest(spark, root, version=v)
         except FileNotFoundError:
@@ -251,27 +307,20 @@ def vacuum_cow(
 ) -> list[int]:
     """Retention for copy-on-write datasets: the ordinary keep window
     applies to MANIFEST versions, but a version directory whose files
-    a retained manifest still references must survive however old —
-    exactly the pin-aware vacuum's ``protect=`` contract, so this is a
-    thin composition: compute the referenced set, hand it to
-    :func:`catalog.publish.vacuum`.  First the keep window trims old
-    manifests; the reference set is computed from the manifests that
-    REMAIN, so fully-superseded data versions age out naturally on
-    the next call once no retained manifest names them."""
+    a RETAINED manifest still references must survive however old —
+    exactly the pin-aware vacuum's ``protect=`` contract, so this is
+    a thin composition: compute which manifests the window keeps,
+    collect the version numbers THOSE manifests reference, and hand
+    the set to :func:`catalog.publish.vacuum` as ``protect=``.  (The
+    references must come from the RETAINED manifests only: every
+    manifest references its own version, so protecting all manifests'
+    references would keep every old version alive forever.)  A data
+    version outside the window is reclaimed the moment no retained
+    manifest names it."""
     from spectrify_spark.catalog.publish import vacuum
 
-    # pass 1: ordinary window, protecting everything currently
-    # referenced (by ANY committed manifest, retained or not — a
-    # manifest inside the window may reference an old data version)
-    refs = cow_referenced_versions(spark, root)
-    removed = vacuum(
+    retained = _window_versions(root, keep_versions, spark)
+    refs = cow_referenced_versions(spark, root, manifest_versions=retained)
+    return vacuum(
         root, keep_versions=keep_versions, spark=spark, protect=refs
     )
-    # pass 2: manifests outside the window are gone now — recompute
-    # references from the survivors and reclaim newly-unreferenced
-    # data versions that sit outside the window
-    refs2 = cow_referenced_versions(spark, root)
-    removed += vacuum(
-        root, keep_versions=keep_versions, spark=spark, protect=refs2
-    )
-    return sorted(set(removed))

@@ -315,6 +315,145 @@ def read_rollup(
     )
 
 
+def maintain_published_rollup_cow(
+    spark,
+    root: str,
+    delta: DataFrame,
+    keys: list[str],
+    specs: dict,
+    part_col: "str | None" = None,
+    keep_versions: int = 2,
+) -> int:
+    """COPY-ON-WRITE refresh (r17 — catalog/cow.py): the plain
+    :func:`maintain_published_rollup` rewrites the WHOLE |groups|-row
+    rollup per refresh — fine for bounded group counts, but a view
+    with millions of groups (per-doc stats, per-(source, day) tallies)
+    pays |groups| read+write for a delta that touched one day.  Here
+    the rollup is a cow dataset partitioned by ``part_col`` (one of
+    the keys, default the first): a refresh
+
+    - partial-aggregates the DELTA (|delta| scan),
+    - reads ONLY the touched partitions of the rollup — manifest-level
+      pruning, untouched partitions' files are never listed,
+    - merges and rewrites ONLY those partitions; the new manifest
+      carries every other partition over by reference.
+
+    Refresh cost is |delta| + |touched partitions| in both read and
+    write — independent of total group count, the stronger form of
+    the corpus-never-rescanned property.  Retention via
+    :func:`catalog.cow.vacuum_cow` (referenced data versions survive
+    the keep window).  Read back with :func:`read_rollup_cow`.
+    Insert-only, single writer, as the plain form."""
+    from spectrify_spark.catalog.cow import (
+        publish_cow_update,
+        read_published_cow,
+    )
+    from spectrify_spark.catalog.publish import current_version
+
+    _check_specs(specs)
+    pc = part_col or keys[0]
+    if pc not in keys:
+        raise ValueError(
+            f"maintain_published_rollup_cow: part_col {pc!r} must be "
+            f"one of the rollup keys {keys} (each group row must "
+            "belong to exactly one partition)"
+        )
+    part = rollup_delta(delta, keys, specs)
+    if current_version(root, spark) is not None:
+        touched = [r[0] for r in part.select(pc).distinct().collect()]
+        base_touched = read_published_cow(
+            spark, root, partitions=touched
+        ).select(*keys, *partial_columns(specs))
+        part = merge_rollup(base_touched, part, keys, specs)
+    return publish_cow_update(
+        spark, root, part, pc, keep_versions=keep_versions
+    )
+
+
+def read_rollup_cow(
+    spark,
+    root: str,
+    keys: list[str],
+    specs: dict,
+    version: int | None = None,
+    partitions: "list | None" = None,
+) -> DataFrame:
+    """Presentation read of a copy-on-write rollup — finalize over the
+    manifest-resolved scan; ``partitions=`` prunes at the manifest."""
+    from spectrify_spark.catalog.cow import read_published_cow
+
+    return finalize_rollup(
+        read_published_cow(
+            spark, root, version=version, partitions=partitions
+        ),
+        keys,
+        specs,
+    )
+
+
+def recompute_partitions_cow(
+    spark,
+    root: str,
+    base: DataFrame,
+    touched: DataFrame,
+    keys: list[str],
+    specs: dict,
+    part_col: "str | None" = None,
+    keep_versions: int = 2,
+) -> int:
+    """Retraction repair for a copy-on-write rollup: recompute the
+    key-groups a retraction touched from the corrected ``base``
+    (broadcast semi-join) and rewrite ONLY the cow partitions those
+    groups live in — groups sharing a touched partition but not
+    themselves touched are carried into the rewritten partition from
+    the current rollup (partition-local anti-join); every other
+    partition carries over by manifest reference.  A partition whose
+    groups were ALL retracted is dropped from the manifest.  Cost:
+    |touched slice of base| + |touched partitions| — the cow analog
+    of :func:`recompute_partitions`."""
+    from spectrify_spark.catalog.cow import (
+        publish_cow_update,
+        read_published_cow,
+    )
+
+    _check_specs(specs)
+    pc = part_col or keys[0]
+    if pc not in keys:
+        raise ValueError(
+            f"recompute_partitions_cow: part_col {pc!r} must be one "
+            f"of the rollup keys {keys}"
+        )
+    tkeys = F.broadcast(touched.select(*keys).distinct())
+    fresh = rollup_delta(base.join(tkeys, keys, "semi"), keys, specs)
+    # the partitions being rewritten: those containing ANY touched
+    # group — from the touched KEYS (not fresh: a fully-retracted
+    # group produces no fresh row but its partition still needs the
+    # rewrite that removes it)
+    tparts = [
+        r[0]
+        for r in touched.select(pc).distinct().collect()
+    ]
+    kept_in_tparts = (
+        read_published_cow(spark, root, partitions=tparts)
+        .select(*keys, *partial_columns(specs))
+        .join(tkeys, keys, "anti")
+    )
+    updates = kept_in_tparts.unionByName(fresh)
+    # partitions whose rewrite came out EMPTY must be dropped, not
+    # carried over (their old files still hold the retracted groups);
+    # every updates row lives in tparts by construction
+    live = {r[0] for r in updates.select(pc).distinct().collect()}
+    drops = [v for v in tparts if v not in live]
+    return publish_cow_update(
+        spark,
+        root,
+        updates if live else None,
+        pc,
+        drop_partitions=drops,
+        keep_versions=keep_versions,
+    )
+
+
 def recompute_partitions(
     spark,
     root: str,

@@ -580,6 +580,10 @@ GOLDEN = {
     # streaming rollup reader: same shape — the micro-batch merges
     # happened in foreachBatch, the read is scan + sort
     "q_stream_rollup": dict(max_exchanges=1, ban_bnlj=True),
+    # copy-on-write rollup reader: manifest-resolved union of the
+    # referenced partition dirs + ordering sort — refresh wrote only
+    # the touched partition, the read pays one Exchange
+    "q_incr_cow": dict(max_exchanges=1, ban_bnlj=True),
 }
 
 

@@ -96,6 +96,26 @@ def main(sf_dir: str, work: str) -> None:
     )
     read_rollup(spark, sroot, KEYS, SPECS).orderBy(*KEYS).show(truncate=False)
 
+    # 4. the copy-on-write form: refresh 2 touches ONE partition, so
+    # v=2 writes one directory and the manifest carries the other four
+    # over by reference — refresh cost independent of group count
+    from spectrify_spark.catalog.cow import cow_partition_versions
+    from spectrify_spark.operators.incremental import (
+        maintain_published_rollup_cow,
+        read_rollup_cow,
+    )
+
+    croot = f"{work}/cow_rollup"
+    late = (F.col("o_orderpriority") == "1-URGENT") & (
+        F.col("o_orderkey") % 2 == 0
+    )
+    maintain_published_rollup_cow(spark, croot, o.filter(~late), KEYS, SPECS)
+    maintain_published_rollup_cow(spark, croot, o.filter(late), KEYS, SPECS)
+    print("cow partition -> data version:", cow_partition_versions(spark, croot))
+    read_rollup_cow(spark, croot, KEYS, SPECS).orderBy(*KEYS).show(
+        truncate=False
+    )
+
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"

@@ -4441,22 +4441,42 @@ def q_graph_triangles(spark, sf):
     O(sum deg^2), all shuffle-joinable, AQE-splittable (no inequality
     joins; the orientation is a filter over equi-joins).  The oracle
     replays the same oriented enumeration as a SQL triple join.
-    Output: (n_edges, n_triangles)."""
-    from spectrify_spark.operators.graph import triangle_count
+    Output: (n_edges, n_triangles).
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    x, y = li.alias("x"), li.alias("y")
-    edges = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-    ).select(
-        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    r17 opt round (guide §2.3/§2.4): the edge set used to come from a
+    lineitem SELF-JOIN on l_orderkey — O(sum group²) pair rows built
+    by shuffling the fact table TWICE, then deduped by one more full
+    shuffle inside triangle_count.  It now comes from
+    cooccurrence_edges (the q_graph_components build): ONE groupBy
+    collects each order's distinct part set, pairs explode map-side,
+    one count agg dedups — the identical distinct canonical pair set
+    (same n_edges, same triangles; hash-checked unchanged), two
+    bounded shuffles instead of a fact-table self-join.  The edge set
+    is persisted (triangle_count's own caller-owned-cache convention)
+    so its two consumers — the n_edges aggregate and the wedge
+    enumeration — share one computation, and
+    triangle_count(assume_canonical=True) skips re-deduping the
+    already-canonical pairs; persist (not checkpoint) keeps the full
+    build plan, scan pushdown included, visible to the plan gate."""
+    from spectrify_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count,
     )
-    n_edges = edges.distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        # the old self-join's equi/inequality keys implied NOT NULL on
+        # both columns (and pushed IsNotNull to the scan); the grouped
+        # build states it explicitly — same row set, same pushdown
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
     )
-    tri = triangle_count(edges)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_count=1)
+    edges.persist()
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    tri = triangle_count(edges, assume_canonical=True)
     return F.broadcast(n_edges).crossJoin(F.broadcast(tri))
 
 

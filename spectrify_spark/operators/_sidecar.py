@@ -157,6 +157,45 @@ def read_json_sidecar(spark, path: str, filename: str):
     return json.loads(data.decode())
 
 
+def partitioned_read_schema(df_schema, partition_cols: list[str]) -> dict:
+    """JSON-able schema of a ``partitionBy(partition_cols)`` parquet
+    round trip of a frame with ``df_schema``: the data columns in
+    their original order minus the partition columns, then the
+    partition columns (keeping their ORIGINAL types — an explicit read
+    schema makes Spark cast directory values to them).
+
+    Index writers stamp this into their model sidecar (r17 opt round)
+    so every later probe can pass ``.schema(...)`` instead of paying a
+    schema-inference pass per read — one footer-read job per probe
+    locally, a real object-store round trip at scale."""
+    from pyspark.sql import types as T
+
+    pset = set(partition_cols)
+    fields = [f for f in df_schema.fields if f.name not in pset]
+    by_name = {f.name: f for f in df_schema.fields}
+    fields += [by_name[c] for c in partition_cols]
+    return T.StructType(fields).jsonValue()
+
+
+def schema_from_payload(payload):
+    """``StructType`` for :func:`partitioned_read_schema`'s sidecar
+    entry (``payload["read_schema"]``), or None when the sidecar
+    predates it (probes fall back to inference)."""
+    from pyspark.sql import types as T
+
+    sch = (payload or {}).get("read_schema")
+    return T.StructType.fromJson(sch) if sch else None
+
+
+def read_indexed_parquet(spark, path: str, payload):
+    """Read an index directory, skipping schema inference when the
+    model sidecar carries the build-time read schema."""
+    sch = schema_from_payload(payload)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(path)
+    return spark.read.parquet(path)
+
+
 def copy_sidecars(spark, src: str, dst: str) -> list[str]:
     """Copy every ``_spectrify_*.json`` sidecar from ``src`` to ``dst``
     (overwrite), returning the copied filenames.

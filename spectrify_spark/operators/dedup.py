@@ -424,6 +424,24 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _truncate_lazy(df: DataFrame) -> DataFrame:
+    """:func:`_truncate_lineage` without the eager materialization job
+    (r17 opt round): the logical plan is cut immediately either way,
+    but the blocks materialize as part of the NEXT action instead of a
+    dedicated job per call — for an iterative loop whose per-round
+    driver action is a convergence probe, that halves the job count;
+    for a loop with no per-round action at all, the whole computation
+    rides the caller's single action.  The checkpointed RDD is still
+    persisted at first computation, so multi-consumer frames compute
+    once.  Prefer the eager form only when a frame must be
+    materialized BEFORE a driver-side decision that its own lineage
+    depends on."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def connected_components(
     pairs: DataFrame, max_iters: int = 10
 ) -> DataFrame:
@@ -445,14 +463,19 @@ def connected_components(
     grows without bound — a scale-killer at 100 TB.  Checkpointing
     keeps the per-round plan constant-size.
     """
-    edges = _truncate_lineage(
+    # LAZY truncation (r17 opt round): the plan is cut exactly as with
+    # the eager form, but each round's labels materialize as part of
+    # the round's own `changed` probe — one job per round instead of
+    # two (eager checkpoint + separate count), and the up-front edge /
+    # label builds ride the first round's job.
+    edges = _truncate_lazy(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
     )
-    labels = _truncate_lineage(
+    labels = _truncate_lazy(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
@@ -463,7 +486,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
-        new_labels = _truncate_lineage(
+        new_labels = _truncate_lazy(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -754,7 +777,7 @@ def write_band_index(
                 "Rebuild with mode='overwrite', or (if the build params "
                 "are known) stamp them first with write_index_params."
             )
-        if existing != params:
+        if {k: existing.get(k) for k in params} != params:
             raise ValueError(
                 f"write_band_index: append params {params} do not match the "
                 f"index's build params {existing}; an appended row banded "
@@ -764,9 +787,21 @@ def write_band_index(
     banded = _band_explode(
         minhash_signatures_from_shingles(sh, num_hashes), num_hashes, bands
     )
+    rows = banded.join(sh, "id").withColumn(
+        "pbucket", F.pmod(F.col("bucket"), F.lit(n_buckets))
+    )
+    # build-time read-back schema (r17 opt round): probes skip schema
+    # inference; appends carry the build's schema forward
+    from spectrify_spark.operators._sidecar import partitioned_read_schema
+
+    if mode == "append" and existing.get("read_schema"):
+        params["read_schema"] = existing["read_schema"]
+    else:
+        params["read_schema"] = partitioned_read_schema(
+            rows.schema, ["band", "pbucket"]
+        )
     (
-        banded.join(sh, "id")
-        .withColumn("pbucket", F.pmod(F.col("bucket"), F.lit(n_buckets)))
+        rows
         # shuffle onto the partition key before the partitioned write:
         # without this, EVERY write task holds rows of up to
         # bands*n_buckets partitions and opens that many files — up to
@@ -910,7 +945,9 @@ def near_dup_pairs_indexed(
             "only, i.e. wrong results for a typo'd path)"
         )
     try:
-        idx = spark.read.parquet(index_path)
+        from spectrify_spark.operators._sidecar import read_indexed_parquet
+
+        idx = read_indexed_parquet(spark, index_path, built_with)
     except AnalysisException:
         # an EMPTY corpus writes a file-less partitioned dir (only
         # _SUCCESS + params sidecar), which schema inference rejects —

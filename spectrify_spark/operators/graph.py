@@ -28,7 +28,7 @@ import itertools
 
 from pyspark.sql import DataFrame, functions as F
 
-from spectrify_spark.operators.dedup import _truncate_lineage
+from spectrify_spark.operators.dedup import _truncate_lazy
 
 #: observation names must be unique within a single query execution;
 #: a process-wide counter keeps two guarded edge builds composable
@@ -79,14 +79,21 @@ def pagerank(
     e.g. purchase quantity, link count, co-occurrence strength.
     Output: ``(id, rank)`` for every node appearing as src or dst.
     """
+    # LAZY truncation throughout (r17 opt round, see _truncate_lazy):
+    # no driver decision happens between rounds, so the whole
+    # fixed-iteration computation rides the caller's single action;
+    # each truncated frame is persisted at first computation, so the
+    # multi-consumer frames (e, nodes, contrib_edges, each round's
+    # ranks) are still computed once — the previous EXPLICIT persist
+    # on top of an eager checkpoint double-cached the same blocks.
     if weight is None:
-        e = _truncate_lineage(
+        e = _truncate_lazy(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
             .withColumn("__wt", F.lit(1.0))
         )
     else:
-        e = _truncate_lineage(
+        e = _truncate_lazy(
             edges.select(
                 F.col(src).alias("src"),
                 F.col(dst).alias("dst"),
@@ -95,37 +102,34 @@ def pagerank(
             .groupBy("src", "dst")
             .agg(F.sum("__wt").alias("__wt"))
         )
-    e.persist()
-    nodes = _truncate_lineage(
+    nodes = _truncate_lazy(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    nodes.persist()
     outdeg = e.groupBy("src").agg(F.sum("__wt").alias("__outw"))
     # contribution edges: (src, dst, wt/total_out_weight) — precomputed
     # once so the per-iteration join carries one double instead of
     # recomputing the degree join every round (uniform weights reduce
     # this to the classic 1/outdeg)
-    contrib_edges = _truncate_lineage(
+    contrib_edges = _truncate_lazy(
         e.join(outdeg, "src").select(
             "src", "dst", (F.col("__wt") / F.col("__outw")).alias("__w")
         )
     )
-    contrib_edges.persist()
 
     dangling = None
     n_nodes = None
     if redistribute_dangling:
         # nodes with zero out-edges; their per-round rank sum is the
-        # redistributed mass.  One-time count (driver-side scalar) —
-        # the per-round sum stays a 1-row DataFrame.
-        dangling = _truncate_lineage(
+        # redistributed mass.  One-time count (driver-side scalar, the
+        # one action before the caller's) — the per-round sum stays a
+        # 1-row DataFrame.
+        dangling = _truncate_lazy(
             nodes.join(
                 e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
             )
         )
-        dangling.persist()
         n_nodes = nodes.count()
 
     ranks = nodes.select("id", F.lit(1.0).alias("rank"))
@@ -144,7 +148,7 @@ def pagerank(
                 ranks.join(dangling, "id", "leftsemi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
-            ranks = _truncate_lineage(
+            ranks = _truncate_lazy(
                 base.crossJoin(F.broadcast(dm)).select(
                     "id",
                     (
@@ -158,7 +162,7 @@ def pagerank(
                 )
             )
         else:
-            ranks = _truncate_lineage(
+            ranks = _truncate_lazy(
                 base.select(
                     "id",
                     (
@@ -167,11 +171,6 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-    e.unpersist()
-    nodes.unpersist()
-    contrib_edges.unpersist()
-    if dangling is not None:
-        dangling.unpersist()
     return ranks
 
 
@@ -202,11 +201,15 @@ def hits(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = _truncate_lineage(
+    # lazy truncation + no explicit persist: same reasoning as
+    # :func:`pagerank` (r17 opt round) — the whole fixed-iteration
+    # computation rides the caller's single action, and the lazily
+    # checkpointed frames are persisted at first computation for their
+    # two consumers per round.
+    e = _truncate_lazy(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
     )
-    e.persist()
 
     def _l1_normalize(df: DataFrame, col: str) -> DataFrame:
         total = df.agg(F.sum(col).alias("__tot"))
@@ -214,7 +217,7 @@ def hits(
             "id", (F.col(col) / F.col("__tot")).alias(col)
         )
 
-    hubs = _truncate_lineage(
+    hubs = _truncate_lazy(
         e.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.lit(1.0).alias("hub"))
@@ -226,14 +229,13 @@ def hits(
             .groupBy(e["dst"].alias("id"))
             .agg(F.sum("hub").alias("auth"))
         )
-        auths = _truncate_lineage(_l1_normalize(raw_auth, "auth"))
+        auths = _truncate_lazy(_l1_normalize(raw_auth, "auth"))
         raw_hub = (
             e.join(auths, e["dst"] == auths["id"])
             .groupBy(e["src"].alias("id"))
             .agg(F.sum("auth").alias("hub"))
         )
-        hubs = _truncate_lineage(_l1_normalize(raw_hub, "hub"))
-    e.unpersist()
+        hubs = _truncate_lazy(_l1_normalize(raw_hub, "hub"))
     return hubs.select(
         "id", F.lit("hub").alias("kind"), F.col("hub").alias("score")
     ).unionByName(
@@ -248,6 +250,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     persist: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Global triangle count of an undirected graph.
 
@@ -275,15 +278,25 @@ def triangle_count(
     ``spark.catalog.clearCache()`` after collecting, or pass
     ``persist=False`` for one-shot use in a long-lived session and
     accept the recompute.
+
+    ``assume_canonical=True`` (r17 opt round) skips the canonicalize +
+    distinct pre-pass — one full shuffle of the edge set — when the
+    caller guarantees the input is already ``src < dst`` and distinct
+    (e.g. the output of :func:`cooccurrence_edges`).  Results are
+    identical either way (pinned by test); the flag only removes a
+    dedup of already-deduped data.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
     if persist:
         e.persist()
     # DEGREE orientation (node-iterator++): re-orient each edge from
@@ -402,17 +415,17 @@ def connected_components(
     """
     # materialize the (possibly expensive) upstream edge build ONCE;
     # the node spine and the working edge set both derive from it
-    raw = _truncate_lineage(
+    raw = _truncate_lazy(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropna()
     )
     # node set BEFORE the self-loop filter: a node whose only edge is a
     # self-loop is isolated, not absent
-    nodes = _truncate_lineage(
+    nodes = _truncate_lazy(
         raw.select(F.col("u").alias("id"))
         .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
     )
-    e = _truncate_lineage(raw.filter(F.col("u") != F.col("v")).distinct())
+    e = _truncate_lazy(raw.filter(F.col("u") != F.col("v")).distinct())
 
     def _signature(frame: DataFrame) -> tuple:
         # decimal(38,0) accumulator: a long sum of 64-bit hashes
@@ -470,15 +483,6 @@ def connected_components(
         return _sized(
             out.filter(F.col("u") != F.col("v")), ["u", "v"]
         ).distinct()
-
-    def _truncate_lazy(frame: DataFrame) -> DataFrame:
-        # LAZY checkpoint: the signature aggregate right after is the
-        # materializing action, so each round costs ONE job instead of
-        # two (eager checkpoint + separate signature collect)
-        sc = frame.sparkSession.sparkContext
-        if sc.getCheckpointDir():
-            return frame.checkpoint(eager=False)
-        return frame.localCheckpoint(eager=False)
 
     sig = _signature(e)
     converged = False
@@ -683,13 +687,13 @@ def label_propagation(
             f"on_oversize must be 'raise' or 'drop', got {on_oversize!r}"
         )
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).dropna()
-    sym = _truncate_lineage(
+    sym = _truncate_lazy(
         raw.filter(F.col("u") != F.col("v"))
         .unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    nodes = _truncate_lineage(
+    nodes = _truncate_lazy(
         raw.select(F.col("u").alias("id"))
         .unionByName(raw.select(F.col("v").alias("id")))
         .distinct()
@@ -719,7 +723,7 @@ def label_propagation(
             # drop only the votes INTO hot nodes: they keep their own
             # label via the coalesce path; all other nodes' votes are
             # untouched (hot nodes still VOTE for their neighbors)
-            sym = _truncate_lineage(
+            sym = _truncate_lazy(
                 sym.join(hot.select("v"), "v", "left_anti")
             )
     labels = nodes.select("id", F.col("id").alias("label"))
@@ -742,7 +746,7 @@ def label_propagation(
             .filter(F.col("__r") == 1)
             .select("id", F.col("label").alias("__new"))
         )
-        labels = _truncate_lineage(
+        labels = _truncate_lazy(
             labels.join(best, "id", "left").select(
                 "id", F.coalesce("__new", "label").alias("label")
             )

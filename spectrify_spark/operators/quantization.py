@@ -458,31 +458,59 @@ def _compressed_residual_mean(
     indexes (seeded — repeated reports are comparable)."""
     from spectrify_spark.operators.similarity import _frame_residual_mean
 
+    centroids, cell_col, frame = _recon_frame(spark, path, payload)
+    return _frame_residual_mean(
+        frame,
+        centroids,
+        "__recon",
+        cell_col,
+        sample_fraction=sample_fraction,
+    )
+
+
+def _recon_frame(spark, path: str, payload: dict):
+    """(centroids, cell_col, frame) where ``frame`` is the stored index
+    with each code reconstructed to a float vector in ``__recon`` —
+    the shared input of the residual estimators (PQ: codeword concat;
+    SQ: cell midpoints)."""
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
     cell_col = payload.get("cell_col", "ivf_cell")
     centroids = [
         (int(c), [float(x) for x in v]) for c, v in payload["centroids"]
     ]
     if "codebooks" in payload:
-        idx = spark.read.parquet(path).select(cell_col, "pq_code")
+        idx = read_indexed_parquet(spark, path, payload).select(
+            cell_col, "pq_code"
+        )
         cb = _codebook_frame(spark, payload["codebooks"])
         frame = idx.crossJoin(F.broadcast(cb)).withColumn(
             "__recon", _pq_recon_expr(F.col("pq_code"))
         )
     else:
-        idx = spark.read.parquet(path).select(cell_col, "sq_code")
+        idx = read_indexed_parquet(spark, path, payload).select(
+            cell_col, "sq_code"
+        )
         mf = _sq_model_frame(
             spark, {"mins": payload["mins"], "maxs": payload["maxs"]}
         )
         frame = idx.crossJoin(F.broadcast(mf)).withColumn(
             "__recon", _sq_midpoint_recon(F.col("sq_code"))
         )
-    return _frame_residual_mean(
-        frame.select(cell_col, "__recon"),
-        centroids,
-        "__recon",
-        cell_col,
-        sample_fraction=sample_fraction,
-    )
+    return centroids, cell_col, frame.select(cell_col, "__recon")
+
+
+def _compressed_counts_and_residual(
+    spark, path: str, payload: dict
+) -> "tuple[dict, int, float | None]":
+    """Per-cell counts AND the reconstruction residual of a compressed
+    (IVF-PQ / IVF-SQ) index in ONE scan — the compressed-family twin
+    of ``similarity._counts_and_residual`` (r17 opt round: the build
+    previously read the just-written index twice)."""
+    from spectrify_spark.operators.similarity import _counts_and_residual
+
+    centroids, cell_col, frame = _recon_frame(spark, path, payload)
+    return _counts_and_residual(frame, centroids, "__recon", cell_col)
 
 
 def _cell_shard_partitioning(
@@ -565,7 +593,6 @@ def write_ivfpq_index(
     )
     # atomic replace: a rebuild targets a LIVE index dir — a concurrent
     # probe must never read a partially-written model sidecar
-    from spectrify_spark.operators.similarity import _index_cell_counts
 
     # drift baselines (r15 counts + r16 reconstruction residual, see
     # similarity.ann_drift_report): counts are near-free (partition
@@ -576,6 +603,8 @@ def write_ivfpq_index(
     # writes no files and the read-back cannot infer a schema: record
     # no baselines (ann_drift_report is conservative on missing ones)
     # rather than fail the write
+    from spectrify_spark.operators._sidecar import partitioned_read_schema
+
     model_payload = {
         "cell_col": cell_col,
         "id_col": id_col,
@@ -585,24 +614,16 @@ def write_ivfpq_index(
         "codebooks": [
             [[float(x) for x in code] for code in sub] for sub in codebooks
         ],
+        # build-time read-back schema: probes skip schema inference
+        # (r17 opt round — one footer job per read locally, an object
+        # store round trip at scale)
+        "read_schema": partitioned_read_schema(
+            enc.select(id_col, cell_col, "pq_code").schema, [cell_col]
+        ),
     }
-    # two INDEPENDENT try blocks (r16 ADVICE): a residual-estimator
-    # failure (e.g. one malformed code row) must not discard the
-    # already-computed cell counts — the count drift tiers survived on
-    # their own before the residual tier existed and still should
-    try:
-        sizes = _index_cell_counts(df.sparkSession, path, cell_col)
-    except Exception:
-        sizes = {}
-    try:
-        r_n, resid = _compressed_residual_mean(
-            df.sparkSession,
-            path,
-            model_payload,
-            sample_fraction=stats_sample_fraction,
-        )
-    except Exception:
-        r_n, resid = 0, None
+    sizes, r_n, resid = _write_stats_passes(
+        df.sparkSession, path, cell_col, model_payload, stats_sample_fraction
+    )
     model_payload["stats"] = {
         "build_n": int(sum(sizes.values())),
         "build_cell_sizes": sizes,
@@ -611,6 +632,44 @@ def write_ivfpq_index(
         "residual_estimator": "adc_reconstruction",
     }
     replace_json_sidecar(df.sparkSession, path, _IVFPQ_SIDECAR, model_payload)
+
+
+def _write_stats_passes(
+    spark, path: str, cell_col: str, model_payload: dict,
+    stats_sample_fraction: "float | None",
+) -> "tuple[dict, int, float | None]":
+    """Build-stats read-back shared by the two compressed writers.
+
+    Unsampled: ONE scan computes counts + residual together
+    (``_compressed_counts_and_residual``); if that pass fails (e.g. a
+    malformed code row breaks reconstruction) the count tiers are
+    re-read on their own from partition dirs + footers — the r16
+    ADVICE degradation contract (a residual failure must not discard
+    the counts) holds with one pass fewer on the happy path.  Sampled:
+    the exact-counts / sampled-residual split is kept (two passes by
+    construction)."""
+    from spectrify_spark.operators.similarity import _index_cell_counts
+
+    if stats_sample_fraction is None:
+        try:
+            return _compressed_counts_and_residual(spark, path, model_payload)
+        except Exception:
+            try:
+                sizes = _index_cell_counts(spark, path, cell_col)
+            except Exception:
+                sizes = {}
+            return sizes, 0, None
+    try:
+        sizes = _index_cell_counts(spark, path, cell_col)
+    except Exception:
+        sizes = {}
+    try:
+        r_n, resid = _compressed_residual_mean(
+            spark, path, model_payload, sample_fraction=stats_sample_fraction
+        )
+    except Exception:
+        r_n, resid = 0, None
+    return sizes, r_n, resid
 
 
 def append_ivfpq_index(
@@ -705,7 +764,11 @@ def ivfpq_topk(
     cell_col, id_col = payload["cell_col"], payload["id_col"]
 
     probe_cells = _probe_cells(centroids, query_vec, nprobe)
-    enc = spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
+    enc = read_indexed_parquet(spark, path, payload).filter(
+        F.col(cell_col).isin(probe_cells)
+    )
     if rerank_with is None:
         return pq_adc_topk(
             enc, codebooks, query_vec, k=k, id_col=id_col, code_col="pq_code"
@@ -1031,11 +1094,12 @@ def write_ivfsq_index(
     )
     # atomic replace: a rebuild targets a LIVE index dir — a concurrent
     # probe must never read a partially-written model sidecar
-    from spectrify_spark.operators.similarity import _index_cell_counts
 
     # drift baselines (r15 counts + r16 midpoint-reconstruction
     # residual, see similarity.ann_drift_report; empty-build read-back
     # degrades to no baselines, see the PQ twin)
+    from spectrify_spark.operators._sidecar import partitioned_read_schema
+
     model_payload = {
         "cell_col": cell_col,
         "id_col": id_col,
@@ -1044,22 +1108,13 @@ def write_ivfsq_index(
         ],
         "mins": [float(x) for x in model["mins"]],
         "maxs": [float(x) for x in model["maxs"]],
+        "read_schema": partitioned_read_schema(
+            enc.select(id_col, cell_col, "sq_code").schema, [cell_col]
+        ),
     }
-    # two INDEPENDENT try blocks (r16 ADVICE) — see the PQ twin: a
-    # residual failure must not take the count drift tiers down too
-    try:
-        sizes = _index_cell_counts(df.sparkSession, path, cell_col)
-    except Exception:
-        sizes = {}
-    try:
-        r_n, resid = _compressed_residual_mean(
-            df.sparkSession,
-            path,
-            model_payload,
-            sample_fraction=stats_sample_fraction,
-        )
-    except Exception:
-        r_n, resid = 0, None
+    sizes, r_n, resid = _write_stats_passes(
+        df.sparkSession, path, cell_col, model_payload, stats_sample_fraction
+    )
     model_payload["stats"] = {
         "build_n": int(sum(sizes.values())),
         "build_cell_sizes": sizes,
@@ -1144,7 +1199,11 @@ def ivfsq_topk(
     model = {"mins": payload["mins"], "maxs": payload["maxs"]}
     cell_col, id_col = payload["cell_col"], payload["id_col"]
     probe_cells = _probe_cells(payload["centroids"], query_vec, nprobe)
-    enc = spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
+    enc = read_indexed_parquet(spark, path, payload).filter(
+        F.col(cell_col).isin(probe_cells)
+    )
     if rerank_with is None:
         return sq_topk(
             enc, model, query_vec, k=k, id_col=id_col, code_col="sq_code"
@@ -1296,8 +1355,12 @@ def _index_knn_join(
         per_query = min(nprobe, len(centroids))
         n_queries = sum(r["__n"] for r in cell_rows) // max(per_query, 1)
         broadcast_queries = n_queries <= broadcast_max_queries
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
     enc = enc_prep(
-        spark.read.parquet(path).filter(F.col(cell_col).isin(probe_cells))
+        read_indexed_parquet(spark, path, payload).filter(
+            F.col(cell_col).isin(probe_cells)
+        )
     )
     dist = dist_fn(q)
     if round_digits is not None:

@@ -234,28 +234,45 @@ def kmeans_refine(
     cache left behind would substitute a full-width InMemoryRelation
     for other queries' pruned, filter-pushed parquet scans (measured
     1.6x SLOWER on q_dedup_embed when the kmeans cache lingered).
+    A single-iteration refine runs exactly ONE action, so there is
+    nothing to reuse — the cache would be written once and thrown
+    away; persist is skipped regardless of the flag (r17 opt round).
     """
+    persist = persist and iters > 1
     if persist:
         df = df.persist()
     current = centroids
+    # per-dimension means as dim explicit avg() columns over ONE
+    # groupBy (r17 opt round): the previous posexplode shape amplified
+    # every row dim× BEFORE its (cell, pos) shuffle and then needed a
+    # SECOND shuffle to reassemble vectors — guide §2.3 (shuffle fewer
+    # bytes) twice over.  dim comes from the seed centroids (Lloyd's
+    # only ever refines same-dimension vectors); per-element avg over
+    # the same row set is the same statistic.
+    dim = len(centroids[0][1]) if centroids else 0
     for _ in range(iters):
         assigned = assign_partitions(df, current, vec_col=vec_col, out_col="__cell")
+        vec = F.col(vec_col)
         means = (
-            assigned.select("__cell", F.posexplode(vec_col).alias("__pos", "__val"))
-            .groupBy("__cell", "__pos")
-            .agg(F.avg(F.col("__val").cast("double")).alias("__m"))
-            .groupBy("__cell")
+            assigned.groupBy("__cell")
             .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", "__m"))
-                ).alias("__pm")
+                *[
+                    # F.get (0-based) stays NULL-safe for ragged/short
+                    # vectors under ANSI mode, matching the posexplode
+                    # form's skip-missing-positions behavior
+                    F.avg(F.get(vec, i).cast("double")).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
             )
-            .select("__cell", F.col("__pm.__m").alias("__vec"))
             .collect()
         )
-        by_cell = {r["__cell"]: [float(x) for x in r["__vec"]] for r in means}
+        by_cell = {
+            r["__cell"]: [float(r[f"__m{i}"]) for i in range(dim)]
+            for r in means
+            if all(r[f"__m{i}"] is not None for i in range(dim))
+        }
         # empty cells keep their previous centroid
-        current = [(cid, by_cell.get(cid, vec)) for cid, vec in current]
+        current = [(cid, by_cell.get(cid, vec0)) for cid, vec0 in current]
     if persist:
         df.unpersist()
     return current
@@ -409,6 +426,19 @@ def write_ivf_index(
                 "append_ivf_index() to assign with the stored centroids"
             )
     assigned = assign_partitions(df, centroids, vec_col, cell_col)
+    from spectrify_spark.operators._sidecar import partitioned_read_schema
+
+    if mode == "overwrite":
+        # build-time read-back schema (r17 opt round): probes and the
+        # stats read-back skip schema inference
+        payload["read_schema"] = partitioned_read_schema(
+            assigned.schema, [cell_col]
+        )
+    elif stored is not None and stored.get("read_schema"):
+        # appends with extra/altered columns would make the stored
+        # schema stale only if the model check above let them through;
+        # it compares cell_col+centroids, so carry the schema forward
+        payload["read_schema"] = stored["read_schema"]
     assigned.write.mode(mode).partitionBy(cell_col).parquet(path)
     if mode == "overwrite":
         # record build-time drift baselines (r14 VERDICT item 1): the
@@ -422,7 +452,7 @@ def write_ivf_index(
         # these at diagnosis time.
         payload["stats"] = _build_stats(
             spark, path, centroids, vec_col, cell_col,
-            sample_fraction=stats_sample_fraction,
+            sample_fraction=stats_sample_fraction, payload=payload,
         )
     else:
         payload["stats"] = stored.get("stats")
@@ -449,13 +479,16 @@ def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]] | None
     return [(int(cid), [float(x) for x in vec]) for cid, vec in payload["centroids"]]
 
 
-def _index_cell_counts(spark, path: str, cell_col: str) -> dict:
+def _index_cell_counts(spark, path: str, cell_col: str, payload=None) -> dict:
     """Per-cell row counts of a materialized index — near-free: the
     cell is the PARTITION column, so the values come from directory
     names and the counts from parquet footers (no data pages read).
-    Bounded C-row collect (C = centroid count)."""
+    Bounded C-row collect (C = centroid count).  ``payload`` (the
+    model sidecar) lets the read skip schema inference."""
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
     rows = (
-        spark.read.parquet(path)
+        read_indexed_parquet(spark, path, payload)
         .groupBy(cell_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -474,6 +507,7 @@ def _index_residual_mean(
     vec_col: str,
     cell_col: str,
     sample_fraction: "float | None" = None,
+    payload=None,
 ) -> "tuple[int, float | None]":
     """(n, mean(1 - cos(vec, assigned centroid))) over a materialized
     IVF index that stores raw vectors — the residual drift baseline.
@@ -481,7 +515,9 @@ def _index_residual_mean(
     for diagnosis-time calls on huge indexes (seeded, so repeated
     reports are comparable).  Returns (0, None) when the index is
     empty or holds only NULL-assigned rows."""
-    idx = spark.read.parquet(path).select(cell_col, vec_col)
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
+    idx = read_indexed_parquet(spark, path, payload).select(cell_col, vec_col)
     return _frame_residual_mean(
         idx, centroids, vec_col, cell_col, sample_fraction=sample_fraction
     )
@@ -527,6 +563,62 @@ def _frame_residual_mean(
     return n, (float(row["mean"]) if n else None)
 
 
+def _counts_and_residual(
+    idx: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    cell_col: str,
+) -> "tuple[dict, int, float | None]":
+    """Per-cell row counts AND the mean assigned-cell cosine residual
+    in ONE grouped aggregation (r17 opt round — guide §1.2: the
+    previous shape scanned the freshly written index twice, once for
+    footer counts and once for the residual; the two are answers to
+    the same C-group aggregate).  Returns ``(sizes, residual_n,
+    residual_mean)`` with exactly the semantics of
+    :func:`_index_cell_counts` + :func:`_frame_residual_mean`: sizes
+    count every row per non-NULL cell, ``residual_n`` counts rows
+    whose cell is in the centroid set, and the mean is over non-NULL
+    residuals (driver-side sum of the C per-cell partial sums — the
+    association change is far below the 1e-9 fresh-ratio gate)."""
+    spark = idx.sparkSession
+    cent = _centroid_frame(spark, centroids)
+    rows = (
+        idx.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__ci", F.array_position(F.col("__cids"), F.col(cell_col))
+        )
+        .select(
+            F.col(cell_col),
+            F.col("__ci"),
+            F.when(
+                F.col("__ci") > 0,
+                F.lit(1.0)
+                - cosine(
+                    F.col(vec_col),
+                    F.element_at(F.col("__cmat"), F.col("__ci").cast("int")),
+                ),
+            ).alias("__resid"),
+        )
+        .groupBy(cell_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col("__ci") > 0, 1)).alias("__cin"),
+            F.sum("__resid").alias("__rs"),
+            F.count("__resid").alias("__rn"),
+        )
+        .collect()
+    )
+    sizes = {
+        str(int(r[cell_col])): int(r["__n"])
+        for r in rows
+        if r[cell_col] is not None
+    }
+    r_n = sum(int(r["__cin"]) for r in rows)
+    rn = sum(int(r["__rn"]) for r in rows)
+    rs = sum(float(r["__rs"]) for r in rows if r["__rs"] is not None)
+    return sizes, r_n, (rs / rn if rn else None)
+
+
 def _build_stats(
     spark,
     path: str,
@@ -534,19 +626,34 @@ def _build_stats(
     vec_col: str,
     cell_col: str,
     sample_fraction: "float | None" = None,
+    payload=None,
 ) -> dict:
     """Build-time drift baselines stamped into the index sidecar by
     :func:`write_ivf_index` (overwrite mode): total row count, per-cell
     sizes, and the mean assigned-cell cosine residual.  Computed from
     the freshly WRITTEN index so the input plan is not re-evaluated;
     ``sample_fraction`` bounds the residual scan on huge builds (the
-    counts stay exact — they are footer-only)."""
+    counts stay exact — they are footer-only).  Without sampling both
+    baselines come from ONE scan (:func:`_counts_and_residual`); the
+    sampled arm keeps the exact-counts/sampled-residual split."""
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
     try:
-        sizes = _index_cell_counts(spark, path, cell_col)
-        n, resid = _index_residual_mean(
-            spark, path, centroids, vec_col, cell_col,
-            sample_fraction=sample_fraction,
-        )
+        if sample_fraction is None:
+            sizes, n, resid = _counts_and_residual(
+                read_indexed_parquet(spark, path, payload).select(
+                    cell_col, vec_col
+                ),
+                centroids,
+                vec_col,
+                cell_col,
+            )
+        else:
+            sizes = _index_cell_counts(spark, path, cell_col, payload=payload)
+            n, resid = _index_residual_mean(
+                spark, path, centroids, vec_col, cell_col,
+                sample_fraction=sample_fraction, payload=payload,
+            )
     except Exception:
         # an EMPTY build writes no parquet files, so the read-back
         # cannot even infer a schema — record no baselines (build_n 0)
@@ -679,7 +786,49 @@ def ann_drift_report(
         )
         return report
 
-    cur_sizes = _index_cell_counts(spark, path, cell_col)
+    # current counts + current residual come from ONE scan when the
+    # residual tier will run unsampled (r17 opt round — the report
+    # previously made two passes over the index; same merge as the
+    # build-time _counts_and_residual, same estimators either way)
+    cur_sizes = None
+    cur_resid = None
+    resid_one_pass = False
+    if (
+        stats.get("build_residual_mean") is not None
+        and residual_sample_fraction is None
+    ):
+        try:
+            if "codebooks" in payload or "mins" in payload:
+                from spectrify_spark.operators.quantization import (
+                    _compressed_counts_and_residual,
+                )
+
+                cur_sizes, _, cur_resid = _compressed_counts_and_residual(
+                    spark, path, payload
+                )
+            else:
+                centroids = [
+                    (int(cid), [float(x) for x in vec])
+                    for cid, vec in payload["centroids"]
+                ]
+                vc = stats.get("vec_col", "embedding")
+                from spectrify_spark.operators._sidecar import (
+                    read_indexed_parquet,
+                )
+
+                cur_sizes, _, cur_resid = _counts_and_residual(
+                    read_indexed_parquet(spark, path, payload).select(
+                        cell_col, vc
+                    ),
+                    centroids,
+                    vc,
+                    cell_col,
+                )
+            resid_one_pass = True
+        except Exception:
+            cur_sizes = None
+    if cur_sizes is None:
+        cur_sizes = _index_cell_counts(spark, path, cell_col, payload=payload)
     build_sizes = stats.get("build_cell_sizes") or {}
     cur_n = sum(cur_sizes.values())
     appended = cur_n - int(stats["build_n"])
@@ -713,7 +862,9 @@ def ann_drift_report(
     # 0.0 baseline — every build vector coincident with its centroid —
     # must not silently disable residual drift detection
     if stats.get("build_residual_mean") is not None:
-        if "codebooks" in payload or "mins" in payload:
+        if resid_one_pass:
+            pass  # cur_resid already measured in the merged scan above
+        elif "codebooks" in payload or "mins" in payload:
             # compressed family (IVF-PQ / IVF-SQ, r16): the index
             # stores codes, so current residual uses the SAME
             # code-reconstruction estimator the build baseline was
@@ -741,6 +892,7 @@ def ann_drift_report(
                 stats.get("vec_col", "embedding"),
                 cell_col,
                 sample_fraction=residual_sample_fraction,
+                payload=payload,
             )
         report["residual_estimator"] = stats.get(
             "residual_estimator", "raw_vectors"
@@ -863,8 +1015,12 @@ def compact_ivf_index(
 
 def read_ivf_index(spark, path: str) -> DataFrame:
     """Open a partitioned IVF index; pair with ivf_topk, whose
-    ``isin(probe_cells)`` filter prunes partitions at planning time."""
-    return spark.read.parquet(path)
+    ``isin(probe_cells)`` filter prunes partitions at planning time.
+    Uses the sidecar's build-time read schema when present (skips the
+    schema-inference pass; r17 opt round)."""
+    from spectrify_spark.operators._sidecar import read_indexed_parquet
+
+    return read_indexed_parquet(spark, path, _read_ivf_sidecar(spark, path))
 
 
 __all__ = [

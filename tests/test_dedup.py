@@ -345,12 +345,17 @@ def test_band_index_sidecar_guards(spark, sf_dir, tmp_path):
     delta = d.filter(F.col("doc_id") >= 400)
     path = str(tmp_path / "idx4")
     write_band_index(corpus, path, n_buckets=4)
-    assert read_index_params(spark, path) == {
+    stamped = read_index_params(spark, path)
+    # LSH params exactly as built; the r17 read_schema entry (probes
+    # skip schema inference) rides along and is not an LSH param
+    assert {k: stamped[k] for k in
+            ("num_hashes", "bands", "shingle_k", "n_buckets")} == {
         "num_hashes": 32,
         "bands": 8,
         "shingle_k": 3,
         "n_buckets": 4,
     }
+    assert stamped["read_schema"]["type"] == "struct"
     # no params passed -> sidecar supplies n_buckets=4; matching
     # explicit params also fine
     a = near_dup_pairs_indexed(spark, path, delta, threshold=0.2)

@@ -162,6 +162,24 @@ def test_triangle_count_known_graph(spark):
     assert triangle_count(df).collect()[0].n_triangles == 4
 
 
+def test_triangle_count_assume_canonical_parity(spark):
+    """r17 opt round: assume_canonical=True (input already src<dst and
+    distinct — the cooccurrence_edges contract) must count identically
+    to the default canonicalizing arm; it only skips the dedup shuffle
+    of already-deduped data."""
+    from spectrify_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    canon = spark.createDataFrame(
+        k4 + [(3, 9)], "src bigint, dst bigint"
+    )
+    base = triangle_count(canon).collect()[0].n_triangles
+    fast = triangle_count(
+        canon, assume_canonical=True
+    ).collect()[0].n_triangles
+    assert base == fast == 4
+
+
 def test_triangle_count_triangle_free(spark):
     from spectrify_spark.operators.graph import triangle_count
 

@@ -770,10 +770,13 @@ def test_indexless_knn_joins_nonbroadcast_arm_matches(spark):
 
 
 def test_residual_failure_keeps_count_baselines(spark, tmp_path, monkeypatch):
-    """r16 ADVICE: the build stats are computed in two independent try
-    blocks — a residual-estimator failure records
-    build_residual_mean=None but KEEPS build_n / build_cell_sizes, so
-    the count drift tiers survive on their own."""
+    """r16 ADVICE (re-targeted for the r17 one-pass stats read-back): a
+    residual-estimator failure records build_residual_mean=None but
+    KEEPS build_n / build_cell_sizes, so the count drift tiers survive
+    on their own.  The merged pass goes through ``_recon_frame`` —
+    breaking it simulates a malformed code row taking down the
+    reconstruction (and with it the merged scan), after which the
+    counts are re-read footer-only."""
     from spectrify_spark.operators import similarity as SIM
     from spectrify_spark.operators._sidecar import read_json_sidecar
 
@@ -784,6 +787,7 @@ def test_residual_failure_keeps_count_baselines(spark, tmp_path, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("malformed code row")
 
+    monkeypatch.setattr(Q, "_recon_frame", boom)
     monkeypatch.setattr(Q, "_compressed_residual_mean", boom)
     idx = str(tmp_path / "ivfpq")
     Q.write_ivfpq_index(e, cents, books, idx)

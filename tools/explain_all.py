@@ -18,6 +18,37 @@ import __spark_entry__ as E
 from spectrify_spark.session import get_spark
 
 
+def _tree_indent(line: str) -> int:
+    """Depth of a plan line = index of its first char that is not a
+    tree-drawing prefix char.  ``+`` / ``-`` are prefix chars only as
+    part of the ``+-`` connector, so ``+- Project`` at column 0 has
+    indent 3 while a bare operator line has its own column."""
+    i = 0
+    while i < len(line) and line[i] in " :|+-":
+        i += 1
+    return i
+
+
+def _strip_initial_sections(plan: str) -> str:
+    """Remove every ``== Initial Plan ==`` section (top-level or nested
+    inside a cached child's finalized adaptive plan), keeping all
+    ``== Final Plan ==`` content.  A section ends where indentation
+    drops back below its marker line's level."""
+    out = []
+    skip_indent = None
+    for ln in plan.splitlines():
+        if skip_indent is not None:
+            if ln.strip() and _tree_indent(ln) < skip_indent:
+                skip_indent = None
+            else:
+                continue
+        if "== Initial Plan ==" in ln:
+            skip_indent = _tree_indent(ln)
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
 def plan_props(df, execute: bool = False) -> dict:
     """Scale-relevant physical-plan properties (shared with
     tests/test_plans.py, which gates them per query).
@@ -48,9 +79,17 @@ def plan_props(df, execute: bool = False) -> dict:
         else:
             spark.conf.set(conf_key, prev)
     # An executed AdaptiveSparkPlan prints "== Final Plan ==" followed by
-    # "== Initial Plan ==" — keep only the final section, else every
-    # Exchange/codegen span is double-counted.
-    plan = plan.split("== Initial Plan ==")[0]
+    # "== Initial Plan ==" — drop every Initial section (each operator
+    # would otherwise be double-counted).  The marker can also appear
+    # NESTED: a persisted subtree that already materialized prints its
+    # own finalized adaptive plan inline, so a global
+    # split()[0] truncates the whole OUTER plan at the first cached
+    # child — q_graph_triangles' warm-session gate lost the entire
+    # triangle-side subtree (joins, scans, exchanges) that way.  Strip
+    # indent-aware instead: skip lines until indentation returns to the
+    # marker's own level (tree-prefix chars ' ', ':', '|', '+', '-'
+    # count as indentation).
+    plan = _strip_initial_sections(plan)
     joins = sorted(set(re.findall(r"(\w*HashJoin|SortMergeJoin|BroadcastNestedLoopJoin)", plan)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)

@@ -96,6 +96,7 @@ def publish_cow_update(
     part_col: str,
     drop_partitions: "list | None" = None,
     keep_versions: int = 2,
+    touched: "list | None" = None,
 ) -> int:
     """Land the next copy-on-write version: ``updates`` holds the FULL
     new content of every partition value it contains (grouped by
@@ -104,6 +105,18 @@ def publish_cow_update(
     listed, or rewritten.  ``drop_partitions`` removes partitions from
     the manifest (their files age out with the versions that hold
     them).  Returns the new version number.
+
+    ``touched`` (r17 opt round) lets a caller that ALREADY KNOWS the
+    distinct ``part_col`` values in ``updates`` skip the discovery
+    action here — without it, ``updates`` executes twice per refresh
+    (once for the distinct-collect, once for the write), and for the
+    rollup-maintenance callers that plan is the full delta-aggregate +
+    base-read + merge.  The caller must pass exactly the distinct
+    value set: a MISSING value would silently drop that partition's
+    rows (guarded — rows matching no touched value fail the publish
+    before the pointer flips); an EXTRA value would publish a manifest
+    entry whose partition directory was never written (guarded the
+    same way, at manifest-build time).
 
     Write cost: |touched partitions| data + one manifest JSON; the
     pointer flip publishes the whole new mapping atomically.  The
@@ -144,12 +157,20 @@ def publish_cow_update(
     for value in drop_partitions or ():
         parts.pop(_enc_part(value), None)
 
-    touched: list = []
-    if updates is not None:
+    if updates is None:
+        touched = []
+    elif touched is None:
+        # discovery action: one distinct over updates — callers that
+        # already know the touched set (the rollup maintainers, whose
+        # updates plan is a delta-aggregate + base-read + merge) pass
+        # it in and updates executes ONCE, in the write (r17 opt round)
         touched = [
             r[0]
             for r in updates.select(part_col).distinct().collect()
         ]
+    else:
+        touched = list(touched)
+    if updates is not None:
         schema_json = updates.schema.jsonValue()
         if schema_json is None:
             raise AssertionError  # unreachable; keeps type checkers calm
@@ -177,6 +198,30 @@ def publish_cow_update(
                 .partitionBy("__p")
                 .parquet(vdir)
             )
+            # touched-contract guard (one driver-side listing of the
+            # just-written version dir, no Spark job): a caller-passed
+            # touched set that MISSES a value present in updates would
+            # strand that value's rows under __p=null (absent from the
+            # manifest — silent row loss on read); an EXTRA value would
+            # publish a manifest entry with no directory behind it.
+            # Either mismatch aborts here, BEFORE the pointer flips.
+            from spectrify_spark.operators._sidecar import index_fs
+
+            fs, hdir, _ = index_fs(spark, vdir)
+            seen = {
+                st.getPath().getName()[len("__p=") :]
+                for st in fs.listStatus(hdir)
+                if st.getPath().getName().startswith("__p=")
+            }
+            want = {_enc_part(v) for v in touched}
+            if seen != want:
+                raise ValueError(
+                    "publish_cow_update: touched= does not match the "
+                    "distinct part values actually in updates "
+                    f"(written-but-undeclared: {sorted(seen - want)}, "
+                    f"declared-but-unwritten: {sorted(want - seen)}); "
+                    "publish aborted before the pointer flip"
+                )
             for value in touched:
                 parts[_enc_part(value)] = vname
         write_json_sidecar(

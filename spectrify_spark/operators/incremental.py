@@ -359,14 +359,22 @@ def maintain_published_rollup_cow(
             "belong to exactly one partition)"
         )
     part = rollup_delta(delta, keys, specs)
+    # the touched-partition discovery runs over the DELTA PARTIAL (one
+    # delta scan + agg) and is passed through to the publish, so the
+    # full merged plan (delta agg + base read + merge shuffle) executes
+    # exactly once — in the write (r17 opt round; previously
+    # publish_cow_update re-discovered the set from the merged frame,
+    # a second full execution per refresh).  The merged frame's part
+    # values equal the delta's: merge reads ONLY the touched base
+    # partitions, and every touched value has a delta group.
+    touched = [r[0] for r in part.select(pc).distinct().collect()]
     if current_version(root, spark) is not None:
-        touched = [r[0] for r in part.select(pc).distinct().collect()]
         base_touched = read_published_cow(
             spark, root, partitions=touched
         ).select(*keys, *partial_columns(specs))
         part = merge_rollup(base_touched, part, keys, specs)
     return publish_cow_update(
-        spark, root, part, pc, keep_versions=keep_versions
+        spark, root, part, pc, keep_versions=keep_versions, touched=touched
     )
 
 
@@ -451,6 +459,10 @@ def recompute_partitions_cow(
         pc,
         drop_partitions=drops,
         keep_versions=keep_versions,
+        # the live set IS the distinct part values of updates — pass it
+        # through so the repair plan executes once more (the write),
+        # not twice (r17 opt round)
+        touched=list(live),
     )
 
 

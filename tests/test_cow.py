@@ -221,3 +221,43 @@ def test_recompute_partitions_cow(spark, tmp_path):
     assert cow_partitions(spark, root) == ["p1", "p2"]
     # g2 (untouched, same partition as g1) survived the rewrite
     assert any(t[1] == "g2" for t in got)
+
+
+def test_cow_update_explicit_touched_matches_discovery(spark, tmp_path):
+    """touched= (r17 opt round: callers that already know the distinct
+    part values skip the discovery action, so the updates plan runs
+    once) must land byte-identical state to the discovery path — and a
+    WRONG touched set must abort BEFORE the pointer flips, both ways
+    (a missing value would silently lose its rows; an extra value
+    would publish a manifest entry with no directory behind it)."""
+    root_a = str(tmp_path / "disc")
+    root_b = str(tmp_path / "expl")
+    d1 = _rows(spark, [("a", 1), ("b", 5)])
+    d2 = _rows(spark, [("b", 6), ("c", 9)])
+    publish_cow_update(spark, root_a, d1, "k")
+    publish_cow_update(spark, root_a, d2, "k")
+    publish_cow_update(spark, root_b, d1, "k", touched=["a", "b"])
+    publish_cow_update(spark, root_b, d2, "k", touched=["b", "c"])
+    assert _content(read_published_cow(spark, root_a)) == _content(
+        read_published_cow(spark, root_b)
+    )
+    assert cow_partitions(spark, root_a) == cow_partitions(spark, root_b)
+
+    # missing value: c's rows would be stranded under __p=null
+    with pytest.raises(ValueError, match="written-but-undeclared"):
+        publish_cow_update(
+            spark, root_b, _rows(spark, [("b", 7), ("c", 8)]), "k",
+            touched=["b"],
+        )
+    # extra value: manifest entry with no directory behind it
+    with pytest.raises(ValueError, match="declared-but-unwritten"):
+        publish_cow_update(
+            spark, root_b, _rows(spark, [("b", 7)]), "k",
+            touched=["b", "z"],
+        )
+    # both aborts happened before the flip: the dataset still reads as
+    # the last good publish
+    assert current_version(root_b) == 2
+    assert _content(read_published_cow(spark, root_b)) == {
+        ("a", 1), ("b", 6), ("c", 9),
+    }

@@ -3851,21 +3851,55 @@ def q_ewma(spark, sf):
 
 
 def q_trend_fit(spark, sf):
-    """Per-event-type OLS trend of daily totals (regr_slope /
-    regr_intercept over day index) — the linear-forecast primitive.
-    Daily sums are rounded to 4 decimals BEFORE the regression so both
-    engines regress identical y values (raw float sums differ in ulps
-    across accumulation orders); slope/intercept round to 6.  Two
-    Exchanges: the (type, day) agg and the per-type regression agg."""
+    """Per-event-type OLS trend of daily totals — the linear-forecast
+    primitive.  r18 determinism fix (inherited flake): regr_slope /
+    regr_intercept accumulate DOUBLE moments in partial-aggregation
+    order, so a fit whose 6th decimal sits on the rounding boundary
+    flipped run-to-run (observed ~50/50 at sf0.001 — the intercept's
+    last digit).  The fit is now derived from EXACT decimal sums
+    (n, Σx, Σy, Σx², Σxy — x is an integer day index, y a 4dp decimal,
+    so every sum is exact and order-independent), converted to double
+    through the repo's portable string cast, with slope/intercept
+    computed by the SAME closed-form expression on both engines:
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
+    NULL when the denominator is 0 (regr_* semantics; the regression
+    also skips NULL-y days exactly as regr_* skip NULL pairs).
+    Still two Exchanges: the (type, day) agg and the per-type sums agg."""
     ev = _t(spark, sf, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("__d")
-    ).agg(F.round(F.sum("value"), 4).alias("__y"))
-    x = F.datediff(F.col("__d"), F.lit("1995-01-01").cast("date")).cast("double")
-    return daily.groupBy("event_type").agg(
-        F.round(F.regr_slope(F.col("__y"), x), 6).alias("slope"),
-        F.round(F.regr_intercept(F.col("__y"), x), 6).alias("intercept"),
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+        .cast("decimal(21,4)")
+        .alias("__y")
+    )
+    x = F.datediff(F.col("__d"), F.lit("1995-01-01").cast("date")).cast(
+        "decimal(12,0)"
+    )
+    ynn = F.col("__y").isNotNull()
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.col("__y")).alias("__n"),
+        F.sum(F.when(ynn, x)).alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.when(ynn, x * x)).alias("__sxx"),
+        F.sum(x * F.col("__y")).alias("__sxy"),
         F.count(F.lit(1)).alias("n_days"),
+    )
+
+    def _d(c: str):
+        return F.col(c).cast("string").cast("double")
+
+    n_d = F.col("__n").cast("double")
+    num = n_d * _d("__sxy") - _d("__sx") * _d("__sy")
+    den = n_d * _d("__sxx") - _d("__sx") * _d("__sx")
+    return agg.select(
+        "event_type",
+        F.round(F.when(den != 0, num / den), 6).alias("slope"),
+        F.round(
+            F.when(den != 0, (_d("__sy") - (num / den) * _d("__sx")) / n_d),
+            6,
+        ).alias("intercept"),
+        "n_days",
     )
 
 
@@ -8326,15 +8360,41 @@ def oracle_sql() -> dict[str, str]:
         "q_trend_fit": """
             WITH daily AS (
               SELECT event_type, CAST(ts AS DATE) AS d,
-                     ROUND(SUM(value), 4) AS y
-              FROM events GROUP BY event_type, d)
+                     CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4)
+                          AS DECIMAL(21,4)) AS y
+              FROM events GROUP BY event_type, d),
+            xy AS (
+              SELECT event_type, y,
+                     CAST(d - DATE '1995-01-01' AS DECIMAL(12,0)) AS x
+              FROM daily),
+            sums AS (
+              SELECT event_type,
+                     COUNT(y) AS n,
+                     SUM(CASE WHEN y IS NOT NULL THEN x END) AS sx,
+                     SUM(y) AS sy,
+                     SUM(CASE WHEN y IS NOT NULL THEN x*x END) AS sxx,
+                     SUM(x*y) AS sxy,
+                     COUNT(*) AS n_days
+              FROM xy GROUP BY event_type),
+            dbl AS (
+              SELECT event_type, n_days,
+                     CAST(n AS DOUBLE) AS n,
+                     CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                     CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                     CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                     CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy
+              FROM sums),
+            fit AS (
+              SELECT event_type, n_days, n, sx, sy,
+                     n*sxy - sx*sy AS num,
+                     n*sxx - sx*sx AS den
+              FROM dbl)
             SELECT event_type,
-                   ROUND(regr_slope(y, CAST(d - DATE '1995-01-01' AS DOUBLE)), 6)
-                     AS slope,
-                   ROUND(regr_intercept(y, CAST(d - DATE '1995-01-01' AS DOUBLE)), 6)
-                     AS intercept,
-                   COUNT(*) AS n_days
-            FROM daily GROUP BY event_type
+                   ROUND(CASE WHEN den <> 0 THEN num/den END, 6) AS slope,
+                   ROUND(CASE WHEN den <> 0
+                              THEN (sy - (num/den)*sx)/n END, 6) AS intercept,
+                   n_days
+            FROM fit
         """,
         # Markov transition counts: lead over the totally-ordered
         # per-user stream

@@ -5429,8 +5429,12 @@ def q_stream_curate_publish(spark, sf):
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
     )
     src = f"{work}/docs"
-    d.repartition(4).write.mode("append").parquet(src)
-    d.repartition(4).write.mode("append").parquet(src)  # duplicate delivery
+    # duplicate delivery: every doc lands TWICE on the stream.  r18
+    # (guide §1.2): the two copies are written in ONE job (union ->
+    # 8 files) instead of two sequential appends — same rows, same
+    # file count, same micro-batch boundaries, one less write job of
+    # setup per run; the dedup stage makes delivery layout invisible.
+    d.unionByName(d).repartition(8).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema("doc_id bigint, text string, ts timestamp")
         .option("maxFilesPerTrigger", "3")
@@ -5501,8 +5505,10 @@ def q_stream_snapshot(spark, sf):
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
     )
     src = f"{work}/docs"
-    d.repartition(4).write.mode("append").parquet(src)
-    d.repartition(4).write.mode("append").parquet(src)  # duplicate delivery
+    # duplicate delivery in ONE write job (r18 — see
+    # q_stream_curate_publish): union -> 8 files, identical rows and
+    # micro-batch boundaries, one less setup job per run
+    d.unionByName(d).repartition(8).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema("doc_id bigint, text string, ts timestamp")
         .option("maxFilesPerTrigger", "3")

@@ -69,27 +69,45 @@ def stream_apply_changes(
     live = live_snapshot_path(snapshot_dir)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
-        spark = batch.sparkSession
-        if seq_col is not None:
-            tie: list[Column] = [F.col(seq_col).desc()]
-            batch = dedup_exact(batch, [key], tie_break=tie)
-        if os.path.isdir(live):
-            base = spark.read.parquet(live)
-        else:
-            base = spark.createDataFrame([], base_schema)
-        nxt = merge_changes(base, batch, key, op_col=op_col, delete_op=delete_op)
-        staging = os.path.join(snapshot_dir, f"_staging_v{batch_id}")
-        nxt.write.mode("overwrite").parquet(staging)
-        # atomic swap: reads of `live` either see the old or the new
-        # version, never a partial write (staging is fully landed first)
-        old = live + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(live):
-            os.rename(live, old)
-        os.rename(staging, live)
-        shutil.rmtree(old, ignore_errors=True)
+        # r18 (guide §1.2): persist the micro-batch once — the
+        # emptiness guard, the merge's anti-join key build, and the
+        # upsert union otherwise each re-execute the micro-batch plan
+        # from the source.
+        batch = batch.persist()
+        try:
+            # count() (not take(1)) as the guard: the count job
+            # materializes the WHOLE cache in one pass, so the state
+            # operator runs in exactly one job and every later
+            # consumer reads pure cached blocks (a take(1) guard
+            # split the cache fill across two jobs, double-counting
+            # state-store checkouts in the progress metrics)
+            if batch.count() == 0:
+                return
+            spark = batch.sparkSession
+            if seq_col is not None:
+                tie: list[Column] = [F.col(seq_col).desc()]
+                compacted = dedup_exact(batch, [key], tie_break=tie)
+            else:
+                compacted = batch
+            if os.path.isdir(live):
+                base = spark.read.parquet(live)
+            else:
+                base = spark.createDataFrame([], base_schema)
+            nxt = merge_changes(
+                base, compacted, key, op_col=op_col, delete_op=delete_op
+            )
+            staging = os.path.join(snapshot_dir, f"_staging_v{batch_id}")
+            nxt.write.mode("overwrite").parquet(staging)
+            # atomic swap: reads of `live` either see the old or the new
+            # version, never a partial write (staging fully landed first)
+            old = live + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(staging, live)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            batch.unpersist()
 
     os.makedirs(snapshot_dir, exist_ok=True)
     writer = changes.writeStream.foreachBatch(apply_batch)
@@ -148,27 +166,41 @@ def stream_apply_changes_published(
     base_schema = changes.select(*base_cols).schema
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if not batch.take(1):
-            return
-        spark = batch.sparkSession
-        if seq_col is not None:
-            batch2 = dedup_exact(batch, [key], tie_break=[F.col(seq_col).desc()])
-        else:
-            batch2 = batch
-        if current_version(root, spark) is not None:
-            base = read_published(spark, root)
-        else:
-            base = spark.createDataFrame([], base_schema)
-        nxt = merge_changes(
-            base, batch2, key, op_col=op_col, delete_op=delete_op
-        )
-        publish(
-            nxt,
-            root,
-            keep_versions=keep_versions,
-            stats_cols=stats_cols,
-            bloom_cols=bloom_cols,
-        )
+        # r18 (guide §1.2): persist the micro-batch once — see
+        # stream_apply_changes.
+        batch = batch.persist()
+        try:
+            # count() (not take(1)) as the guard: the count job
+            # materializes the WHOLE cache in one pass, so the state
+            # operator runs in exactly one job and every later
+            # consumer reads pure cached blocks (a take(1) guard
+            # split the cache fill across two jobs, double-counting
+            # state-store checkouts in the progress metrics)
+            if batch.count() == 0:
+                return
+            spark = batch.sparkSession
+            if seq_col is not None:
+                batch2 = dedup_exact(
+                    batch, [key], tie_break=[F.col(seq_col).desc()]
+                )
+            else:
+                batch2 = batch
+            if current_version(root, spark) is not None:
+                base = read_published(spark, root)
+            else:
+                base = spark.createDataFrame([], base_schema)
+            nxt = merge_changes(
+                base, batch2, key, op_col=op_col, delete_op=delete_op
+            )
+            publish(
+                nxt,
+                root,
+                keep_versions=keep_versions,
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+            )
+        finally:
+            batch.unpersist()
 
     writer = changes.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

@@ -167,6 +167,19 @@ def stream_curate_dedup_publish(
     base_schema = deduped.select(*out_cols).schema
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # r18 pass-count audit (guide §1.2): a persist-once handoff was
+        # tried here and REVERTED — unlike the stateless foreachBatch
+        # sinks (streaming/rollup.py, streaming/cdc.py, where the
+        # accumulator rehearsal tools/foreachbatch_rehearsal.py proves
+        # 2x -> 1x source scans), a STATEFUL micro-batch plan is never
+        # substituted from the SQL cache (persist left the write job
+        # re-running the post-shuffle dedup stage from reused shuffle
+        # data), and the expensive map side (source scan + curation
+        # projections) already executes exactly ONCE across all of this
+        # sink's actions via exchange reuse — measured with a source
+        # accumulator: 1000/1000 rows on the pre-persist code.  The
+        # take(1) guard and the merge's consumers therefore share the
+        # one map pass already; a persist only adds cache-write cost.
         if not batch.take(1):
             return
         spark = batch.sparkSession
@@ -269,8 +282,17 @@ def stream_curate_snapshot_publish(
     base_schema = deduped.select(*out_cols).schema
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # r18 pass-count audit: persist-once was tried and REVERTED
+        # here for the same reason as stream_curate_dedup_publish —
+        # the stateful micro-batch plan never hits the SQL cache, and
+        # the map side already runs exactly once across this sink's
+        # actions via exchange reuse (source-accumulator evidence in
+        # tools/foreachbatch_rehearsal.py's write-up).
         if not batch.take(1):
             return
+        _apply_batch_inner(batch)
+
+    def _apply_batch_inner(batch: DataFrame) -> None:
         spark = batch.sparkSession
         changes = batch.select(*out_cols).withColumn("op", F.lit("U"))
         if current_version(corpus_root, spark) is not None:

@@ -92,24 +92,39 @@ def stream_rollup_publish(
         last = last_merged_batch_id(spark, root)
         if last is not None and batch_id <= last:
             return  # replayed micro-batch: already committed atomically
-        if not batch.take(1):
-            return
-        part = rollup_delta(batch, keys, specs)
-        if current_version(root, spark) is not None:
-            part = merge_rollup(
-                read_published(spark, root), part, keys, specs
-            )
-        # the merged frame reads the pointed version v=N while build
-        # lands v=N+1 — safe: versions are immutable, land runs BEFORE
-        # the tail vacuum, and the pointer path was resolved above
+        # r18 (guide §1.2): every action on a foreachBatch frame
+        # re-executes the micro-batch plan from the source — the
+        # emptiness guard plus the publish write used to run it twice
+        # per batch.  Persist once, hand the cached blocks to both.
+        batch = batch.persist()
+        try:
+            # count() (not take(1)) as the guard: the count job
+            # materializes the WHOLE cache in one pass, so the state
+            # operator runs in exactly one job and every later
+            # consumer reads pure cached blocks (a take(1) guard
+            # split the cache fill across two jobs, double-counting
+            # state-store checkouts in the progress metrics)
+            if batch.count() == 0:
+                return
+            part = rollup_delta(batch, keys, specs)
+            if current_version(root, spark) is not None:
+                part = merge_rollup(
+                    read_published(spark, root), part, keys, specs
+                )
+            # the merged frame reads the pointed version v=N while build
+            # lands v=N+1 — safe: versions are immutable, land runs
+            # BEFORE the tail vacuum, and the pointer path was resolved
+            # above
 
-        def build(vdir: str) -> None:
-            part.write.mode("overwrite").parquet(vdir)
-            write_json_sidecar(
-                spark, vdir, BATCH_MARKER, {"batch_id": int(batch_id)}
-            )
+            def build(vdir: str) -> None:
+                part.write.mode("overwrite").parquet(vdir)
+                write_json_sidecar(
+                    spark, vdir, BATCH_MARKER, {"batch_id": int(batch_id)}
+                )
 
-        publish_dir(root, build, keep_versions=keep_versions, spark=spark)
+            publish_dir(root, build, keep_versions=keep_versions, spark=spark)
+        finally:
+            batch.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

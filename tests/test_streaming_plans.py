@@ -85,15 +85,28 @@ GOLDEN = {
     # printed because the sink is foreachBatch (same reporting shape
     # as q_stream_dedup).  The audit is recorded inline by the key
     # (foreachBatch sink, no memory-sink drain).
+    # stores=16 (r18): numStateStoreInstances counts per-partition
+    # store CHECKOUTS summed over the jobs that run the post-shuffle
+    # dedup stage inside the foreachBatch sink — the take(1) guard and
+    # the publish write each load the 8 stores once (2 x 8; the
+    # expensive MAP side still executes exactly once per batch via
+    # exchange reuse — source-accumulator evidence in
+    # tools/foreachbatch_rehearsal.py's scope note).  The r17 pin of 8
+    # was an artifact of the final micro-batch's action pattern under
+    # the old two-append source layout; the scale property — state
+    # scoped to 8 partitions, bounded by the watermark — is the
+    # numShufflePartitions == 8 assert below.
     "q_stream_curate_publish": dict(
-        node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=8
+        node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=16
     ),
     # snapshot-consistent multi-component sink (r16): same state story
     # as the single-dataset publish twin — the ONLY streaming state is
     # the watermark-bounded id dedup; the per-batch corpus/counts/
     # snapshot publishes are batch jobs inside foreachBatch
+    # (stores=16: same checkout-count accounting as
+    # q_stream_curate_publish above)
     "q_stream_snapshot": dict(
-        node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=8
+        node="StreamingDeduplicateWithinWatermark", wm_tag=False, stores=16
     ),
     # streaming incremental-rollup maintenance (r17): STATELESS by
     # design — the stream side is a bare file-source projection into

@@ -51,6 +51,32 @@ with like, the record carries the UNADJUSTED totals alongside the
 official ones (headline_total_unadjusted / extended_total_unadjusted
 = the same sums with every key at its FIRST median); when the
 sentinel did not fire the pairs are equal.
+
+r18 measurement-bug fix, CACHE HYGIENE (VERDICT r17 item 3 — stated
+explicitly per the round rules): several query bodies persist()
+intermediates that their returned lazy frame shares between two
+consumers (q_graph_triangles' edge set, q_dedup_simhash's
+fingerprints, q_important_parts' per-part agg, plus operator-internal
+caller-owned caches).  Spark's CacheManager matches by analyzed plan,
+so iterations 2..N of a median used to re-use iteration 1's cached
+blocks — those keys' medians measured WARM-CACHE, not cold-plan,
+performance.  The harness now calls spark.catalog.clearCache()
+before EVERY timed execution (outside the timed window), so each run
+computes from the parquet inputs.  Affected keys' official numbers
+are therefore HIGHER than their r17 records by construction — that is
+the measurement correction, not a code regression; intra-run sharing
+(two consumers inside one returned plan) is unaffected.
+
+r18 JOB-COUNT REGRESSION METRIC (VERDICT r17 item 2, additions-only):
+the per-key job count is deterministic run-to-run and immune to the
+±2-3x host phases documented in BENCH_NOTES.md, so it — not wall
+seconds — is the cross-round regression gate.  The one-line JSON now
+carries ``jobs_total`` (sum of per-key jobs over all non-error keys)
+plus ``jobs_total_prev`` from the previous committed BENCH_RESULT.json,
+and the full record adds ``queries_jobs_delta`` (every key whose job
+count changed vs that previous record, with prev/now).  Policy: a key
+whose job count RISES without a documented reason is a regression
+regardless of its wall seconds; wall totals remain advisory context.
 """
 
 from __future__ import annotations
@@ -153,7 +179,14 @@ def _timed_runs(spark, group: str, fn, runs: int) -> tuple[list[float], int]:
     sc = spark.sparkContext
     sc.setJobGroup(group, group)
     try:
-        times = [_time_once(fn) for _ in range(runs)]
+        times = []
+        for _ in range(runs):
+            # r18 cache hygiene (docstring): leaked persist() handles
+            # from a previous execution must not warm this one — every
+            # timed run computes from the parquet inputs.  The clear is
+            # OUTSIDE the timed window (driver-side, ~ms).
+            spark.catalog.clearCache()
+            times.append(_time_once(fn))
     finally:
         sc.setJobGroup("bench:idle", "between keys")
     try:
@@ -209,6 +242,17 @@ def _calibration(spark) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # previous run's per-key job counts (read BEFORE this run
+    # overwrites the record) — the r18 deterministic regression gate
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_jobs: dict[str, int] = {}
+    try:
+        with open(os.path.join(here, "BENCH_RESULT.json")) as f:
+            pj = json.load(f).get("queries_jobs")
+        if isinstance(pj, dict) and "order" not in pj:
+            prev_jobs = {k: int(v) for k, v in pj.items()}
+    except Exception:  # noqa: BLE001 — first run / old record shape
+        prev_jobs = {}
     spark = get_spark("spectrify-bench")
     qs = E.queries()
     extended = [k for k in qs if k not in HEADLINE]
@@ -352,6 +396,14 @@ def main() -> None:
         for k, v in timings.items()
         if isinstance(v, (int, float)) and k != "etl_convert_rows_per_sec"
     }
+    # r18 job-count regression columns (docstring): total + per-key
+    # delta vs the previous committed record
+    jobs_total = sum(jobs.values())
+    jobs_delta = {
+        k: {"prev": prev_jobs.get(k), "now": jobs.get(k)}
+        for k in sorted(set(prev_jobs) | set(jobs))
+        if prev_jobs.get(k) != jobs.get(k)
+    }
     record = {
         "metric": "headline_queries_total",
         "value": round(totals["headline"], 3),
@@ -361,6 +413,9 @@ def main() -> None:
         "queries_normalized": normalized,
         "queries_normalized_per_job": normalized_per_job,
         "queries_jobs": jobs,
+        "jobs_total": jobs_total,
+        "jobs_total_prev": sum(prev_jobs.values()) if prev_jobs else None,
+        "queries_jobs_delta": jobs_delta,
         "queries_spread": spreads,
         "noise_sentinel": sentinel,
         "extended_total": round(totals["extended"], 3),
@@ -390,10 +445,12 @@ def main() -> None:
     # BENCH_RESULT.json next to this script; the stdout line keeps the
     # same shape but carries only the HEADLINE per-query timings (plus
     # errored keys) so it always fits the capture window intact.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_RESULT.json"), "w") as f:
         json.dump(record, f, indent=1)
     compact = dict(record)
+    # jobs_total / jobs_total_prev stay on the line (two ints); the
+    # keyed per-key delta is file-only like the other keyed dicts
+    del compact["queries_jobs_delta"]
     compact["queries"] = {
         k: (v if not isinstance(v, dict) else {"err": str(v.get("err"))[:80]})
         for k, v in timings.items()

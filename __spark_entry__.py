@@ -1893,7 +1893,9 @@ def q_incr_recompute(spark, sf):
         F.col("o_orderkey") % 2 == 0
     )
     base1 = o.filter(~retract)
-    touched = spark.createDataFrame([("1-URGENT",)], "o_orderpriority string")
+    from spectrify_spark.operators._params import local_rows_frame
+
+    touched = local_rows_frame(spark, [("1-URGENT",)], "o_orderpriority string")
     recompute_partitions(spark, root, base1, touched, keys, specs)
     return (
         read_rollup(spark, root, keys, specs)
@@ -5148,7 +5150,10 @@ def q_knn_join_ivfpq(spark, sf):
     cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
     work = tempfile.mkdtemp(prefix="q_knn_ivfpq_")
     Q.write_ivfpq_index(e, cents, _pq_books(), f"{work}/idx")
-    queries = spark.createDataFrame(
+    from spectrify_spark.operators._params import local_rows_frame
+
+    queries = local_rows_frame(
+        spark,
         [(i, qv) for i, qv in enumerate(_knn_pq_queries())],
         "q_id int, q_vec array<double>",
     )
@@ -5179,7 +5184,10 @@ def q_knn_join_shuffle(spark, sf):
     cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, n_centroids=8), iters=1)
     work = tempfile.mkdtemp(prefix="q_knn_shuffle_")
     Q.write_ivfpq_index(e, cents, _pq_books(), f"{work}/idx")
-    queries = spark.createDataFrame(
+    from spectrify_spark.operators._params import local_rows_frame
+
+    queries = local_rows_frame(
+        spark,
         [(i, qv) for i, qv in enumerate(_knn_pq_queries())],
         "q_id int, q_vec array<double>",
     )

@@ -702,7 +702,9 @@ def _prune_files_spark(
                 cond = cond | cdis
             g = spark.read.schema(sch).parquet(*parts).where(cond).select("file")
             pruned = g if pruned is None else pruned.unionByName(g)
-        live_df = spark.createDataFrame([(f,) for f in live], "file string")
+        from spectrify_spark.operators._params import local_rows_frame
+
+        live_df = local_rows_frame(spark, [(f,) for f in live], "file string")
         keep_rows = live_df.join(pruned, "file", "left_anti").collect()
         return sorted(r["file"] for r in keep_rows)
     except Exception:
@@ -1244,7 +1246,9 @@ def _prune_files_eq_spark(
             pruned = g if pruned is None else pruned.unionByName(g)
         if pruned is None:
             return list(live)  # bloom exists but proves nothing: keep all
-        live_df = spark.createDataFrame([(f,) for f in live], "file string")
+        from spectrify_spark.operators._params import local_rows_frame
+
+        live_df = local_rows_frame(spark, [(f,) for f in live], "file string")
         keep_rows = live_df.join(pruned, "file", "left_anti").collect()
         return sorted(r["file"] for r in keep_rows)
     except Exception:

@@ -58,7 +58,9 @@ def _codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
     if not codebooks or not codebooks[0]:
         raise ValueError("need at least one subspace with one code")
     row = ([[ [float(x) for x in code] for code in sub] for sub in codebooks],)
-    return spark.createDataFrame([row], "__cb array<array<array<double>>>")
+    from spectrify_spark.operators._params import local_rows_frame
+
+    return local_rows_frame(spark, [row], "__cb array<array<array<double>>>")
 
 
 def _sq_l2(a, b):
@@ -171,7 +173,9 @@ def pq_adc_scores(
     m = len(codebooks)
     lut_rows = adc_lookup_table(codebooks, query_vec)
     spark = encoded.sparkSession
-    lut = spark.createDataFrame([(lut_rows,)], "__lut array<array<double>>")
+    from spectrify_spark.operators._params import local_rows_frame
+
+    lut = local_rows_frame(spark, [(lut_rows,)], "__lut array<array<double>>")
     dist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
@@ -888,8 +892,10 @@ def _sq_model_frame(spark, model: dict) -> DataFrame:
     maxs = [float(x) for x in model["maxs"]]
     if len(mins) != len(maxs) or not mins:
         raise ValueError("sq model needs equal-length non-empty mins/maxs")
-    return spark.createDataFrame(
-        [(mins, maxs)], "__mn array<double>, __mx array<double>"
+    from spectrify_spark.operators._params import local_rows_frame
+
+    return local_rows_frame(
+        spark, [(mins, maxs)], "__mn array<double>, __mx array<double>"
     )
 
 

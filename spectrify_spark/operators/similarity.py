@@ -121,7 +121,12 @@ def _centroid_frame(spark, centroids: list[tuple[int, list[float]]]) -> DataFram
         [_cnorm(vec) for _, vec in centroids],
         [int(cid) for cid, _ in centroids],
     )
-    return spark.createDataFrame(
+    # Arrow LocalRelation (r18): the parallelize path scheduled a
+    # defaultParallelism-task stage per broadcast build of this one row
+    from spectrify_spark.operators._params import local_rows_frame
+
+    return local_rows_frame(
+        spark,
         [row],
         "__cmat array<array<double>>, __cnorms array<double>, __cids array<int>",
     )

@@ -18,7 +18,67 @@ a pure physical-plan optimization.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Above this many leaf scalars the parameter row stays a broadcast
+#: one-row frame (a multi-megabyte literal bloats the plan and the
+#: generated code); below it the values inline as literal columns —
+#: no join, no broadcast-exchange build job per consuming action.
+#: Env-overridable for cluster deployments with huge models.
+PARAM_LITERAL_MAX = int(os.environ.get("SPECTRIFY_PARAM_LITERAL_MAX", "8192"))
+
+
+def _scalar_count(v) -> int:
+    if isinstance(v, (list, tuple)):
+        return sum(_scalar_count(x) for x in v)
+    return 1
+
+
+def literal_param(value, ddl_type: str):
+    """``value`` as a typed literal Column, or ``None`` when it exceeds
+    ``PARAM_LITERAL_MAX`` or cannot be literalized — callers fall back
+    to their broadcast-frame / read-back arm."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if _scalar_count(value) > PARAM_LITERAL_MAX:
+        return None
+    try:
+        return F.lit(value).cast(_parse_datatype_string(ddl_type))
+    except Exception:  # noqa: BLE001 — non-literalizable value shape
+        return None
+
+
+def attach_params(df: DataFrame, row: dict, schema: str) -> DataFrame:
+    """Attach a constant parameter row (column name -> Python value) to
+    every row of ``df`` with the exact types of the DDL ``schema``.
+
+    Replaces the ``df.crossJoin(F.broadcast(one_row_frame))`` pattern:
+    small parameter tables (centroid matrices, PQ codebooks, ADC LUTs,
+    SQ min/max models) become literal columns folded into the plan —
+    zero join nodes and zero broadcast-build jobs per consuming action
+    (guide §3: don't schedule a join to read a constant).  Values are
+    bit-identical either way: Python floats ARE doubles and the cast
+    only stamps the declared element types.  Oversized or
+    non-literalizable parameters keep the broadcast-frame path."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    struct = _parse_datatype_string(schema)
+    if sum(_scalar_count(v) for v in row.values()) <= PARAM_LITERAL_MAX:
+        try:
+            cols = {
+                f.name: F.lit(row[f.name]).cast(f.dataType)
+                for f in struct.fields
+            }
+            return df.withColumns(cols)
+        except Exception:  # noqa: BLE001 — non-literalizable value shape
+            pass
+    frame = local_rows_frame(
+        df.sparkSession, [tuple(row[f.name] for f in struct.fields)], schema
+    )
+    return df.crossJoin(F.broadcast(frame))
 
 
 def local_rows_frame(spark, rows, schema: str) -> DataFrame:

@@ -63,6 +63,26 @@ def _codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
     return local_rows_frame(spark, [row], "__cb array<array<array<double>>>")
 
 
+def _attach_codebooks(
+    df: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """Attach ``__cb`` to every row of ``df`` — consumer-side twin of
+    :func:`_codebook_frame` (r18 opt round, cf.
+    ``similarity._attach_centroids``): small codebooks fold in as a
+    literal column (no join node, no broadcast-build job per action);
+    oversized ones keep the broadcast one-row-frame crossJoin."""
+    if not codebooks or not codebooks[0]:
+        raise ValueError("need at least one subspace with one code")
+    from spectrify_spark.operators._params import attach_params
+
+    row = {
+        "__cb": [
+            [[float(x) for x in code] for code in sub] for sub in codebooks
+        ]
+    }
+    return attach_params(df, row, "__cb array<array<array<double>>>")
+
+
 def _sq_l2(a, b):
     """Squared L2 distance of two array columns, summed left-to-right
     (the fold order the DuckDB oracle unrolls literally)."""
@@ -110,7 +130,6 @@ def pq_encode(
         ).isNull()
     )
     cb = F.col("__cb")
-    cent = _codebook_frame(df.sparkSession, codebooks)
 
     def sub_code(mi):
         # mi is 1-based subspace index (Column); slice is 1-based
@@ -132,7 +151,7 @@ def pq_encode(
 
     codes = F.transform(F.sequence(F.lit(1), F.lit(m)), sub_code)
     return (
-        df.crossJoin(F.broadcast(cent))
+        _attach_codebooks(df, codebooks)
         .withColumn(out_col, codes)
         .drop("__cb")
     )
@@ -172,10 +191,8 @@ def pq_adc_scores(
     is the ONLY thing scanned.  Output: (id, code_col, adc_dist)."""
     m = len(codebooks)
     lut_rows = adc_lookup_table(codebooks, query_vec)
-    spark = encoded.sparkSession
-    from spectrify_spark.operators._params import local_rows_frame
+    from spectrify_spark.operators._params import attach_params
 
-    lut = local_rows_frame(spark, [(lut_rows,)], "__lut array<array<double>>")
     dist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
@@ -187,9 +204,9 @@ def pq_adc_scores(
     )
     if round_digits is not None:
         dist = F.round(dist, round_digits)
-    return encoded.crossJoin(F.broadcast(lut)).select(
-        F.col(id_col), F.col(code_col), dist.alias("adc_dist")
-    )
+    return attach_params(
+        encoded, {"__lut": lut_rows}, "__lut array<array<double>>"
+    ).select(F.col(id_col), F.col(code_col), dist.alias("adc_dist"))
 
 
 def pq_adc_topk(
@@ -257,10 +274,8 @@ def pq_adc_knn_join(
         raise ValueError("need at least one subspace with one code")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    cent = _codebook_frame(encoded.sparkSession, codebooks)
-    q = (
-        queries.crossJoin(F.broadcast(cent))
-        .select(query_id, _adc_lut_expr(m, dsub, F.col(query_vec)).alias("__lut"))
+    q = _attach_codebooks(queries, codebooks).select(
+        query_id, _adc_lut_expr(m, dsub, F.col(query_vec)).alias("__lut")
     )
     dist = _adc_dist_expr(m, F.col("__lut"), F.col(code_col))
     if round_digits is not None:
@@ -416,7 +431,7 @@ def reconstruction_mse(
         ),
     )
     row = (
-        enc.crossJoin(F.broadcast(_codebook_frame(df.sparkSession, codebooks)))
+        _attach_codebooks(enc, codebooks)
         .agg(F.avg(err).alias("mse"))
         .first()
     )
@@ -428,17 +443,20 @@ def reconstruction_mse(
 _IVFPQ_SIDECAR = "_spectrify_ivfpq_model.json"
 
 
-def _pq_recon_expr(code_col):
+def _pq_recon_expr(code_col, cb=None):
     """Reconstruct an ``array<double>`` vector from a PQ code array —
-    requires the broadcast ``__cb`` codebook column in scope
-    (:func:`_codebook_frame`): subspace i's code c picks codeword
-    ``__cb[i+1][c+1]``, concatenated in subspace order.  Row-local
-    ``transform`` + ``flatten``, no shuffle."""
+    requires the ``__cb`` codebook column in scope
+    (:func:`_attach_codebooks`), or an explicit codebook Column via
+    ``cb`` (the observe-on-write stats pass a literal): subspace i's
+    code c picks codeword ``__cb[i+1][c+1]``, concatenated in subspace
+    order.  Row-local ``transform`` + ``flatten``, no shuffle."""
+    if cb is None:
+        cb = F.col("__cb")
     return F.flatten(
         F.transform(
             code_col,
             lambda c, i: F.element_at(
-                F.element_at(F.col("__cb"), (i + F.lit(1)).cast("int")),
+                F.element_at(cb, (i + F.lit(1)).cast("int")),
                 (c + F.lit(1)).cast("int"),
             ),
         )
@@ -487,20 +505,16 @@ def _recon_frame(spark, path: str, payload: dict):
         idx = read_indexed_parquet(spark, path, payload).select(
             cell_col, "pq_code"
         )
-        cb = _codebook_frame(spark, payload["codebooks"])
-        frame = idx.crossJoin(F.broadcast(cb)).withColumn(
+        frame = _attach_codebooks(idx, payload["codebooks"]).withColumn(
             "__recon", _pq_recon_expr(F.col("pq_code"))
         )
     else:
         idx = read_indexed_parquet(spark, path, payload).select(
             cell_col, "sq_code"
         )
-        mf = _sq_model_frame(
-            spark, {"mins": payload["mins"], "maxs": payload["maxs"]}
-        )
-        frame = idx.crossJoin(F.broadcast(mf)).withColumn(
-            "__recon", _sq_midpoint_recon(F.col("sq_code"))
-        )
+        frame = _attach_sq_model(
+            idx, {"mins": payload["mins"], "maxs": payload["maxs"]}
+        ).withColumn("__recon", _sq_midpoint_recon(F.col("sq_code")))
     return centroids, cell_col, frame.select(cell_col, "__recon")
 
 
@@ -515,6 +529,37 @@ def _compressed_counts_and_residual(
 
     centroids, cell_col, frame = _recon_frame(spark, path, payload)
     return _counts_and_residual(frame, centroids, "__recon", cell_col)
+
+
+def _observed_compressed_stats(
+    frame, centroids, cell_col: str, code_col: str,
+    codebooks=None, model=None,
+):
+    """Compressed-family twin of ``similarity._observed_build_stats``
+    (r18 opt round): reconstruct each code INSIDE the write plan (PQ
+    codeword concat / SQ midpoints from a literal model) and fold the
+    drift baselines into the write action — the post-write stats
+    read-back scan disappears.  Returns ``(None, frame)`` when the
+    model exceeds the literal budget (huge builds keep the read-back
+    arm)."""
+    from spectrify_spark.operators._params import literal_param
+    from spectrify_spark.operators.similarity import _observed_build_stats
+
+    if codebooks is not None:
+        cb = literal_param(
+            [[[float(x) for x in code] for code in sub] for sub in codebooks],
+            "array<array<array<double>>>",
+        )
+        if cb is None:
+            return None, frame
+        recon = _pq_recon_expr(F.col(code_col), cb=cb)
+    else:
+        mn = literal_param([float(x) for x in model["mins"]], "array<double>")
+        mx = literal_param([float(x) for x in model["maxs"]], "array<double>")
+        if mn is None or mx is None:
+            return None, frame
+        recon = _sq_midpoint_recon(F.col(code_col), mn=mn, mx=mx)
+    return _observed_build_stats(frame, centroids, recon, cell_col)
 
 
 def _cell_shard_partitioning(
@@ -583,9 +628,23 @@ def write_ivfpq_index(
 
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
     enc = pq_encode(assigned, codebooks, vec_col=vec_col, out_col="pq_code")
+    to_write = enc.select(id_col, cell_col, "pq_code")
+    # drift baselines ride the write action via observe() when the
+    # model fits the literal budget (r18 opt round, guide §1.2 — no
+    # post-write read-back scan); sampled stats and oversized models
+    # keep the read-back arm below
+    handle = None
+    if stats_sample_fraction is None:
+        try:
+            handle, to_write = _observed_compressed_stats(
+                to_write, centroids, cell_col, "pq_code",
+                codebooks=codebooks,
+            )
+        except Exception:  # noqa: BLE001 — keep the read-back arm
+            handle = None
     (
         _cell_shard_partitioning(
-            enc.select(id_col, cell_col, "pq_code"),
+            to_write,
             cell_col,
             id_col,
             shards_per_cell,
@@ -625,8 +684,9 @@ def write_ivfpq_index(
             enc.select(id_col, cell_col, "pq_code").schema, [cell_col]
         ),
     }
-    sizes, r_n, resid = _write_stats_passes(
-        df.sparkSession, path, cell_col, model_payload, stats_sample_fraction
+    sizes, r_n, resid = _decode_or_read_stats(
+        handle, df.sparkSession, path, cell_col, model_payload,
+        stats_sample_fraction,
     )
     model_payload["stats"] = {
         "build_n": int(sum(sizes.values())),
@@ -636,6 +696,27 @@ def write_ivfpq_index(
         "residual_estimator": "adc_reconstruction",
     }
     replace_json_sidecar(df.sparkSession, path, _IVFPQ_SIDECAR, model_payload)
+
+
+def _decode_or_read_stats(
+    handle, spark, path: str, cell_col: str, model_payload: dict,
+    stats_sample_fraction: "float | None",
+) -> "tuple[dict, int, float | None]":
+    """Observed write metrics when available, else the read-back passes
+    — a metric-decode failure degrades to the read-back arm exactly
+    like a residual failure there degrades to footer counts."""
+    if handle is not None:
+        from spectrify_spark.operators.similarity import (
+            _observed_stats_result,
+        )
+
+        try:
+            return _observed_stats_result(handle)
+        except Exception:  # noqa: BLE001 — degrade to read-back
+            pass
+    return _write_stats_passes(
+        spark, path, cell_col, model_payload, stats_sample_fraction
+    )
 
 
 def _write_stats_passes(
@@ -899,6 +980,25 @@ def _sq_model_frame(spark, model: dict) -> DataFrame:
     )
 
 
+def _attach_sq_model(df: DataFrame, model: dict) -> DataFrame:
+    """Attach ``__mn`` / ``__mx`` to every row of ``df`` — consumer-side
+    twin of :func:`_sq_model_frame` (r18 opt round, cf.
+    ``similarity._attach_centroids``): small models fold in as literal
+    columns (no join node, no broadcast-build job per action);
+    oversized ones keep the broadcast one-row-frame crossJoin."""
+    mins = [float(x) for x in model["mins"]]
+    maxs = [float(x) for x in model["maxs"]]
+    if len(mins) != len(maxs) or not mins:
+        raise ValueError("sq model needs equal-length non-empty mins/maxs")
+    from spectrify_spark.operators._params import attach_params
+
+    return attach_params(
+        df,
+        {"__mn": mins, "__mx": maxs},
+        "__mn array<double>, __mx array<double>",
+    )
+
+
 def sq_encode(
     df: DataFrame,
     model: dict,
@@ -918,7 +1018,6 @@ def sq_encode(
     (plan size flat in dim); the map is a row-local ``zip_with`` —
     zero shuffle, zero Python.
     """
-    mf = _sq_model_frame(df.sparkSession, model)
     code = F.zip_with(
         F.zip_with(
             F.col(vec_col).cast("array<double>"),
@@ -933,22 +1032,28 @@ def sq_encode(
             )
         ).cast("int"),
     )
-    return df.crossJoin(F.broadcast(mf)).withColumn(out_col, code).drop(
+    return _attach_sq_model(df, model).withColumn(out_col, code).drop(
         "__mn", "__mx"
     )
 
 
-def _sq_midpoint_recon(code):
+def _sq_midpoint_recon(code, mn=None, mx=None):
     """Midpoint reconstruction of an SQ code array — requires the
-    broadcast model columns ``__mn``/``__mx`` in scope (see
-    :func:`_sq_model_frame`).  Row-local ``zip_with``, no shuffle."""
+    model columns ``__mn``/``__mx`` in scope (see
+    :func:`_attach_sq_model`), or explicit model Columns via
+    ``mn``/``mx`` (the observe-on-write stats pass literals).
+    Row-local ``zip_with``, no shuffle."""
+    if mn is None:
+        mn = F.col("__mn")
+    if mx is None:
+        mx = F.col("__mx")
     return F.zip_with(
         F.zip_with(
             code,
-            F.col("__mn"),
-            lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
+            mn,
+            lambda c, mn_: F.struct(c.alias("c"), mn_.alias("mn")),
         ),
-        F.zip_with(F.col("__mx"), F.col("__mn"), lambda mx, mn: mx - mn),
+        F.zip_with(mx, mn, lambda mx_, mn_: mx_ - mn_),
         lambda s, rng: s["mn"]
         + (s["c"].cast("double") + F.lit(0.5)) * rng / F.lit(256.0),
     )
@@ -978,13 +1083,12 @@ def sq_topk(
     read, the same asymmetric-distance idea as PQ's ADC but with
     per-dimension resolution.  Row-local fold, global ascending top-k
     (TakeOrderedAndProject), ties by id."""
-    mf = _sq_model_frame(encoded.sparkSession, model)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     dist = _l2_fold(_sq_midpoint_recon(F.col(code_col)), q)
     if round_digits is not None:
         dist = F.round(dist, round_digits)
     return (
-        encoded.crossJoin(F.broadcast(mf))
+        _attach_sq_model(encoded, model)
         .select(F.col(id_col), dist.alias("sq_dist"))
         .orderBy(F.col("sq_dist").asc(), F.col(id_col))
         .limit(k)
@@ -1021,9 +1125,8 @@ def sq_knn_join(
     kept, columns ``(query_id, id_col, sq_dist)``."""
     from pyspark.sql import Window
 
-    mf = _sq_model_frame(encoded.sparkSession, model)
     cand = (
-        encoded.crossJoin(F.broadcast(mf))
+        _attach_sq_model(encoded, model)
         .select(
             F.col(id_col),
             _sq_midpoint_recon(F.col(code_col)).alias("__recon"),
@@ -1086,9 +1189,19 @@ def write_ivfsq_index(
 
     assigned = assign_partitions(df, centroids, vec_col=vec_col, out_col=cell_col)
     enc = sq_encode(assigned, model, vec_col=vec_col, out_col="sq_code")
+    to_write = enc.select(id_col, cell_col, "sq_code")
+    # drift baselines ride the write via observe() — see the PQ twin
+    handle = None
+    if stats_sample_fraction is None:
+        try:
+            handle, to_write = _observed_compressed_stats(
+                to_write, centroids, cell_col, "sq_code", model=model
+            )
+        except Exception:  # noqa: BLE001 — keep the read-back arm
+            handle = None
     (
         _cell_shard_partitioning(
-            enc.select(id_col, cell_col, "sq_code"),
+            to_write,
             cell_col,
             id_col,
             shards_per_cell,
@@ -1118,8 +1231,9 @@ def write_ivfsq_index(
             enc.select(id_col, cell_col, "sq_code").schema, [cell_col]
         ),
     }
-    sizes, r_n, resid = _write_stats_passes(
-        df.sparkSession, path, cell_col, model_payload, stats_sample_fraction
+    sizes, r_n, resid = _decode_or_read_stats(
+        handle, df.sparkSession, path, cell_col, model_payload,
+        stats_sample_fraction,
     )
     model_payload["stats"] = {
         "build_n": int(sum(sizes.values())),
@@ -1326,16 +1440,15 @@ def _index_knn_join(
     arm."""
     from pyspark.sql import Window
 
-    from spectrify_spark.operators.similarity import _centroid_frame
+    from spectrify_spark.operators.similarity import _attach_centroids
 
     cell_col, id_col = payload["cell_col"], payload["id_col"]
-    cent = _centroid_frame(spark, [(int(c), v) for c, v in centroids])
     cells = _query_cells_col(len(centroids), nprobe, F.col("q_vec_norm_src"))
     q = (
-        queries.withColumnRenamed(
-            q_extra_cols[0], "q_vec_norm_src"
+        _attach_centroids(
+            queries.withColumnRenamed(q_extra_cols[0], "q_vec_norm_src"),
+            [(int(c), v) for c, v in centroids],
         )
-        .crossJoin(F.broadcast(cent))
         .select(
             query_id,
             F.col("q_vec_norm_src").cast("array<double>").alias("__qv"),
@@ -1432,7 +1545,6 @@ def ivfpq_knn_join(
         )
     codebooks = payload["codebooks"]
     m, dsub = len(codebooks), len(codebooks[0][0])
-    cb = _codebook_frame(spark, codebooks)
 
     def dist_fn(q):
         return _adc_dist_expr(m, F.col("__lut"), F.col("pq_code"))
@@ -1441,10 +1553,9 @@ def ivfpq_knn_join(
         return enc
 
     # the LUT rides the query side: inject it via a wrapper that adds
-    # __lut after the centroid cross-join (the codebook frame is a
-    # second one-row broadcast)
+    # __lut after the centroid attach
     queries_lut = (
-        queries.crossJoin(F.broadcast(cb))
+        _attach_codebooks(queries, codebooks)
         .select(
             query_id,
             F.col(query_vec),
@@ -1504,13 +1615,12 @@ def ivfsq_knn_join(
             "write_ivfsq_index first"
         )
     model = {"mins": payload["mins"], "maxs": payload["maxs"]}
-    mf = _sq_model_frame(spark, model)
 
     def dist_fn(q):
         return _l2_fold(F.col("__recon"), F.col("__qv"))
 
     def enc_prep(enc):
-        return enc.crossJoin(F.broadcast(mf)).select(
+        return _attach_sq_model(enc, model).select(
             payload["id_col"],
             payload["cell_col"],
             _sq_midpoint_recon(F.col("sq_code")).alias("__recon"),

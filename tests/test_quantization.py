@@ -82,10 +82,11 @@ def test_pq_train_seeds_distinct_vectors(spark):
 
 
 def test_pq_encode_plan_has_no_shuffle(spark):
-    """Encode + ADC scoring is map-side only: the two one-row
-    parameter tables arrive as BroadcastExchange, and NO shuffle
-    (Exchange hashpartitioning / rangepartitioning) appears — the
-    corpus is scanned once, in place."""
+    """Encode + ADC scoring is map-side only: NO shuffle (Exchange
+    hashpartitioning / rangepartitioning) appears — the corpus is
+    scanned once, in place.  r18: small codebooks/LUTs fold in as
+    LITERALS, so there is no join node and no BroadcastExchange
+    either (the one-row parameter-table broadcast is gone)."""
     e = _vecs(spark)
     books = Q.deterministic_codebooks(4, 16, 16)
     out = Q.pq_adc_scores(Q.pq_encode(e, books), books, [0.0] * 64)
@@ -93,7 +94,7 @@ def test_pq_encode_plan_has_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
-    assert "BroadcastExchange" in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_pq_validation_errors(spark):
@@ -388,8 +389,9 @@ def test_sq_topk_close_to_exact(spark):
 
 
 def test_sq_plan_is_map_side_only(spark):
-    """Encode + score plan: one-row parameter-table broadcasts only,
-    no hash/range shuffle of the corpus."""
+    """Encode + score plan: no hash/range shuffle of the corpus, and
+    (r18) no BroadcastExchange either — the small SQ model folds in
+    as literal columns instead of a one-row parameter-table join."""
     rows = [(i, [float(i % 13), float(i % 7)]) for i in range(50)]
     e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     model = Q.sq_train(e)
@@ -398,7 +400,7 @@ def test_sq_plan_is_map_side_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
-    assert "BroadcastExchange" in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_sq_validation(spark):
@@ -442,7 +444,8 @@ def test_sq_knn_join_matches_single_query_path(spark):
         .toString()
         .split("== Initial Plan ==")[0]
     )
-    # corpus never hash/range-shuffles except the per-query window
+    # corpus never hash/range-shuffles except the per-query window;
+    # the model is a literal (r18) and only the QUERY BATCH broadcasts
     assert plan.count("hashpartitioning") <= 1
     assert "BroadcastExchange" in plan
 
@@ -787,6 +790,10 @@ def test_residual_failure_keeps_count_baselines(spark, tmp_path, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("malformed code row")
 
+    # r18: stats normally ride the write via observe(); disable that
+    # arm so the degradation chain under test (read-back residual
+    # failure -> footer-only counts) is actually exercised
+    monkeypatch.setattr(Q, "_observed_compressed_stats", boom)
     monkeypatch.setattr(Q, "_recon_frame", boom)
     monkeypatch.setattr(Q, "_compressed_residual_mean", boom)
     idx = str(tmp_path / "ivfpq")
@@ -801,3 +808,52 @@ def test_residual_failure_keeps_count_baselines(spark, tmp_path, monkeypatch):
     stats2 = read_json_sidecar(spark, idx2, Q._IVFSQ_SIDECAR)["stats"]
     assert stats2["build_n"] > 0 and stats2["build_cell_sizes"]
     assert stats2["build_residual_mean"] is None
+
+
+def test_observed_write_stats_match_readback(spark, tmp_path, monkeypatch):
+    """r18 opt round: the drift baselines ride the index write via
+    observe() — zero read-back scan.  The observed arm must agree with
+    the read-back arm exactly on every count and within float-sum
+    association noise on the residual mean, for all three writers."""
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.operators._sidecar import read_json_sidecar
+
+    e = _vecs(spark).limit(96)
+    cents = SIM.kmeans_refine(e, SIM.choose_centroids(e, 4), iters=1)
+    books = Q.deterministic_codebooks(4, 16, 16)
+    model = Q.sq_train(e)
+
+    cases = [
+        ("ivf", lambda d: SIM.write_ivf_index(e, cents, d), SIM._IVF_SIDECAR),
+        (
+            "ivfpq",
+            lambda d: Q.write_ivfpq_index(e, cents, books, d),
+            Q._IVFPQ_SIDECAR,
+        ),
+        (
+            "ivfsq",
+            lambda d: Q.write_ivfsq_index(e, cents, model, d),
+            Q._IVFSQ_SIDECAR,
+        ),
+    ]
+    for name, writer, sidecar in cases:
+        d_obs = str(tmp_path / f"{name}_obs")
+        writer(d_obs)
+        obs = read_json_sidecar(spark, d_obs, sidecar)["stats"]
+
+        def boom(*a, **k):
+            raise RuntimeError("observe disabled")
+
+        monkeypatch.setattr(SIM, "_observed_build_stats", boom)
+        try:
+            d_rb = str(tmp_path / f"{name}_rb")
+            writer(d_rb)
+            rb = read_json_sidecar(spark, d_rb, sidecar)["stats"]
+        finally:
+            monkeypatch.undo()
+        assert obs["build_n"] == rb["build_n"] > 0, name
+        assert obs["build_cell_sizes"] == rb["build_cell_sizes"], name
+        assert obs["residual_n"] == rb["residual_n"], name
+        assert obs["build_residual_mean"] == pytest.approx(
+            rb["build_residual_mean"], abs=1e-9
+        ), name

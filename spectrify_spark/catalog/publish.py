@@ -1104,10 +1104,20 @@ def current_path(root: str, spark=None) -> str:
     return _join(root, f"v={v}")
 
 
-def read_published(spark, root: str, version: int | None = None) -> DataFrame:
+def read_published(
+    spark, root: str, version: int | None = None, schema=None
+) -> DataFrame:
     """Scan a published version (default: the one the pointer names).
     Resolving the pointer BEFORE the scan is what makes readers immune
-    to concurrent publishes — the resolved directory is immutable."""
+    to concurrent publishes — the resolved directory is immutable.
+
+    ``schema`` (r18 opt round, the sidecar-schema idea applied to the
+    publish catalog): a caller that KNOWS the written schema — the
+    streaming sinks read back the very table they maintain — passes it
+    to skip footer schema inference, one job per read locally and a
+    listing + footer round trip on object storage.  Pass exactly the
+    schema the version was written with (column order included);
+    leave None to infer."""
     v = current_version(root, spark) if version is None else int(version)
     if v is None:
         raise FileNotFoundError(f"read_published: nothing published at {root!r}")
@@ -1122,7 +1132,8 @@ def read_published(spark, root: str, version: int | None = None) -> DataFrame:
             f"read_published: version {v} not found at {root!r} "
             f"(have {_versions(root, spark)}; it may have been vacuumed)"
         )
-    return spark.read.parquet(_join(root, f"v={v}"))
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(_join(root, f"v={v}"))
 
 
 def _check_time_travel_target(fn: str, root: str, v: int, spark) -> None:

@@ -90,7 +90,10 @@ def stream_apply_changes(
             else:
                 compacted = batch
             if os.path.isdir(live):
-                base = spark.read.parquet(live)
+                # the sink wrote this snapshot, so the schema is
+                # statically known — skip footer inference (r18, one
+                # job per micro-batch read-back)
+                base = spark.read.schema(base_schema).parquet(live)
             else:
                 base = spark.createDataFrame([], base_schema)
             nxt = merge_changes(
@@ -186,7 +189,8 @@ def stream_apply_changes_published(
             else:
                 batch2 = batch
             if current_version(root, spark) is not None:
-                base = read_published(spark, root)
+                # known written schema: skip footer inference (r18)
+                base = read_published(spark, root, schema=base_schema)
             else:
                 base = spark.createDataFrame([], base_schema)
             nxt = merge_changes(

@@ -187,7 +187,10 @@ def stream_curate_dedup_publish(
         # (merge_changes' contract); 'U' = idempotent upsert by id
         changes = batch.select(*out_cols).withColumn("op", F.lit("U"))
         if current_version(root, spark) is not None:
-            base = read_published(spark, root)
+            # the sink maintains this table, so the written schema is
+            # statically known — skip footer inference (r18, one job
+            # per micro-batch read-back)
+            base = read_published(spark, root, schema=base_schema)
         else:
             base = spark.createDataFrame([], base_schema)
         nxt = merge_changes(base, changes, "id", op_col="op", delete_op="D")
@@ -296,7 +299,8 @@ def stream_curate_snapshot_publish(
         spark = batch.sparkSession
         changes = batch.select(*out_cols).withColumn("op", F.lit("U"))
         if current_version(corpus_root, spark) is not None:
-            base = read_published(spark, corpus_root)
+            # known written schema: skip footer inference (r18)
+            base = read_published(spark, corpus_root, schema=base_schema)
         else:
             base = spark.createDataFrame([], base_schema)
         nxt = merge_changes(base, changes, "id", op_col="op", delete_op="D")
@@ -310,7 +314,7 @@ def stream_curate_snapshot_publish(
         # derive from the WRITTEN immutable version (one parquet read,
         # no merge-plan recompute) — the pinned pair cannot diverge
         counts = (
-            read_published(spark, corpus_root, version=cv)
+            read_published(spark, corpus_root, version=cv, schema=base_schema)
             .groupBy("lang")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),

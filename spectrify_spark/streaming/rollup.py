@@ -108,8 +108,11 @@ def stream_rollup_publish(
                 return
             part = rollup_delta(batch, keys, specs)
             if current_version(root, spark) is not None:
+                # the published rollup's schema is the delta's own
+                # (merge_rollup keeps it) — skip footer inference (r18)
                 part = merge_rollup(
-                    read_published(spark, root), part, keys, specs
+                    read_published(spark, root, schema=part.schema),
+                    part, keys, specs,
                 )
             # the merged frame reads the pointed version v=N while build
             # lands v=N+1 — safe: versions are immutable, land runs

@@ -4036,9 +4036,13 @@ def q_scan_skipping(spark, sf):
         .sortWithinPartitions("l_orderkey")
         .write.parquet(work)
     )
-    write_file_stats(spark, work, ["l_orderkey"])
+    # the dataset was just written from li: its schema is known, so
+    # the index build and the pruned scan skip footer inference (r18)
+    write_file_stats(spark, work, ["l_orderkey"], schema=li.schema)
     keep, total = prune_files(spark, work, "l_orderkey", 100, 500)
-    return pruned_scan(spark, work, "l_orderkey", 100, 500).select(
+    return pruned_scan(
+        spark, work, "l_orderkey", 100, 500, schema=li.schema
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
@@ -4075,8 +4079,12 @@ def q_scan_prune_spark(spark, sf):
         .sortWithinPartitions("l_orderkey")
         .write.parquet(work)
     )
-    write_file_stats(spark, work, ["l_orderkey"])
-    out = pruned_scan(spark, work, "l_orderkey", 100, 500, spark_side=True)
+    # known written schema: skip footer inference (r18)
+    write_file_stats(spark, work, ["l_orderkey"], schema=li.schema)
+    out = pruned_scan(
+        spark, work, "l_orderkey", 100, 500, spark_side=True,
+        schema=li.schema,
+    )
     # ONE prune pass: the Spark arm has no _STATS_CACHE, so a separate
     # prune_files call would re-run every prune job — measure the
     # files-read invariant from the scan pruned_scan already planned
@@ -4118,11 +4126,12 @@ def q_scan_bloom(spark, sf):
     )
     work = tempfile.mkdtemp(prefix="q_scan_bloom_") + "/ds"
     li.repartition(8, F.col("l_orderkey")).write.parquet(work)
-    write_file_stats(spark, work, ["l_orderkey"])
+    # known written schema: skip footer inference (r18)
+    write_file_stats(spark, work, ["l_orderkey"], schema=li.schema)
     # m=65536 = the full 16-bit md5-prefix domain: ~7.5k distinct keys
     # per file at sf0.001 fill ~50% of it, keeping fpp ~1.5% at k=6
     # (the 8192 default is sized for ~1k distinct values per file)
-    write_file_bloom(spark, work, ["l_orderkey"], m_bits=65536)
+    write_file_bloom(spark, work, ["l_orderkey"], m_bits=65536, schema=li.schema)
     # deterministic MID-DOMAIN existing key (max key <= max/2): every
     # file's hash-scattered [min, max] straddles it, so range pruning
     # keeps all 8 files — the shape bloom pruning exists for
@@ -4134,7 +4143,7 @@ def q_scan_bloom(spark, sf):
     )
     keep_mm, total = prune_files(spark, work, "l_orderkey", key, key + 1)
     keep_bl, _ = prune_files_eq(spark, work, "l_orderkey", key)
-    return pruned_scan_eq(spark, work, "l_orderkey", key).select(
+    return pruned_scan_eq(spark, work, "l_orderkey", key, schema=li.schema).select(
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",

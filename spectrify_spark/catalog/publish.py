@@ -903,12 +903,18 @@ def publish(
         if stats_cols:
             from spectrify_spark.operators.layout import write_file_stats
 
-            write_file_stats(spark, vdir, stats_cols)
+            # the version was just written from df: pass its schema so
+            # the index builds skip footer inference (r18).  A
+            # partitioned write folds partition_by columns into dirs,
+            # so only the unpartitioned layout knows the file schema.
+            fschema = df.schema if not partition_by else None
+            write_file_stats(spark, vdir, stats_cols, schema=fschema)
             _write_version_rollup(spark, vdir, stats_cols)
         if bloom_cols:
             from spectrify_spark.operators.layout import write_file_bloom
 
-            write_file_bloom(spark, vdir, bloom_cols)
+            fschema = df.schema if not partition_by else None
+            write_file_bloom(spark, vdir, bloom_cols, schema=fschema)
             _write_version_bloom_rollup(spark, vdir, bloom_cols)
 
     # sweep exception: a leftover dir the INPUT DataFrame reads from (a

@@ -656,7 +656,10 @@ def near_dup_pairs_incremental(
             F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
             F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
         )
-        .distinct()
+        # no inner distinct (r18, guide §2.1): the union's distinct
+        # below dedupes the SAME keys one exchange later, and partial
+        # aggregation already collapses the <= bands x duplicates
+        # map-side — the extra round shuffled the deduped pairs twice
     )
     internal = _bucket_pairs(band_d)
     cand = cross.unionByName(internal).distinct()
@@ -980,7 +983,8 @@ def near_dup_pairs_indexed(
             F.least(F.col("d.id"), F.col("c.id")).alias("id_a"),
             F.greatest(F.col("d.id"), F.col("c.id")).alias("id_b"),
         )
-        .distinct()
+        # no inner distinct (r18): the union's distinct dedupes one
+        # exchange later — see near_dup_pairs_incremental
     )
     internal = _bucket_pairs(band_d.drop("pbucket"))
     cand = cross.unionByName(internal).distinct()

@@ -226,6 +226,7 @@ def write_file_stats(
     path: str,
     cols: list[str],
     append: bool = False,
+    schema=None,
 ) -> int:
     """Build (or incrementally extend) a per-FILE min/max/count stats
     table over a parquet dataset — the Delta/Iceberg file-statistics
@@ -261,10 +262,14 @@ def write_file_stats(
         targets = sorted(live - have)
         if not targets:
             return 0
+    # schema (r18): a caller that just WROTE the dataset passes its
+    # schema to skip footer inference — one job locally, a footer round
+    # trip at scale (same contract as publish.read_published)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     if targets is None:
-        src = spark.read.parquet(path)
+        src = reader.parquet(path)
     else:
-        src = spark.read.option("basePath", path).parquet(*targets)
+        src = reader.option("basePath", path).parquet(*targets)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
@@ -847,6 +852,7 @@ def pruned_scan(
     upper=None,
     ranges: "dict | None" = None,
     spark_side: "bool | None" = None,
+    schema=None,
 ) -> DataFrame:
     """Stats-pruned scan: read ONLY the files :func:`prune_files`
     keeps for the range (or conjunction of ranges), then apply the
@@ -854,12 +860,15 @@ def pruned_scan(
     surviving files' row groups).  With no prunable file or no stats
     table this degrades to a plain filtered scan — same rows either
     way, the stats only remove I/O.  ``spark_side`` passes through to
-    :func:`prune_files` (None = the file-count threshold decides)."""
+    :func:`prune_files` (None = the file-count threshold decides).
+    ``schema`` (r18) skips footer inference when the caller knows the
+    written schema — see :func:`write_file_stats`."""
     rgs = _as_ranges(col, lower, upper, ranges)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     keep, _total = prune_files(spark, path, ranges=rgs, spark_side=spark_side)
     if not keep:
-        return spark.read.parquet(path).filter(F.lit(False))
-    df = spark.read.option("basePath", path).parquet(*keep)
+        return reader.parquet(path).filter(F.lit(False))
+    df = reader.option("basePath", path).parquet(*keep)
     pred = F.lit(True)
     for c, (lo, hi) in rgs.items():
         if lo is not None:
@@ -1076,6 +1085,7 @@ def write_file_bloom(
     m_bits: int = 8192,
     k_hashes: int = 6,
     append: bool = False,
+    schema=None,
 ) -> int:
     """Build (or incrementally extend) per-file bloom filters over
     ``cols`` for planning-time file skipping on EQUALITY probes.
@@ -1110,10 +1120,13 @@ def write_file_bloom(
         targets = sorted(live - have)
         if not targets:
             return 0
+    # schema (r18): skip footer inference when the caller knows the
+    # written schema — see write_file_stats
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     if targets is None:
-        src = spark.read.parquet(path)
+        src = reader.parquet(path)
     else:
-        src = spark.read.option("basePath", path).parquet(*targets)
+        src = reader.option("basePath", path).parquet(*targets)
     base = src.select(
         F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("file"),
         *cols,
@@ -1328,6 +1341,7 @@ def pruned_scan_eq(
     col: str,
     value,
     spark_side: "bool | None" = None,
+    schema=None,
 ) -> DataFrame:
     """Bloom-pruned point lookup: read only the files whose bloom
     cannot rule the value out, then apply the equality filter (pushed
@@ -1335,14 +1349,16 @@ def pruned_scan_eq(
     filtered scan without an index; NULL probes return the empty
     result directly (SQL equality never matches NULL).  ``spark_side``
     passes through to :func:`prune_files_eq` (None = the file-count
-    threshold decides)."""
+    threshold decides).  ``schema`` (r18) skips footer inference when
+    the caller knows the written schema."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     if value is None:
-        return spark.read.parquet(path).filter(F.lit(False))
+        return reader.parquet(path).filter(F.lit(False))
     keep, _total = prune_files_eq(spark, path, col, value, spark_side=spark_side)
     if not keep:
-        return spark.read.parquet(path).filter(F.lit(False))
+        return reader.parquet(path).filter(F.lit(False))
     return (
-        spark.read.option("basePath", path)
+        reader.option("basePath", path)
         .parquet(*keep)
         .filter(F.col(col) == F.lit(value))
     )

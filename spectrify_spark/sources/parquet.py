@@ -89,6 +89,23 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     return cols
 
 
+#: Inferred-schema memo: (path, root mtime_ns) -> the StructType SPARK
+#: ITSELF resolved for that table under read_table's conf window (r18
+#: opt round).  Every plain ``spark.read.parquet`` launches a 1-task
+#: footer schema-inference job even for a path read moments ago —
+#: query registries and the bench re-read the same immutable tables
+#: constantly, so that job repeated hundreds of times per session.
+#: The memo is pure METADATA (the first read's own inferred schema,
+#: replayed via ``.schema(...)``, exactly what a catalog/metastore
+#: supplies); values and read semantics are untouched.  Same
+#: invalidation contract as :data:`_NS_COLS_CACHE` (mtime of the table
+#: root; Spark rewrites the directory entry on overwrite).
+#: ``merge_schema=True`` reads are never memoized — footer-union
+#: inference is the entire point of that flag.
+_SCHEMA_CACHE: dict = {}
+_SCHEMA_CACHE_MAX = 256
+
+
 def _read_ltz(
     spark: SparkSession, path: str, merge_schema: bool = False
 ) -> DataFrame:
@@ -102,8 +119,22 @@ def _read_ltz(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    ckey = None
+    if not merge_schema:
+        try:
+            ckey = (path, os.stat(path).st_mtime_ns)
+        except OSError:
+            ckey = None
     try:
-        return reader.parquet(path)
+        cached = _SCHEMA_CACHE.get(ckey) if ckey is not None else None
+        if cached is not None:
+            return reader.schema(cached).parquet(path)
+        df = reader.parquet(path)
+        if ckey is not None:
+            if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+            _SCHEMA_CACHE[ckey] = df.schema
+        return df
     finally:
         if prev is None:
             spark.conf.unset(NTZ_INFER_CONF)

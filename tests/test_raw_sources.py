@@ -79,3 +79,30 @@ def test_read_text_docs_feeds_curation(spark, tmp_path):
     out = curate(docs, min_tokens=3)
     assert 0 < out.count() <= 20
     assert set(out.columns) == {"id", "text_clean", "lang", "quality", "n_tokens", "split"}
+
+
+def test_read_table_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """r18: read_table memoizes the Spark-inferred schema per
+    (path, mtime) so repeated reads of an immutable table skip the
+    footer-inference job.  A REWRITE of the path must invalidate the
+    memo — the new schema is picked up, never the stale one."""
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.sources.parquet import read_table
+
+    p = str(tmp_path / "t")
+    spark.range(5).select(F.col("id").alias("a")).write.parquet(p)
+    first = read_table(spark, p)
+    assert [f.name for f in first.schema.fields] == ["a"]
+    # second read hits the memo, same schema + rows
+    again = read_table(spark, p)
+    assert again.schema == first.schema and again.count() == 5
+
+    # rewrite with a DIFFERENT schema: the directory mtime changes,
+    # the memo entry dies, and the new schema is inferred
+    spark.range(3).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    ).write.mode("overwrite").parquet(p)
+    new = read_table(spark, p)
+    assert [f.name for f in sorted(new.schema.fields, key=lambda f: f.name)] == ["a", "b"]
+    assert new.count() == 3

@@ -438,6 +438,12 @@ def main() -> None:
         else None,
         "errors": errors,
         "sf": sf,
+        # run-selection policy (r17 ADVICE, stated in-record): the
+        # committed BENCH_RESULT.json is ALWAYS the most recent full
+        # bench.py run at the committed HEAD — never a hand-picked
+        # best-of-N boot.  Cross-boot comparison runs live under
+        # plans/<round>/ and are labeled there.
+        "run_policy": "latest full run at HEAD; no best-of-boot selection",
     }
     # Durable full record: the driver captures only the last ~2,000
     # chars of stdout, which severed the 137-key per-query dict from

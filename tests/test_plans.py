@@ -84,12 +84,10 @@ GOLDEN = {
     "q_graph_pagerank_weighted": dict(max_exchanges=1, ban_bnlj=True),
     # dangling-mass variant: same checkpointed-ranks read as pagerank
     "q_graph_pagerank_dangling": dict(max_exchanges=1, ban_bnlj=True),
-    # PQ encode + ADC: the BNLJ is the designed one-row codebook/LUT
-    # broadcast (the r10 de-literalization); the single Exchange is
-    # the ordered full output, and the scan must stay 2 columns
-    "q_embed_pq": dict(
-        max_exchanges=1, joins=["BroadcastNestedLoopJoin"], max_scan_cols=2
-    ),
+    # PQ encode + ADC (r18): the one-row codebook/LUT now folds in as
+    # LITERAL columns, so there is NO join in the plan at all — the
+    # single Exchange is the ordered full output, scan stays 2 columns
+    "q_embed_pq": dict(max_exchanges=1, ban_bnlj=True, max_scan_cols=2),
     # IVF-PQ probe: code-only partitioned scans + broadcast model rows;
     # zero shuffle end-to-end (top-k is TakeOrderedAndProject)
     "q_sim_ivfpq": dict(

@@ -464,3 +464,30 @@ def test_empty_index_build_records_no_baselines(spark, tmp_path):
     rep = SIM.ann_drift_report(spark, path)
     assert rep["rebuild_recommended"] is True
     assert any("unmeasurable" in r for r in rep["reasons"])
+
+
+def test_attach_params_fallback_matches_literal_path(spark, monkeypatch):
+    """r18: small parameter tables inline as literal columns; models
+    past PARAM_LITERAL_MAX keep the broadcast one-row-frame crossJoin.
+    Both arms must assign identical cells (the fallback is the
+    production-sized-model path, so it has to stay live and correct)."""
+    from spectrify_spark.operators import _params
+    from spectrify_spark.operators import similarity as SIM
+    from spectrify_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = SIM.choose_centroids(e, n_centroids=4)
+
+    lit_rows = sorted(
+        (r.vec_id, r.ivf_cell)
+        for r in SIM.assign_partitions(e, cents).collect()
+    )
+    monkeypatch.setattr(_params, "PARAM_LITERAL_MAX", 0)
+    fb = SIM.assign_partitions(e, cents)
+    fb_rows = sorted((r.vec_id, r.ivf_cell) for r in fb.collect())
+    assert fb_rows == lit_rows
+    # the fallback really is the broadcast-frame join
+    plan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan

@@ -491,3 +491,39 @@ def test_attach_params_fallback_matches_literal_path(spark, monkeypatch):
     # the fallback really is the broadcast-frame join
     plan = fb._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_fast_literal_bit_identical_to_per_element_lit(spark):
+    """r18: parameter literals are built as ONE parsed SQL expression
+    (per-element F.lit cost ~0.9s of py4j driver time per codebook).
+    The parsed values must be BIT-identical to the F.lit path for
+    doubles (repr round-trip), ints, bools, strings, and nesting; the
+    non-finite fallback must still go through F.lit."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spectrify_spark.operators._params import _fast_lit
+
+    random.seed(7)
+    vals = (
+        [random.uniform(-1e6, 1e6) for _ in range(100)]
+        + [0.1, 2 / 3, 1e-308, 1.7976931348623157e308, -0.0, 5e-324]
+    )
+    got = spark.range(1).select(_fast_lit(vals).alias("a")).collect()[0]["a"]
+    want = spark.range(1).select(F.lit(vals).alias("a")).collect()[0]["a"]
+    assert all(
+        x == y and math.copysign(1, x) == math.copysign(1, y)
+        for x, y in zip(got, want)
+    )
+    nested = [[1, 2], [3, 4]]
+    gn = spark.range(1).select(_fast_lit(nested).alias("a")).collect()[0]["a"]
+    assert [list(x) for x in gn] == nested
+    s = ["it's", "a\\b", "plain"]
+    gs = spark.range(1).select(_fast_lit(s).alias("a")).collect()[0]["a"]
+    assert list(gs) == s
+    # non-finite floats fall back to the F.lit path, values preserved
+    nf = [float("inf"), float("-inf"), 1.0]
+    gnf = spark.range(1).select(_fast_lit(nf).alias("a")).collect()[0]["a"]
+    assert gnf[0] == float("inf") and gnf[1] == float("-inf") and gnf[2] == 1.0
